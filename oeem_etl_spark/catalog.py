@@ -1,0 +1,88 @@
+"""Catalog: load the fixture parquet tables and register temp views.
+
+The engine's tables (TESTDATA.md / FIXTURES.md): a TPC-H-ish star schema,
+an ``events`` stream table, and the LLM-pipeline ``documents`` /
+``embeddings`` tables. All reads are plain ``spark.read.parquet`` so
+Catalyst gets predicate pushdown / column pruning / partition pruning for
+free on every downstream query (SURVEY.md §4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+# Dimension tables small enough to broadcast at any realistic scale factor.
+BROADCAST_DIMS = ("region", "nation", "supplier")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+def ensure_session_confs(spark: SparkSession) -> None:
+    """Set the correctness-critical SQL confs on an externally-built session.
+
+    The driver (and any library user) may hand us a SparkSession without
+    our factory's config. These two are required for correct results —
+    everything else in session.py is performance-only:
+
+    - ``nanosAsLong``: parquet TIMESTAMP(NANOS) columns (events.ts) are
+      unreadable otherwise (PARQUET_TYPE_ILLEGAL); verified runtime-settable.
+    - UTC session timezone: timestamp collection/rendering must be
+      timezone-stable to match the oracle.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    ensure_session_confs(spark)
+    df = spark.read.parquet(table_path(sf_dir, name))
+    return _canonicalize(df)
+
+
+def _canonicalize(df: DataFrame) -> DataFrame:
+    """Normalize engine-unreadable physical types to the logical model.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads only as
+    int64 nanos (session config ``nanosAsLong``); convert to a microsecond
+    TimestampType — the same floor-truncation DuckDB applies when casting
+    TIMESTAMP_NS to TIMESTAMP, so both engines see identical values.
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as Ty
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, Ty.LongType):
+            # integer DIV: float division would lose precision on epoch-ns
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (SQL entry point, EP3)."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

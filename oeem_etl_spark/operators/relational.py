@@ -1,0 +1,167 @@
+"""Relational composite operators (SURVEY.md §2.C/§2.D/§2.E).
+
+These are the operators the reference needed for its upload/upsert and
+interval-alignment semantics (SURVEY.md §2 rows C7, C8, D12, E5, K6 —
+reference capabilities tagged [PK-high] there; /root/reference is empty so
+no file:line citation is possible). All are pure DataFrame compositions:
+one shuffle each, no UDFs, no driver-side loops.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dedupe_keep_latest(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column],
+) -> DataFrame:
+    """Keep exactly one row per natural key: the first under ``order_by``.
+
+    Upsert semantics (newest record wins) = ``order_by=[ts.desc(),
+    version.desc()]``. Pass a total order (include a unique tiebreaker) for
+    deterministic results. Single shuffle on ``keys``; Spark plans a
+    partial/final window — at 100 TB this is a plain hash-partitioned
+    window, skew on a hot key is handled by AQE skew-split only for joins,
+    so extremely hot natural keys should be pre-salted by the caller.
+    """
+    w = Window.partitionBy(*keys).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def topk_per_group(
+    df: DataFrame,
+    partition_by: Sequence[str],
+    order_by: Sequence[Column],
+    k: int,
+) -> DataFrame:
+    """Top-k rows per group by rank-then-filter (§2.E5).
+
+    Catalyst rewrites this to a WindowGroupLimit (rank-pushdown) physical
+    node in Spark 4, so each partition keeps only k rows before the final
+    window — no full per-group sort materialization.
+    """
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    keys: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    allow_exact: bool = True,
+) -> DataFrame:
+    """As-of join (§2.C8): for each left row, attach ``value_cols`` from the
+    latest right row with ``right.ts <= left.ts`` (or ``<`` when
+    ``allow_exact=False``) within the same key group.
+
+    Spark has no native as-of join; the scalable plan used here is the
+    union + ordered-window forward-fill trick:
+
+      1. union left and right rows tagged with ``__is_left``;
+      2. one window per key ordered by (ts, tag) with a running
+         ``last(value, ignorenulls=True)``;
+      3. keep only left rows.
+
+    This costs ONE shuffle on ``keys`` over (|L|+|R|) rows — versus the
+    naive join+filter+rank which materializes |L|×|R| pairs per key. At
+    100 TB the naive plan is quadratic in hot keys; this one is linear.
+
+    Right-side ties on (key, ts) are resolved deterministically by keeping
+    the row that sorts last under ``value_cols`` order of arrival; callers
+    needing a specific winner should pre-dedup the right side.
+    """
+    lcols = [c for c in left.columns if c not in value_cols]
+    tag_order = (
+        [F.col("__ts").asc(), F.col("__is_left").asc()]  # right (0) first at tie => <=
+        if allow_exact
+        else [F.col("__ts").asc(), F.col("__is_left").desc()]  # left first => strict <
+    )
+
+    lhs = left.select(
+        *[F.col(c) for c in lcols],
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__is_left"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(c) for c in value_cols],
+    )
+    rhs = right.select(
+        *[
+            F.lit(None).cast(left.schema[c].dataType).alias(c) if c not in keys else F.col(c)
+            for c in lcols
+        ],
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__is_left"),
+        *[F.col(c) for c in value_cols],
+    )
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*tag_order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    unioned = lhs.unionByName(rhs)
+    for c in value_cols:
+        unioned = unioned.withColumn(c, F.last(c, ignorenulls=True).over(w))
+    return (
+        unioned.where(F.col("__is_left") == 1)
+        .drop("__is_left")
+        .withColumnRenamed("__ts", left_ts)
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    keys: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Interval-overlap join (§2.C7): rows whose [start, end) ranges overlap.
+
+    Overlap predicate: ``l.start < r.end AND r.start < l.end`` plus optional
+    equi-keys. With equi-keys Catalyst plans a hash join with a residual
+    range predicate (one shuffle); without keys, broadcast the small side —
+    callers at scale should bucket both sides by a coarse time grid first
+    and join on the bucket to avoid the cartesian fallback.
+    """
+    cond = (F.col(f"l.{left_start}") < F.col(f"r.{right_end}")) & (
+        F.col(f"r.{right_start}") < F.col(f"l.{left_end}")
+    )
+    for k in keys:
+        cond = cond & (F.col(f"l.{k}") == F.col(f"r.{k}"))
+    return left.alias("l").join(right.alias("r"), cond, how)
+
+
+def merge_upsert(
+    target: DataFrame,
+    delta: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Batch upsert (§2.K6): delta rows replace target rows on key match,
+    non-matching rows from both sides survive (the reference datastore's
+    bulk-upsert upload semantics, SURVEY.md §2.K6 [PK-high]).
+
+    Implemented as target-anti-delta ∪ delta: one shuffle for the anti join
+    (broadcast when delta is small), one union — cheaper than a full-outer
+    join + per-column coalesce when schemas are identical.
+    """
+    survivors = target.join(delta.select(*keys), list(keys), "left_anti")
+    return survivors.unionByName(delta)

@@ -1,0 +1,1150 @@
+"""Declared relational queries (SURVEY.md §2.A/B/C/D/E/F/G).
+
+Each query exercises one contract row (noted in ``survey=``) and ships a
+DuckDB oracle. Determinism rules from SURVEY.md §7.4 are applied
+throughout: decimal-accumulated float sums (plans/util.py), explicit null
+ordering, total orders under every LIMIT, no engine-divergent calendar
+functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators.relational import (
+    asof_join,
+    dedupe_keep_latest,
+    interval_overlap_join,
+    merge_upsert,
+    topk_per_group,
+)
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T, davg, dsum, sql_davg, sql_dsum
+
+# ---------------------------------------------------------------------------
+# Flagship + headline queries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q01_pricing_summary",
+    sql=f"""
+    SELECT l_returnflag, l_linestatus,
+           {sql_dsum('l_quantity', 'sum_qty')},
+           {sql_dsum('l_extendedprice', 'sum_base_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'sum_disc_price')},
+           {sql_dsum('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 'sum_charge')},
+           {sql_davg('l_quantity', 'avg_qty')},
+           {sql_davg('l_extendedprice', 'avg_price')},
+           {sql_davg('l_discount', 'avg_disc')},
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tier="T1",
+    survey="A1,B2,B3,D1,F1",
+)
+def q01_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-style pricing summary: the flagship scan→filter→agg→sort."""
+    li = T(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity", "sum_qty"),
+            dsum("l_extendedprice", "sum_base_price"),
+            dsum(disc_price, "sum_disc_price"),
+            dsum(charge, "sum_charge"),
+            davg("l_quantity", "avg_qty"),
+            davg("l_extendedprice", "avg_price"),
+            davg("l_discount", "avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@query(
+    "q02_top_revenue_customers",
+    sql=f"""
+    SELECT c_custkey, c_name,
+           {sql_dsum('l_extendedprice * (1 - l_discount)', 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 10
+    """,
+    tier="T1",
+    survey="C1,C9,D1,F3",
+)
+def q02_top_revenue_customers(spark, sf_dir):
+    """3-way join + agg + global top-k; dimension side broadcast (C9)."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    li = T(spark, sf_dir, "lineitem")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name")
+        .agg(dsum(revenue, "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(10)
+    )
+
+
+@query(
+    "q03_hourly_rollup",
+    sql=f"""
+    SELECT date_trunc('hour', ts) AS hour,
+           COUNT(*) AS n_events,
+           {sql_dsum('value', 'total_value')}
+    FROM events
+    GROUP BY hour
+    """,
+    tier="T1",
+    survey="D1,H4,K3",
+)
+def q03_hourly_rollup(spark, sf_dir):
+    """Hourly time-bucket rollup on the event stream (batch form of I1)."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy(F.date_trunc("hour", "ts").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value", "total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.A sources (SQL-checkable ones)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a1_parquet_scan",
+    sql="SELECT r_regionkey, r_name FROM region",
+    tier="T1",
+    survey="A1",
+)
+def a1_parquet_scan(spark, sf_dir):
+    """Bare parquet scan with projection."""
+    return T(spark, sf_dir, "region").select("r_regionkey", "r_name")
+
+
+@query(
+    "a5_inline_values",
+    sql="""
+    SELECT r_name, t.code
+    FROM region
+    JOIN (VALUES (0, 'alpha'), (1, 'beta'), (3, 'gamma')) AS t(rk, code)
+      ON r_regionkey = t.rk
+    """,
+    tier="T1",
+    survey="A5,C9",
+)
+def a5_inline_values(spark, sf_dir):
+    """In-memory literal source joined (broadcast) to a scanned table."""
+    lit = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (3, "gamma")], "rk INT, code STRING"
+    )
+    region = T(spark, sf_dir, "region")
+    return region.join(F.broadcast(lit), region.r_regionkey == lit.rk).select(
+        "r_name", "code"
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.B row ops
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "b1_project_rename",
+    sql="""
+    SELECT c_custkey AS cust_id, c_name AS cust_name, c_acctbal AS balance
+    FROM customer WHERE c_custkey <= 500
+    """,
+    tier="T1",
+    survey="B1,B7",
+)
+def b1_project_rename(spark, sf_dir):
+    """Projection, rename, column drop (schema standardization core)."""
+    return (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 500)
+        .withColumnRenamed("c_custkey", "cust_id")
+        .withColumnRenamed("c_name", "cust_name")
+        .withColumn("balance", F.col("c_acctbal"))
+        .drop("c_nationkey", "c_mktsegment", "c_acctbal")
+    )
+
+
+@query(
+    "b2_derived_column",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           l_quantity * 2.0 + 1.0 AS qty2
+    FROM lineitem WHERE l_orderkey <= 300
+    """,
+    tier="T1",
+    survey="B2",
+)
+def b2_derived_column(spark, sf_dir):
+    """Computed expressions: identical IEEE double arithmetic both engines."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 300)
+        .withColumn("revenue", F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        .withColumn("qty2", F.col("l_quantity") * 2.0 + 1.0)
+        .select("l_orderkey", "l_linenumber", "revenue", "qty2")
+    )
+
+
+@query(
+    "b3_filter_predicates",
+    sql="""
+    SELECT o_orderkey FROM orders
+    WHERE o_orderstatus IN ('F', 'O')
+      AND o_totalprice BETWEEN 10000 AND 200000
+      AND o_orderpriority LIKE '%URGENT%'
+      AND regexp_matches(o_orderpriority, '^[12]-')
+      AND o_orderdate IS NOT NULL
+    """,
+    tier="T1",
+    survey="B3",
+)
+def b3_filter_predicates(spark, sf_dir):
+    """Filter battery: IN / BETWEEN / LIKE / RLIKE / IS NOT NULL."""
+    o = T(spark, sf_dir, "orders")
+    return o.where(
+        F.col("o_orderstatus").isin("F", "O")
+        & F.col("o_totalprice").between(10000, 200000)
+        & F.col("o_orderpriority").like("%URGENT%")
+        & F.col("o_orderpriority").rlike("^[12]-")
+        & F.col("o_orderdate").isNotNull()
+    ).select("o_orderkey")
+
+
+@query(
+    "b4_case_when",
+    sql=f"""
+    SELECT CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 'high'
+                WHEN o_orderpriority = '3-MEDIUM' THEN 'mid'
+                ELSE 'low' END AS urgency,
+           COUNT(*) AS n,
+           {sql_dsum('o_totalprice', 'total')}
+    FROM orders GROUP BY urgency
+    """,
+    tier="T1",
+    survey="B4,D1",
+)
+def b4_case_when(spark, sf_dir):
+    urgency = (
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high")
+        .when(F.col("o_orderpriority") == "3-MEDIUM", "mid")
+        .otherwise("low")
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy(urgency.alias("urgency"))
+        .agg(F.count(F.lit(1)).alias("n"), dsum("o_totalprice", "total"))
+    )
+
+
+@query(
+    "b5_cast_coerce",
+    sql="""
+    SELECT l_orderkey,
+           CAST(FLOOR(l_quantity) AS BIGINT) AS qty_int,
+           CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+           CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str
+    FROM lineitem WHERE l_orderkey <= 400
+    """,
+    tier="T1",
+    survey="B5",
+)
+def b5_cast_coerce(spark, sf_dir):
+    """Casts: double→int (via floor — engines differ on raw double→int
+    rounding), int→double, timestamp→date→string."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .where(F.col("l_orderkey") <= 400)
+        .select(
+            "l_orderkey",
+            F.floor("l_quantity").cast("bigint").alias("qty_int"),
+            F.col("l_linenumber").cast("double").alias("ln_dbl"),
+            F.col("l_shipdate").cast("date").cast("string").alias("ship_str"),
+        )
+    )
+
+
+@query(
+    "b6_null_handling",
+    sql=f"""
+    SELECT COALESCE(NULLIF(event_type, 'error'), 'unknown') AS etype_clean,
+           COUNT(*) AS n,
+           {sql_dsum("COALESCE(CASE WHEN event_type = 'error' THEN NULL ELSE value END, 0.0)",
+                     'total_ok_value')}
+    FROM events GROUP BY etype_clean
+    """,
+    tier="T2",
+    survey="B6",
+)
+def b6_null_handling(spark, sf_dir):
+    """coalesce / nullif / na.fill null handling."""
+    ev = T(spark, sf_dir, "events")
+    cleaned = ev.select(
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("unknown")).alias(
+            "etype_clean"
+        ),
+        F.when(F.col("event_type") == "error", None)
+        .otherwise(F.col("value"))
+        .alias("ok_value"),
+    ).na.fill({"ok_value": 0.0})
+    return cleaned.groupBy("etype_clean").agg(
+        F.count(F.lit(1)).alias("n"), dsum("ok_value", "total_ok_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.C joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "c1_inner_join_agg",
+    sql=f"""
+    SELECT c_mktsegment, COUNT(*) AS n_orders, {sql_dsum('o_totalprice', 'total')}
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_mktsegment
+    """,
+    tier="T1",
+    survey="C1,D1",
+)
+def c1_inner_join_agg(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_orders"), dsum("o_totalprice", "total"))
+    )
+
+
+@query(
+    "c2_left_join_histogram",
+    sql="""
+    SELECT n_orders, COUNT(*) AS n_customers FROM (
+      SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey
+    ) GROUP BY n_orders
+    """,
+    tier="T1",
+    survey="C2,D1",
+)
+def c2_left_join_histogram(spark, sf_dir):
+    """Left outer join; COUNT(col) skips the null-padded non-matches."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return per_cust.groupBy("n_orders").agg(F.count(F.lit(1)).alias("n_customers"))
+
+
+@query(
+    "c3_semi_join",
+    sql="""
+    SELECT c_mktsegment, COUNT(*) AS n FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+    tier="T2",
+    survey="C3",
+)
+def c3_semi_join(spark, sf_dir):
+    """Existence filter (the reference's 'already uploaded?' check shape)."""
+    cust = T(spark, sf_dir, "customer")
+    urgent = T(spark, sf_dir, "orders").where(F.col("o_orderpriority") == "1-URGENT")
+    return (
+        cust.join(urgent, cust.c_custkey == urgent.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "c4_anti_join",
+    sql="""
+    SELECT c_mktsegment, COUNT(*) AS n FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_mktsegment
+    """,
+    tier="T2",
+    survey="C4",
+)
+def c4_anti_join(spark, sf_dir):
+    """Non-existence filter (new-records-only half of the upsert)."""
+    cust = T(spark, sf_dir, "customer")
+    orders = T(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "c5_cross_join",
+    sql="""
+    SELECT r_name, s.o_orderstatus
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders) s
+    """,
+    tier="T2",
+    survey="C5,D11",
+)
+def c5_cross_join(spark, sf_dir):
+    region = T(spark, sf_dir, "region")
+    statuses = T(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return region.crossJoin(statuses).select("r_name", "o_orderstatus")
+
+
+@query(
+    "c6_range_join",
+    sql=f"""
+    SELECT b.band, COUNT(*) AS n, {sql_dsum('p_retailprice', 'total_price')}
+    FROM part
+    JOIN (VALUES ('low', 0.0, 500.0), ('mid', 500.0, 1200.0),
+                 ('high', 1200.0, 1e9)) AS b(band, lo, hi)
+      ON p_retailprice >= b.lo AND p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    tier="T2",
+    survey="C6,A5",
+)
+def c6_range_join(spark, sf_dir):
+    """Theta join on value bands: broadcast nested-loop with a range
+    predicate — the tiny band table is the broadcast side."""
+    part = T(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 500.0), ("mid", 500.0, 1200.0), ("high", 1200.0, 1e9)],
+        "band STRING, lo DOUBLE, hi DOUBLE",
+    )
+    cond = (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi)
+    return (
+        part.join(F.broadcast(bands), cond)
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), dsum("p_retailprice", "total_price"))
+    )
+
+
+@query(
+    "c7_interval_overlap_join",
+    sql=f"""
+    SELECT p.period, COUNT(*) AS n_events, {sql_dsum('e.value', 'total_value')}
+    FROM events e
+    JOIN (VALUES ('w1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+                 ('w2', TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-12'),
+                 ('m1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01'))
+         AS p(period, p_start, p_end)
+      ON e.ts < p.p_end AND p.p_start < e.ts + INTERVAL 1 HOUR
+    GROUP BY p.period
+    """,
+    tier="T2",
+    survey="C7",
+)
+def c7_interval_overlap_join(spark, sf_dir):
+    """Interval-overlap join: event [ts, ts+1h) × period [start, end)
+    (the reference's consumption-interval × billing-period alignment)."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .withColumn("ev_end", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumnRenamed("ts", "ev_start")
+    )
+    periods = spark.createDataFrame(
+        [
+            ("w1", "2024-01-01", "2024-01-08"),
+            ("w2", "2024-01-05", "2024-01-12"),
+            ("m1", "2024-01-01", "2024-02-01"),
+        ],
+        "period STRING, p_start_s STRING, p_end_s STRING",
+    ).select(
+        "period",
+        F.col("p_start_s").cast("timestamp").alias("p_start"),
+        F.col("p_end_s").cast("timestamp").alias("p_end"),
+    )
+    joined = interval_overlap_join(
+        ev, F.broadcast(periods), "ev_start", "ev_end", "p_start", "p_end"
+    )
+    return joined.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "total_value")
+    )
+
+
+@query(
+    "c8_asof_join",
+    sql="""
+    SELECT l.event_id, l.user_id, r.value AS last_view_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+    ASOF LEFT JOIN (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ) r ON l.user_id = r.user_id AND r.ts <= l.ts
+    """,
+    tier="T2",
+    survey="C8",
+)
+def c8_asof_join(spark, sf_dir):
+    """As-of join: each purchase gets the value of the user's latest
+    prior-or-simultaneous view. Union+window implementation (one shuffle)."""
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = dedupe_keep_latest(
+        ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value").alias("last_view_value"), "event_id"
+        ),
+        keys=["user_id", "ts"],
+        order_by=[F.col("event_id").desc()],
+    ).drop("event_id")
+    out = asof_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["last_view_value"],
+        allow_exact=True,
+    )
+    return out.select("event_id", "user_id", "last_view_value")
+
+
+@query(
+    "c10_self_join",
+    sql="""
+    SELECT COUNT(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 MINUTE
+     AND a.event_id <> b.event_id
+    """,
+    tier="T2",
+    survey="C10,C6",
+)
+def c10_self_join(spark, sf_dir):
+    """Self-join: pairs of same-user events within a 1-minute window."""
+    ev = T(spark, sf_dir, "events")
+    a = ev.alias("a")
+    b = ev.alias("b")
+    cond = (
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("b.ts") > F.col("a.ts"))
+        & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 1 MINUTE"))
+        & (F.col("a.event_id") != F.col("b.event_id"))
+    )
+    return a.join(b, cond).agg(F.count(F.lit(1)).alias("n_pairs"))
+
+
+# ---------------------------------------------------------------------------
+# 2.D aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "d2_distinct_agg",
+    sql="""
+    SELECT c_nationkey,
+           COUNT(DISTINCT c_mktsegment) AS n_segments,
+           COUNT(DISTINCT c_custkey) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+    tier="T2",
+    survey="D2",
+)
+def d2_distinct_agg(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count_distinct("c_mktsegment").alias("n_segments"),
+            F.count_distinct("c_custkey").alias("n_customers"),
+        )
+    )
+
+
+@query(
+    "d3_stats_agg",
+    sql="""
+    SELECT l_returnflag,
+           ROUND(stddev_samp(l_quantity), 6) AS sd_qty,
+           ROUND(var_pop(l_discount), 6) AS var_disc,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tier="T2",
+    survey="D3",
+)
+def d3_stats_agg(spark, sf_dir):
+    """Statistical aggregates; rounded — both engines use numerically
+    stable accumulation, residual error << 1e-6 at these magnitudes."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_qty"),
+            F.round(F.var_pop("l_discount"), 6).alias("var_disc"),
+            F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias(
+                "corr_qty_price"
+            ),
+        )
+    )
+
+
+@query(
+    "d4_first_per_group",
+    sql="""
+    SELECT o_custkey AS custkey, o_orderkey AS first_orderkey,
+           o_totalprice AS first_totalprice
+    FROM orders WHERE o_custkey <= 200
+    QUALIFY row_number() OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) = 1
+    """,
+    tier="T2",
+    survey="D4",
+)
+def d4_first_per_group(spark, sf_dir):
+    """Ordered first-per-group via deterministic window (not F.first on an
+    unsorted group, which is nondeterministic under parallelism)."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
+    first = dedupe_keep_latest(
+        o, keys=["o_custkey"], order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    )
+    return first.select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderkey").alias("first_orderkey"),
+        F.col("o_totalprice").alias("first_totalprice"),
+    )
+
+
+@query(
+    "d5_collect_list",
+    sql="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           COUNT(*) AS n
+    FROM events GROUP BY user_id
+    """,
+    tier="T2",
+    survey="D5",
+)
+def d5_collect_list(spark, sf_dir):
+    """Array-valued agg, sorted for determinism, joined to a string so the
+    oracle hash sees identical scalar values."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "d6_percentiles",
+    sql="""
+    SELECT o_orderstatus,
+           ROUND(median(o_totalprice), 4) AS med_price,
+           ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tier="T2",
+    survey="D6",
+)
+def d6_percentiles(spark, sf_dir):
+    """Exact median / interpolated percentile (both engines interpolate)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.median("o_totalprice"), 4).alias("med_price"),
+            F.round(F.percentile("o_totalprice", 0.9), 4).alias("p90_price"),
+        )
+    )
+
+
+@query(
+    "d9_rollup",
+    sql=f"""
+    SELECT r_name, n_name,
+           CAST(2 * GROUPING(r_name) + GROUPING(n_name) AS INT) AS gid,
+           COUNT(*) AS n_customers,
+           {sql_dsum('c_acctbal', 'total_bal')}
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    tier="T2",
+    survey="D9",
+)
+def d9_rollup(spark, sf_dir):
+    """Hierarchical rollup with grouping-id disambiguation."""
+    cust = T(spark, sf_dir, "customer")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), cust.c_nationkey == nation.n_nationkey
+    ).join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    return joined.rollup("r_name", "n_name").agg(
+        (2 * F.grouping("r_name") + F.grouping("n_name")).cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_customers"),
+        dsum("c_acctbal", "total_bal"),
+    )
+
+
+@query(
+    "d10_having",
+    sql="""
+    SELECT c_nationkey, COUNT(*) AS n FROM customer
+    GROUP BY c_nationkey HAVING COUNT(*) > 40
+    """,
+    tier="T1",
+    survey="D10",
+)
+def d10_having(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") > 40)
+    )
+
+
+@query(
+    "d11_distinct",
+    sql="SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    tier="T1",
+    survey="D11",
+)
+def d11_distinct(spark, sf_dir):
+    return T(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+@query(
+    "d12_dedup_keep_latest",
+    sql="""
+    SELECT user_id, event_type, event_id, value FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tier="T2",
+    survey="D12,K5",
+)
+def d12_dedup_keep_latest(spark, sf_dir):
+    """Upsert semantics: newest record per natural key wins."""
+    ev = T(spark, sf_dir, "events")
+    latest = dedupe_keep_latest(
+        ev,
+        keys=["user_id", "event_type"],
+        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    )
+    return latest.select("user_id", "event_type", "event_id", "value")
+
+
+@query(
+    "d13_pivot",
+    sql=f"""
+    SELECT user_id,
+           {sql_dsum("CASE WHEN event_type = 'view' THEN value END", 'view')},
+           {sql_dsum("CASE WHEN event_type = 'click' THEN value END", 'click')},
+           {sql_dsum("CASE WHEN event_type = 'purchase' THEN value END", 'purchase')}
+    FROM events GROUP BY user_id
+    """,
+    tier="T2",
+    survey="D13",
+)
+def d13_pivot(spark, sf_dir):
+    """Pivot rows→columns on an enum (fuel-type-style wide table)."""
+    return (
+        T(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(dsum("value", "v"))
+    )
+
+
+@query(
+    "d14_unpivot",
+    sql="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS val
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+    FROM lineitem WHERE l_orderkey <= 200
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    tier="T3",
+    survey="D14",
+)
+def d14_unpivot(spark, sf_dir):
+    """Columns→rows melt."""
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_discount", "l_tax"],
+        "metric",
+        "val",
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.E window functions
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e1_ranking",
+    sql="""
+    SELECT c_nationkey, c_custkey,
+           row_number() OVER w AS rn,
+           rank() OVER w2 AS rnk,
+           dense_rank() OVER w2 AS drnk
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey),
+           w2 AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC)
+    QUALIFY rn <= 5
+    """,
+    tier="T1",
+    survey="E1,E5",
+)
+def e1_ranking(spark, sf_dir):
+    """Ranking family over per-nation account-balance order."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    w2 = Window.partitionBy("c_nationkey").orderBy(F.col("c_acctbal").desc())
+    return (
+        T(spark, sf_dir, "customer")
+        .select(
+            "c_nationkey",
+            "c_custkey",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w2).alias("rnk"),
+            F.dense_rank().over(w2).alias("drnk"),
+        )
+        .where(F.col("rn") <= 5)
+    )
+
+
+@query(
+    "e2_lag_lead",
+    sql="""
+    SELECT user_id, event_id,
+           epoch_us(ts) - lag(epoch_us(ts)) OVER w AS gap_us,
+           lead(event_type) OVER w AS next_type
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    QUALIFY user_id <= 20
+    """,
+    tier="T2",
+    survey="E2",
+)
+def e2_lag_lead(spark, sf_dir):
+    """Offset windows: inter-event gap detection (meter-read gap check)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            (F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w)).alias("gap_us"),
+            F.lead("event_type").over(w).alias("next_type"),
+        )
+        .where(F.col("user_id") <= 20)
+    )
+
+
+@query(
+    "e3_running_sum",
+    sql="""
+    SELECT o_custkey, o_orderkey,
+           ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,4))) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 4) AS running_total
+    FROM orders WHERE o_custkey <= 100
+    """,
+    tier="T2",
+    survey="E3",
+)
+def e3_running_sum(spark, sf_dir):
+    """Frame aggregate: running total per customer (decimal-exact)."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 100)
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(30,4)")).over(w).cast("double"), 4
+            ).alias("running_total"),
+        )
+    )
+
+
+@query(
+    "e4_forward_fill",
+    sql="""
+    SELECT user_id, event_id,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS ffill_value
+    FROM events QUALIFY user_id <= 20
+    """,
+    tier="T2",
+    survey="E4,K4",
+)
+def e4_forward_fill(spark, sf_dir):
+    """Gap-fill forward-fill: last non-null value carried forward."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ev = T(spark, sf_dir, "events")
+    val = F.when(F.col("event_type") == "error", None).otherwise(F.col("value"))
+    return (
+        ev.select(
+            "user_id",
+            "event_id",
+            F.last(val, ignorenulls=True).over(w).alias("ffill_value"),
+        )
+        .where(F.col("user_id") <= 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.F sort / limit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "f1_multi_sort",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+    ORDER BY o_orderstatus ASC NULLS LAST, o_totalprice DESC NULLS LAST, o_orderkey
+    LIMIT 100
+    """,
+    tier="T1",
+    survey="F1,F2",
+)
+def f1_multi_sort(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_last(),
+            F.col("o_totalprice").desc_nulls_last(),
+            F.col("o_orderkey"),
+        )
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .limit(100)
+    )
+
+
+@query(
+    "f2_limit_offset",
+    sql="SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_orderkey LIMIT 50 OFFSET 100",
+    tier="T1",
+    survey="F2",
+)
+def f2_limit_offset(spark, sf_dir):
+    return (
+        T(spark, sf_dir, "orders")
+        .orderBy("o_orderkey")
+        .select("o_orderkey", "o_totalprice")
+        .offset(100)
+        .limit(50)
+    )
+
+
+@query(
+    "f3_global_topk",
+    sql="""
+    SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem
+    ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20
+    """,
+    tier="T1",
+    survey="F3",
+)
+def f3_global_topk(spark, sf_dir):
+    """Global top-k: Spark plans TakeOrderedAndProject (no full sort)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .orderBy(F.col("l_extendedprice").desc(), "l_orderkey", "l_linenumber")
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+        .limit(20)
+    )
+
+
+@query(
+    "e5_topk_per_group",
+    sql="""
+    SELECT user_id, event_id, value FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id
+                               ORDER BY value DESC, event_id) <= 3
+    """,
+    tier="T1",
+    survey="E5",
+)
+def e5_topk_per_group(spark, sf_dir):
+    """Top-3 events per user by value (rank-then-filter operator)."""
+    ev = T(spark, sf_dir, "events")
+    return topk_per_group(
+        ev,
+        partition_by=["user_id"],
+        order_by=[F.col("value").desc(), F.col("event_id")],
+        k=3,
+    ).select("user_id", "event_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# 2.G set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "g1_union_all",
+    sql="""
+    SELECT src, COUNT(*) AS n FROM (
+      SELECT c_custkey AS k, 'c' AS src FROM customer
+      UNION ALL
+      SELECT s_suppkey AS k, 's' AS src FROM supplier
+    ) GROUP BY src
+    """,
+    tier="T1",
+    survey="G1",
+)
+def g1_union_all(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"), F.lit("c").alias("src")
+    )
+    supp = T(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"), F.lit("s").alias("src")
+    )
+    return cust.unionByName(supp).groupBy("src").agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "g2_union_distinct",
+    sql="""
+    SELECT c_nationkey AS nk FROM customer
+    UNION
+    SELECT s_nationkey AS nk FROM supplier
+    """,
+    tier="T2",
+    survey="G2",
+)
+def g2_union_distinct(spark, sf_dir):
+    cust = T(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nk"))
+    supp = T(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nk"))
+    return cust.unionByName(supp).distinct()
+
+
+@query(
+    "g3_intersect",
+    sql="""
+    SELECT c_custkey AS k FROM customer WHERE c_custkey <= 700
+    INTERSECT
+    SELECT o_custkey AS k FROM orders
+    """,
+    tier="T2",
+    survey="G3",
+)
+def g3_intersect(spark, sf_dir):
+    cust = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 700)
+        .select(F.col("c_custkey").alias("k"))
+    )
+    ordered = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.intersect(ordered)
+
+
+@query(
+    "g4_except",
+    sql="""
+    SELECT c_custkey AS k FROM customer
+    EXCEPT
+    SELECT o_custkey AS k FROM orders
+    """,
+    tier="T2",
+    survey="G4",
+)
+def g4_except(spark, sf_dir):
+    """Customers who never ordered (EXCEPT DISTINCT semantics)."""
+    cust = T(spark, sf_dir, "customer").select(F.col("c_custkey").alias("k"))
+    ordered = T(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))
+    return cust.subtract(ordered)
+
+
+# ---------------------------------------------------------------------------
+# K6 merge-upsert (declared here since it is pure relational composition)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k6_merge_upsert",
+    sql=f"""
+    WITH target AS (
+      SELECT user_id, event_type, event_id, value FROM events
+      WHERE ts < TIMESTAMP '2024-01-15'
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    ), delta AS (
+      SELECT user_id, event_type, event_id, value FROM events
+      WHERE ts >= TIMESTAMP '2024-01-15'
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT * FROM target
+    WHERE NOT EXISTS (SELECT 1 FROM delta d
+                      WHERE d.user_id = target.user_id
+                        AND d.event_type = target.event_type)
+    UNION ALL
+    SELECT * FROM delta
+    """,
+    tier="T2",
+    survey="K6,C4,G1",
+)
+def k6_merge_upsert(spark, sf_dir):
+    """Batch upsert: first-half snapshot ⊕ second-half delta, delta wins
+    (the reference datastore's bulk-upsert upload semantics)."""
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    keys = ["user_id", "event_type"]
+    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    cols = ["user_id", "event_type", "event_id", "value"]
+    target = dedupe_keep_latest(ev.where(F.col("ts") < cutoff), keys, order).select(cols)
+    delta = dedupe_keep_latest(ev.where(F.col("ts") >= cutoff), keys, order).select(cols)
+    return merge_upsert(target, delta, keys)

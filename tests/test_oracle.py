@@ -1,0 +1,117 @@
+"""Differential oracle: every registered query with oracle SQL must match
+DuckDB on row count, column names, type kinds, and (order-insensitive)
+values — the local mirror of the driver's CORRECTNESS gate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pytest
+
+from oeem_etl_spark import plans
+from oeem_etl_spark.plans import registry
+
+plans.load_all()
+
+ALL = registry.all_queries()
+SQL_CHECKED = sorted(n for n, q in ALL.items() if q.sql is not None)
+ROWS_ONLY = sorted(n for n, q in ALL.items() if q.sql is None)
+
+
+def _kind(v):
+    if v is None:
+        return "null"
+    if isinstance(v, bool):
+        return "bool"
+    if isinstance(v, (int,)):
+        return "int"
+    if isinstance(v, float):
+        return "float"
+    if isinstance(v, (dt.datetime,)):
+        return "ts"
+    if isinstance(v, (dt.date,)):
+        return "date"
+    if isinstance(v, (list, tuple)):
+        return "list"
+    return "str"
+
+
+def _norm(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return bool(v)
+    if isinstance(v, int):
+        return int(v)
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return float(v)
+    if hasattr(v, "to_pydatetime"):  # pandas Timestamp
+        v = v.to_pydatetime()
+    if isinstance(v, dt.datetime):
+        # compare at microsecond precision, tz-naive UTC
+        if v.tzinfo is not None:
+            v = v.astimezone(dt.timezone.utc).replace(tzinfo=None)
+        return v.isoformat(timespec="microseconds")
+    if isinstance(v, dt.date):
+        return v.isoformat()
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm(x) for x in v)
+    if isinstance(v, dt.timedelta):
+        return v.total_seconds()
+    try:
+        import numpy as np
+
+        if isinstance(v, np.generic):
+            return _norm(v.item())
+    except ImportError:
+        pass
+    return str(v)
+
+
+def _rows(colnames, records):
+    """Project to name-sorted columns, normalize, sort rows."""
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    out = [tuple(_norm(rec[i]) for i in order) for rec in records]
+    return sorted(out, key=repr)
+
+
+@pytest.mark.parametrize("name", SQL_CHECKED)
+def test_oracle_match(name, spark, duck, sf_dir):
+    q = ALL[name]
+    sdf = q.fn(spark, sf_dir)
+    spark_cols = sdf.columns
+    spark_recs = [tuple(r) for r in sdf.collect()]
+
+    rel = duck.sql(q.sql)
+    duck_cols = rel.columns
+    duck_recs = rel.fetchall()
+
+    assert sorted(spark_cols) == sorted(duck_cols), (
+        f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+    assert len(spark_recs) == len(duck_recs), (
+        f"{name}: row count spark={len(spark_recs)} duck={len(duck_recs)}"
+    )
+
+    s_rows = _rows(spark_cols, spark_recs)
+    d_rows = _rows(duck_cols, duck_recs)
+    mismatches = [
+        (i, a, b) for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b
+    ]
+    assert not mismatches, (
+        f"{name}: {len(mismatches)} value mismatches; first 3: {mismatches[:3]}"
+    )
+
+
+@pytest.mark.parametrize("name", ROWS_ONLY)
+def test_rows_only_runs(name, spark, sf_dir):
+    """Rows-only queries must at least run and return a stable schema."""
+    q = ALL[name]
+    sdf = q.fn(spark, sf_dir)
+    n = sdf.count()
+    assert n >= 0
+    assert len(sdf.columns) > 0
