@@ -1,1 +1,450 @@
-"""Placeholder — filled in as the corresponding SURVEY.md §2 tier lands."""
+"""Declared scalar-function-family and UDF-surface queries
+(SURVEY.md §2.H, §2.J).
+
+One query per family, exercising several functions each, on the
+``documents`` / ``events`` / ``lineitem`` fixtures. UDF-surface queries
+(J1–J5, J7) compute SQL-expressible semantics through the Python surface so
+the oracle still hash-checks them end to end.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.functions import udfs, vector
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T, dsum, sql_dsum
+
+# ---------------------------------------------------------------------------
+# 2.H scalar families
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "h1_string_funcs",
+    sql="""
+    SELECT doc_id,
+           concat_ws('-', lang, source) AS tag,
+           upper(substring(text, 1, 12)) AS head_up,
+           length(text) AS len,
+           lpad(CAST(doc_id AS VARCHAR), 8, '0') AS padded,
+           replace(substring(text, 1, 20), ' ', '_') AS underscored,
+           strpos(text, 'q') AS q_pos,
+           starts_with(text, 'a') AS starts_a,
+           contains(text, 'zz') AS has_zz,
+           trim(concat('  ', lang, '  ')) AS trimmed
+    FROM documents WHERE doc_id <= 200
+    """,
+    tier="T1",
+    survey="H1",
+)
+def h1_string_funcs(spark, sf_dir):
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    return d.select(
+        "doc_id",
+        F.concat_ws("-", "lang", "source").alias("tag"),
+        F.upper(F.substring("text", 1, 12)).alias("head_up"),
+        F.length("text").alias("len"),
+        F.lpad(F.col("doc_id").cast("string"), 8, "0").alias("padded"),
+        F.replace(F.substring("text", 1, 20), F.lit(" "), F.lit("_")).alias(
+            "underscored"
+        ),
+        F.instr("text", "q").alias("q_pos"),
+        F.startswith("text", F.lit("a")).alias("starts_a"),
+        F.contains("text", F.lit("zz")).alias("has_zz"),
+        F.trim(F.concat(F.lit("  "), F.col("lang"), F.lit("  "))).alias("trimmed"),
+    )
+
+
+@query(
+    "h2_regex_funcs",
+    sql="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{5,})', 1) AS first_long_tok,
+           regexp_replace(substring(text, 1, 30), '[aeiou]', '*', 'g') AS devoweled,
+           array_length(regexp_extract_all(text, 'ab')) AS n_ab,
+           regexp_matches(lang, '^(en|de)$') AS is_ende
+    FROM documents WHERE doc_id <= 200
+    """,
+    tier="T2",
+    survey="H2",
+)
+def h2_regex_funcs(spark, sf_dir):
+    """POSIX-safe regex patterns only (dialects agree on these)."""
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", r"([a-z]{5,})", 1).alias("first_long_tok"),
+        F.regexp_replace(F.substring("text", 1, 30), r"[aeiou]", "*").alias(
+            "devoweled"
+        ),
+        F.regexp_count("text", F.lit("ab")).alias("n_ab"),
+        F.col("lang").rlike(r"^(en|de)$").alias("is_ende"),
+    )
+
+
+@query(
+    "h3_fuzzy_string",
+    sql="""
+    SELECT a.c_custkey,
+           levenshtein(a.c_name, b.c_name) AS name_dist
+    FROM customer a JOIN customer b ON b.c_custkey = a.c_custkey + 1
+    WHERE a.c_custkey <= 300
+    """,
+    tier="T3",
+    survey="H3,C10",
+)
+def h3_fuzzy_string(spark, sf_dir):
+    c = T(spark, sf_dir, "customer")
+    a = c.alias("a").where(F.col("c_custkey") <= 300)
+    b = c.alias("b")
+    return a.join(b, F.col("b.c_custkey") == F.col("a.c_custkey") + 1).select(
+        F.col("a.c_custkey").alias("c_custkey"),
+        F.levenshtein(F.col("a.c_name"), F.col("b.c_name")).alias("name_dist"),
+    )
+
+
+@query(
+    "h4_datetime_funcs",
+    sql="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS y,
+           month(o_orderdate) AS m,
+           day(o_orderdate) AS d,
+           quarter(o_orderdate) AS q,
+           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
+           CAST(o_orderdate + INTERVAL 5 DAY AS DATE) AS plus5,
+           last_day(CAST(o_orderdate AS DATE)) AS eom,
+           make_date(year(o_orderdate), month(o_orderdate), 1) AS month_first
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    tier="T1",
+    survey="H4",
+)
+def h4_datetime_funcs(spark, sf_dir):
+    """Calendar functions restricted to the engine-agreeing subset
+    (dayofweek/weekofyear conventions differ — excluded per §7.4)."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 500)
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("y"),
+        F.month("o_orderdate").alias("m"),
+        F.dayofmonth("o_orderdate").alias("d"),
+        F.quarter("o_orderdate").alias("q"),
+        # DuckDB date_trunc at day-or-coarser granularity returns DATE
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since"
+        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 5 DAY")).cast("date").alias("plus5"),
+        F.last_day(F.col("o_orderdate").cast("date")).alias("eom"),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
+            "month_first"
+        ),
+    )
+
+
+@query(
+    "h5_math_funcs",
+    sql="""
+    SELECT l_orderkey, l_linenumber,
+           abs(l_discount - 0.05) AS abs_d,
+           round(l_extendedprice / 7, 2) AS div7,
+           CAST(ceil(l_quantity) AS BIGINT) AS cq,
+           CAST(floor(l_quantity) AS BIGINT) AS fq,
+           round(exp(l_discount), 6) AS e_d,
+           round(ln(l_extendedprice), 6) AS ln_p,
+           round(log10(l_extendedprice), 6) AS log_p,
+           round(pow(l_quantity, 2), 6) AS qty_sq,
+           round(sqrt(l_extendedprice), 6) AS sqrt_p,
+           CAST(sign(l_discount - 0.05) AS DOUBLE) AS sgn,
+           greatest(l_quantity, l_discount * 100) AS gr,
+           least(l_tax, l_discount) AS le,
+           round(sin(l_quantity), 6) AS sin_q
+    FROM lineitem WHERE l_orderkey <= 200
+    """,
+    tier="T1",
+    survey="H5",
+)
+def h5_math_funcs(spark, sf_dir):
+    """Math battery; transcendentals rounded to 6dp (libm ulp differences)."""
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("abs_d"),
+        F.round(F.col("l_extendedprice") / 7, 2).alias("div7"),
+        F.ceil("l_quantity").alias("cq"),
+        F.floor("l_quantity").alias("fq"),
+        F.round(F.exp("l_discount"), 6).alias("e_d"),
+        F.round(F.log("l_extendedprice"), 6).alias("ln_p"),
+        F.round(F.log10("l_extendedprice"), 6).alias("log_p"),
+        F.round(F.pow("l_quantity", F.lit(2)), 6).alias("qty_sq"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sqrt_p"),
+        F.signum(F.col("l_discount") - 0.05).alias("sgn"),
+        F.greatest(F.col("l_quantity"), F.col("l_discount") * 100).alias("gr"),
+        F.least(F.col("l_tax"), F.col("l_discount")).alias("le"),
+        F.round(F.sin("l_quantity"), 6).alias("sin_q"),
+    )
+
+
+@query(
+    "h6_hash_funcs",
+    sql="SELECT doc_id, md5(text) AS text_md5 FROM documents WHERE doc_id <= 300",
+    tier="T2",
+    survey="H6",
+)
+def h6_hash_funcs(spark, sf_dir):
+    """md5 agrees across engines; xxhash64/sha2 are engine-internal (used
+    by the dedup operators, verified by unit fixtures instead)."""
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    return d.select("doc_id", F.md5("text").alias("text_md5"))
+
+
+@query(
+    "h7_array_funcs",
+    sql="""
+    SELECT vec_id,
+           array_length(embedding) AS dim,
+           embedding[1] AS first_v,
+           embedding[64] AS last_v,
+           list_max(embedding) AS max_v,
+           list_min(embedding) AS min_v,
+           list_max(embedding[1:8]) AS max_head,
+           list_position(embedding, list_max(embedding)) AS argmax_1based
+    FROM embeddings WHERE vec_id <= 300
+    """,
+    tier="T2",
+    survey="H7",
+)
+def h7_array_funcs(spark, sf_dir):
+    e = T(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 300)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.element_at("embedding", 1).alias("first_v"),
+        F.element_at("embedding", 64).alias("last_v"),
+        F.array_max("embedding").alias("max_v"),
+        F.array_min("embedding").alias("min_v"),
+        F.array_max(F.slice("embedding", 1, 8)).alias("max_head"),
+        F.array_position(F.col("embedding"), F.array_max("embedding")).alias(
+            "argmax_1based"
+        ),
+    )
+
+
+@query(
+    "h8_lambda_funcs",
+    sql="""
+    SELECT vec_id,
+           round(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 6) AS norm2,
+           array_length(list_filter(embedding, x -> x > 0)) AS n_pos,
+           array_length(list_filter(embedding, x -> x > 0.9)) > 0 AS any_big,
+           array_length(list_filter(embedding, x -> x < 2)) = array_length(embedding) AS all_small
+    FROM embeddings WHERE vec_id <= 300
+    """,
+    tier="T2",
+    survey="H8",
+)
+def h8_lambda_funcs(spark, sf_dir):
+    """Higher-order lambdas: transform/aggregate/filter/exists/forall —
+    the JVM-side vector-math hot path (no Python)."""
+    e = T(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 300)
+    return e.select(
+        "vec_id",
+        F.round(vector.norm2("embedding"), 6).alias("norm2"),
+        F.size(F.filter("embedding", lambda v: v > 0)).alias("n_pos"),
+        F.exists("embedding", lambda v: v > 0.9).alias("any_big"),
+        F.forall("embedding", lambda v: v < 2).alias("all_small"),
+    )
+
+
+@query(
+    "h9_explode_tokens",
+    sql="""
+    SELECT tok, COUNT(*) AS n FROM (
+      SELECT unnest(str_split(text, ' ')) AS tok FROM documents
+    ) GROUP BY tok ORDER BY n DESC, tok LIMIT 30
+    """,
+    tier="T2",
+    survey="H9,L5",
+)
+def h9_explode_tokens(spark, sf_dir):
+    """Token expansion via explode — the shingle/token primitive for L-ops."""
+    d = T(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "tok")
+        .limit(30)
+    )
+
+
+@query(
+    "h11_struct_funcs",
+    sql="""
+    SELECT s.o_orderkey AS ok, s.bucket AS bucket FROM (
+      SELECT struct_pack(o_orderkey := o_orderkey,
+                         bucket := CASE WHEN o_totalprice > 100000
+                                        THEN 'big' ELSE 'small' END) AS s
+      FROM orders WHERE o_orderkey <= 300
+    )
+    """,
+    tier="T2",
+    survey="H11",
+)
+def h11_struct_funcs(spark, sf_dir):
+    """Struct pack + field access (final schema kept scalar for hashing)."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 300)
+    packed = o.select(
+        F.struct(
+            F.col("o_orderkey").alias("o_orderkey"),
+            F.when(F.col("o_totalprice") > 100000, "big")
+            .otherwise("small")
+            .alias("bucket"),
+        ).alias("s")
+    )
+    return packed.select(
+        F.col("s").getField("o_orderkey").alias("ok"),
+        F.col("s").getField("bucket").alias("bucket"),
+    )
+
+
+@query(
+    "h12_json_funcs",
+    sql="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           COUNT(*) AS n
+    FROM events GROUP BY k_val
+    """,
+    tier="T2",
+    survey="H12",
+)
+def h12_json_funcs(spark, sf_dir):
+    """JSON path extraction on the events.props payload column (the
+    reference's API-payload parsing analogue)."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.select(
+            F.get_json_object("props", "$.k").cast("bigint").alias("k_val")
+        )
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "h12b_from_json",
+    sql=f"""
+    SELECT event_type,
+           {sql_dsum("CAST(json_extract_string(props, '$.k') AS BIGINT) * value",
+                     'k_weighted_value')}
+    FROM events GROUP BY event_type
+    """,
+    tier="T2",
+    survey="H12",
+)
+def h12b_from_json(spark, sf_dir):
+    """from_json into a typed struct, then arithmetic on the parsed field."""
+    ev = T(spark, sf_dir, "events")
+    parsed = ev.withColumn("pj", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        dsum(F.col("pj.k") * F.col("value"), "k_weighted_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2.J UDF surfaces (SQL-checkable: the UDF computes SQL-expressible logic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j1_scalar_udf",
+    sql="SELECT doc_id, reverse(lang) AS rlang FROM documents WHERE doc_id <= 200",
+    tier="T2",
+    survey="J1",
+)
+def j1_scalar_udf(spark, sf_dir):
+    """Arrow-optimized scalar UDF; oracle checks the same semantics via
+    DuckDB's built-in reverse()."""
+    d = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    return d.select("doc_id", udfs.reverse_text(F.col("lang")).alias("rlang"))
+
+
+@query(
+    "j2_pandas_udf",
+    sql="SELECT event_id, value * 2.0 + 1.0 AS boosted FROM events WHERE event_id <= 500",
+    tier="T2",
+    survey="J2",
+)
+def j2_pandas_udf(spark, sf_dir):
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    return ev.select("event_id", udfs.affine_value(F.col("value")).alias("boosted"))
+
+
+@query(
+    "j3_grouped_map",
+    sql="""
+    SELECT event_id,
+           value - min(value) OVER (PARTITION BY user_id) AS rebased
+    FROM events
+    """,
+    tier="T2",
+    survey="J3",
+)
+def j3_grouped_map(spark, sf_dir):
+    """applyInPandas grouped-map: per-group rebase (the per-trace transform
+    idiom); min-based so float results are exact on both engines."""
+    ev = T(spark, sf_dir, "events")
+    out = udfs.rebase_per_group(ev, "user_id", "value", "rebased")
+    return out.select("event_id", "rebased")
+
+
+@query(
+    "j4_map_in_pandas",
+    sql="""
+    SELECT event_id, user_id, value * 1.5 AS boosted
+    FROM events WHERE event_type = 'click'
+    """,
+    tier="T3",
+    survey="J4",
+)
+def j4_map_in_pandas(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return udfs.filter_project_in_pandas(ev, "click")
+
+
+@query(
+    "j5_grouped_agg_udf",
+    sql="""
+    SELECT user_id, max(value) AS max_value
+    FROM events GROUP BY user_id
+    """,
+    tier="T3",
+    survey="J5",
+)
+def j5_grouped_agg_udf(spark, sf_dir):
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        udfs.max_value(F.col("value")).alias("max_value")
+    )
+
+
+@query(
+    "j7_sql_registered_udf",
+    sql="SELECT doc_id, length(text) * 2 AS dlen FROM documents WHERE doc_id <= 200",
+    tier="T3",
+    survey="J7",
+)
+def j7_sql_registered_udf(spark, sf_dir):
+    """UDF registered into the SQL catalog and invoked from SQL text (EP3)."""
+    from oeem_etl_spark.catalog import load_table
+
+    spark.udf.register("double_len", lambda s: len(s) * 2 if s is not None else None, "bigint")
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("documents_v")
+    return spark.sql(
+        "SELECT doc_id, double_len(text) AS dlen FROM documents_v WHERE doc_id <= 200"
+    )

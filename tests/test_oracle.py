@@ -97,6 +97,19 @@ def test_oracle_match(name, spark, duck, sf_dir):
         f"{name}: row count spark={len(spark_recs)} duck={len(duck_recs)}"
     )
 
+    # type-kind signature per column: int-vs-float mismatches are masked by
+    # Python equality (1 == 1.0) but may break the driver's value hash
+    def col_kinds(cols, recs):
+        kinds = {}
+        for i, c in enumerate(cols):
+            kinds[c] = {_kind(rec[i]) for rec in recs} - {"null"}
+        return kinds
+
+    assert col_kinds(spark_cols, spark_recs) == col_kinds(duck_cols, duck_recs), (
+        f"{name}: column type-kind mismatch: "
+        f"spark={col_kinds(spark_cols, spark_recs)} duck={col_kinds(duck_cols, duck_recs)}"
+    )
+
     s_rows = _rows(spark_cols, spark_recs)
     d_rows = _rows(duck_cols, duck_recs)
     mismatches = [
