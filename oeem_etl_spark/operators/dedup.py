@@ -1,0 +1,268 @@
+"""Deduplication operators for training-data pipelines (SURVEY.md §2.L1-L2).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup — all JVM-side
+(hash/array/higher-order expressions, no Python UDFs). Scale posture:
+
+- exact: one shuffle on a 128-bit digest (uniform keys, no skew);
+- MinHash: signatures via ONE groupBy with per-permutation min-aggs
+  (map-side combinable); LSH banding turns O(N²) pair search into
+  bucket-local joins — the only quadratic step is within-bucket, bounded
+  by bucket size;
+- SimHash: 64 bit-count aggregates in one pass, then bucket by prefix.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators.relational import dedupe_keep_latest
+
+
+def normalize_text(col: Column | str) -> Column:
+    """Canonical text form for near-exact dedup: lowercase, collapse
+    whitespace, strip."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+
+
+def exact_dedup(df: DataFrame, text_col: str, key: str) -> DataFrame:
+    """Drop normalized-text duplicates, keeping the smallest key (L1).
+
+    Digest-first: the shuffle carries (md5, key) only — at 100 TB the
+    text bytes never move, because the window runs on the digest column.
+    """
+    hashed = df.withColumn("__digest", F.md5(normalize_text(text_col)))
+    return dedupe_keep_latest(
+        hashed, keys=["__digest"], order_by=[F.col(key).asc()]
+    ).drop("__digest")
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Token k-shingles as an array of strings (distinct)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(c, " ")
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, key: str, text_col: str, num_perm: int = 64, shingle_k: int = 3
+) -> DataFrame:
+    """Per-document MinHash signature: array<bigint> of length ``num_perm``.
+
+    One explode + ONE groupBy(key) with num_perm min-aggregates — partial
+    aggregation collapses each document's shingles map-side, so the shuffle
+    moves num_perm longs per document regardless of document size.
+    """
+    ex = df.select(
+        F.col(key), F.explode(shingles(text_col, shingle_k)).alias("__sh")
+    )
+    mins = ex.groupBy(key).agg(
+        *[
+            F.min(F.xxhash64(F.concat(F.lit(f"perm{p}:"), F.col("__sh")))).alias(
+                f"__m{p}"
+            )
+            for p in range(num_perm)
+        ]
+    )
+    return mins.select(
+        F.col(key),
+        F.array(*[F.col(f"__m{p}") for p in range(num_perm)]).alias("minhash"),
+    )
+
+
+def lsh_candidate_pairs(
+    sigs: DataFrame, key: str, bands: int = 16, num_perm: int = 64
+) -> DataFrame:
+    """LSH banding: docs sharing any band bucket become candidate pairs.
+
+    Returns distinct (key_a, key_b) with key_a < key_b. The band explode is
+    ``bands`` rows per doc; the self-join is bucket-local (equi-join on
+    (band, bucket_hash)), which Catalyst executes as a shuffled hash join —
+    no cartesian anywhere.
+    """
+    rows_per_band = num_perm // bands
+    banded = sigs.select(
+        F.col(key),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                            lambda v: v.cast("string"),
+                        ),
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    a = banded.select(F.col(key).alias("key_a"), "band", "bucket")
+    b = banded.select(F.col(key).alias("key_b"), "band", "bucket")
+    return (
+        a.join(b, ["band", "bucket"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+    )
+
+
+def jaccard_verify(
+    df: DataFrame, pairs: DataFrame, key: str, text_col: str, shingle_k: int = 3
+) -> DataFrame:
+    """Attach exact shingle-set Jaccard to candidate pairs (verify step)."""
+    sets = df.select(F.col(key), shingles(text_col, shingle_k).alias("__set"))
+    j = (
+        pairs.join(sets.withColumnRenamed(key, "key_a").withColumnRenamed("__set", "__sa"), "key_a")
+        .join(sets.withColumnRenamed(key, "key_b").withColumnRenamed("__set", "__sb"), "key_b")
+    )
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    return j.select(
+        "key_a", "key_b", (inter / union).alias("jaccard")
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    threshold: float = 0.8,
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    cc_iterations: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline (L2): shingle → MinHash → LSH bands →
+    candidate pairs → exact-Jaccard verify → connected components →
+    keep smallest key per cluster. Returns the deduplicated DataFrame.
+
+    Connected components use bounded label propagation (cc_iterations
+    rounds of min-label exchange). Near-dup clusters are overwhelmingly
+    tiny (pairs/triples), so a small fixed iteration count converges; at
+    100 TB each round is two broadcast-ish joins over the pair set, which
+    is orders of magnitude smaller than the corpus.
+    """
+    sigs = minhash_signatures(df, key, text_col, num_perm, shingle_k)
+    cand = lsh_candidate_pairs(sigs, key, bands, num_perm)
+    verified = jaccard_verify(df, cand, key, text_col, shingle_k).where(
+        F.col("jaccard") >= threshold
+    )
+
+    # undirected edges, both directions
+    edges = verified.select(
+        F.col("key_a").alias("src"), F.col("key_b").alias("dst")
+    ).union(verified.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
+    edges = edges.distinct().cache()
+
+    # label propagation: label(node) = min(label(node), min(label(neighbors)))
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    for _ in range(cc_iterations):
+        neigh = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        labels = (
+            labels.join(neigh, labels.node == neigh.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("nlabel", F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+
+    # survivors: cluster representative (label == node) or never-clustered
+    doomed = labels.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias(key)
+    )
+    return df.join(doomed, [key], "left_anti")
+
+
+def simhash(df: DataFrame, key: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash per document: sign-sum of token-hash bits (L2 family).
+
+    One explode + one groupBy with ``bits`` conditional sums; the signature
+    is reassembled arithmetically (shift-add below 2^62, ANSI-overflow safe
+    via 32-bit halves).
+    """
+    ex = df.select(F.col(key), F.explode(F.split(F.col(text_col), " ")).alias("__t"))
+    h = F.xxhash64("__t")
+    sums = ex.groupBy(key).agg(
+        *[
+            F.sum(
+                F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+            ).alias(f"__b{i}")
+            for i in range(bits)
+        ]
+    )
+    lo = sum_bits = None
+    # assemble two 32-bit halves to stay far from BIGINT overflow (ANSI mode)
+    lo = F.lit(0).cast("bigint")
+    hi = F.lit(0).cast("bigint")
+    for i in range(32):
+        bit_lo = F.when(F.col(f"__b{i}") > 0, 1).otherwise(0).cast("bigint")
+        lo = lo + bit_lo * F.lit(1 << i).cast("bigint")
+    for i in range(32, bits):
+        bit_hi = F.when(F.col(f"__b{i}") > 0, 1).otherwise(0).cast("bigint")
+        hi = hi + bit_hi * F.lit(1 << (i - 32)).cast("bigint")
+    return sums.select(
+        F.col(key), lo.alias("simhash_lo"), hi.alias("simhash_hi")
+    )
+
+
+def simhash_near_pairs(
+    sim: DataFrame, key: str, max_hamming: int = 3
+) -> DataFrame:
+    """Candidate near-dup pairs by SimHash: bucket on each 16-bit quarter
+    (pigeonhole: ≤3 differing bits ⇒ at least one of 4 quarters equal),
+    then verify Hamming distance ≤ max_hamming within buckets."""
+    quarters = sim.select(
+        F.col(key),
+        "simhash_lo",
+        "simhash_hi",
+        F.posexplode(
+            F.array(
+                F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
+                F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
+                F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
+            )
+        ).alias("q", "qval"),
+    )
+    a = quarters.select(
+        F.col(key).alias("key_a"),
+        F.col("simhash_lo").alias("lo_a"),
+        F.col("simhash_hi").alias("hi_a"),
+        "q",
+        "qval",
+    )
+    b = quarters.select(
+        F.col(key).alias("key_b"),
+        F.col("simhash_lo").alias("lo_b"),
+        F.col("simhash_hi").alias("hi_b"),
+        "q",
+        "qval",
+    )
+    ham = F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b"))) + F.bit_count(
+        F.col("hi_a").bitwiseXOR(F.col("hi_b"))
+    )
+    return (
+        a.join(b, ["q", "qval"])
+        .where(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

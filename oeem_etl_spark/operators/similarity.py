@@ -1,0 +1,220 @@
+"""Similarity search over embedding columns (SURVEY.md §2.L3-L4).
+
+Brute-force cosine top-k is the exact baseline (broadcast the query side,
+never the corpus); LSH-bucketed and IVF variants are the 100 TB path —
+they cut the candidate set before any cosine is computed. All vector math
+is JVM-side higher-order functions (functions/vector.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.functions import vector
+
+
+def cosine_scores(
+    corpus: DataFrame,
+    queries: DataFrame,
+    corpus_key: str = "vec_id",
+    query_key: str = "q_id",
+    vec_col: str = "embedding",
+    round_to: int | None = 6,
+) -> DataFrame:
+    """All-pairs cosine scores: broadcast queries × corpus.
+
+    O(Q·N) by design — callers at scale pre-filter with :func:`lsh_buckets`
+    or :func:`ivf_assign`. Scores are rounded so downstream ranking is
+    deterministic across engines/accumulation orders.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_key), F.col(vec_col).alias("__qvec")
+        )
+    )
+    scored = corpus.crossJoin(q).select(
+        F.col(query_key),
+        F.col(corpus_key),
+        vector.cosine(vec_col, "__qvec").alias("score"),
+    )
+    if round_to is not None:
+        scored = scored.withColumn("score", F.round("score", round_to))
+    return scored
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_key: str = "vec_id",
+    query_key: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k per query (L3 baseline). Deterministic total
+    order: (rounded score desc, corpus key asc)."""
+    scored = cosine_scores(corpus, queries, corpus_key, query_key, vec_col)
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("score").desc(), F.col(corpus_key).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_key, corpus_key, "score", "rnk")
+    )
+
+
+def knn_classify(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    label_col: str = "label",
+    corpus_key: str = "vec_id",
+    query_key: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Majority label among the k nearest neighbors (L4); ties broken by
+    smallest label for determinism."""
+    topk = cosine_topk(corpus, queries, k, corpus_key, query_key, vec_col)
+    votes = (
+        topk.join(
+            corpus.select(F.col(corpus_key), F.col(label_col)), corpus_key
+        )
+        .groupBy(query_key, label_col)
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("votes").desc(), F.col(label_col).asc()
+    )
+    return (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(query_key), F.col(label_col).alias("predicted"), "votes")
+    )
+
+
+def _hyperplane(dim: int, plane_id: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (hash-based, no RNG state —
+    Date.now/random-free for reproducible plans)."""
+    import hashlib
+
+    out = []
+    for c in range(dim):
+        h = hashlib.md5(f"plane{plane_id}:{c}".encode()).digest()
+        v = int.from_bytes(h[:8], "big", signed=True) / float(1 << 63)
+        out.append(v)
+    return out
+
+
+def lsh_bucket(vec_col, dim: int = 64, n_planes: int = 8):
+    """Random-hyperplane LSH bucket id (0..2^n_planes-1) as a Column.
+
+    Sign-bit concatenation of n_planes dot products — all JVM expression
+    code, the planes are literal arrays folded into the plan."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(v) for v in _hyperplane(dim, p)])
+        bit = (vector.dot(vec_col, plane) > 0).cast("int")
+        bucket = bucket + bit * F.lit(1 << p)
+    return bucket
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_key: str = "vec_id",
+    query_key: str = "q_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors sharing the query's LSH
+    bucket are scored (L3 scale path). Recall < 1 by construction; at
+    100 TB this turns the crossJoin into a bucket-equi-join whose right
+    side is 2^-n_planes of the corpus per query."""
+    cb = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+    qb = F.broadcast(
+        queries.select(
+            F.col(query_key),
+            F.col(vec_col).alias("__qvec"),
+        ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), dim, n_planes))
+    )
+    cand = cb.join(qb, "__bucket")
+    scored = cand.select(
+        F.col(query_key),
+        F.col(corpus_key),
+        F.round(vector.cosine(vec_col, "__qvec"), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("score").desc(), F.col(corpus_key).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_key, corpus_key, "score", "rnk")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_probe: int = 2,
+    partition_col: str = "label",
+    corpus_key: str = "vec_id",
+    query_key: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style approximate top-k: centroids are per-partition means
+    (computed with exact decimal-free double agg — fine for an approx op);
+    each query probes its n_probe nearest centroids and searches only
+    those partitions."""
+    dim_seq = F.sequence(F.lit(1), F.size(vec_col))
+    # centroid = element-wise mean per partition, via posexplode + groupBy
+    ex = corpus.select(
+        F.col(partition_col),
+        F.posexplode(F.col(vec_col)).alias("__i", "__v"),
+    )
+    cents = (
+        ex.groupBy(partition_col, "__i")
+        .agg(F.avg("__v").alias("__c"))
+        .groupBy(partition_col)
+        .agg(F.array_sort(F.collect_list(F.struct("__i", "__c"))).alias("__ic"))
+        .select(
+            F.col(partition_col).alias("__part"),
+            F.transform("__ic", lambda s: s.getField("__c")).alias("__centroid"),
+        )
+    )
+    qc = (
+        queries.select(F.col(query_key), F.col(vec_col).alias("__qvec"))
+        .crossJoin(F.broadcast(cents))
+        .select(
+            query_key,
+            "__qvec",
+            "__part",
+            F.round(vector.cosine("__qvec", "__centroid"), 6).alias("__cscore"),
+        )
+    )
+    wq = Window.partitionBy(query_key).orderBy(
+        F.col("__cscore").desc(), F.col("__part").asc()
+    )
+    probes = (
+        qc.withColumn("__pr", F.row_number().over(wq))
+        .where(F.col("__pr") <= n_probe)
+        .select(query_key, "__qvec", F.col("__part").alias(partition_col))
+    )
+    cand = corpus.join(F.broadcast(probes), partition_col)
+    scored = cand.select(
+        F.col(query_key),
+        F.col(corpus_key),
+        F.round(vector.cosine(vec_col, "__qvec"), 6).alias("score"),
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("score").desc(), F.col(corpus_key).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_key, corpus_key, "score", "rnk")
+    )

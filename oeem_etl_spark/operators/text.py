@@ -1,0 +1,153 @@
+"""Text-analysis operators (SURVEY.md §2.L5-L7): tokenize, n-grams, tf-idf,
+quality stats, language-ID, fingerprinting. All JVM-side expressions except
+nothing — no Python UDFs anywhere in this module.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tokenize(col: Column | str) -> Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.split(c, " ")
+
+
+def ngrams(col: Column | str, n: int = 2) -> Column:
+    """Token n-grams as array<string> (order-preserving, with repeats)."""
+    toks = tokenize(col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    return F.when(cnt >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))).otherwise(
+        F.array()
+    )
+
+
+def text_stats(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """Per-document quality features: length, token count, avg token
+    length, alpha ratio, distinct-token ratio (L7 / quality scoring)."""
+    toks = tokenize(text_col)
+    n_tok = F.size(toks)
+    n_chars = F.length(text_col)
+    return df.select(
+        F.col(key),
+        n_chars.alias("n_chars"),
+        n_tok.alias("n_tokens"),
+        F.round((n_chars - (n_tok - 1)) / n_tok, 6).alias("avg_token_len"),
+        F.round(
+            F.length(F.regexp_replace(F.col(text_col), r"[^a-z]", "")) / n_chars, 6
+        ).alias("alpha_ratio"),
+        F.round(F.size(F.array_distinct(toks)) / n_tok, 6).alias("distinct_ratio"),
+    )
+
+
+def quality_filter(
+    df: DataFrame,
+    text_col: str,
+    min_chars: int = 20,
+    min_tokens: int = 5,
+    min_distinct_ratio: float = 0.2,
+) -> DataFrame:
+    """Heuristic quality gate for training corpora."""
+    toks = tokenize(text_col)
+    return df.where(
+        (F.length(text_col) >= min_chars)
+        & (F.size(toks) >= min_tokens)
+        & (F.size(F.array_distinct(toks)) / F.size(toks) >= min_distinct_ratio)
+    )
+
+
+def term_frequencies(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """(key, term, tf) — exploded token counts per document."""
+    return (
+        df.select(F.col(key), F.explode(tokenize(text_col)).alias("term"))
+        .groupBy(key, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+
+
+def tf_idf(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """Classic tf-idf over a corpus (L6): tf × ln(N / df).
+
+    Two aggregations + one broadcast-ish join on term. The document count
+    is a scalar subquery (crossJoin of a 1-row frame), not a collect() —
+    no driver-side materialization at any scale.
+    """
+    tf = term_frequencies(df, key, text_col)
+    docfreq = tf.groupBy("term").agg(F.count_distinct(key).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    return (
+        tf.join(docfreq, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            F.col(key),
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("__n") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+
+
+def language_id(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    marker_table: DataFrame,
+    default: str = "und",
+) -> DataFrame:
+    """Heuristic language ID (L-ext): vote by marker-token hits per
+    language; most hits wins (ties → lexicographically smallest lang);
+    documents with no marker hits get ``default``.
+
+    ``marker_table``: (lang, marker) rows — e.g. function words per
+    language. Broadcast side; the explode+join is one shuffle on token.
+    """
+    toks = df.select(F.col(key), F.explode(tokenize(text_col)).alias("marker"))
+    votes = (
+        toks.join(F.broadcast(marker_table), "marker")
+        .groupBy(key, "lang")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key).orderBy(F.col("hits").desc(), F.col("lang").asc())
+    best = (
+        votes.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .select(F.col(key), F.col("lang").alias("lang_pred"), "hits")
+    )
+    return df.select(F.col(key)).join(best, [key], "left").select(
+        F.col(key),
+        F.coalesce("lang_pred", F.lit(default)).alias("lang_pred"),
+        F.coalesce("hits", F.lit(0)).alias("hits"),
+    )
+
+
+def token_count_bpe_ish(col: Column | str) -> Column:
+    """Approximate LLM token count: words + punctuation clusters + digit
+    runs (a BPE-ish regex heuristic, deliberately engine-portable)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+
+
+def fingerprint_winnow(
+    df: DataFrame, key: str, text_col: str, k: int = 5, window: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprint (L-ext): k-shingle rolling hashes,
+    keep the minimum hash in each sliding window, distinct — a compact
+    set-signature for plagiarism-style matching. xxhash64-based (engine
+    internal, rows-only checkable)."""
+    toks = tokenize(text_col)
+    cnt = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(cnt - k, F.lit(0)))
+    hashes = F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    )
+    n_h = F.size(hashes)
+    widx = F.sequence(F.lit(0), F.greatest(n_h - window, F.lit(0)))
+    mins = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
+    return df.select(F.col(key), F.array_distinct(mins).alias("fingerprint"))

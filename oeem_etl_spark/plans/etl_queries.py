@@ -1,1 +1,301 @@
-"""Placeholder — filled in as the corresponding SURVEY.md §2 tier lands."""
+"""Declared ETL-domain queries (SURVEY.md §2.K) — the reference's actual
+job re-expressed: schema standardization, timestamp parsing, resampling,
+gap-filling, interval alignment, unit normalization, quality audits.
+Fixture mapping: ``events`` plays the meter-read stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators.quality import validate_quality
+from oeem_etl_spark.operators.relational import asof_join
+from oeem_etl_spark.operators.timeseries import (
+    fill_gaps,
+    resample_interval,
+    sessionize,
+    standardize_schema,
+)
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T, dsum, sql_dsum
+
+
+@query(
+    "k1_standardize_schema",
+    sql="""
+    SELECT event_id AS record_id,
+           CAST(user_id AS VARCHAR) AS meter_id,
+           ts AS read_at,
+           value AS kwh,
+           event_type AS channel
+    FROM events WHERE event_id <= 500
+    """,
+    tier="T2",
+    survey="K1,B1,B5",
+)
+def k1_standardize_schema(spark, sf_dir):
+    """Canonical-schema projection: rename + cast + reorder in one pass."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") <= 500)
+    return standardize_schema(
+        ev,
+        {
+            "record_id": ("event_id", None),
+            "meter_id": ("user_id", "string"),
+            "read_at": ("ts", None),
+            "kwh": ("value", None),
+            "channel": ("event_type", None),
+        },
+    )
+
+
+@query(
+    "k2_parse_timestamps",
+    sql="""
+    SELECT o_orderkey,
+           strptime(
+             CAST(year(o_orderdate) AS VARCHAR) || '-' ||
+             lpad(CAST(month(o_orderdate) AS VARCHAR), 2, '0') || '-' ||
+             lpad(CAST(day(o_orderdate) AS VARCHAR), 2, '0') || ' 12:30:00',
+             '%Y-%m-%d %H:%M:%S') AS parsed_ts
+    FROM orders WHERE o_orderkey <= 400
+    """,
+    tier="T2",
+    survey="K2,B5,H4",
+)
+def k2_parse_timestamps(spark, sf_dir):
+    """String → timestamp parsing (the parser job): build a string from
+    date components (engine-agnostic), parse it back with an explicit
+    format, UTC session timezone pinned on both sides."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_orderkey") <= 400)
+    s = F.concat(
+        F.year("o_orderdate").cast("string"),
+        F.lit("-"),
+        F.lpad(F.month("o_orderdate").cast("string"), 2, "0"),
+        F.lit("-"),
+        F.lpad(F.dayofmonth("o_orderdate").cast("string"), 2, "0"),
+        F.lit(" 12:30:00"),
+    )
+    return o.select(
+        "o_orderkey",
+        F.to_timestamp(s, "yyyy-MM-dd HH:mm:ss").alias("parsed_ts"),
+    )
+
+
+@query(
+    "k3_resample_interval",
+    sql=f"""
+    SELECT user_id, date_trunc('day', ts) AS bucket,
+           COUNT(*) AS n_reads,
+           {sql_dsum('value', 'day_total')},
+           max(value) AS day_max
+    FROM events GROUP BY user_id, bucket
+    """,
+    tier="T2",
+    survey="K3,D1,H4",
+)
+def k3_resample_interval(spark, sf_dir):
+    """Irregular reads → per-key daily buckets (hour/day calendarization).
+
+    Note: DuckDB date_trunc('day', TIMESTAMP_NS) returns DATE; Spark
+    returns TIMESTAMP — bucket kept as timestamp on the Spark side and the
+    oracle compares at day resolution via CAST in the driver's hash; here
+    we cast Spark's bucket to match DuckDB's DATE.
+    """
+    ev = T(spark, sf_dir, "events")
+    out = resample_interval(
+        ev,
+        keys=["user_id"],
+        ts="ts",
+        freq="day",
+        aggs=[
+            F.count(F.lit(1)).alias("n_reads"),
+            dsum("value", "day_total"),
+            F.max("value").alias("day_max"),
+        ],
+    )
+    return out.withColumn("bucket", F.col("bucket").cast("date")).select(
+        "user_id", "bucket", "n_reads", "day_total", "day_max"
+    )
+
+
+@query(
+    "k4_fill_gaps",
+    sql=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             {sql_dsum('value', 'day_total')}
+      FROM events GROUP BY user_id, bucket
+    ), spans AS (
+      SELECT user_id, min(bucket) AS min_b, max(bucket) AS max_b
+      FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(min_b, max_b, INTERVAL 1 DAY)) AS bucket
+      FROM spans
+    )
+    SELECT g.user_id, CAST(g.bucket AS DATE) AS day,
+           last_value(d.day_total IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.bucket
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total,
+           CAST(d.day_total IS NULL AS BOOLEAN) AS was_gap
+    FROM grid g LEFT JOIN daily d USING (user_id, bucket)
+    """,
+    tier="T2",
+    survey="K4,E4,H9",
+)
+def k4_fill_gaps(spark, sf_dir):
+    """Dense daily grid per user with forward-filled totals + gap flag."""
+    ev = T(spark, sf_dir, "events")
+    daily = resample_interval(
+        ev, keys=["user_id"], ts="ts", freq="day", aggs=[dsum("value", "day_total")]
+    )
+    daily = daily.withColumn("was_gap", F.lit(False))
+    filled = fill_gaps(
+        daily, keys=["user_id"], bucket="bucket", value="day_total", freq="day"
+    )
+    return filled.select(
+        "user_id",
+        F.col("bucket").cast("date").alias("day"),
+        F.col("day_total").alias("filled_total"),
+        F.coalesce(F.col("was_gap"), F.lit(True)).alias("was_gap"),
+    )
+
+
+@query(
+    "k7_interval_align",
+    sql="""
+    SELECT e.event_id, p.label AS period_label
+    FROM events e
+    ASOF LEFT JOIN (VALUES ('baseline', TIMESTAMP '2024-01-01'),
+                           ('blackout', TIMESTAMP '2024-01-10'),
+                           ('reporting', TIMESTAMP '2024-01-20'))
+         AS p(label, boundary)
+      ON p.boundary <= e.ts
+    """,
+    tier="T2",
+    survey="K7,C8",
+)
+def k7_interval_align(spark, sf_dir):
+    """Map each record onto its project period (baseline/reporting split)
+    via a keyless as-of join against period boundaries."""
+    ev = T(spark, sf_dir, "events").select("event_id", "ts").withColumn(
+        "__k", F.lit(1)
+    )
+    periods = spark.createDataFrame(
+        [
+            ("baseline", "2024-01-01"),
+            ("blackout", "2024-01-10"),
+            ("reporting", "2024-01-20"),
+        ],
+        "period_label STRING, boundary_s STRING",
+    ).select(
+        "period_label",
+        F.col("boundary_s").cast("timestamp").alias("boundary"),
+        F.lit(1).alias("__k"),
+    )
+    out = asof_join(
+        ev,
+        periods,
+        keys=["__k"],
+        left_ts="ts",
+        right_ts="boundary",
+        value_cols=["period_label"],
+        allow_exact=True,
+    )
+    return out.select("event_id", "period_label")
+
+
+@query(
+    "k8_normalize_units",
+    sql=f"""
+    SELECT e.event_type,
+           {sql_dsum('e.value * u.to_kwh_factor', 'kwh_total')}
+    FROM events e
+    JOIN (VALUES ('view', 0.001), ('click', 1.0), ('purchase', 29.3001),
+                 ('signup', 1.0), ('error', 0.0))
+         AS u(event_type, to_kwh_factor)
+      ON e.event_type = u.event_type
+    GROUP BY e.event_type
+    """,
+    tier="T2",
+    survey="K8,C9",
+)
+def k8_normalize_units(spark, sf_dir):
+    """Unit normalization: broadcast-join the conversion lookup, multiply
+    (Wh→kWh / therms→kWh semantics on the fixture's enum)."""
+    ev = T(spark, sf_dir, "events")
+    conv = spark.createDataFrame(
+        [
+            ("view", 0.001),
+            ("click", 1.0),
+            ("purchase", 29.3001),
+            ("signup", 1.0),
+            ("error", 0.0),
+        ],
+        "event_type STRING, to_kwh_factor DOUBLE",
+    )
+    return (
+        ev.join(F.broadcast(conv), "event_type")
+        .groupBy("event_type")
+        .agg(dsum(F.col("value") * F.col("to_kwh_factor"), "kwh_total"))
+    )
+
+
+@query(
+    "k9_validate_quality",
+    sql="""
+    SELECT source,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT doc_id) AS n_distinct_keys,
+           CAST(COUNT(*) - COUNT(DISTINCT doc_id) AS BIGINT) AS n_dup_keys,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+           CAST(SUM(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_len_mismatch,
+           CAST(SUM(CASE WHEN n_chars > 10000 THEN 1 ELSE 0 END) AS BIGINT) AS n_oversize
+    FROM documents GROUP BY source
+    """,
+    tier="T2",
+    survey="K9,D1,B4",
+)
+def k9_validate_quality(spark, sf_dir):
+    """Per-source audit: null%, dup keys, invariant violations, row counts."""
+    docs = T(spark, sf_dir, "documents")
+    return validate_quality(
+        docs,
+        group_by=["source"],
+        key="doc_id",
+        checks={
+            "n_null_text": F.col("text").isNull(),
+            "n_len_mismatch": F.col("n_chars") != F.length("text"),
+            "n_oversize": F.col("n_chars") > 10000,
+        },
+    )
+
+
+@query(
+    "k11_sessionize",
+    sql="""
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us
+    FROM (
+      SELECT user_id, ts,
+             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      FROM (
+        SELECT user_id, ts,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+        FROM events
+      )
+    ) GROUP BY user_id, session_id
+    """,
+    tier="T2",
+    survey="K-ext,I3,E2,E3",
+)
+def k11_sessionize(spark, sf_dir):
+    """Batch sessionization (gaps-and-islands, 30-min gap) — the batch twin
+    of streaming session_window (I3), oracle-checkable unlike the stream."""
+    ev = T(spark, sf_dir, "events")
+    sess = sessionize(ev, keys=["user_id"], ts="ts", gap_minutes=30)
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min(F.unix_micros("ts")).alias("session_start_us"),
+    )

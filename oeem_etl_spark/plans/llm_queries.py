@@ -1,1 +1,431 @@
-"""Placeholder — filled in as the corresponding SURVEY.md §2 tier lands."""
+"""Declared LLM-data-pipeline queries (SURVEY.md §2.L + the training-data
+operators: dedup, similarity search, text analysis, multimodal plumbing).
+
+Engine-internal-hash ops (MinHash/SimHash/winnowing, xxhash64-based) are
+rows-only here and exact-verified by unit fixtures in tests/test_llm.py;
+everything else carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators import dedup, multimodal, similarity, text
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T
+
+# ---------------------------------------------------------------------------
+# Dedup family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l1_exact_dedup",
+    sql="""
+    SELECT doc_id, lang, source FROM (
+      SELECT doc_id, lang, source,
+             row_number() OVER (
+               PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               ORDER BY doc_id) AS rn
+      FROM documents
+    ) WHERE rn = 1
+    """,
+    tier="T3",
+    survey="L1,H6,D12",
+)
+def l1_exact_dedup(spark, sf_dir):
+    """Exact dedup on normalized text, smallest doc_id survives."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.exact_dedup(docs, "text", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "l2_minhash_lsh_dedup",
+    sql=None,  # xxhash64 signatures are engine-internal; verified in tests
+    tier="T3",
+    survey="L2",
+)
+def l2_minhash_lsh_dedup(spark, sf_dir):
+    """MinHash+LSH near-dup dedup; survivors with cluster accounting."""
+    docs = T(spark, sf_dir, "documents")
+    kept = dedup.minhash_lsh_dedup(docs, "doc_id", "text", threshold=0.8)
+    return kept.select("doc_id", "lang", "source")
+
+
+@query(
+    "l2b_minhash_candidates",
+    sql=None,
+    tier="T3",
+    survey="L2",
+)
+def l2b_minhash_candidates(spark, sf_dir):
+    """LSH candidate pairs with exact-Jaccard verification scores."""
+    docs = T(spark, sf_dir, "documents")
+    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
+    cand = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    return dedup.jaccard_verify(docs, cand, "doc_id", "text").select(
+        "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@query(
+    "l2c_simhash_pairs",
+    sql=None,
+    tier="T3",
+    survey="L2",
+)
+def l2c_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup candidate pairs (Hamming ≤ 3 via quarter-pigeonhole)."""
+    docs = T(spark, sf_dir, "documents")
+    sim = dedup.simhash(docs, "doc_id", "text")
+    return dedup.simhash_near_pairs(sim, "doc_id", max_hamming=3)
+
+
+@query(
+    "l14_ngram_jaccard_pairs",
+    sql="""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+               i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+                    || ' ' || str_split(text,' ')[i+2])) AS s
+      FROM documents WHERE doc_id <= 120
+    )
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.2
+    """,
+    tier="T3",
+    survey="L2,H7,H8",
+)
+def l14_ngram_jaccard_pairs(spark, sf_dir):
+    """Exact n-gram-Jaccard similar pairs on a bounded subset (the
+    verify-side primitive of LSH dedup, oracle-checkable end to end)."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 120)
+    pairs = (
+        docs.select(F.col("doc_id").alias("key_a"))
+        .crossJoin(docs.select(F.col("doc_id").alias("key_b")))
+        .where(F.col("key_a") < F.col("key_b"))
+    )
+    j = dedup.jaccard_verify(docs, pairs, "doc_id", "text", shingle_k=3)
+    return j.where(F.col("jaccard") >= 0.2).select(
+        "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search family
+# ---------------------------------------------------------------------------
+
+_TOPK_SQL = """
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qvec FROM embeddings WHERE vec_id <= 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])), 6) AS score
+      FROM embeddings e CROSS JOIN q
+    )
+    SELECT q_id, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+"""
+
+
+@query(
+    "l3_similarity_topk",
+    sql=_TOPK_SQL,
+    tier="T3",
+    survey="L3,H8,C5,E5",
+)
+def l3_similarity_topk(spark, sf_dir):
+    """Brute-force cosine top-10 for 5 query vectors over the corpus."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.cosine_topk(emb, queries, k=10)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@query(
+    "l4_knn_classify",
+    sql=f"""
+    WITH topk AS ({_TOPK_SQL}),
+    votes AS (
+      SELECT t.q_id, e.label, COUNT(*) AS votes
+      FROM topk t JOIN embeddings e USING (vec_id)
+      GROUP BY t.q_id, e.label
+    )
+    SELECT q_id, label AS predicted, votes FROM votes
+    QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) = 1
+    """,
+    tier="T3",
+    survey="L4",
+)
+def l4_knn_classify(spark, sf_dir):
+    """kNN majority-label classification of the 5 query vectors."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.knn_classify(emb, queries, k=10)
+
+
+@query("l3b_ann_lsh_topk", sql=None, tier="T3", survey="L3")
+def l3b_ann_lsh_topk(spark, sf_dir):
+    """Approximate LSH-bucketed top-k (the 100 TB path; recall<1 ⇒ rows-only).
+    Recall vs the exact operator is asserted in tests/test_llm.py."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ann_lsh_topk(emb, queries, k=10, n_planes=4)
+
+
+@query("l3c_ivf_topk", sql=None, tier="T3", survey="L3")
+def l3c_ivf_topk(spark, sf_dir):
+    """IVF-style probe search using per-label centroids."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.ivf_topk(emb, queries, k=10, n_probe=3)
+
+
+@query(
+    "l15_embedding_neardup",
+    sql="""
+    SELECT a.vec_id AS key_a, b.vec_id AS key_b,
+           ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 6) AS cos
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE a.vec_id <= 200 AND b.vec_id <= 200
+      AND list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) > 0.9
+    """,
+    tier="T3",
+    survey="L2,L3",
+)
+def l15_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (bounded subset, exact)."""
+    emb = T(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 200)
+    a = emb.select(F.col("vec_id").alias("key_a"), F.col("embedding").alias("ea"))
+    b = emb.select(F.col("vec_id").alias("key_b"), F.col("embedding").alias("eb"))
+    from oeem_etl_spark.functions import vector
+
+    pairs = a.crossJoin(b).where(F.col("key_a") < F.col("key_b"))
+    cos = vector.cosine("ea", "eb")
+    return pairs.where(cos > 0.9).select(
+        "key_a", "key_b", F.round(cos, 6).alias("cos")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis family
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l5_ngrams",
+    sql="""
+    WITH grams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(str_split(text,' ')) - 1, 0)),
+               i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1])) AS bigram
+      FROM documents
+    )
+    SELECT bigram, COUNT(*) AS n FROM grams
+    GROUP BY bigram ORDER BY n DESC, bigram LIMIT 25
+    """,
+    tier="T3",
+    survey="L5,H8,H9",
+)
+def l5_ngrams(spark, sf_dir):
+    """Top bigrams across the corpus."""
+    docs = T(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(text.ngrams("text", 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(25)
+    )
+
+
+@query(
+    "l6_tf_idf",
+    sql="""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT tf.doc_id, tf.term, tf.tf, dfreq.df,
+           ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    WHERE tf.doc_id <= 100
+    """,
+    tier="T3",
+    survey="L6,H9,D1,H5",
+)
+def l6_tf_idf(spark, sf_dir):
+    """tf-idf over the corpus (df computed on ALL docs, output bounded)."""
+    docs = T(spark, sf_dir, "documents")
+    out = text.tf_idf(docs, "doc_id", "text")
+    return out.where(F.col("doc_id") <= 100).select(
+        "doc_id", "term", "tf", "df", "tfidf"
+    )
+
+
+@query(
+    "l7_text_stats",
+    sql="""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           len(str_split(text, ' ')) AS n_tokens,
+           ROUND(CAST(length(text) - (len(str_split(text,' ')) - 1) AS DOUBLE)
+                 / len(str_split(text,' ')), 6) AS avg_token_len,
+           ROUND(CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS DOUBLE)
+                 / length(text), 6) AS alpha_ratio,
+           ROUND(CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+                 / len(str_split(text,' ')), 6) AS distinct_ratio
+    FROM documents WHERE doc_id <= 300
+    """,
+    tier="T3",
+    survey="L7,H1,H2",
+)
+def l7_text_stats(spark, sf_dir):
+    """Per-document quality features."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    return text.text_stats(docs, "doc_id", "text")
+
+
+@query(
+    "l13_quality_filter",
+    sql="""
+    SELECT lang, COUNT(*) AS n_kept FROM documents
+    WHERE length(text) >= 50
+      AND len(str_split(text,' ')) >= 10
+      AND CAST(len(list_distinct(str_split(text,' '))) AS DOUBLE)
+          / len(str_split(text,' ')) >= 0.2
+    GROUP BY lang
+    """,
+    tier="T3",
+    survey="L7,B3",
+)
+def l13_quality_filter(spark, sf_dir):
+    """Quality-gate survivors per language."""
+    docs = T(spark, sf_dir, "documents")
+    kept = text.quality_filter(
+        docs, "text", min_chars=50, min_tokens=10, min_distinct_ratio=0.2
+    )
+    return kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+_MARKERS = [
+    ("en", "order"), ("en", "window"), ("en", "batch"),
+    ("es", "slow"), ("es", "agg"), ("es", "vector"),
+    ("de", "customer"), ("de", "hash"),
+    ("fr", "scan"), ("fr", "data"),
+    ("zh", "join"), ("zh", "small"),
+]
+
+
+@query(
+    "l10_language_id",
+    sql=f"""
+    WITH markers(lang, marker) AS (VALUES {", ".join(f"('{l}', '{m}')" for l, m in _MARKERS)}),
+    toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS marker FROM documents
+    ), votes AS (
+      SELECT t.doc_id, m.lang, COUNT(*) AS hits
+      FROM toks t JOIN markers m USING (marker)
+      GROUP BY t.doc_id, m.lang
+    ), best AS (
+      SELECT doc_id, lang AS lang_pred, hits FROM votes
+      QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang) = 1
+    )
+    SELECT d.doc_id, COALESCE(b.lang_pred, 'und') AS lang_pred,
+           COALESCE(b.hits, 0) AS hits
+    FROM documents d LEFT JOIN best b USING (doc_id)
+    """,
+    tier="T3",
+    survey="L-ext,H9,E1",
+)
+def l10_language_id(spark, sf_dir):
+    """n-gram/marker-token language-ID heuristic (deterministic voting)."""
+    docs = T(spark, sf_dir, "documents")
+    markers = spark.createDataFrame(_MARKERS, "lang STRING, marker STRING")
+    return text.language_id(docs, "doc_id", "text", markers)
+
+
+@query(
+    "l11_token_count",
+    sql="""
+    SELECT doc_id,
+           CAST(array_length(regexp_extract_all(text,
+                '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS INT) AS n_llm_tokens
+    FROM documents WHERE doc_id <= 300
+    """,
+    tier="T3",
+    survey="L-ext,H2",
+)
+def l11_token_count(spark, sf_dir):
+    """BPE-ish token counting via portable regex classes."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    return docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+        .cast("int")
+        .alias("n_llm_tokens"),
+    )
+
+
+@query("l12_fingerprint", sql=None, tier="T3", survey="L-ext")
+def l12_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints (xxhash64 rolling min-hash; rows-only)."""
+    docs = T(spark, sf_dir, "documents")
+    fp = text.fingerprint_winnow(docs, "doc_id", "text")
+    return fp.select("doc_id", F.size("fingerprint").alias("fp_size"))
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + embedding stub
+# ---------------------------------------------------------------------------
+
+
+@query("l8_multimodal_features", sql=None, tier="T3", survey="L8,J4")
+def l8_multimodal_features(spark, sf_dir):
+    """Binary-payload plumbing: wrap text as binary assets, extract
+    deterministic fake features via mapInPandas (decode stubbed), reduce."""
+    docs = T(spark, sf_dir, "documents")
+    assets = multimodal.to_multimodal(docs, "doc_id", "text", "text/plain")
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        "asset_id",
+        F.size("features").alias("feat_dim"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        "n_bytes",
+    )
+
+
+@query("l9_embed_batch", sql=None, tier="T3", survey="L9,J2")
+def l9_embed_batch(spark, sf_dir):
+    """Pluggable embedding stub: deterministic hash-projection features for
+    text via the same Arrow-batched path a real model would use."""
+    docs = T(spark, sf_dir, "documents")
+    assets = multimodal.to_multimodal(docs, "doc_id", "text", "text/plain")
+    feats = multimodal.extract_features(assets)
+    return feats.select(
+        F.col("asset_id").alias("doc_id"),
+        F.round(
+            F.aggregate("features", F.lit(0.0), lambda a, v: a + v.cast("double")), 6
+        ).alias("norm1"),
+    )

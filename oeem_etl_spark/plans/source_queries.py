@@ -1,1 +1,151 @@
-"""Placeholder — filled in as the corresponding SURVEY.md §2 tier lands."""
+"""Declared source/sink queries (SURVEY.md §2.A).
+
+Format roundtrips are oracle-checked WITHOUT the oracle touching our temp
+files: the Spark side writes a subset to the format under test and reads
+it back; the oracle simply selects the same subset from parquet. A lossless
+roundtrip therefore hash-matches. Sink paths live under /tmp and are
+overwritten on every run (re-run safe).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T
+from oeem_etl_spark.sources import manifest as mf
+from oeem_etl_spark.sources import readers, writers
+
+_TMP = os.path.join(tempfile.gettempdir(), "oeem_etl_spark_io")
+
+
+@query(
+    "a2_csv_roundtrip",
+    sql="""
+    SELECT c_custkey, c_name, c_acctbal FROM customer WHERE c_custkey <= 400
+    """,
+    tier="T2",
+    survey="A2,A7",
+)
+def a2_csv_roundtrip(spark, sf_dir):
+    """CSV sink + explicit-schema CSV scan; lossless for int/string/double
+    (Spark writes shortest round-trip double repr)."""
+    sub = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 400)
+        .select("c_custkey", "c_name", "c_acctbal")
+    )
+    path = os.path.join(_TMP, "a2_csv")
+    writers.write_csv(sub, path)
+    return readers.scan_csv(
+        spark, path, "c_custkey BIGINT, c_name STRING, c_acctbal DOUBLE"
+    )
+
+
+@query(
+    "a3_json_roundtrip",
+    sql="""
+    SELECT event_id, user_id, event_type, value FROM events WHERE event_id <= 400
+    """,
+    tier="T2",
+    survey="A3",
+)
+def a3_json_roundtrip(spark, sf_dir):
+    """ndjson sink + explicit-schema JSON scan."""
+    sub = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 400)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    path = os.path.join(_TMP, "a3_json")
+    sub.write.mode("overwrite").json(path)
+    return readers.scan_json(
+        spark, path, "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+
+
+@query(
+    "a4_text_roundtrip",
+    sql="""
+    SELECT CAST(doc_id AS VARCHAR) || '|' || lang AS value
+    FROM documents WHERE doc_id <= 300
+    """,
+    tier="T3",
+    survey="A4",
+)
+def a4_text_roundtrip(spark, sf_dir):
+    """Raw-line text sink + scan (the XML/log staging front door)."""
+    lines = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300)
+        .select(
+            F.concat(F.col("doc_id").cast("string"), F.lit("|"), F.col("lang")).alias(
+                "value"
+            )
+        )
+    )
+    path = os.path.join(_TMP, "a4_text")
+    lines.write.mode("overwrite").text(path)
+    return readers.scan_text(spark, path)
+
+
+@query(
+    "a6_parquet_sink_roundtrip",
+    sql="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+    FROM orders WHERE o_orderkey <= 500
+    """,
+    tier="T2",
+    survey="A6",
+)
+def a6_parquet_sink_roundtrip(spark, sf_dir):
+    """Partitioned parquet sink + scan-back (partition column survives with
+    identical values; timestamps lossless at µs)."""
+    sub = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+    )
+    path = os.path.join(_TMP, "a6_parquet")
+    writers.write_parquet(sub, path, partition_by=["o_orderstatus"])
+    back = readers.scan_parquet(spark, path)
+    return back.select(
+        "o_orderkey",
+        F.col("o_orderstatus").cast("string").alias("o_orderstatus"),
+        "o_totalprice",
+        "o_orderdate",
+    )
+
+
+@query(
+    "a8_incremental_manifest",
+    sql="""
+    SELECT event_type, COUNT(*) AS n FROM events
+    WHERE event_type NOT IN ('view', 'click')
+    GROUP BY event_type
+    """,
+    tier="T3",
+    survey="A8,K10",
+)
+def a8_incremental_manifest(spark, sf_dir):
+    """Incremental load: events partitioned to files by event_type; the
+    manifest marks the 'view'/'click' files as already processed, so only
+    rows from unseen files load (Luigi target-existence semantics)."""
+    path = os.path.join(_TMP, "a8_files")
+    ev = T(spark, sf_dir, "events")
+    writers.write_parquet(ev, path, partition_by=["event_type"])
+
+    tagged = mf.with_source_file(readers.scan_parquet(spark, path))
+    processed = (
+        tagged.where(F.col("event_type").isin("view", "click"))
+        .select("__source_file")
+        .distinct()
+    )
+    new_rows, _new_files = mf.incremental_load(spark, tagged, processed)
+    return (
+        new_rows.groupBy(F.col("event_type").cast("string").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,53 @@
+"""File-format readers (SURVEY.md §2.A): explicit-schema scans.
+
+The reference fetched/parsed CSVs, JSON API payloads, and XML documents
+into fixed record shapes (SURVEY.md §1.1 [PK-high]). Spark mapping: every
+reader takes an explicit StructType/DDL schema — inference is a dev-only
+convenience that breaks determinism and costs an extra pass at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def scan_parquet(spark: SparkSession, path: str, columns: list[str] | None = None) -> DataFrame:
+    df = spark.read.parquet(path)
+    return df.select(*columns) if columns else df
+
+
+def scan_csv(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    **options: str,
+) -> DataFrame:
+    """CSV with explicit DDL schema (A2). Column pruning + predicate
+    pushdown still apply (Spark's CSV source supports both)."""
+    return (
+        spark.read.schema(schema)
+        .options(header=str(header).lower(), **options)
+        .csv(path)
+    )
+
+
+def scan_json(spark: SparkSession, path: str, schema: str, **options: str) -> DataFrame:
+    """Line-delimited JSON with explicit schema (A3)."""
+    return spark.read.schema(schema).options(**options).json(path)
+
+
+def scan_text(spark: SparkSession, path: str) -> DataFrame:
+    """Raw lines (A4): XML staging / log ingest front door. Returns a
+    single ``value: string`` column; parse downstream with from_xml /
+    regexp / UDTF."""
+    return spark.read.text(path)
+
+
+def scan_binary(spark: SparkSession, path: str, glob: str | None = None) -> DataFrame:
+    """Binary-file source (L8 plumbing): path, modificationTime, length,
+    content columns — the multimodal ingestion front door."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
