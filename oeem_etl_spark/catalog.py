@@ -37,19 +37,30 @@ def table_path(sf_dir: str, name: str) -> str:
 
 
 def ensure_session_confs(spark: SparkSession) -> None:
-    """Set the correctness-critical SQL confs on an externally-built session.
+    """Set correctness- and perf-critical SQL confs on an external session.
 
     The driver (and any library user) may hand us a SparkSession without
-    our factory's config. These two are required for correct results —
-    everything else in session.py is performance-only:
+    our factory's config block. Correctness-required:
 
     - ``nanosAsLong``: parquet TIMESTAMP(NANOS) columns (events.ts) are
       unreadable otherwise (PARQUET_TYPE_ILLEGAL); verified runtime-settable.
     - UTC session timezone: timestamp collection/rendering must be
       timezone-stable to match the oracle.
+
+    Performance (all runtime-settable SQL confs, harmless if already set):
+    a bare session defaults to 200 shuffle partitions, which is pathological
+    for iterative jobs (minhash-LSH connected components ran ~100 stages of
+    200 near-empty tasks each). AQE + a core-count-sized partition floor fix
+    that locally and are the right defaults on a real cluster too.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    cpus = spark.sparkContext.defaultParallelism
+    spark.conf.set("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

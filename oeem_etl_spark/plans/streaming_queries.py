@@ -1,1 +1,249 @@
-"""Placeholder — filled in as the corresponding SURVEY.md §2 tier lands."""
+"""Declared streaming queries (SURVEY.md §2.I, §2.A9-A10).
+
+Streaming is still oracle-checkable here because every operator is a PURE
+transformation (streaming/ops.py) drained with ``availableNow`` over a
+static directory: the final sink contents equal the batch answer, which IS
+ANSI-SQL-expressible. DuckDB equivalents used:
+
+- tumbling window  → ``time_bucket(INTERVAL, ts)``
+- sliding window   → unnest of the duration/slide candidate window starts
+- session window   → gaps-and-islands (lag + cumulative sum of gap breaks)
+- watermark append → closed windows only: window_end <= max(ts) - delay
+- stateful totals  → plain GROUP BY (exact integer-micro accumulation)
+
+Each query re-runs its own bounded streaming job (seconds at sf0.01); the
+same transformations on a true unbounded source only need a different
+trigger. Boundary-exact ties (event exactly gap-apart, watermark exactly on
+a window edge) would be engine-convention-sensitive, but fixture timestamps
+carry microsecond noise, so ties have ~zero probability.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T, dsum, sql_dsum
+from oeem_etl_spark.streaming import harness, ops
+from oeem_etl_spark.streaming.source import events_stream, file_stream
+
+_TMP = os.path.join(tempfile.gettempdir(), "oeem_etl_spark_stream")
+
+_CAST_TS = "CAST(ts AS TIMESTAMP)"
+
+
+@query(
+    "i1_tumbling_window",
+    sql=f"""
+    SELECT time_bucket(INTERVAL '1 hour', {_CAST_TS}) AS window_start,
+           event_type, COUNT(*) AS cnt, {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY window_start, event_type
+    """,
+    tier="T3",
+    survey="I1,I8,A9",
+)
+def i1_tumbling_window(spark, sf_dir):
+    """Hourly tumbling counts/sums per event type, complete mode."""
+    sdf = events_stream(spark, sf_dir)
+    out = ops.tumbling_agg(
+        sdf, "1 hour", ["event_type"], [F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")]
+    )
+    return harness.run_available_now(out, "complete")
+
+
+@query(
+    "i2_sliding_window",
+    sql=f"""
+    WITH cand AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', {_CAST_TS}),
+                     time_bucket(INTERVAL '30 minutes', {_CAST_TS}) - INTERVAL '30 minutes'
+                    ]) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS cnt, {sql_dsum("value", "sum_value")}
+    FROM cand GROUP BY window_start, event_type
+    """,
+    tier="T3",
+    survey="I2",
+)
+def i2_sliding_window(spark, sf_dir):
+    """1-hour windows sliding every 30 minutes (each event in 2 windows)."""
+    sdf = events_stream(spark, sf_dir)
+    out = ops.sliding_agg(
+        sdf,
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")],
+    )
+    return harness.run_available_now(out, "complete")
+
+
+@query(
+    "i3_session_window",
+    sql=f"""
+    WITH marked AS (
+      SELECT user_id, {_CAST_TS} AS ts,
+             CASE WHEN {_CAST_TS} - LAG({_CAST_TS}) OVER w > INTERVAL '30 minutes'
+                    OR LAG({_CAST_TS}) OVER w IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM marked
+    )
+    SELECT user_id, MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, sid
+    """,
+    tier="T3",
+    survey="I3",
+)
+def i3_session_window(spark, sf_dir):
+    """Gap-based sessionization (30-minute inactivity) per user."""
+    sdf = events_stream(spark, sf_dir)
+    out = ops.session_agg(sdf, "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n_events")])
+    return harness.run_available_now(out, "complete")
+
+
+@query(
+    "i4_watermark_append",
+    sql=f"""
+    SELECT time_bucket(INTERVAL '6 hours', {_CAST_TS}) AS window_start,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY window_start
+    HAVING window_start + INTERVAL '6 hours'
+           <= (SELECT MAX({_CAST_TS}) - INTERVAL '10 minutes' FROM events)
+    """,
+    tier="T3",
+    survey="I4,I8",
+)
+def i4_watermark_append(spark, sf_dir):
+    """Watermarked append-mode agg: only windows the 10-minute watermark has
+    closed are emitted; the trailing open window is withheld (= dropped-late
+    -data semantics made visible on a bounded replay)."""
+    sdf = ops.with_watermark(events_stream(spark, sf_dir), "10 minutes")
+    out = ops.tumbling_agg(sdf, "6 hours", [], [F.count(F.lit(1)).alias("cnt")])
+    return harness.run_available_now(out, "append")
+
+
+@query(
+    "i5_streaming_dedup",
+    sql="SELECT DISTINCT user_id, event_type FROM events",
+    tier="T3",
+    survey="I5",
+)
+def i5_streaming_dedup(spark, sf_dir):
+    """Streaming exactly-once key dedup (state = one row per seen key)."""
+    sdf = events_stream(spark, sf_dir)
+    out = ops.dedup_keys(sdf, ["user_id", "event_type"])
+    return harness.run_available_now(out, "append")
+
+
+@query(
+    "i6_stateful_running_totals",
+    sql=f"""
+    SELECT user_id, COUNT(*) AS n_events, {sql_dsum("value", "total_value")}
+    FROM events GROUP BY user_id
+    """,
+    tier="T3",
+    survey="I6,J5",
+)
+def i6_stateful_running_totals(spark, sf_dir):
+    """Arbitrary per-key state machine (applyInPandasWithState): running
+    (count, exact-micros total) per user, update mode; the last emission per
+    key equals the batch aggregate exactly."""
+    sdf = events_stream(spark, sf_dir)
+    updates = ops.running_totals_state(sdf)
+    drained = harness.run_available_now(updates, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "i7_stream_static_join",
+    sql="""
+    SELECT c.c_mktsegment, COUNT(*) AS cnt
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tier="T3",
+    survey="I7",
+)
+def i7_stream_static_join(spark, sf_dir):
+    """Enrich the stream with a broadcast static dimension, then aggregate."""
+    sdf = events_stream(spark, sf_dir)
+    dim = T(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    out = (
+        ops.enrich(sdf, dim, "user_id")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return harness.run_available_now(out, "complete")
+
+
+@query(
+    "i8_update_mode_rollup",
+    sql=f"""
+    SELECT time_bucket(INTERVAL '1 day', {_CAST_TS}) AS window_start,
+           event_type, COUNT(*) AS cnt
+    FROM events GROUP BY window_start, event_type
+    """,
+    tier="T3",
+    survey="I8",
+)
+def i8_update_mode_rollup(spark, sf_dir):
+    """Update-mode daily rollup; per (window, type) the highest-count
+    emission is the final state (counts grow monotonically)."""
+    sdf = events_stream(spark, sf_dir)
+    out = ops.tumbling_agg(sdf, "1 day", ["event_type"], [F.count(F.lit(1)).alias("cnt")])
+    drained = harness.run_available_now(out, "update")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("window_start", "event_type").orderBy(F.col("cnt").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+@query(
+    "a10_foreach_batch_sink",
+    sql="""
+    SELECT event_id, user_id, event_type FROM events WHERE event_type = 'purchase'
+    """,
+    tier="T3",
+    survey="A10",
+)
+def a10_foreach_batch_sink(spark, sf_dir):
+    """foreachBatch sink (the REST-bulk-upload analogue): every micro-batch
+    is a bounded DataFrame handed to arbitrary Python; here appended to
+    parquet, then read back for verification."""
+    path = os.path.join(_TMP, "a10_sink")
+    shutil.rmtree(path, ignore_errors=True)
+    sdf = (
+        events_stream(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "event_type")
+    )
+    harness.foreach_batch_to_parquet(sdf, path)
+    return spark.read.parquet(path)

@@ -1,0 +1,89 @@
+"""Streaming execution harness: drain-to-table and batch-equivalence.
+
+``run_available_now`` is the bridge between the streaming operators (pure
+transformations in streaming/ops.py) and the driver's batch-shaped
+contract: it runs a streaming DataFrame with ``trigger(availableNow=True)``
+into an in-memory sink and returns the sink contents as a regular
+DataFrame. availableNow processes everything currently in the source
+(possibly as several micro-batches, honoring maxFilesPerTrigger) and then
+stops — Spark's sanctioned pattern for incremental batch jobs.
+
+``foreach_batch_to_parquet`` is the A10 sink: arbitrary per-micro-batch
+logic (the reference's REST-bulk-upload analogue — each batch is a bounded
+DataFrame you may send anywhere); here each batch appends to parquet.
+"""
+
+from __future__ import annotations
+
+import itertools
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+_counter = itertools.count()
+
+
+def run_available_now(
+    sdf: DataFrame,
+    output_mode: str,
+    timeout_s: int = 300,
+    name: str | None = None,
+) -> DataFrame:
+    """Drain a streaming DataFrame into a memory sink; return its table."""
+    name = name or f"oeem_stream_{next(_counter)}"
+    ckpt = tempfile.mkdtemp(prefix=f"oeem_ckpt_{name}_")
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"streaming query {name} exceeded {timeout_s}s")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    spark = sdf.sparkSession
+    return spark.table(name)
+
+
+def foreach_batch_to_parquet(sdf: DataFrame, path: str, timeout_s: int = 300) -> None:
+    """A10: per-batch arbitrary sink (parquet-append flavor)."""
+    ckpt = tempfile.mkdtemp(prefix="oeem_ckpt_feb_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(path)
+
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"foreachBatch sink exceeded {timeout_s}s")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def assert_batch_equivalent(
+    spark: SparkSession,
+    transform,
+    batch_df: DataFrame,
+    stream_df: DataFrame,
+    output_mode: str = "complete",
+) -> None:
+    """§5.2(3): the same pure transformation over read vs readStream must
+    produce identical multisets of rows."""
+    got = sorted(map(tuple, run_available_now(transform(stream_df), output_mode).collect()))
+    want = sorted(map(tuple, transform(batch_df).collect()))
+    assert got == want, (
+        f"stream/batch divergence: {len(got)} vs {len(want)} rows; "
+        f"first diff: {next(((a, b) for a, b in zip(got, want) if a != b), None)}"
+    )

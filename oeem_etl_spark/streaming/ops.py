@@ -1,0 +1,147 @@
+"""Streaming operators (SURVEY.md §2.I) as PURE DataFrame transformations.
+
+Every function here takes a DataFrame and returns a DataFrame, with no
+``readStream``/``writeStream`` inside — so the identical code path runs in
+batch mode (correctness oracle, §5.2 batch-equivalence) and in Structured
+Streaming (incremental execution with state stores). That symmetry is the
+whole test strategy: streaming has no DuckDB oracle, but
+``availableNow``-draining a static directory must equal the batch run.
+
+Scale notes: windowed aggregations keep one state row per (window, key) in
+the executor state store and are GC'd by the watermark (I4); without a
+watermark, complete-mode aggregations grow state monotonically — fine for
+bounded replays, never for true unbounded streams.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def tumbling_agg(
+    df: DataFrame,
+    duration: str,
+    keys: list[str],
+    aggs: list[Column],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """I1: fixed, epoch-aligned, non-overlapping windows."""
+    w = F.window(ts_col, duration)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), *keys, *[a for a in _names(aggs)])
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    duration: str,
+    slide: str,
+    keys: list[str],
+    aggs: list[Column],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """I2: overlapping windows — each event lands in duration/slide windows."""
+    w = F.window(ts_col, duration, slide)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(*aggs)
+        .select(F.col("w.start").alias("window_start"), *keys, *[a for a in _names(aggs)])
+    )
+
+
+def session_agg(
+    df: DataFrame,
+    gap: str,
+    keys: list[str],
+    aggs: list[Column],
+    ts_col: str = "ts",
+) -> DataFrame:
+    """I3: gap-based sessions; a session closes after ``gap`` of silence.
+    ``session_end`` is last-event-ts + gap (Spark's session_window shape)."""
+    w = F.session_window(ts_col, gap)
+    return (
+        df.groupBy(w.alias("w"), *keys)
+        .agg(*aggs)
+        .select(
+            *keys,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            *[a for a in _names(aggs)],
+        )
+    )
+
+
+def with_watermark(df: DataFrame, delay: str, ts_col: str = "ts") -> DataFrame:
+    """I4: bound state / drop late data. On a batch DataFrame this is an
+    identity (Spark ignores watermarks in batch), preserving purity."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay)
+    return df
+
+
+def dedup_keys(df: DataFrame, keys: list[str]) -> DataFrame:
+    """I5: exactly-once by key. Streaming keeps every seen key in state
+    (use ``dedup_keys_within_watermark`` for bounded state at scale)."""
+    return df.select(*keys).dropDuplicates(keys)
+
+
+def dedup_keys_within_watermark(
+    df: DataFrame, keys: list[str], delay: str, ts_col: str = "ts"
+) -> DataFrame:
+    """I5 (bounded-state variant): duplicates are only suppressed while
+    their key is younger than the watermark — state is GC-able, the 100 TB
+    path. Batch fallback: plain dropDuplicates (no watermark concept)."""
+    if df.isStreaming:
+        return df.withWatermark(ts_col, delay).dropDuplicatesWithinWatermark(keys)
+    return df.dropDuplicates(keys)
+
+
+def enrich(stream_df: DataFrame, dim_df: DataFrame, on, how: str = "inner") -> DataFrame:
+    """I7: stream-static join. The static side is re-planned per micro-batch
+    and broadcast when small — dimension freshness comes for free."""
+    return stream_df.join(F.broadcast(dim_df), on, how)
+
+
+def running_totals_state(df: DataFrame, key: str = "user_id", value_col: str = "value"):
+    """I6: arbitrary stateful per-key processing via applyInPandasWithState.
+
+    Maintains (count, exact micro-unit total) per key and emits the updated
+    running totals every micro-batch (update mode). The value total is
+    accumulated in integer micros — order-independent and exact — so the
+    final emission per key equals the batch aggregate bit-for-bit, which is
+    what makes this oracle-checkable (take the last emission per key).
+    """
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key} bigint, n_events bigint, total_value double"
+    state_schema = "n bigint, total_micros bigint"
+
+    def fn(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            micros += int(pdf[value_col].mul(1e6).round(0).astype("int64").sum())
+        state.update((int(n), int(micros)))
+        yield pd.DataFrame(
+            {key: [key_tuple[0]], "n_events": [n], "total_value": [round(micros / 1e6, 6)]}
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
+def _names(aggs: list[Column]) -> list[str]:
+    """Output column names of (always-aliased) agg expressions."""
+    names = []
+    for a in aggs:
+        s = a._jc.toString()
+        assert " AS " in s, f"agg expression must be aliased: {s}"
+        names.append(s.rsplit(" AS ", 1)[-1].strip("`"))
+    return names

@@ -1,0 +1,168 @@
+"""Streaming tests (SURVEY.md §5.2(3)): batch-equivalence for every pure
+streaming transformation, plus controlled multi-batch scenarios (late-data
+watermark drop, incremental dedup) that the bounded oracle replay can't
+exercise."""
+
+from __future__ import annotations
+
+import os
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.streaming import harness, ops
+from oeem_etl_spark.streaming.source import events_stream
+from oeem_etl_spark.catalog import load_table
+
+SMALL_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def ev_batch(spark):
+    return load_table(spark, SMALL_SF, "events")
+
+
+@pytest.fixture()
+def ev_stream(spark):
+    return events_stream(spark, SMALL_SF)
+
+
+def _equiv(spark, transform, batch_df, stream_df, mode="complete"):
+    harness.assert_batch_equivalent(spark, transform, batch_df, stream_df, mode)
+
+
+def test_tumbling_batch_equivalence(spark, ev_batch, ev_stream):
+    def tf(df):
+        return ops.tumbling_agg(
+            df, "1 hour", ["event_type"], [F.count(F.lit(1)).alias("cnt")]
+        )
+
+    _equiv(spark, tf, ev_batch, ev_stream)
+
+
+def test_session_batch_equivalence(spark, ev_batch, ev_stream):
+    def tf(df):
+        return ops.session_agg(
+            df, "30 minutes", ["user_id"], [F.count(F.lit(1)).alias("n")]
+        )
+
+    _equiv(spark, tf, ev_batch, ev_stream)
+
+
+def test_dedup_batch_equivalence(spark, ev_batch, ev_stream):
+    def tf(df):
+        return ops.dedup_keys(df, ["user_id", "event_type"])
+
+    _equiv(spark, tf, ev_batch, ev_stream, mode="append")
+
+
+def test_stream_static_join_equivalence(spark, ev_batch, ev_stream, sf_dir):
+    dim = load_table(spark, SMALL_SF, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+
+    def tf(df):
+        return (
+            ops.enrich(df, dim, "user_id")
+            .groupBy("c_mktsegment")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    _equiv(spark, tf, ev_batch, ev_stream)
+
+
+def _write_ordered_files(spark, tmpdir: str, batches):
+    """One single-file parquet dir per micro-batch, with strictly increasing
+    modification times so the file stream source replays them in order."""
+    schema = "id long, ts_s string, user_id long"
+    for i, rows in enumerate(batches):
+        df = (
+            spark.createDataFrame(rows, schema)
+            .withColumn("ts", F.to_timestamp("ts_s"))
+            .drop("ts_s")
+            .coalesce(1)
+        )
+        part = os.path.join(tmpdir, f"batch{i}")
+        df.write.mode("overwrite").parquet(part)
+        for f in os.listdir(part):
+            os.utime(os.path.join(part, f), (time.time() + i * 10, time.time() + i * 10))
+
+
+_TWO_BATCHES = [
+    [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:05:00", 1), (3, "2024-01-01 10:59:00", 1)],
+    [(4, "2024-01-01 11:30:00", 1), (5, "2024-01-01 09:30:00", 1)],
+]
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """I4: a row behind the late-event watermark is excluded from its window.
+
+    Spark filters late events with the PREVIOUS batch's watermark and evicts
+    state with the current one (discovered empirically — a 2-batch scenario
+    never drops anything), so the drop needs 3 batches:
+    batch0 advances event time to 10:59; batch1 to 12:30 (its own late row
+    at 05:00 is ACCEPTED — late-filter watermark is still epoch); batch2's
+    05:10 row is behind the now-active 10:49 late-filter watermark → dropped.
+    """
+    d = str(tmp_path / "late")
+    os.makedirs(d, exist_ok=True)
+    _write_ordered_files(
+        spark,
+        d,
+        [
+            [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:59:00", 1)],
+            [(4, "2024-01-01 12:30:00", 1), (5, "2024-01-01 05:00:00", 1)],
+            [(6, "2024-01-01 13:30:00", 1), (7, "2024-01-01 05:10:00", 1)],
+        ],
+    )
+    schema = "id long, user_id long, ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/batch*")
+    )
+    agg = ops.tumbling_agg(
+        ops.with_watermark(sdf, "10 minutes"), "1 hour", [], [F.count(F.lit(1)).alias("cnt")]
+    )
+    out = harness.run_available_now(agg, "append").collect()
+    got = {r["window_start"].strftime("%H:%M"): r["cnt"] for r in out}
+    # 05:00 window holds ONLY row 5 (row 7 dropped as late); 13:00 window is
+    # still open at termination so append mode withholds it.
+    assert got == {"05:00": 1, "10:00": 2, "12:00": 1}, got
+
+
+def test_dedup_within_watermark_multi_batch(spark, tmp_path):
+    """I5 bounded-state variant: duplicate key in a later batch within the
+    watermark horizon is suppressed."""
+    d = str(tmp_path / "dd")
+    os.makedirs(d, exist_ok=True)
+    _write_ordered_files(spark, d, _TWO_BATCHES)
+    schema = "id long, user_id long, ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/batch*")
+    )
+    out = harness.run_available_now(
+        ops.dedup_keys_within_watermark(sdf, ["user_id"], "2 hours"), "append"
+    )
+    assert out.count() == 1  # one distinct user across both batches
+
+
+def test_running_totals_state_multi_batch(spark, tmp_path):
+    """I6: state persists across micro-batches; final emission = batch agg."""
+    d = str(tmp_path / "rt")
+    os.makedirs(d, exist_ok=True)
+    _write_ordered_files(spark, d, _TWO_BATCHES)
+    schema = "id long, user_id long, ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/batch*")
+        .withColumn("value", F.col("id").cast("double"))
+    )
+    drained = harness.run_available_now(ops.running_totals_state(sdf), "update")
+    rows = sorted(drained.collect(), key=lambda r: r["n_events"])
+    # two batches → two emissions for user 1: (3, 6.0) then (5, 15.0)
+    assert [(r["n_events"], r["total_value"]) for r in rows] == [(3, 6.0), (5, 15.0)]
