@@ -17,4 +17,5 @@ def load_all() -> None:
         llm_queries,
         streaming_queries,
         source_queries,
+        misc_queries,
     )

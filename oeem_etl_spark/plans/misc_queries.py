@@ -1,0 +1,152 @@
+"""Remaining declared operators (SURVEY.md §2): B8 sample, D7/D8 approx
+sketches, H10 map functions, H13 engine-misc functions, J6 UDTF.
+
+Approx sketches and RNG sampling are declared rows-only by design (§7.4
+trap #5: approximate ≠ oracle); their sanity bounds are asserted in
+tests/test_misc.py against exact equivalents instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T
+
+
+@query("b8_sample", sql=None, tier="T3", survey="B8")
+def b8_sample(spark, sf_dir):
+    """Seeded Bernoulli sample — per-engine RNG, so rows-only. The seed
+    makes reruns on the same partitioning deterministic."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .sample(fraction=0.1, seed=42)
+        .select("l_orderkey", "l_linenumber")
+    )
+
+
+@query("d7_approx_percentile", sql=None, tier="T3", survey="D7")
+def d7_approx_percentile(spark, sf_dir):
+    """Sketch-based percentiles (single pass, mergeable across partitions —
+    the 100 TB path where exact percentile would need a full sort)."""
+    return (
+        T(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_percentile("l_extendedprice", F.lit(0.5), F.lit(10000)).alias("p50"),
+            F.approx_percentile("l_extendedprice", F.lit(0.9), F.lit(10000)).alias("p90"),
+        )
+    )
+
+
+@query("d8_approx_count_distinct", sql=None, tier="T3", survey="D8")
+def d8_approx_count_distinct(spark, sf_dir):
+    """HyperLogLog++ distinct counting (constant memory vs exact's hash set)."""
+    return (
+        T(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.approx_count_distinct("o_custkey", 0.01).alias("approx_customers"))
+    )
+
+
+@query(
+    "h10_map_funcs",
+    sql="""
+    SELECT event_type,
+           CAST(CASE event_type WHEN 'view' THEN 1.0 WHEN 'click' THEN 2.0
+                WHEN 'purchase' THEN 10.0 ELSE 0.5 END AS DOUBLE) AS weight,
+           CAST(CASE event_type WHEN 'view' THEN 2.0 WHEN 'click' THEN 4.0
+                WHEN 'purchase' THEN 20.0 ELSE 1.0 END AS DOUBLE) AS weight2x,
+           COUNT(*) AS cnt
+    FROM events GROUP BY event_type
+    """,
+    tier="T3",
+    survey="H10",
+)
+def h10_map_funcs(spark, sf_dir):
+    """MapType surface: create_map → transform_values → element_at. Output
+    is scalar columns, so the oracle needs no DuckDB MAP semantics."""
+    weights = F.create_map(
+        F.lit("view"), F.lit(1.0),
+        F.lit("click"), F.lit(2.0),
+        F.lit("purchase"), F.lit(10.0),
+    )
+    doubled = F.transform_values(weights, lambda k, v: v * 2)
+    return (
+        T(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0.5)).alias("weight"),
+            F.coalesce(F.element_at(doubled, F.col("event_type")), F.lit(1.0)).alias("weight2x"),
+        )
+        .groupBy("event_type", "weight", "weight2x")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@query(
+    "h13_misc_funcs",
+    sql="""
+    SELECT COUNT(*) AS n, COUNT(*) AS n_unique_ids,
+           TRUE AS ids_nonnegative, TRUE AS ids_increase_within_partition
+    FROM orders
+    """,
+    tier="T3",
+    survey="H13",
+)
+def h13_misc_funcs(spark, sf_dir):
+    """Engine-misc functions. The values of monotonically_increasing_id /
+    spark_partition_id are engine-specific; their INVARIANTS are not:
+    ids are unique, non-negative, and increase within a partition. The
+    query outputs the invariants so the oracle can check them as constants.
+    """
+    df = (
+        T(spark, sf_dir, "orders")
+        .select("o_orderkey")
+        .withColumn("mid", F.monotonically_increasing_id())
+        .withColumn("pid", F.spark_partition_id())
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pid").orderBy("mid")
+    flags = df.withColumn("prev", F.lag("mid").over(w)).select(
+        "mid",
+        "pid",
+        (F.col("prev").isNull() | (F.col("mid") > F.col("prev"))).alias("inc"),
+    )
+    return flags.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("mid").alias("n_unique_ids"),
+        F.min(F.col("mid") >= 0).alias("ids_nonnegative"),
+        F.min("inc").alias("ids_increase_within_partition"),
+    )
+
+
+_J6_SQL = """
+    SELECT doc_id,
+           unnest(string_split(text, ' ')) AS tok,
+           CAST(unnest(generate_series(0, len(string_split(text, ' ')) - 1)) AS INT) AS pos
+    FROM documents WHERE doc_id <= 50
+"""
+
+
+@query("j6_udtf_tokenize", sql=_J6_SQL, tier="T3", survey="J6,H9")
+def j6_udtf_tokenize(spark, sf_dir):
+    """Python UDTF (Spark 3.5+): one-to-many record expansion — the
+    reference's raw-payload → records parser shape, reached via the SQL
+    entry point (LATERAL join)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int")
+    class Tokenize:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield t, i
+
+    spark.udtf.register("oeem_tokenize", Tokenize)
+    T(spark, sf_dir, "documents").where(F.col("doc_id") <= 50).createOrReplaceTempView(
+        "j6_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, t.tok, t.pos FROM j6_docs d, LATERAL oeem_tokenize(d.text) t"
+    )

@@ -1,0 +1,63 @@
+"""Sanity bounds for rows-only declared ops (SURVEY.md §7.4 trap #5):
+approximate sketches and RNG sampling can't hash-match an oracle, so each
+is checked against its exact equivalent here."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.catalog import load_table
+from oeem_etl_spark.plans.misc_queries import (
+    b8_sample,
+    d7_approx_percentile,
+    d8_approx_count_distinct,
+)
+
+
+def test_sample_fraction_bounds(spark, sf_dir):
+    n_total = load_table(spark, sf_dir, "lineitem").count()
+    n = b8_sample(spark, sf_dir).count()
+    assert 0.07 * n_total < n < 0.13 * n_total  # Bernoulli(0.1) ± slack
+
+
+def test_sample_is_seeded_deterministic(spark, sf_dir):
+    a = sorted(map(tuple, b8_sample(spark, sf_dir).collect()))
+    b = sorted(map(tuple, b8_sample(spark, sf_dir).collect()))
+    assert a == b
+
+
+def test_approx_percentile_near_exact(spark, sf_dir):
+    approx = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in d7_approx_percentile(spark, sf_dir).collect()
+    }
+    exact = {
+        r["l_returnflag"]: (r["p50"], r["p90"])
+        for r in load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit(0.5)).alias("p50"),
+            F.percentile("l_extendedprice", F.lit(0.9)).alias("p90"),
+        )
+        .collect()
+    }
+    for k, (a50, a90) in approx.items():
+        e50, e90 = exact[k]
+        assert abs(a50 - e50) / e50 < 0.01, (k, a50, e50)
+        assert abs(a90 - e90) / e90 < 0.01, (k, a90, e90)
+
+
+def test_approx_count_distinct_near_exact(spark, sf_dir):
+    approx = {
+        r["o_orderstatus"]: r["approx_customers"]
+        for r in d8_approx_count_distinct(spark, sf_dir).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["n"]
+        for r in load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count_distinct("o_custkey").alias("n"))
+        .collect()
+    }
+    for k, a in approx.items():
+        assert abs(a - exact[k]) / exact[k] < 0.05, (k, a, exact[k])
