@@ -52,7 +52,13 @@ def ensure_session_confs(spark: SparkSession) -> None:
     for iterative jobs (minhash-LSH connected components ran ~100 stages of
     200 near-empty tasks each). AQE + a core-count-sized partition floor fix
     that locally and are the right defaults on a real cluster too.
+
+    Set-once (marker conf): callers that deliberately override a knob after
+    session setup (e.g. bench.py's local-latency regime) must not be
+    clobbered by the next load_table call.
     """
+    if spark.conf.get("spark.oeem.confsApplied", None) == "true":
+        return
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     cpus = spark.sparkContext.defaultParallelism
@@ -61,12 +67,25 @@ def ensure_session_confs(spark: SparkSession) -> None:
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
     spark.conf.set("spark.sql.execution.arrow.pyspark.enabled", "true")
+    spark.conf.set("spark.oeem.confsApplied", "true")
+
+
+# (session, sf_dir, table) -> DataFrame. A DataFrame is an immutable logical
+# plan, so reuse is safe; rebuilding one costs ~90 ms of driver-side file
+# listing + footer schema reads (measured), re-paid per table per query
+# without this — exactly the metadata a production engine caches in its
+# catalog. Fixture dirs are immutable, so no invalidation is needed.
+_TABLE_CACHE: dict[tuple, DataFrame] = {}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ensure_session_confs(spark)
-    df = spark.read.parquet(table_path(sf_dir, name))
-    return _canonicalize(df)
+    key = (spark, sf_dir, name)
+    df = _TABLE_CACHE.get(key)
+    if df is None:
+        df = _canonicalize(spark.read.parquet(table_path(sf_dir, name)))
+        _TABLE_CACHE[key] = df
+    return df
 
 
 def _canonicalize(df: DataFrame) -> DataFrame:

@@ -84,16 +84,24 @@ def q01_pricing_summary(spark, sf_dir):
     survey="C1,C9,D1,F3",
 )
 def q02_top_revenue_customers(spark, sf_dir):
-    """3-way join + agg + global top-k; dimension side broadcast (C9)."""
-    cust = T(spark, sf_dir, "customer")
-    orders = T(spark, sf_dir, "orders")
+    """3-way join + agg + global top-k; both dimension sides broadcast (C9).
+
+    Scale notes: project each side to exactly the needed columns BEFORE the
+    join so the parquet scans are 2-3 columns wide (verify via ReadSchema in
+    explain); broadcasting orders+customer keeps the 100×-bigger lineitem
+    side shuffle-free — at cluster scale where orders outgrows the broadcast
+    threshold, AQE falls back to sort-merge automatically.
+    """
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        li.select("l_orderkey", revenue.alias("rv"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_custkey", "c_name")
-        .agg(dsum(revenue, "revenue"))
+        .agg(dsum("rv", "revenue"))
         .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
         .limit(10)
     )
