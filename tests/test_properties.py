@@ -1,0 +1,170 @@
+"""Property-based tests (SURVEY.md §5.2(4)): algebraic invariants of the
+K-layer operators cross-checked against pure-Python models on
+hypothesis-generated micro-frames.
+
+Spark job latency caps example counts (~10 per property, deadline off);
+the oracle harness covers data-scale correctness, these cover edge-case
+structure (empty frames, all-duplicate keys, single-row groups, ties).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators.relational import (
+    dedupe_keep_latest,
+    merge_upsert,
+    topk_per_group,
+)
+from oeem_etl_spark.operators.timeseries import resample_interval, sessionize
+
+SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+
+# (key, version, value) rows; small key space forces collisions.
+kv_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.integers(0, 10),
+        st.integers(-1000, 1000),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(target=kv_rows, delta=kv_rows)
+@settings(**SETTINGS)
+def test_merge_upsert_last_writer_wins(spark, target, delta):
+    schema = "k long, v long, val long"
+    t = spark.createDataFrame(target, schema) if target else spark.createDataFrame([], schema)
+    d = spark.createDataFrame(delta, schema) if delta else spark.createDataFrame([], schema)
+    merged = merge_upsert(t, d, ["k"])
+
+    got_keys = {r["k"] for r in merged.select("k").distinct().collect()}
+    want_keys = {r[0] for r in target} | {r[0] for r in delta}
+    assert got_keys == want_keys
+
+    delta_keys = {r[0] for r in delta}
+    # every surviving row for a delta key must come from delta
+    delta_rows = {tuple(r) for r in delta}
+    target_rows = {tuple(r) for r in target}
+    for row in merged.collect():
+        tup = (row["k"], row["v"], row["val"])
+        if row["k"] in delta_keys:
+            assert tup in delta_rows
+        else:
+            assert tup in target_rows
+
+
+@given(rows=kv_rows)
+@settings(**SETTINGS)
+def test_dedupe_keep_latest_idempotent_and_maximal(spark, rows):
+    schema = "k long, v long, val long"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    order = [F.col("v").desc(), F.col("val").desc()]  # total order
+    once = dedupe_keep_latest(df, keys=["k"], order_by=order)
+    twice = dedupe_keep_latest(once, keys=["k"], order_by=order)
+    got_once = sorted(map(tuple, once.collect()))
+    got_twice = sorted(map(tuple, twice.collect()))
+    assert got_once == got_twice  # idempotent
+
+    # model: per key, keep max version (ties broken deterministically —
+    # exactly one survivor per key, holding the max version)
+    best: dict[int, int] = {}
+    for k, v, _ in rows:
+        best[k] = max(best.get(k, v), v)
+    assert {r[0]: r[1] for r in got_once} == best
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),  # key
+            st.integers(0, 72 * 3600 - 1),  # seconds offset within 3 days
+            st.integers(1, 100),  # integer value (exact float sums)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@settings(**SETTINGS)
+def test_resample_preserves_sum(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [(k, base + dt.timedelta(seconds=s), float(v)) for k, s, v in rows]
+    df = spark.createDataFrame(data, "k long, ts timestamp, value double")
+    out = resample_interval(
+        df, ["k"], "ts", "hour", [F.sum("value").alias("total")]
+    )
+    got = sum(r["total"] for r in out.collect())
+    want = float(sum(v for _, _, v in rows))
+    assert got == want  # integer-valued doubles sum exactly
+
+    # bucket count per key never exceeds distinct hours present
+    per_key_buckets = {
+        (r["k"], r["bucket"]) for r in out.collect()
+    }
+    want_buckets = {(k, (base + dt.timedelta(seconds=s)).replace(minute=0, second=0)) for k, s, _ in rows}
+    assert {(k, b) for k, b in per_key_buckets} == want_buckets
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 600)),  # key, minute offset
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(**SETTINGS)
+def test_sessionize_matches_python_model(spark, rows):
+    gap_min = 30
+    base = dt.datetime(2024, 1, 1)
+    data = [(k, base + dt.timedelta(minutes=m)) for k, m in rows]
+    df = spark.createDataFrame(data, "k long, ts timestamp")
+    out = sessionize(df, ["k"], "ts", gap_minutes=gap_min)
+    got_sessions = (
+        out.groupBy("k").agg(F.count_distinct("session_id").alias("n")).collect()
+    )
+    got = {r["k"]: r["n"] for r in got_sessions}
+
+    model: dict[int, int] = {}
+    by_key: dict[int, list[int]] = {}
+    for k, m in rows:
+        by_key.setdefault(k, []).append(m)
+    for k, ms in by_key.items():
+        ms.sort()
+        n = 1
+        for a, b in zip(ms, ms[1:]):
+            if (b - a) > gap_min:
+                n += 1
+        model[k] = n
+    assert got == model
+
+
+@given(rows=kv_rows, k=st.integers(1, 4))
+@settings(**SETTINGS)
+def test_topk_per_group_bounds(spark, rows, k):
+    schema = "g long, v long, val long"
+    df = spark.createDataFrame(rows, schema) if rows else spark.createDataFrame([], schema)
+    out = topk_per_group(
+        df, partition_by=["g"], order_by=[F.col("v").desc(), F.col("val").desc()], k=k
+    ).collect()
+    # ≤ k rows per group, and each group's rows are its top-k by v
+    by_g: dict[int, list[int]] = {}
+    for g, v, _ in rows:
+        by_g.setdefault(g, []).append(v)
+    got_by_g: dict[int, list[int]] = {}
+    for r in out:
+        got_by_g.setdefault(r["g"], []).append(r["v"])
+    for g, vs in got_by_g.items():
+        assert len(vs) <= k
+        assert sorted(vs, reverse=True) == sorted(by_g[g], reverse=True)[: len(vs)]
+    for g, vs in by_g.items():
+        assert len(got_by_g.get(g, [])) == min(k, len(vs))
