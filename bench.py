@@ -64,15 +64,17 @@ def main() -> None:
     # Pass 1: warm everything (plan analysis, codegen, JIT, file footers) —
     # JIT profiles from later queries speed up shared paths in earlier ones,
     # so warm the whole set before timing any of it.
-    for name in names:
-        qs[name](spark, sf_dir).count()
+    for _ in range(2):
+        for name in names:
+            qs[name](spark, sf_dir).count()
 
-    # Pass 2: min-of-3 per query — single-shot timings on a 32-thread local
-    # JVM carry 2-3x GC noise; the minimum is the reproducible warm cost.
+    # Pass 2: min-of-5 per query — single-shot timings on a 32-thread local
+    # JVM carry 2-3x GC/JIT/CPU-frequency noise; the minimum is the
+    # reproducible warm cost.
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).count()
             best = min(best, time.perf_counter() - t0)

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from oeem_etl_spark.operators.relational import dedupe_keep_latest
+from oeem_etl_spark.operators.relational import dedupe_keep_latest_by
 
 
 def normalize_text(col: Column | str) -> Column:
@@ -33,8 +33,8 @@ def exact_dedup(df: DataFrame, text_col: str, key: str) -> DataFrame:
     text bytes never move, because the window runs on the digest column.
     """
     hashed = df.withColumn("__digest", F.md5(normalize_text(text_col)))
-    return dedupe_keep_latest(
-        hashed, keys=["__digest"], order_by=[F.col(key).asc()]
+    return dedupe_keep_latest_by(
+        hashed, keys=["__digest"], order_cols=[key], keep="min"
     ).drop("__digest")
 
 

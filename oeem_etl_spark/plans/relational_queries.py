@@ -15,6 +15,7 @@ from pyspark.sql import functions as F
 from oeem_etl_spark.operators.relational import (
     asof_join,
     dedupe_keep_latest,
+    dedupe_keep_latest_by,
     interval_overlap_join,
     merge_upsert,
     topk_per_group,
@@ -519,12 +520,12 @@ def c8_asof_join(spark, sf_dir):
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts"
     )
-    views = dedupe_keep_latest(
+    views = dedupe_keep_latest_by(
         ev.where(F.col("event_type") == "view").select(
             "user_id", "ts", F.col("value").alias("last_view_value"), "event_id"
         ),
         keys=["user_id", "ts"],
-        order_by=[F.col("event_id").desc()],
+        order_cols=["event_id"],
     ).drop("event_id")
     out = asof_join(
         purchases,
@@ -635,8 +636,8 @@ def d4_first_per_group(spark, sf_dir):
     """Ordered first-per-group via deterministic window (not F.first on an
     unsorted group, which is nondeterministic under parallelism)."""
     o = T(spark, sf_dir, "orders").where(F.col("o_custkey") <= 200)
-    first = dedupe_keep_latest(
-        o, keys=["o_custkey"], order_by=[F.col("o_orderdate").asc(), F.col("o_orderkey").asc()]
+    first = dedupe_keep_latest_by(
+        o, keys=["o_custkey"], order_cols=["o_orderdate", "o_orderkey"], keep="min"
     )
     return first.select(
         F.col("o_custkey").alias("custkey"),
@@ -763,10 +764,8 @@ def d11_distinct(spark, sf_dir):
 def d12_dedup_keep_latest(spark, sf_dir):
     """Upsert semantics: newest record per natural key wins."""
     ev = T(spark, sf_dir, "events")
-    latest = dedupe_keep_latest(
-        ev,
-        keys=["user_id", "event_type"],
-        order_by=[F.col("ts").desc(), F.col("event_id").desc()],
+    latest = dedupe_keep_latest_by(
+        ev, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
     )
     return latest.select("user_id", "event_type", "event_id", "value")
 
@@ -1151,8 +1150,8 @@ def k6_merge_upsert(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     cutoff = F.lit("2024-01-15").cast("timestamp")
     keys = ["user_id", "event_type"]
-    order = [F.col("ts").desc(), F.col("event_id").desc()]
+    order_cols = ["ts", "event_id"]
     cols = ["user_id", "event_type", "event_id", "value"]
-    target = dedupe_keep_latest(ev.where(F.col("ts") < cutoff), keys, order).select(cols)
-    delta = dedupe_keep_latest(ev.where(F.col("ts") >= cutoff), keys, order).select(cols)
-    return merge_upsert(target, delta, keys)
+    target = dedupe_keep_latest_by(ev.where(F.col("ts") < cutoff), keys, order_cols).select(cols)
+    delta = dedupe_keep_latest_by(ev.where(F.col("ts") >= cutoff), keys, order_cols).select(cols)
+    return merge_upsert(target, delta, keys, broadcast_delta=True)
