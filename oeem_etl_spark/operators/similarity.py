@@ -170,7 +170,6 @@ def ivf_topk(
     (computed with exact decimal-free double agg — fine for an approx op);
     each query probes its n_probe nearest centroids and searches only
     those partitions."""
-    dim_seq = F.sequence(F.lit(1), F.size(vec_col))
     # centroid = element-wise mean per partition, via posexplode + groupBy
     ex = corpus.select(
         F.col(partition_col),

@@ -131,7 +131,7 @@ def token_count_bpe_ish(col: Column | str) -> Column:
     """Approximate LLM token count: words + punctuation clusters + digit
     runs (a BPE-ish regex heuristic, deliberately engine-portable)."""
     c = F.col(col) if isinstance(col, str) else col
-    return F.regexp_count(c, r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]")
+    return F.regexp_count(c, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
 
 
 def fingerprint_winnow(

@@ -1,0 +1,210 @@
+"""Unit fixtures (SURVEY.md §5.2(5), the reference's own test style): tiny
+literal DataFrames with exact expected outputs, covering the operator paths
+the SQL oracle can't see (UDF internals, stubs, hash-based signatures)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators import dedup, multimodal, similarity, text
+
+
+# ---------------------------------------------------------------------------
+# text
+# ---------------------------------------------------------------------------
+
+
+def test_text_stats_exact(spark):
+    df = spark.createDataFrame([(1, "the cat sat on the mat")], "id long, text string")
+    row = text.text_stats(df, "id", "text").collect()[0]
+    assert row["n_chars"] == 22
+    assert row["n_tokens"] == 6
+    # 17 letters / 22 chars; 5 distinct of 6 tokens
+    assert row["alpha_ratio"] == round(17 / 22, 6)
+    assert row["distinct_ratio"] == round(5 / 6, 6)
+
+
+def test_quality_filter_gates(spark):
+    rows = [
+        (1, "a a a a a a a a a a a a a a a a a a a a"),  # low distinct ratio
+        (2, "short text"),  # too few chars/tokens
+        (3, "a perfectly reasonable sentence with plenty of distinct words"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    kept = [r["id"] for r in text.quality_filter(df, "text").select("id").collect()]
+    assert kept == [3]
+
+
+def test_language_id_votes_and_default(spark):
+    docs = spark.createDataFrame(
+        [(1, "der hund und die katze"), (2, "zzz qqq xxx")],
+        "id long, text string",
+    )
+    markers = spark.createDataFrame(
+        [("de", "der"), ("de", "und"), ("de", "die"), ("en", "the"), ("en", "and")],
+        "lang string, marker string",
+    )
+    got = {
+        r["id"]: (r["lang_pred"], r["hits"])
+        for r in text.language_id(docs, "id", "text", markers).collect()
+    }
+    assert got == {1: ("de", 3), 2: ("und", 0)}
+
+
+def test_token_count_bpe_ish_exact(spark):
+    df = spark.createDataFrame([(1, "hello, world! v2.0")], "id long, t string")
+    n = df.select(text.token_count_bpe_ish("t").alias("n")).collect()[0]["n"]
+    # hello , world ! v 2 . 0  → 8
+    assert n == 8
+
+
+def test_fingerprint_winnow_deterministic_and_contained(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "a b c d e f g h i j")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["fingerprint"] for r in text.fingerprint_winnow(df, "id", "text").collect()}
+    assert out[1] == out[2]  # identical text → identical fingerprint
+    assert len(out[1]) >= 1
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def test_exact_dedup_normalizes_whitespace_and_case(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "different doc")],
+        "doc_id long, text string",
+    )
+    kept = sorted(r["doc_id"] for r in dedup.exact_dedup(df, "text", "doc_id").collect())
+    assert kept == [1, 3]  # smallest key survives the normalized-dup pair
+
+
+def test_shingles_exact(spark):
+    df = spark.createDataFrame([(1, "a b c d")], "id long, t string")
+    got = df.select(dedup.shingles("t", 3).alias("s")).collect()[0]["s"]
+    assert sorted(got) == ["a b c", "b c d"]
+    # short doc: falls back to the whole text as one shingle
+    df2 = spark.createDataFrame([(1, "a b")], "id long, t string")
+    got2 = df2.select(dedup.shingles("t", 3).alias("s")).collect()[0]["s"]
+    assert got2 == ["a b"]
+
+
+def test_minhash_lsh_finds_near_duplicates(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    near = base.replace("runs", "walks")
+    other = "completely unrelated text about spark aggregation pipelines at scale"
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, other)], "doc_id long, text string"
+    )
+    out = dedup.minhash_lsh_dedup(df, "doc_id", "text", threshold=0.5)
+    kept = sorted(r["doc_id"] for r in out.select("doc_id").collect())
+    assert kept == [1, 3]  # 2 deduped into 1's cluster; 3 untouched
+
+
+def test_jaccard_verify_exact_value(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d"), (2, "b c d e")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(1, 2)], "key_a long, key_b long")
+    j = dedup.jaccard_verify(df, pairs, "doc_id", "text", shingle_k=2).collect()[0]
+    # shingles k=2: {ab,bc,cd} vs {bc,cd,de} → inter 2, union 4
+    assert j["jaccard"] == 0.5
+
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+
+def test_cosine_topk_hand_vectors(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0]),
+            (2, [0.0, 1.0]),
+            (3, [1.0, 1.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame([(10, [1.0, 0.0])], "q_id long, embedding array<float>")
+    got = {
+        r["vec_id"]: (r["score"], r["rnk"])
+        for r in similarity.cosine_topk(corpus, queries, k=3).collect()
+    }
+    assert got[1] == (1.0, 1)
+    assert got[3] == (round(1 / math.sqrt(2), 6), 2)
+    assert got[2] == (0.0, 3)
+
+
+def test_knn_classify_majority(spark):
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0], 7),
+            (2, [0.9, 0.1], 7),
+            (3, [0.0, 1.0], 9),
+        ],
+        "vec_id long, embedding array<float>, label int",
+    )
+    queries = spark.createDataFrame([(10, [1.0, 0.05])], "q_id long, embedding array<float>")
+    r = similarity.knn_classify(corpus, queries, k=2).collect()[0]
+    assert (r["predicted"], r["votes"]) == (7, 2)
+
+
+def test_ann_lsh_recall_on_fixture(spark, sf_dir):
+    from oeem_etl_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = similarity.cosine_topk(emb, queries, k=10)
+    approx = similarity.ann_lsh_topk(emb, queries, k=10, n_planes=4)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    # 16-bucket single-probe LSH over 64-dim *uniform-noise* fixtures is the
+    # hardest case for hyperplane LSH (no cluster structure) — the test
+    # asserts the machinery works (recall far above the 1/16 random-bucket
+    # floor ≈ 0.0625), not production recall, which needs multi-probe.
+    assert recall >= 0.12, recall
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_roundtrip_and_features(spark):
+    df = spark.createDataFrame([(1, "payload-one"), (2, "payload-two")], "id long, raw string")
+    mm = multimodal.to_multimodal(df, "id", "raw", mime="application/octet-stream")
+    # names/types must match the canonical schema (nullability is supplied
+    # by the source relation, deliberately not asserted)
+    assert mm.schema.simpleString() == multimodal.MULTIMODAL_SCHEMA.simpleString()
+    meta = {r["asset_id"]: r["meta"]["n_bytes"] for r in mm.collect()}
+    assert meta == {1: 11, 2: 11}
+
+    feats = multimodal.extract_features(mm).collect()
+    by_id = {r["asset_id"]: r["features"] for r in feats}
+    assert len(by_id[1]) == multimodal.FEATURE_DIM
+    assert by_id[1] != by_id[2]  # payload-dependent
+    again = {
+        r["asset_id"]: r["features"] for r in multimodal.extract_features(mm).collect()
+    }
+    assert again == by_id  # deterministic
+
+
+def test_decode_image_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG")
+
+
+def test_frame_sample_plan_offsets(spark):
+    df = spark.createDataFrame([(1, "x" * 25)], "id long, raw string")
+    mm = multimodal.to_multimodal(df, "id", "raw", mime="video/fake")
+    rows = multimodal.frame_sample_plan(mm, every_n=10).collect()
+    assert [(r["frame_idx"], r["byte_offset"]) for r in rows] == [(0, 0), (1, 10)]
