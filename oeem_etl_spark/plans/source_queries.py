@@ -149,3 +149,39 @@ def a8_incremental_manifest(spark, sf_dir):
         new_rows.groupBy(F.col("event_type").cast("string").alias("event_type"))
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "a11_espi_xml_parse",
+    sql="""
+    SELECT CAST(user_id AS VARCHAR) AS trace_id,
+           date_trunc('second', CAST(ts AS TIMESTAMP)) AS start,
+           date_trunc('second', CAST(ts AS TIMESTAMP)) + INTERVAL '1 hour' AS "end",
+           ROUND(value * 1000) * 0.001 AS value,
+           'kWh' AS unit,
+           FALSE AS estimated
+    FROM events WHERE event_id <= 200
+    """,
+    tier="T2",
+    survey="A4,K1,K2",
+)
+def a11_espi_xml_parse(spark, sf_dir):
+    """ESPI/Green Button IntervalBlock XML parsing (the reference's parser
+    core, SURVEY.md §3.1 step 2): generate well-formed payloads from the
+    events fixture, parse them back with the native from_xml pipeline
+    (sources/espi.py), and verify the standardized consumption records
+    against the oracle's direct computation. Fully JVM-side — no UDFs."""
+    from oeem_etl_spark.sources import espi
+
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") <= 200)
+    payload = F.format_string(
+        "<IntervalBlock><interval><duration>3600</duration><start>%d</start>"
+        "</interval><IntervalReading><timePeriod><duration>3600</duration>"
+        "<start>%d</start></timePeriod><value>%d</value></IntervalReading>"
+        "</IntervalBlock>",
+        F.unix_seconds("ts"),
+        F.unix_seconds("ts"),
+        F.round(F.col("value") * 1000).cast("long"),
+    )
+    xml_rows = ev.select(F.col("user_id").alias("trace"), payload.alias("xml"))
+    return espi.espi_to_records(xml_rows, "xml", "trace")
