@@ -37,6 +37,11 @@ HEADLINE = [
     "e5_topk_per_group",
     "d13_pivot",
     "k6_merge_upsert",
+    # LLM-pipeline + streaming families (BASELINE.md documents expectations)
+    "l1_exact_dedup",
+    "l3_similarity_topk",
+    "l6_tf_idf",
+    "i1_tumbling_window",
 ]
 
 
