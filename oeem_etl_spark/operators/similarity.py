@@ -217,3 +217,40 @@ def ivf_topk(
         .where(F.col("rnk") <= k)
         .select(query_key, corpus_key, "score", "rnk")
     )
+
+
+def dot_threshold_pairs(
+    corpus: DataFrame,
+    queries: DataFrame,
+    tau: float,
+    corpus_key: str = "vec_id",
+    query_key: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All (query, corpus) pairs with dot product ≥ tau — with the
+    norm-bound pre-filter (SURVEY.md §4 stretch, done algebraically
+    instead of as a Catalyst rule).
+
+    Cauchy–Schwarz: dot(a, q) ≤ ‖a‖·‖q‖, so any pair with
+    ‖a‖·‖q‖ < tau cannot match. Norms are computed ONCE per side and the
+    bound becomes the join condition, so the expensive 64-dim dot product
+    only runs on surviving pairs — at 100 TB, for selective tau, this
+    prunes almost the whole cross product before any vector math. The
+    exact dot predicate is applied after as the residual filter.
+    """
+    c = corpus.select(
+        F.col(corpus_key), F.col(vec_col).alias("__cvec"),
+        vector.norm(vec_col).alias("__cn"),
+    )
+    q = F.broadcast(
+        queries.select(
+            F.col(query_key), F.col(vec_col).alias("__qvec"),
+            vector.norm(vec_col).alias("__qn"),
+        )
+    )
+    pruned = c.join(q, c["__cn"] * q["__qn"] >= F.lit(tau))
+    return (
+        pruned.withColumn("dot", F.round(vector.dot("__cvec", "__qvec"), 6))
+        .where(F.col("dot") >= tau)
+        .select(query_key, corpus_key, "dot")
+    )

@@ -429,3 +429,26 @@ def l9_embed_batch(spark, sf_dir):
             F.aggregate("features", F.lit(0.0), lambda a, v: a + v.cast("double")), 6
         ).alias("norm1"),
     )
+
+
+@query(
+    "l16_dot_threshold_pairs",
+    sql="""
+    SELECT q.vec_id AS q_id, e.vec_id, 
+           ROUND(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6) AS dot
+    FROM embeddings e
+    CROSS JOIN (SELECT vec_id, embedding FROM embeddings WHERE vec_id <= 5) q
+    WHERE list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])) >= 0.28
+    """,
+    tier="T3",
+    survey="L3,H8",
+)
+def l16_dot_threshold_pairs(spark, sf_dir):
+    """Dot-product threshold retrieval with the Cauchy-Schwarz norm-bound
+    pre-filter (SURVEY.md §4 stretch): vector math only on pairs whose
+    norm product can reach the threshold."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.dot_threshold_pairs(emb, queries, tau=0.28)

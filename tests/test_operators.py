@@ -208,3 +208,47 @@ def test_frame_sample_plan_offsets(spark):
     mm = multimodal.to_multimodal(df, "id", "raw", mime="video/fake")
     rows = multimodal.frame_sample_plan(mm, every_n=10).collect()
     assert [(r["frame_idx"], r["byte_offset"]) for r in rows] == [(0, 0), (1, 10)]
+
+
+def test_dot_threshold_norm_prefilter_equivalence(spark, sf_dir):
+    """Norm-bound pruning must not change results vs brute force, and must
+    actually prune (the bound is strictly tighter than the cross product)."""
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.functions import vector
+
+    emb = load_table(spark, sf_dir, "embeddings").where(F.col("vec_id") <= 300)
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    tau = 0.28
+    fast = similarity.dot_threshold_pairs(emb, queries, tau)
+
+    q = queries.select(F.col("q_id"), F.col("embedding").alias("__qv"))
+    brute = (
+        emb.crossJoin(q)
+        .withColumn("dot", F.round(vector.dot("embedding", "__qv"), 6))
+        .where(F.col("dot") >= tau)
+        .select("q_id", "vec_id", "dot")
+    )
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, brute.collect()))
+
+    # the pre-filter prunes pairs BEFORE the dot product. At low tau the
+    # bound passes everything (norm products >> tau); pruning bites as tau
+    # approaches the maximum norm product — verify with a tau at the 50th
+    # percentile of norm products: ~half the pairs must be pruned.
+    c = emb.select("vec_id", vector.norm("embedding").alias("cn"))
+    qq = queries.select("q_id", vector.norm("embedding").alias("qn"))
+    prods = c.crossJoin(qq).select((F.col("cn") * F.col("qn")).alias("p"))
+    n_total = prods.count()
+    tau_mid = prods.agg(F.percentile("p", F.lit(0.5))).collect()[0][0]
+    surviving = prods.where(F.col("p") >= tau_mid).count()
+    assert surviving <= 0.55 * n_total, (surviving, n_total)
+    # and correctness still holds at that selective tau
+    fast_hi = similarity.dot_threshold_pairs(emb, queries, float(tau_mid))
+    brute_hi = (
+        emb.crossJoin(q)
+        .withColumn("dot", F.round(vector.dot("embedding", "__qv"), 6))
+        .where(F.col("dot") >= float(tau_mid))
+        .select("q_id", "vec_id", "dot")
+    )
+    assert sorted(map(tuple, fast_hi.collect())) == sorted(map(tuple, brute_hi.collect()))
