@@ -47,6 +47,16 @@ def get_session(app_name: str = "oeem_etl_spark", cpus: str | None = None) -> Sp
         # so a misconfigured parent environment can't silently disable them.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # Warehouse + metastore under tmp so bucketed saveAsTable works
+        # without polluting the repo (static confs — first session wins).
+        .config(
+            "spark.sql.warehouse.dir",
+            os.environ.get("SPARK_GRAFT_WAREHOUSE", "/tmp/oeem_spark_warehouse"),
+        )
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-Dderby.system.home=/tmp/oeem_derby",
+        )
         # Spark cannot read parquet TIMESTAMP(NANOS) natively
         # (PARQUET_TYPE_ILLEGAL); read as int64 nanos and let the catalog
         # convert to a microsecond TimestampType (matches DuckDB's ns→µs
