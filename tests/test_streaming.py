@@ -166,3 +166,27 @@ def test_running_totals_state_multi_batch(spark, tmp_path):
     rows = sorted(drained.collect(), key=lambda r: r["n_events"])
     # two batches → two emissions for user 1: (3, 6.0) then (5, 15.0)
     assert [(r["n_events"], r["total_value"]) for r in rows] == [(3, 6.0), (5, 15.0)]
+
+
+def test_running_totals_tws_matches_v1(spark, tmp_path):
+    """I6 on the stateful-v2 API (transformWithStateInPandas) must produce
+    the same final per-key totals as the v1 applyInPandasWithState op.
+    Skips where the TWS runner's protobuf dependency is absent."""
+    pytest.importorskip("google.protobuf.descriptor")
+    d = str(tmp_path / "tws")
+    os.makedirs(d, exist_ok=True)
+    _write_ordered_files(spark, d, _TWO_BATCHES)
+    schema = "id long, user_id long, ts timestamp"
+
+    def src():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/batch*")
+            .withColumn("value", F.col("id").cast("double"))
+        )
+
+    v2 = harness.run_available_now(ops.running_totals_tws(src()), "update")
+    rows = sorted(map(tuple, v2.collect()))
+    # final emission per key equals the exact totals: 5 events, sum ids 15
+    assert rows[-1] == (1, 5, 15.0), rows
