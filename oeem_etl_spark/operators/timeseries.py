@@ -60,12 +60,25 @@ def fill_gaps(
     span = df.groupBy(*keys).agg(
         F.min(bucket).alias("__min_b"), F.max(bucket).alias("__max_b")
     )
-    grid = span.select(
-        *keys,
-        F.explode(
-            F.expr(f"sequence(__min_b, __max_b, {interval})")
-        ).alias(bucket),
-    )
+    if interval is not None:
+        grid = span.select(
+            *keys,
+            F.explode(F.expr(f"sequence(__min_b, __max_b, {interval})")).alias(bucket),
+        )
+    else:  # month: irregular length — explode a month-offset index, add_months
+        assert freq == "month", freq
+        n_months = F.expr("months_between(__max_b, __min_b)").cast("int")
+        grid = span.select(
+            *keys,
+            F.col("__min_b"),
+            F.explode(F.sequence(F.lit(0), n_months)).alias("__m"),
+        ).select(
+            *keys,
+            # add_months yields DATE; cast back so bucket keeps its type
+            F.add_months(F.col("__min_b"), F.col("__m"))
+            .cast("timestamp")
+            .alias(bucket),
+        )
     joined = grid.join(df, [*keys, bucket], "left")
     if not forward_fill:
         return joined

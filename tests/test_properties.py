@@ -168,3 +168,52 @@ def test_topk_per_group_bounds(spark, rows, k):
         assert sorted(vs, reverse=True) == sorted(by_g[g], reverse=True)[: len(vs)]
     for g, vs in by_g.items():
         assert len(got_by_g.get(g, [])) == min(k, len(vs))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(st.integers(0, 2), st.integers(0, 120), st.integers(1, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+    freq=st.sampled_from(["hour", "day", "month"]),
+)
+@settings(**SETTINGS)
+def test_fill_gaps_dense_and_sum_preserving(spark, rows, freq):
+    """fill_gaps: the grid is dense (every bucket between each key's min and
+    max present exactly once) and non-null values are preserved."""
+    import datetime as dt
+
+    from oeem_etl_spark.operators.timeseries import fill_gaps, resample_interval
+
+    base = dt.datetime(2024, 1, 1)
+    step = {"hour": dt.timedelta(hours=1), "day": dt.timedelta(days=1)}.get(freq)
+    data = []
+    for k, off, v in rows:
+        ts = (
+            base + step * off
+            if step
+            else dt.datetime(2024 + (off // 12) % 3, off % 12 + 1, 1)
+        )
+        data.append((k, ts, float(v)))
+    df = spark.createDataFrame(data, "k long, ts timestamp, value double")
+    bucketed = resample_interval(df, ["k"], "ts", freq, [F.sum("value").alias("v")])
+    dense = fill_gaps(bucketed, ["k"], "bucket", "v", freq=freq, forward_fill=False)
+
+    out = dense.collect()
+    # per key: bucket count == span/step + 1, each bucket exactly once
+    per_key: dict[int, list] = {}
+    for r in out:
+        per_key.setdefault(r["k"], []).append(r["bucket"])
+    for k, buckets in per_key.items():
+        assert len(buckets) == len(set(buckets))
+        lo, hi = min(buckets), max(buckets)
+        if step:
+            expect = int((hi - lo) / step) + 1
+        else:
+            expect = (hi.year - lo.year) * 12 + (hi.month - lo.month) + 1
+        assert len(buckets) == expect, (k, freq, len(buckets), expect)
+    # value preservation
+    total_in = sum(v for _, _, v in data)
+    total_out = sum(r["v"] for r in out if r["v"] is not None)
+    assert total_in == total_out
