@@ -128,17 +128,33 @@ def ann_lsh_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     n_planes: int = 8,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors sharing the query's LSH
     bucket are scored (L3 scale path). Recall < 1 by construction; at
     100 TB this turns the crossJoin into a bucket-equi-join whose right
-    side is 2^-n_planes of the corpus per query."""
+    side is 2^-n_planes of the corpus per query.
+
+    ``multi_probe`` > 0 additionally probes each query's Hamming-1
+    neighbor buckets (flip each of the first ``multi_probe`` plane bits) —
+    the standard recall/cost dial: candidates grow ×(1+multi_probe) while
+    the corpus side stays untouched, so only the broadcast query set fans
+    out."""
     cb = corpus.withColumn("__bucket", lsh_bucket(F.col(vec_col), dim, n_planes))
+    q0 = queries.select(
+        F.col(query_key), F.col(vec_col).alias("__qvec")
+    ).withColumn("__b0", lsh_bucket(F.col("__qvec"), dim, n_planes))
+    probes = F.array(
+        F.col("__b0"),
+        *[
+            F.col("__b0").bitwiseXOR(F.lit(1 << p))
+            for p in range(min(multi_probe, n_planes))
+        ],
+    )
     qb = F.broadcast(
-        queries.select(
-            F.col(query_key),
-            F.col(vec_col).alias("__qvec"),
-        ).withColumn("__bucket", lsh_bucket(F.col("__qvec"), dim, n_planes))
+        q0.select(
+            query_key, "__qvec", F.explode(probes).alias("__bucket")
+        )
     )
     cand = cb.join(qb, "__bucket")
     scored = cand.select(

@@ -252,3 +252,28 @@ def test_dot_threshold_norm_prefilter_equivalence(spark, sf_dir):
         .select("q_id", "vec_id", "dot")
     )
     assert sorted(map(tuple, fast_hi.collect())) == sorted(map(tuple, brute_hi.collect()))
+
+
+def test_ann_lsh_multi_probe_raises_recall(spark, sf_dir):
+    """Multi-probe must strictly expand the candidate set: recall at
+    multi_probe=4 >= single-probe recall on the same queries."""
+    from oeem_etl_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = {(r["q_id"], r["vec_id"]) for r in similarity.cosine_topk(emb, queries, k=10).collect()}
+
+    def recall(mp):
+        a = {
+            (r["q_id"], r["vec_id"])
+            for r in similarity.ann_lsh_topk(
+                emb, queries, k=10, n_planes=4, multi_probe=mp
+            ).collect()
+        }
+        return len(exact & a) / len(exact)
+
+    r0, r4 = recall(0), recall(4)
+    assert r4 >= r0, (r0, r4)
+    assert r4 >= 0.3, (r0, r4)  # 5 of 16 buckets probed
