@@ -247,3 +247,35 @@ def a10_foreach_batch_sink(spark, sf_dir):
     )
     harness.foreach_batch_to_parquet(sdf, path)
     return spark.read.parquet(path)
+
+
+@query(
+    "i9_stream_stream_join",
+    sql=f"""
+    SELECT v.user_id, v.event_id AS view_id, p.event_id AS purchase_id,
+           {_CAST_TS.replace('ts', 'p.ts')} AS purchase_ts
+    FROM (SELECT * FROM events WHERE event_type = 'view') v
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON v.user_id = p.user_id
+     AND CAST(p.ts AS TIMESTAMP) >= CAST(v.ts AS TIMESTAMP)
+     AND CAST(p.ts AS TIMESTAMP) <= CAST(v.ts AS TIMESTAMP) + INTERVAL '30 minutes'
+    """,
+    tier="T3",
+    survey="I7,I4,C6",
+)
+def i9_stream_stream_join(spark, sf_dir):
+    """Stream-stream interval join: purchases within 30 minutes after a
+    view by the same user; both sides are watermarked streams, state
+    bounded by the time-range condition."""
+    views = events_stream(spark, sf_dir).where(F.col("event_type") == "view")
+    purchases = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    joined = ops.interval_join_stream(
+        views, purchases, "user_id", "ts", "ts", "30 minutes"
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+        F.col("r.ts").alias("purchase_ts"),
+    )
+    return harness.run_available_now(out, "append")

@@ -187,3 +187,35 @@ def running_totals_tws(df: DataFrame, key: str = "user_id", value_col: str = "va
         RunningTotals(), outputStructType=out_schema, outputMode="Update",
         timeMode="None",
     )
+
+
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    within: str,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Stream-stream inner join (I-ext): right events within ``within``
+    AFTER the matching left event, same key.
+
+    Both sides carry watermarks plus a time-range join condition — the two
+    requirements for Spark to bound join state (each side's buffer is GC'd
+    once the other side's watermark passes the range). On batch inputs the
+    same expression is a plain interval join, preserving the
+    batch-equivalence test strategy.
+    """
+    l = left.alias("l")
+    r = right.alias("r")
+    if left.isStreaming:
+        l = left.withWatermark(left_ts, watermark).alias("l")
+    if right.isStreaming:
+        r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (
+        (F.col(f"l.{key}") == F.col(f"r.{key}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner")
