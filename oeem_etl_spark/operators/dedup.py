@@ -38,10 +38,11 @@ def exact_dedup(df: DataFrame, text_col: str, key: str) -> DataFrame:
     ).drop("__digest")
 
 
-def shingles(col: Column | str, k: int = 3) -> Column:
-    """Token k-shingles as an array of strings (distinct)."""
-    c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(c, " ")
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """Token k-shingles (distinct) from an ALREADY-MATERIALIZED token array
+    column. Pass a real column, not a `split(...)` expression: an
+    expression referenced inside the `transform` lambda is re-evaluated
+    per output element — measured 3× slower on the fixture corpus."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
@@ -50,6 +51,14 @@ def shingles(col: Column | str, k: int = 3) -> Column:
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
+
+
+def shingles(col: Column | str, k: int = 3) -> Column:
+    """Token k-shingles as an array of strings (distinct). Convenience form
+    for small inputs/tests; hot paths should materialize the token column
+    and call :func:`shingles_from_tokens` (see note there)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return shingles_from_tokens(F.split(c, " "), k)
 
 
 # Deterministic multiply-add universal hashing mod the Mersenne prime
@@ -72,8 +81,9 @@ def minhash_signatures(
     aggregation collapses each document's shingles map-side, so the shuffle
     moves num_perm longs per document regardless of document size.
     """
-    ex = df.select(
-        F.col(key), F.explode(shingles(text_col, shingle_k)).alias("__sh")
+    ex = df.select(F.col(key), F.split(F.col(text_col), " ").alias("__toks")).select(
+        F.col(key),
+        F.explode(shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__sh"),
     )
     # Hash each shingle ONCE; derive the num_perm permuted values with
     # multiply-add universal hashing (odd multiplier + offset per perm,
@@ -139,7 +149,9 @@ def jaccard_verify(
     df: DataFrame, pairs: DataFrame, key: str, text_col: str, shingle_k: int = 3
 ) -> DataFrame:
     """Attach exact shingle-set Jaccard to candidate pairs (verify step)."""
-    sets = df.select(F.col(key), shingles(text_col, shingle_k).alias("__set"))
+    sets = df.select(F.col(key), F.split(F.col(text_col), " ").alias("__toks")).select(
+        F.col(key), shingles_from_tokens(F.col("__toks"), shingle_k).alias("__set")
+    )
     j = (
         pairs.join(sets.withColumnRenamed(key, "key_a").withColumnRenamed("__set", "__sa"), "key_a")
         .join(sets.withColumnRenamed(key, "key_b").withColumnRenamed("__set", "__sb"), "key_b")

