@@ -185,3 +185,25 @@ def a11_espi_xml_parse(spark, sf_dir):
     )
     xml_rows = ev.select(F.col("user_id").alias("trace"), payload.alias("xml"))
     return espi.espi_to_records(xml_rows, "xml", "trace")
+
+
+@query(
+    "a12_orc_roundtrip",
+    sql="""
+    SELECT p_partkey, p_name, p_retailprice FROM part WHERE p_partkey <= 300
+    """,
+    tier="T2",
+    survey="A6,A1",
+)
+def a12_orc_roundtrip(spark, sf_dir):
+    """ORC sink + scan roundtrip (Spark's second built-in columnar format);
+    lossless for int/string/double, so the oracle reads the same subset
+    from parquet."""
+    sub = (
+        T(spark, sf_dir, "part")
+        .where(F.col("p_partkey") <= 300)
+        .select("p_partkey", "p_name", "p_retailprice")
+    )
+    path = os.path.join(_TMP, "a12_orc")
+    writers.write_orc(sub, path)
+    return readers.scan_orc(spark, path)

@@ -51,3 +51,10 @@ def scan_binary(spark: SparkSession, path: str, glob: str | None = None) -> Data
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan (A-family extension): Spark's second built-in columnar
+    format — same vectorized reader + predicate pushdown machinery as
+    parquet, relevant when interoperating with Hive-era warehouses."""
+    return spark.read.orc(path)

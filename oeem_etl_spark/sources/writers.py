@@ -32,3 +32,11 @@ def write_csv(
     header: bool = True,
 ) -> None:
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def write_orc(df: DataFrame, path: str, partition_by: Sequence[str] | None = None) -> None:
+    """ORC sink (A-family extension)."""
+    writer = df.write.mode("overwrite")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
