@@ -190,3 +190,37 @@ def test_running_totals_tws_matches_v1(spark, tmp_path):
     rows = sorted(map(tuple, v2.collect()))
     # final emission per key equals the exact totals: 5 events, sum ids 15
     assert rows[-1] == (1, 5, 15.0), rows
+
+
+def test_sliding_batch_equivalence(spark, ev_batch, ev_stream):
+    def tf(df):
+        return ops.sliding_agg(
+            df, "1 hour", "30 minutes", ["event_type"], [F.count(F.lit(1)).alias("cnt")]
+        )
+
+    _equiv(spark, tf, ev_batch, ev_stream)
+
+
+def test_interval_join_batch_equivalence(spark):
+    """Stream-stream interval join ≡ the same join on batch inputs."""
+    views_b = load_table(spark, SMALL_SF, "events").where(F.col("event_type") == "view")
+    buys_b = load_table(spark, SMALL_SF, "events").where(F.col("event_type") == "purchase")
+    views_s = events_stream(spark, SMALL_SF).where(F.col("event_type") == "view")
+    buys_s = events_stream(spark, SMALL_SF).where(F.col("event_type") == "purchase")
+
+    def out_cols(j):
+        return j.select(
+            F.col("l.event_id").alias("view_id"), F.col("r.event_id").alias("purchase_id")
+        )
+
+    want = sorted(
+        map(tuple, out_cols(
+            ops.interval_join_stream(views_b, buys_b, "user_id", "ts", "ts", "30 minutes")
+        ).collect())
+    )
+    got_df = harness.run_available_now(
+        out_cols(ops.interval_join_stream(views_s, buys_s, "user_id", "ts", "ts", "30 minutes")),
+        "append",
+    )
+    got = sorted(map(tuple, got_df.collect()))
+    assert got == want and len(got) > 0
