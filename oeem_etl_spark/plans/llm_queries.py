@@ -454,3 +454,81 @@ def l16_dot_threshold_pairs(spark, sf_dir):
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return similarity.dot_threshold_pairs(emb, queries, tau=0.28)
+
+
+@query(
+    "l17_deterministic_split",
+    sql="""
+    SELECT split, COUNT(*) AS n, MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM (
+      SELECT doc_id,
+             CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)),1,1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)),2,1))) % 100 < 80 THEN 'train'
+                  WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)),1,1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)),2,1))) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    ) GROUP BY split
+    """,
+    tier="T3",
+    survey="L-ext,B8,H6",
+)
+def l17_deterministic_split(spark, sf_dir):
+    """Stable train/val/test assignment from md5(key) ranges — the
+    reproducible, engine-portable alternative to rand() sampling: the same
+    doc lands in the same split on every run at any parallelism."""
+    from oeem_etl_spark.operators.splits import deterministic_split
+
+    docs = T(spark, sf_dir, "documents")
+    out = deterministic_split(docs, "doc_id")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )
+
+
+@query(
+    "l18_redact_pii",
+    sql=None,  # oracle inlined below at registration time
+    tier="T3",
+    survey="L-ext,H2",
+)
+def l18_redact_pii(spark, sf_dir):
+    """PII scrubbing over synthetic text with planted emails/SSNs/phones;
+    regexes are POSIX-safe so both engines rewrite identically."""
+    from oeem_etl_spark.operators.splits import redact_pii
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 200)
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("contact me at user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 415-555-0199 ssn 123-45-6789 :: "),
+            F.substring("text", 1, 40),
+        ).alias("text"),
+    )
+    return planted.select("doc_id", redact_pii("text").alias("clean"))
+
+
+def _install_l18_oracle():
+    from oeem_etl_spark.operators.splits import sql_redact_pii
+    from oeem_etl_spark.plans import registry
+
+    inner = (
+        "concat('contact me at user', CAST(doc_id AS VARCHAR), "
+        "'@example.com or 415-555-0199 ssn 123-45-6789 :: ', "
+        "substr(text, 1, 40))"
+    )
+    q = registry._REGISTRY["l18_redact_pii"]
+    registry._REGISTRY["l18_redact_pii"] = type(q)(
+        name=q.name,
+        fn=q.fn,
+        sql=f"SELECT doc_id, {sql_redact_pii(inner)} AS clean FROM documents WHERE doc_id <= 200",
+        tier=q.tier,
+        survey=q.survey,
+    )
+
+
+_install_l18_oracle()

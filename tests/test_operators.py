@@ -277,3 +277,40 @@ def test_ann_lsh_multi_probe_raises_recall(spark, sf_dir):
     r0, r4 = recall(0), recall(4)
     assert r4 >= r0, (r0, r4)
     assert r4 >= 0.3, (r0, r4)  # 5 of 16 buckets probed
+
+
+# ---------------------------------------------------------------------------
+# splits / scrubbing
+# ---------------------------------------------------------------------------
+
+
+def test_deterministic_split_stable_and_ratioed(spark, sf_dir):
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.operators.splits import deterministic_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    a = {r["doc_id"]: r["split"] for r in deterministic_split(docs, "doc_id").collect()}
+    b = {r["doc_id"]: r["split"] for r in deterministic_split(docs, "doc_id").collect()}
+    assert a == b  # stable across runs
+    n = len(a)
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.7 < c["train"] / n < 0.9
+    assert 0.05 < c["val"] / n < 0.15
+    assert 0.05 < c["test"] / n < 0.15
+    # adding rows never moves existing ones
+    sub = docs.where(F.col("doc_id") <= 100)
+    s = {r["doc_id"]: r["split"] for r in deterministic_split(sub, "doc_id").collect()}
+    assert all(a[k] == v for k, v in s.items())
+
+
+def test_redact_pii_exact(spark):
+    from oeem_etl_spark.operators.splits import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail a.b+c@x-corp.io, call +1 (415) 555-0199, ssn 123-45-6789 ok")],
+        "id long, text string",
+    )
+    got = df.select(redact_pii("text").alias("t")).collect()[0]["t"]
+    assert got == "mail <EMAIL>, call <PHONE>, ssn <SSN> ok"
