@@ -532,3 +532,88 @@ def _install_l18_oracle():
 
 
 _install_l18_oracle()
+
+
+# md5-derived 16-bit integer from hex chars 1-2 of md5(s) — identical in
+# Spark and DuckDB (ascii over hex chars), giving MinHash/SimHash variants
+# a full VALUE-level oracle (the xxhash64 production path is engine-internal
+# and rows-only; same algorithm, different hash family).
+def _md5_int16(c):
+    h = F.md5(c)
+    return F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1))
+
+
+def _sql_md5_int16(expr: str) -> str:
+    return (
+        f"(ascii(substr(md5({expr}),1,1)) * 256 + ascii(substr(md5({expr}),2,1)))"
+    )
+
+
+_L2D_PERMS = 8
+_L2D_MINS = ", ".join(
+    "MIN(" + _sql_md5_int16(f"concat('perm{p}:', tok)") + f") AS m{p}"
+    for p in range(_L2D_PERMS)
+)
+
+
+@query(
+    "l2d_minhash_oracle",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id <= 150
+    )
+    SELECT doc_id, {_L2D_MINS}
+    FROM toks GROUP BY doc_id
+    """,
+    tier="T3",
+    survey="L2,H6",
+)
+def l2d_minhash_oracle(spark, sf_dir):
+    """MinHash signatures with a FULL value oracle: 8 md5-derived
+    permutations over unigram shingles, min-aggregated per document —
+    cross-engine-verifiable proof of the MinHash construction itself."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 150)
+    ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    return ex.groupBy("doc_id").agg(
+        *[
+            F.min(_md5_int16(F.concat(F.lit(f"perm{p}:"), F.col("tok")))).alias(f"m{p}")
+            for p in range(_L2D_PERMS)
+        ]
+    )
+
+
+_L2E_BITS = 16
+
+
+@query(
+    "l2e_simhash_oracle",
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id <= 150
+    ), bits AS (
+      SELECT doc_id, {_sql_md5_int16("tok")} AS h FROM toks
+    )
+    SELECT doc_id,
+           {", ".join(f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(_L2E_BITS))}
+    FROM bits GROUP BY doc_id
+    """,
+    tier="T3",
+    survey="L2,H6",
+)
+def l2e_simhash_oracle(spark, sf_dir):
+    """SimHash bit-sums with a FULL value oracle: 16 md5-derived bit
+    columns, ±1-summed per document (the signature is sign(b_i) — kept as
+    raw sums so the oracle compares exact integers)."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 150)
+    ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    h = ex.select("doc_id", _md5_int16(F.col("tok")).alias("h"))
+    return h.groupBy("doc_id").agg(
+        *[
+            F.sum(
+                F.when((F.col("h").bitwiseAND(F.lit(1 << b))) != 0, 1).otherwise(-1)
+            ).alias(f"b{b}")
+            for b in range(_L2E_BITS)
+        ]
+    )
