@@ -18,4 +18,5 @@ def load_all() -> None:
         streaming_queries,
         source_queries,
         misc_queries,
+        tpch_queries,
     )

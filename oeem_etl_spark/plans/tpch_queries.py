@@ -1,0 +1,482 @@
+"""TPC-H-class analytic queries adapted to the fixture star schema.
+
+SURVEY.md §2 declares the operator inventory row by row; these queries prove
+the operators COMPOSE into the full complex-analytics surface a user of the
+reference-era stack would expect from a query engine: multi-way join chains,
+correlated EXISTS, scalar subqueries, correlated aggregate subqueries,
+disjunctive join predicates, and group-filtered semi joins. Shapes follow the
+public TPC-H queries (Q4, Q5, Q7, Q10, Q14, Q15, Q17, Q18, Q19, Q22) adapted
+to the columns the driver fixtures actually carry (FIXTURES.md — no
+partsupp / commitdate / shipmode / phone, nation names are NATION_i).
+
+Scale notes (100 TB posture, SURVEY.md §4):
+
+- Dimension sides (region, nation, supplier, part at fixture scale; customer
+  and orders where they serve as filters) are broadcast explicitly; the big
+  fact (lineitem) never shuffles for a broadcastable join. When a dimension
+  outgrows ``spark.sql.autoBroadcastJoinThreshold`` on a real cluster the
+  hint degrades to sort-merge via AQE rather than failing.
+- Correlated subqueries are expressed as aggregate-then-join (the
+  decorrelation Catalyst would do for the SQL form, written explicitly so
+  the join keys/partitioning are visible in the DataFrame lineage).
+- Every LIMIT carries a total order; every float aggregate uses the
+  order-independent integer-micros accumulation (plans/util.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T, dsum, sql_dsum
+
+_REV = "l_extendedprice * (1 - l_discount)"
+
+
+def _rev() -> F.Column:
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "t04_order_priority",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey
+                    AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tier="T2",
+    survey="C3,D1",
+)
+def t04_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: correlated EXISTS → left-semi join with a residual
+    non-equi predicate (shipped >60 days after order)."""
+    o = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@query(
+    "t05_regional_volume",
+    sql=f"""
+    SELECT n_name, {sql_dsum(_REV, 'revenue')}
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name
+    """,
+    tier="T2",
+    survey="C1,C9,D1,F1",
+)
+def t05_regional_volume(spark, sf_dir):
+    """TPC-H Q5 shape: 6-way join, local-supplier volume per nation.
+
+    Join order keeps lineitem (the 100×-bigger fact) on the streaming side
+    of broadcast joins the whole way: orders is date-filtered before
+    joining, and the nation⋈region reduction is applied to customer and
+    supplier before they reach the fact.
+    """
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    asia_nations = nation.join(
+        F.broadcast(region), nation.n_regionkey == region.r_regionkey
+    ).select("n_nationkey", "n_name")
+    cust = (
+        T(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(F.broadcast(asia_nations), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_nationkey", "n_name")
+    )
+    orders = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    li = T(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", _rev().alias("rv")
+    )
+    return (
+        li.join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .groupBy("n_name")
+        .agg(dsum("rv", "revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("n_name"))
+    )
+
+
+@query(
+    "t07_volume_shipping",
+    sql=f"""
+    SELECT supp_nation, cust_nation, ship_year, {sql_dsum('rv', 'revenue')}
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l_shipdate) AS INT) AS ship_year,
+             {_REV} AS rv
+      FROM supplier
+      JOIN lineitem ON s_suppkey = l_suppkey
+      JOIN orders ON o_orderkey = l_orderkey
+      JOIN customer ON c_custkey = o_custkey
+      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1998-01-01'
+    )
+    GROUP BY supp_nation, cust_nation, ship_year
+    ORDER BY supp_nation, cust_nation, ship_year
+    """,
+    tier="T2",
+    survey="C1,C9,D1,F1,H4",
+)
+def t07_volume_shipping(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by year,
+    with a disjunctive cross-nation predicate applied after the joins."""
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust = (
+        T(spark, sf_dir, "customer")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    pair = (
+        (F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2")
+    ) | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    return (
+        li.select(
+            "l_orderkey",
+            "l_suppkey",
+            F.year("l_shipdate").cast("int").alias("ship_year"),
+            _rev().alias("rv"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", "ship_year")
+        .agg(dsum("rv", "revenue"))
+        .orderBy("supp_nation", "cust_nation", "ship_year")
+    )
+
+
+@query(
+    "t10_returned_items",
+    sql=f"""
+    SELECT c_custkey, c_name, {sql_dsum(_REV, 'revenue')}, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tier="T2",
+    survey="C1,C9,D1,F3",
+)
+def t10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: revenue lost to returns per customer, top 20."""
+    nation = T(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    cust = (
+        T(spark, sf_dir, "customer")
+        .select("c_custkey", "c_name", "c_nationkey")
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("c_custkey", "c_name", "n_name")
+    )
+    orders = T(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    return (
+        li.select("l_orderkey", _rev().alias("rv"))
+        .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum("rv", "revenue"))
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@query(
+    "t14_promo_revenue",
+    sql=f"""
+    SELECT ROUND(100.0 * promo / total, 6) AS promo_share FROM (
+      SELECT {sql_dsum(f"CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE 0.0 END", 'promo')},
+             {sql_dsum(_REV, 'total')}
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+    )
+    """,
+    tier="T2",
+    survey="B4,C1,C9,D1",
+)
+def t14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: promo revenue share for one ship-month. Both sums
+    use the exact integer-micros path, so the final division is a single
+    deterministic IEEE op on identical operands in both engines."""
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_type")
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    joined = li.select("l_partkey", _rev().alias("rv")).join(
+        F.broadcast(part), F.col("l_partkey") == F.col("p_partkey")
+    )
+    agg = joined.agg(
+        dsum(F.when(F.col("p_type") == "PROMO", F.col("rv")).otherwise(0.0), "promo"),
+        dsum("rv", "total"),
+    )
+    return agg.select(
+        F.round(100.0 * F.col("promo") / F.col("total"), 6).alias("promo_share")
+    )
+
+
+@query(
+    "t15_top_supplier",
+    sql=f"""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no, {sql_dsum(_REV, 'total_revenue')}
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s_suppkey
+    """,
+    tier="T2",
+    survey="C1,D1,E1",
+)
+def t15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum quarterly revenue.
+
+    The scalar ``MAX`` subquery is expressed as a rank-over-empty-partition
+    window — one extra exchange versus a collect-and-relit, but keeps the
+    whole plan lazy/distributed (no driver round-trip), which is the 100 TB
+    shape. Revenue is micros-exact so max-equality is well-defined.
+    """
+    from pyspark.sql import Window
+
+    li = T(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        dsum(_rev(), "total_revenue")
+    )
+    w = Window.orderBy(F.col("total_revenue").desc())
+    top = revenue.withColumn("rnk", F.rank().over(w)).where(F.col("rnk") == 1).drop("rnk")
+    supp = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        supp.join(F.broadcast(top), F.col("s_suppkey") == F.col("supplier_no"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "t17_small_quantity",
+    sql=f"""
+    SELECT ROUND(total / 7.0, 6) AS avg_yearly FROM (
+      SELECT {sql_dsum('l_extendedprice', 'total')}
+      FROM lineitem
+      JOIN part ON p_partkey = l_partkey
+      JOIN (
+        SELECT l_partkey AS ap_partkey,
+               SUM(CAST(ROUND(l_quantity * 1000000) AS BIGINT))
+                 / COUNT(l_quantity) / 1000000.0 AS avg_qty
+        FROM lineitem GROUP BY l_partkey
+      ) ON ap_partkey = l_partkey
+      WHERE p_brand = 'Brand#1' AND l_quantity < 0.2 * avg_qty
+    )
+    """,
+    tier="T2",
+    survey="C1,C9,D1",
+)
+def t17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: correlated per-part average-quantity subquery,
+    decorrelated into an aggregate + join. The per-part average uses the
+    exact integer-micros formula on both sides so the ``< 0.2*avg``
+    threshold compares bit-identical doubles."""
+    li = T(spark, sf_dir, "lineitem")
+    micros = F.round(F.col("l_quantity") * 1_000_000).cast("long")
+    avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
+        (F.sum(micros) / F.count(micros) / F.lit(1_000_000.0)).alias("avg_qty")
+    )
+    brand = T(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1").select(
+        "p_partkey"
+    )
+    small = (
+        li.select("l_partkey", "l_quantity", "l_extendedprice")
+        .join(F.broadcast(brand), F.col("l_partkey") == F.col("p_partkey"))
+        .join(avg_qty, F.col("l_partkey") == F.col("ap_partkey"))
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+    )
+    return small.agg(dsum("l_extendedprice", "total")).select(
+        F.round(F.col("total") / 7.0, 6).alias("avg_yearly")
+    )
+
+
+@query(
+    "t18_large_orders",
+    sql=f"""
+    SELECT c_custkey, c_name, o_orderkey, o_totalprice, sum_qty
+    FROM (
+      SELECT l_orderkey AS big_orderkey, {sql_dsum('l_quantity', 'sum_qty')}
+      FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 120
+    )
+    JOIN orders ON o_orderkey = big_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 25
+    """,
+    tier="T2",
+    survey="C1,D1,D10,F3",
+)
+def t18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: large-volume orders (group-HAVING semi filter on the
+    fact, then enrich with dimensions)."""
+    li = T(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy(F.col("l_orderkey").alias("big_orderkey"))
+        .agg(dsum("l_quantity", "sum_qty"))
+        .where(F.col("sum_qty") > 120)
+    )
+    orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(F.broadcast(orders), F.col("big_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "o_orderkey", "o_totalprice", "sum_qty")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(25)
+    )
+
+
+@query(
+    "t19_disjunctive",
+    sql=f"""
+    SELECT {sql_dsum(_REV, 'revenue')}
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 40)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 50)
+    """,
+    tier="T2",
+    survey="B3,C1,C9,D1",
+)
+def t19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: disjunction of conjunctive band predicates spanning
+    both join sides — exercises post-join residual filtering where only the
+    equi-key is usable for the join itself."""
+    part = T(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_quantity", _rev().alias("rv"))
+    band = (
+        (F.col("p_brand") == "Brand#1")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 30)
+    ) | (
+        (F.col("p_brand") == "Brand#2")
+        & F.col("p_size").between(10, 30)
+        & F.col("l_quantity").between(10, 40)
+    ) | (
+        (F.col("p_brand") == "Brand#3")
+        & F.col("p_size").between(20, 50)
+        & F.col("l_quantity").between(20, 50)
+    )
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .where(band)
+        .agg(dsum("rv", "revenue"))
+    )
+
+
+@query(
+    "t22_idle_customers",
+    sql="""
+    WITH avg_bal AS (
+      SELECT SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT))
+               / COUNT(c_acctbal) / 1000000.0 AS v
+      FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           COUNT(*) AS numcust,
+           ROUND(SUM(CAST(ROUND(c_acctbal * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS totacctbal
+    FROM customer
+    WHERE c_acctbal > (SELECT v FROM avg_bal)
+      AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    tier="T2",
+    survey="C4,D1,F1",
+)
+def t22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: customers with above-average balance and no orders
+    (scalar aggregate subquery + anti join). The scalar average is computed
+    as a 1-row DataFrame and cross-joined (broadcast) — no collect()."""
+    cust = T(spark, sf_dir, "customer")
+    micros = F.round(F.col("c_acctbal") * 1_000_000).cast("long")
+    avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
+        (F.sum(micros) / F.count(micros) / F.lit(1_000_000.0)).alias("avg_bal")
+    )
+    orders = T(spark, sf_dir, "orders").select("o_custkey")
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            dsum("c_acctbal", "totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
