@@ -1,0 +1,165 @@
+"""Corpus-curation operators for large-scale training-data pipelines.
+
+These extend the SURVEY.md §2.L inventory with the remaining curation steps
+a 100 TB pretraining pipeline runs between raw ingest and tokenized shards:
+
+- :func:`contaminated_doc_ids` / :func:`decontaminate` — benchmark
+  decontamination: drop corpus documents sharing any token n-gram with an
+  evaluation set (the n-gram-overlap rule used by public LLM data reports).
+- :func:`pack_sequences` — concat-then-chunk sequence packing: documents are
+  concatenated in a deterministic order and chunked into fixed token
+  budgets; each document is assigned the pack where it starts. Pure window
+  arithmetic — no state, no UDF.
+- :func:`stratified_mixture_sample` — deterministic domain-mixture
+  downsampling to target source proportions (largest achievable corpus at
+  the exact mixture), selecting per-source prefixes of an md5-keyed order
+  so the sample is stable across runs/engines/parallelism.
+- :func:`repetition_stats` — Gopher-style repetition signals (duplicate
+  bigram fraction, top-token fraction) for quality filtering.
+
+Scale notes: decontamination's n-gram explode multiplies rows by ~tokens
+per doc; the eval side is tiny by construction (benchmarks are ~1e3..1e5
+rows vs 1e9+ corpus docs) so the semi join broadcasts the eval grams and
+the corpus side never shuffles. Packing and mixture sampling each use one
+window over (partition key) — at cluster scale partition by shard/source so
+no single window partition exceeds an executor.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators.text import ngrams_from_tokens, tokenize
+
+
+def _ngram_col(text_col: str, n: int) -> Column:
+    return ngrams_from_tokens(tokenize(text_col), n)
+
+
+def eval_ngrams(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:
+    """Distinct n-grams of the evaluation set: (gram) — the ban list."""
+    return (
+        eval_df.select(F.explode(_ngram_col(text_col, n)).alias("gram"))
+        .distinct()
+    )
+
+
+def contaminated_doc_ids(
+    corpus: DataFrame, eval_df: DataFrame, key: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Corpus keys sharing ≥1 token n-gram with the eval set.
+
+    The eval gram list is broadcast (benchmarks are small); the corpus
+    explode is map-side only — the semi join adds no shuffle of the corpus.
+    """
+    grams = corpus.select(F.col(key), F.explode(_ngram_col(text_col, n)).alias("gram"))
+    hits = grams.join(F.broadcast(eval_ngrams(eval_df, text_col, n)), "gram", "left_semi")
+    return hits.select(key).distinct()
+
+
+def decontaminate(
+    corpus: DataFrame, eval_df: DataFrame, key: str, text_col: str, n: int = 5
+) -> DataFrame:
+    """Corpus minus contaminated documents (n-gram-overlap rule)."""
+    bad = contaminated_doc_ids(corpus, eval_df, key, text_col, n)
+    return corpus.join(bad, [key], "left_anti")
+
+
+def pack_sequences(
+    df: DataFrame,
+    key: str,
+    n_tokens: Column | str,
+    budget: int,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Concat-then-chunk packing: deterministic key order, running token
+    offsets, pack id = start_offset // budget.
+
+    Adds ``start_offset`` (tokens before this doc in its partition's
+    concatenation) and ``pack_id``. With ``partition_by`` (shard/source),
+    packs are numbered per partition and the window never spans executors'
+    memory at scale; a global pack id is ``(partition, pack_id)``.
+    """
+    tok = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    part = [partition_by] if partition_by else []
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(key)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    start = F.coalesce(F.sum(tok).over(w), F.lit(0))
+    return df.withColumn("start_offset", start.cast("long")).withColumn(
+        "pack_id", F.floor(F.col("start_offset") / budget).cast("long")
+    )
+
+
+def stratified_mixture_sample(
+    df: DataFrame,
+    key: str,
+    stratum_col: str,
+    weights: dict[str, float],
+) -> DataFrame:
+    """Largest deterministic subsample with exact stratum proportions.
+
+    scale = min over strata of n_s / w_s; stratum quota = floor(scale·w_s);
+    each stratum keeps its quota-prefix in (md5(key), key) order. Counting
+    and quota math ride one tiny aggregate (broadcast back); the per-row
+    work is a window rank within stratum — one shuffle on the stratum key.
+    Strata absent from ``weights`` are dropped.
+    """
+    w_df = df.sparkSession.createDataFrame(
+        [(s, float(w)) for s, w in sorted(weights.items())],
+        f"{stratum_col} STRING, __wt DOUBLE",
+    )
+    counts = (
+        df.join(F.broadcast(w_df), stratum_col)
+        .groupBy(stratum_col, "__wt")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    scale = counts.agg(F.min(F.col("__n") / F.col("__wt")).alias("__scale"))
+    quota = counts.crossJoin(F.broadcast(scale)).select(
+        stratum_col,
+        F.floor(F.col("__scale") * F.col("__wt")).cast("long").alias("__quota"),
+    )
+    rank_w = Window.partitionBy(stratum_col).orderBy(
+        F.md5(F.col(key).cast("string")), F.col(key)
+    )
+    ranked = df.withColumn("__rn", F.row_number().over(rank_w))
+    return (
+        ranked.join(F.broadcast(quota), stratum_col)
+        .where(F.col("__rn") <= F.col("__quota"))
+        .drop("__rn", "__quota")
+    )
+
+
+def repetition_stats(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """Gopher-style repetition signals per document:
+
+    - ``dup_bigram_frac``: 1 − distinct bigrams / bigrams (0 when <2 tokens)
+    - ``top_token_frac``: occurrences of the most frequent token / tokens
+      (ties by token text don't matter — only the max count is used)
+
+    All array-expression work (no UDF, no shuffle beyond the projection).
+    """
+    t = df.select(F.col(key), tokenize(text_col).alias("__toks"))
+    bigrams = ngrams_from_tokens(F.col("__toks"), 2)
+    n_tok = F.size("__toks")
+    n_bi = F.size(bigrams)
+    dup_frac = F.when(
+        n_bi > 0,
+        F.round(1.0 - F.size(F.array_distinct(bigrams)) / n_bi, 6),
+    ).otherwise(F.lit(0.0))
+    # max token count via aggregate over the distinct tokens' filter-counts
+    top_cnt = F.array_max(
+        F.transform(
+            F.array_distinct(F.col("__toks")),
+            lambda tok: F.size(F.filter(F.col("__toks"), lambda x: x == tok)),
+        )
+    )
+    return t.select(
+        F.col(key),
+        n_tok.alias("n_tokens"),
+        dup_frac.alias("dup_bigram_frac"),
+        F.round(top_cnt / n_tok, 6).alias("top_token_frac"),
+    )

@@ -19,4 +19,5 @@ def load_all() -> None:
         source_queries,
         misc_queries,
         tpch_queries,
+        corpus_queries,
     )

@@ -1,0 +1,163 @@
+"""Declared corpus-curation queries (training-data pipeline, §2.L-ext).
+
+Benchmark decontamination, sequence packing, domain-mixture sampling, and
+repetition-based quality signals over the ``documents`` fixture — the
+curation steps between raw ingest and tokenized shards that SURVEY.md §2.L
+doesn't already cover. All four are pure relational/array compositions, so
+each carries a full DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators import corpus
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T
+
+# DuckDB mirror of operators/text.py ngrams_from_tokens: i ranges over
+# 1..len-n+1 (empty when fewer than n tokens), slice is inclusive.
+_SQL_GRAMS_5 = (
+    "list_transform(range(1, greatest(len(t) - 4, 0) + 1),"
+    " i -> array_to_string(t[i:i+4], ' '))"
+)
+
+
+@query(
+    "l19_decontaminate",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, lang, source, string_split(text, ' ') AS t
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, source, unnest({_SQL_GRAMS_5}) AS gram FROM toks
+    ),
+    eval_grams AS (SELECT DISTINCT gram FROM grams WHERE source = 'src0'),
+    bad AS (
+      SELECT DISTINCT doc_id FROM grams
+      WHERE source <> 'src0' AND gram IN (SELECT gram FROM eval_grams)
+    )
+    SELECT doc_id, lang, source FROM documents
+    WHERE source <> 'src0' AND doc_id NOT IN (SELECT doc_id FROM bad)
+    """,
+    tier="T3",
+    survey="L2,H9,C4",
+)
+def l19_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: treat src0 as the eval set and drop every
+    other document sharing any 5-gram with it. The eval gram list is
+    broadcast; the corpus side never shuffles (SURVEY §4 posture)."""
+    docs = T(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("source") == "src0")
+    rest = docs.where(F.col("source") != "src0")
+    return corpus.decontaminate(rest, eval_df, "doc_id", "text", n=5).select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "l20_pack_sequences",
+    sql="""
+    SELECT doc_id, source, n_tokens, start_offset,
+           CAST(FLOOR(start_offset / 256.0) AS BIGINT) AS pack_id
+    FROM (
+      SELECT doc_id, source, n_tokens,
+             CAST(COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+               AS start_offset
+      FROM (SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+            FROM documents)
+    )
+    """,
+    tier="T3",
+    survey="E3,H9",
+)
+def l20_pack_sequences(spark, sf_dir):
+    """Concat-then-chunk sequence packing into 256-token packs, partitioned
+    by source (each partition's window is independent → scales by shard)."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    packed = corpus.pack_sequences(
+        docs, "doc_id", "n_tokens", budget=256, partition_by="source"
+    )
+    return packed.select(
+        "doc_id",
+        "source",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "start_offset",
+        "pack_id",
+    )
+
+
+@query(
+    "l21_domain_mixture",
+    sql="""
+    WITH w(source, wt) AS (VALUES ('src0', 0.5), ('src1', 0.3), ('src2', 0.2)),
+    counts AS (
+      SELECT d.source, wt, COUNT(*) AS n
+      FROM documents d JOIN w ON d.source = w.source
+      GROUP BY d.source, wt
+    ),
+    scale AS (SELECT MIN(n / wt) AS s FROM counts),
+    quota AS (
+      SELECT source, CAST(FLOOR(s * wt) AS BIGINT) AS q FROM counts, scale
+    ),
+    ranked AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+      FROM documents
+    )
+    SELECT doc_id, r.source FROM ranked r JOIN quota USING (source)
+    WHERE rn <= q
+    """,
+    tier="T3",
+    survey="B8,D1,E1",
+)
+def l21_domain_mixture(spark, sf_dir):
+    """Deterministic domain-mixture downsample to 50/30/20 across
+    src0/src1/src2 — the largest subcorpus achieving the exact mixture,
+    selected by md5-keyed per-stratum prefixes (stable across engines)."""
+    docs = T(spark, sf_dir, "documents")
+    out = corpus.stratified_mixture_sample(
+        docs, "doc_id", "source", {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+    )
+    return out.select("doc_id", "source")
+
+
+@query(
+    "l22_repetition_stats",
+    sql="""
+    WITH b AS (
+      SELECT doc_id, t,
+             list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                            i -> array_to_string(t[i:i+1], ' ')) AS bg
+      FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+    )
+    SELECT doc_id,
+           len(t) AS n_tokens,
+           CASE WHEN len(bg) > 0
+                THEN round(1.0 - len(list_distinct(bg)) * 1.0 / len(bg), 6)
+                ELSE 0.0 END AS dup_bigram_frac,
+           round(list_max(list_transform(list_distinct(t),
+                   tok -> len(list_filter(t, x -> x = tok)))) * 1.0 / len(t), 6)
+             AS top_token_frac
+    FROM b
+    """,
+    tier="T3",
+    survey="L7,H8",
+)
+def l22_repetition_stats(spark, sf_dir):
+    """Gopher-style repetition quality signals per document. Per-row array
+    expressions only; the top-token scan is O(distinct·tokens) per doc —
+    bounded by document length, embarrassingly parallel."""
+    docs = T(spark, sf_dir, "documents")
+    out = corpus.repetition_stats(docs, "doc_id", "text")
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        "dup_bigram_frac",
+        "top_token_frac",
+    )

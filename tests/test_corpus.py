@@ -1,0 +1,97 @@
+"""Unit fixtures for the corpus-curation operators (operators/corpus.py):
+exact expected outputs on tiny literal frames — decontamination overlap
+rule, packing arithmetic, mixture quotas, repetition signals."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators import corpus
+
+
+def test_decontaminate_ngram_overlap(spark):
+    evald = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # shares the trigram "alpha beta gamma" -> contaminated
+            (1, "zzz alpha beta gamma yyy"),
+            # shares tokens but no full trigram -> clean
+            (2, "alpha beta zzz gamma delta qqq"),
+            # too short for any trigram -> clean
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    bad = sorted(
+        r["doc_id"]
+        for r in corpus.contaminated_doc_ids(docs, evald, "doc_id", "text", n=3).collect()
+    )
+    assert bad == [1]
+    kept = sorted(
+        r["doc_id"] for r in corpus.decontaminate(docs, evald, "doc_id", "text", n=3).collect()
+    )
+    assert kept == [2, 3]
+
+
+def test_pack_sequences_chunk_arithmetic(spark):
+    df = spark.createDataFrame(
+        [(1, 60), (2, 60), (3, 60), (4, 60)], "doc_id long, n_tokens int"
+    )
+    got = {
+        r["doc_id"]: (r["start_offset"], r["pack_id"])
+        for r in corpus.pack_sequences(df, "doc_id", "n_tokens", budget=100).collect()
+    }
+    # offsets 0,60,120,180 with budget 100 -> packs 0,0,1,1
+    assert got == {1: (0, 0), 2: (60, 0), 3: (120, 1), 4: (180, 1)}
+
+
+def test_pack_sequences_partitioned_resets(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 80), (2, "a", 80), (1, "b", 80)],
+        "doc_id long, src string, n_tokens int",
+    )
+    got = {
+        (r["src"], r["doc_id"]): r["pack_id"]
+        for r in corpus.pack_sequences(
+            df, "doc_id", "n_tokens", budget=50, partition_by="src"
+        ).collect()
+    }
+    # src a: offsets 0,80 -> packs 0,1; src b restarts at offset 0 -> pack 0
+    assert got == {("a", 1): 0, ("a", 2): 1, ("b", 1): 0}
+
+
+def test_stratified_mixture_exact_quotas(spark):
+    rows = [(i, "s0") for i in range(10)] + [(100 + i, "s1") for i in range(2)]
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+    out = corpus.stratified_mixture_sample(
+        df, "doc_id", "src", {"s0": 0.5, "s1": 0.5}
+    )
+    counts = {r["src"]: r["n"] for r in out.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # scale = min(10/0.5, 2/0.5) = 4 -> quota 2 per stratum (exact 50/50)
+    assert counts == {"s0": 2, "s1": 2}
+    # deterministic: same input -> identical selection
+    a = sorted(r["doc_id"] for r in out.collect())
+    b = sorted(
+        r["doc_id"]
+        for r in corpus.stratified_mixture_sample(
+            df, "doc_id", "src", {"s0": 0.5, "s1": 0.5}
+        ).collect()
+    )
+    assert a == b
+
+
+def test_repetition_stats_exact(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a"), (2, "x y z w")], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["dup_bigram_frac"], r["top_token_frac"])
+        for r in corpus.repetition_stats(df, "doc_id", "text").collect()
+    }
+    # doc 1: bigrams [ab, ba, ab, ba] -> 2 distinct of 4 -> 0.5 dup;
+    #        'a' appears 3 of 5 tokens
+    assert got[1] == (5, 0.5, 0.6)
+    # doc 2: all bigrams distinct, all tokens unique
+    assert got[2] == (4, 0.0, 0.25)
