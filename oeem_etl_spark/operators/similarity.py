@@ -30,13 +30,26 @@ def cosine_scores(
     """
     q = F.broadcast(
         queries.select(
-            F.col(query_key), F.col(vec_col).alias("__qvec")
+            F.col(query_key),
+            F.col(vec_col).alias("__qvec"),
+            vector.norm(vec_col).alias("__qn"),
         )
     )
-    scored = corpus.crossJoin(q).select(
+    # Hoist norms out of the pair loop: corpus norm is a projection below
+    # the (nested-loop) cross join — evaluated once per corpus row, not per
+    # pair — and the query norm ships inside the broadcast. Per-pair work
+    # drops from dot+2 norms to one dot (same float expression tree, so
+    # scores are bit-identical to the naive form).
+    c = corpus.select(
+        F.col(corpus_key),
+        F.col(vec_col).alias("__cvec"),
+        vector.norm(vec_col).alias("__cn"),
+    )
+    denom = F.col("__cn") * F.col("__qn")
+    scored = c.crossJoin(q).select(
         F.col(query_key),
         F.col(corpus_key),
-        vector.cosine(vec_col, "__qvec").alias("score"),
+        F.when(denom != 0, vector.dot("__cvec", "__qvec") / denom).alias("score"),
     )
     if round_to is not None:
         scored = scored.withColumn("score", F.round("score", round_to))
