@@ -33,16 +33,21 @@ from pyspark.sql import functions as F
 from oeem_etl_spark.operators.text import ngrams_from_tokens, tokenize
 
 
-def _ngram_col(text_col: str, n: int) -> Column:
-    return ngrams_from_tokens(tokenize(text_col), n)
+def _exploded_grams(df: DataFrame, cols: list[str], text_col: str, n: int) -> DataFrame:
+    """(cols..., gram) — one row per token n-gram. Tokens are materialized
+    as a real column BEFORE the n-gram transform: a transform lambda that
+    references an unevaluated split() re-runs the split per element
+    (O(tokens²) per doc — measured 5× on the fixture corpus)."""
+    toks = df.select(*[F.col(c) for c in cols], tokenize(text_col).alias("__toks"))
+    return toks.select(
+        *[F.col(c) for c in cols],
+        F.explode(ngrams_from_tokens(F.col("__toks"), n)).alias("gram"),
+    )
 
 
 def eval_ngrams(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:
     """Distinct n-grams of the evaluation set: (gram) — the ban list."""
-    return (
-        eval_df.select(F.explode(_ngram_col(text_col, n)).alias("gram"))
-        .distinct()
-    )
+    return _exploded_grams(eval_df, [], text_col, n).distinct()
 
 
 def contaminated_doc_ids(
@@ -53,7 +58,7 @@ def contaminated_doc_ids(
     The eval gram list is broadcast (benchmarks are small); the corpus
     explode is map-side only — the semi join adds no shuffle of the corpus.
     """
-    grams = corpus.select(F.col(key), F.explode(_ngram_col(text_col, n)).alias("gram"))
+    grams = _exploded_grams(corpus, [key], text_col, n)
     hits = grams.join(F.broadcast(eval_ngrams(eval_df, text_col, n)), "gram", "left_semi")
     return hits.select(key).distinct()
 
