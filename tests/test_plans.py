@@ -97,3 +97,49 @@ def test_broadcast_dims_in_stream_static_join(spark, sf_dir):
     )
     plan = plan_of(ops.enrich(ev, dim, "user_id"))
     assert "BroadcastHashJoin" in plan
+
+
+def test_t05_six_way_join_no_sort_merge(spark, sf_dir):
+    """The Q5-shape chain must stay all-broadcast: the lineitem fact is
+    never shuffled for a join, only for the final aggregation."""
+    q = registry.queries()["t05_regional_volume"]
+    plan = plan_of(q(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_t04_exists_plans_as_broadcast_semi_join(spark, sf_dir):
+    """Correlated EXISTS with a residual non-equi predicate: LeftSemi with
+    join condition, orders date filter pushed to the parquet scan."""
+    q = registry.queries()["t04_order_priority"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_l19_eval_grams_broadcast_corpus_unshuffled(spark, sf_dir):
+    """Decontamination: the (tiny) eval gram list broadcasts; the corpus
+    gram explode must not shuffle on the gram string."""
+    q = registry.queries()["l19_decontaminate"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # exactly one gram shuffle — the eval side's distinct (tiny by
+    # construction); the corpus gram stream must reach the semi join
+    # shuffle-free
+    assert len(re.findall(r"hashpartitioning\(gram", plan)) == 1, plan
+
+
+def test_t10_scans_prune_columns(spark, sf_dir):
+    """Returned-items rollup reads only the needed lineitem columns."""
+    q = registry.queries()["t10_returned_items"]
+    plan = plan_of(q(spark, sf_dir))
+    m = [
+        set(c.split(":")[0] for c in g.split(","))
+        for g in re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+    ]
+    li_reads = [s for s in m if "l_orderkey" in s]
+    assert li_reads and all(
+        s <= {"l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"}
+        for s in li_reads
+    ), li_reads
