@@ -299,3 +299,91 @@ def k11_sessionize(spark, sf_dir):
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_micros("ts")).alias("session_start_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# K-ext: history tracking (SCD2) and snapshot CDC
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k12_scd2_history",
+    sql="""
+    WITH opened AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events WHERE user_id <= 20
+      )
+      WHERE prev IS NULL OR prev <> event_type
+    )
+    SELECT user_id, event_type, version, valid_from,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, version) AS valid_to,
+           lead(valid_from) OVER (PARTITION BY user_id
+                                  ORDER BY valid_from, version) IS NULL
+             AS is_current
+    FROM opened
+    """,
+    tier="T2",
+    survey="K6,E2,D12",
+)
+def k12_scd2_history(spark, sf_dir):
+    """SCD2 dimension history from the event stream: each user's
+    event_type timeline collapsed into versions with validity intervals
+    (K-ext; the history-preserving sibling of the K6 upsert)."""
+    from oeem_etl_spark.operators.history import scd2_from_events
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    out = scd2_from_events(
+        ev, "user_id", "ts", ["event_type"], tiebreak="event_id"
+    )
+    return out.select(
+        "user_id", "event_type", "version", "valid_from", "valid_to", "is_current"
+    )
+
+
+@query(
+    "k13_snapshot_cdc",
+    sql="""
+    WITH old AS (
+      SELECT user_id, value FROM events WHERE ts < TIMESTAMP '2024-01-15'
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    ), new AS (
+      SELECT user_id, value FROM events WHERE ts >= TIMESTAMP '2024-01-15'
+      QUALIFY row_number() OVER (PARTITION BY user_id
+                                 ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT user_id, change, value FROM (
+      SELECT COALESCE(n.user_id, o.user_id) AS user_id,
+             CASE WHEN o.user_id IS NULL THEN 'insert'
+                  WHEN n.user_id IS NULL THEN 'delete'
+                  WHEN n.value <> o.value THEN 'update' END AS change,
+             COALESCE(n.value, o.value) AS value
+      FROM old o FULL JOIN new n ON o.user_id = n.user_id
+    ) WHERE change IS NOT NULL
+    """,
+    tier="T2",
+    survey="K6,C2,C4",
+)
+def k13_snapshot_cdc(spark, sf_dir):
+    """Change-data-capture between two keyed snapshots (latest value per
+    user before/after a cutoff): insert/delete/update labels, unchanged
+    keys dropped before any downstream work."""
+    from oeem_etl_spark.operators.history import diff_snapshots
+    from oeem_etl_spark.operators.relational import dedupe_keep_latest_by
+
+    ev = T(spark, sf_dir, "events")
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    old = dedupe_keep_latest_by(
+        ev.where(F.col("ts") < cutoff), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "value")
+    new = dedupe_keep_latest_by(
+        ev.where(F.col("ts") >= cutoff), ["user_id"], ["ts", "event_id"]
+    ).select("user_id", "value")
+    return diff_snapshots(old, new, "user_id", ["value"])

@@ -1,0 +1,48 @@
+"""Unit fixtures for history operators (operators/history.py): SCD2
+run-collapse and validity chaining; CDC label coverage incl. deletes."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from oeem_etl_spark.operators.history import diff_snapshots, scd2_from_events
+
+
+def _ts(day, h=0):
+    return dt.datetime(2024, 1, day, h)
+
+
+def test_scd2_collapses_runs_and_chains_validity(spark):
+    rows = [
+        (1, _ts(1), "a", 10),
+        (1, _ts(2), "a", 11),  # same value -> same version
+        (1, _ts(3), "b", 12),  # change -> version 2
+        (1, _ts(4), "a", 13),  # change back -> version 3 (not merged with v1)
+        (2, _ts(1), "x", 14),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string, eid long")
+    out = {
+        (r["k"], r["version"]): (r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+        for r in scd2_from_events(df, "k", "ts", ["v"], tiebreak="eid").collect()
+    }
+    assert out[(1, 1)] == ("a", _ts(1), _ts(3), False)
+    assert out[(1, 2)] == ("b", _ts(3), _ts(4), False)
+    assert out[(1, 3)] == ("a", _ts(4), None, True)
+    assert out[(2, 1)] == ("x", _ts(1), None, True)
+    assert len(out) == 4
+
+
+def test_diff_snapshots_all_labels(spark):
+    old = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    new = spark.createDataFrame(
+        [(2, 20.0), (3, 99.0), (4, 40.0)], "k long, v double"
+    )
+    got = {
+        r["k"]: (r["change"], r["v"])
+        for r in diff_snapshots(old, new, "k", ["v"]).collect()
+    }
+    # key 2 unchanged -> absent; 1 deleted keeps old value; 3 updated and
+    # 4 inserted carry new values
+    assert got == {1: ("delete", 10.0), 3: ("update", 99.0), 4: ("insert", 40.0)}
