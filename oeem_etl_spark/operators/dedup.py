@@ -171,30 +171,54 @@ def minhash_lsh_dedup(
     num_perm: int = 64,
     bands: int = 16,
     shingle_k: int = 3,
-    cc_iterations: int = 5,
+    cc_iterations: int | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline (L2): shingle → MinHash → LSH bands →
     candidate pairs → exact-Jaccard verify → connected components →
     keep smallest key per cluster. Returns the deduplicated DataFrame.
 
-    Connected components use bounded label propagation (cc_iterations
-    rounds of min-label exchange). Near-dup clusters are overwhelmingly
-    tiny (pairs/triples), so a small fixed iteration count converges; at
-    100 TB each round is two broadcast-ish joins over the pair set, which
-    is orders of magnitude smaller than the corpus.
+    Connected components use min-label propagation run TO CONVERGENCE by
+    default (each round ends with a cheap has-any-label-changed probe;
+    propagation needs O(cluster diameter) rounds and near-dup clusters are
+    overwhelmingly tiny, so this is 2-3 rounds in practice — a safety cap
+    of 50 guards pathological chain-shaped clusters). Pass
+    ``cc_iterations`` to bound rounds explicitly. At 100 TB each round is
+    two joins over the verified pair set, which is orders of magnitude
+    smaller than the corpus.
     """
+    max_rounds = 50 if cc_iterations is None else cc_iterations
     sigs = minhash_signatures(df, key, text_col, num_perm, shingle_k)
     cand = lsh_candidate_pairs(sigs, key, bands, num_perm)
     verified = jaccard_verify(df, cand, key, text_col, shingle_k).where(
         F.col("jaccard") >= threshold
     )
 
-    # undirected edges, both directions. The edge set is orders of magnitude
-    # smaller than the corpus (only verified near-dup pairs) — materialize
-    # it once so the iteration below never re-runs the minhash pipeline.
-    edges = verified.select(
+    labels = connected_components(
+        verified.select("key_a", "key_b"), max_rounds=max_rounds
+    )
+    # survivors: cluster representative (label == node) or never-clustered
+    doomed = labels.where(F.col("node") != F.col("label")).select(
+        F.col("node").alias(key)
+    )
+    return df.join(doomed, [key], "left_anti")
+
+
+def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
+    """Min-label propagation over an undirected edge list (key_a, key_b).
+
+    Returns (node, label) where label is the minimum key reachable from
+    the node — the cluster representative. Runs until no label changes
+    (probed with a limit(1) anti-equality count per round — a cheap job
+    over the label set) or ``max_rounds``. Each round's result is
+    localCheckpoint'ed: without lineage truncation round k re-executes all
+    k-1 previous joins (measured 20 s → 6 s on sf0.1).
+    """
+    # undirected edges, both directions. The edge set is orders of
+    # magnitude smaller than the corpus (only verified near-dup pairs) —
+    # materialize it once so the iteration never re-runs upstream plans.
+    edges = pairs.select(
         F.col("key_a").alias("src"), F.col("key_b").alias("dst")
-    ).union(verified.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
+    ).union(pairs.select(F.col("key_b").alias("src"), F.col("key_a").alias("dst")))
     edges = edges.distinct().localCheckpoint(eager=True)
 
     # label propagation: label(node) = min(label(node), min(label(neighbors)))
@@ -204,7 +228,7 @@ def minhash_lsh_dedup(
         .withColumn("label", F.col("node"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(cc_iterations):
+    for _ in range(max_rounds):
         neigh = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
@@ -218,8 +242,6 @@ def minhash_lsh_dedup(
                     "label"
                 ),
             )
-            # truncate lineage each round: without this, round k re-executes
-            # all k-1 previous joins (measured 20 s → 6 s on sf0.1)
             .localCheckpoint(eager=True)
         )
         changed = (
@@ -232,12 +254,7 @@ def minhash_lsh_dedup(
         labels = new_labels
         if changed == 0:  # converged — clusters are overwhelmingly tiny
             break
-
-    # survivors: cluster representative (label == node) or never-clustered
-    doomed = labels.where(F.col("node") != F.col("label")).select(
-        F.col("node").alias(key)
-    )
-    return df.join(doomed, [key], "left_anti")
+    return labels
 
 
 def simhash(df: DataFrame, key: str, text_col: str, bits: int = 64) -> DataFrame:

@@ -95,3 +95,16 @@ def test_repetition_stats_exact(spark):
     assert got[1] == (5, 0.5, 0.6)
     # doc 2: all bigrams distinct, all tokens unique
     assert got[2] == (4, 0.0, 0.25)
+
+
+def test_connected_components_long_chain_converges(spark):
+    """A 12-node chain (diameter 11) must collapse to one cluster — the
+    old fixed-5-round cap would have split it."""
+    from oeem_etl_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "key_a long, key_b long"
+    )
+    labels = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
+    assert set(labels) == set(range(1, 13))
+    assert set(labels.values()) == {1}
