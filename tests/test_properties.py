@@ -217,3 +217,109 @@ def test_fill_gaps_dense_and_sum_preserving(spark, rows, freq):
     total_in = sum(v for _, _, v in data)
     total_out = sum(r["v"] for r in out if r["v"] is not None)
     assert total_in == total_out
+
+
+# ---------------------------------------------------------------------------
+# history + corpus operator invariants
+# ---------------------------------------------------------------------------
+
+event_rows = st.lists(
+    st.tuples(
+        st.integers(0, 3),  # key
+        st.integers(0, 20),  # day offset -> ts
+        st.sampled_from(["a", "b", "c"]),  # value
+    ),
+    min_size=0,
+    max_size=20,
+)
+
+
+@given(rows=event_rows)
+@settings(**SETTINGS)
+def test_scd2_current_rows_equal_keep_latest(spark, rows):
+    """The is_current SCD2 row per key must carry the same value as a
+    plain dedupe-keep-latest over the change stream."""
+    from oeem_etl_spark.operators.history import scd2_from_events
+    from oeem_etl_spark.operators.relational import dedupe_keep_latest_by
+
+    uniq = {}
+    for k, day, v in rows:
+        uniq[(k, day)] = (k, dt.datetime(2024, 1, 1) + dt.timedelta(days=day), v)
+    data = sorted(uniq.values(), key=lambda r: (r[0], r[1]))
+    schema = "k long, ts timestamp, v string"
+    df = spark.createDataFrame(data, schema) if data else spark.createDataFrame([], schema)
+
+    hist = scd2_from_events(df, "k", "ts", ["v"])
+    current = {
+        r["k"]: r["v"] for r in hist.where(F.col("is_current")).collect()
+    }
+    latest = {
+        r["k"]: r["v"]
+        for r in dedupe_keep_latest_by(df, ["k"], ["ts"]).collect()
+    }
+    assert current == latest
+    # validity intervals tile without overlap: versions per key are
+    # consecutive and each non-current valid_to equals the next valid_from
+    for k in current:
+        vers = sorted(
+            (r["version"], r["valid_from"], r["valid_to"])
+            for r in hist.where(F.col("k") == k).collect()
+        )
+        assert [v[0] for v in vers] == list(range(1, len(vers) + 1))
+        for (_, _, to_a), (_, from_b, _) in zip(vers, vers[1:]):
+            assert to_a == from_b
+        assert vers[-1][2] is None
+
+
+@given(old=kv_rows, new=kv_rows)
+@settings(**SETTINGS)
+def test_diff_snapshots_applies_back_to_new(spark, old, new):
+    """Applying the CDC diff to the old snapshot reproduces the new one:
+    old - deletes - updates + (updates ∪ inserts with new values) == new."""
+    from oeem_etl_spark.operators.history import diff_snapshots
+
+    o_map = {k: val for k, _, val in old}
+    n_map = {k: val for k, _, val in new}
+    schema = "k long, v long"
+    o = spark.createDataFrame(sorted(o_map.items()), schema) if o_map else spark.createDataFrame([], schema)
+    n = spark.createDataFrame(sorted(n_map.items()), schema) if n_map else spark.createDataFrame([], schema)
+
+    changes = {
+        r["k"]: (r["change"], r["v"])
+        for r in diff_snapshots(o, n, "k", ["v"]).collect()
+    }
+    applied = dict(o_map)
+    for k, (change, v) in changes.items():
+        if change == "delete":
+            applied.pop(k)
+        else:
+            applied[k] = v
+    assert applied == n_map
+
+
+@given(
+    toks=st.lists(st.integers(1, 300), min_size=0, max_size=20),
+    budget=st.integers(50, 400),
+)
+@settings(**SETTINGS)
+def test_pack_sequences_offsets_conserve_tokens(spark, toks, budget):
+    """start_offset is the exact prefix sum; pack ids are non-decreasing
+    and every pack below the last is 'full' (next doc starts in a later or
+    equal pack)."""
+    from oeem_etl_spark.operators.corpus import pack_sequences
+
+    data = [(i, t) for i, t in enumerate(toks)]
+    schema = "doc_id long, n_tokens int"
+    df = spark.createDataFrame(data, schema) if data else spark.createDataFrame([], schema)
+    got = sorted(
+        (r["doc_id"], r["start_offset"], r["pack_id"])
+        for r in pack_sequences(df, "doc_id", "n_tokens", budget=budget).collect()
+    )
+    prefix = 0
+    prev_pack = 0
+    for (i, off, pack) in got:
+        assert off == prefix
+        assert pack == off // budget
+        assert pack >= prev_pack
+        prefix += toks[i]
+        prev_pack = pack
