@@ -1,0 +1,138 @@
+"""Scale probe: measure how the headline plan shapes scale 1× → 10×.
+
+Derives a 10× dataset from the sf0.1 fixtures into /tmp (lineitem unioned
+10 times with shifted keys → 6M rows; documents 10× → 50k docs), then
+times the core plan shapes at both scales under (a) the local-latency
+bench regime (AQE off, 8 shuffle tasks) and (b) the production regime
+(AQE on, default partitions). Prints one JSON line per (shape, scale,
+regime).
+
+Purpose (SURVEY.md §4/§6): the 2× bench gate only sees sf0.1 — this probe
+is the evidence that the plan shapes scale near-linearly in rows (scan
+and hash-agg bound) rather than super-linearly (shuffle-explosion /
+driver-materialization bugs), and shows where the AQE regime overtakes
+the fixed-8-task regime. Run manually: `python tools/scale_probe.py`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.catalog import ensure_session_confs, load_table
+from oeem_etl_spark.operators.dedup import exact_dedup, minhash_signatures
+from oeem_etl_spark.plans.util import dsum
+from oeem_etl_spark.session import get_session
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+COPIES = int(os.environ.get("SPARK_SCALE_COPIES", "10"))
+SCALE_DIR = f"/tmp/oeem_scale{COPIES}"
+
+
+def build_scaled(spark) -> None:
+    if os.path.isdir(f"{SCALE_DIR}/lineitem.parquet"):
+        return
+    shutil.rmtree(SCALE_DIR, ignore_errors=True)
+    li = load_table(spark, SF_DIR, "lineitem")
+    max_ok = li.agg(F.max("l_orderkey")).collect()[0][0] + 1
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(i * max_ok))
+        for i in range(COPIES)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    out.write.mode("overwrite").parquet(f"{SCALE_DIR}/lineitem.parquet")
+
+    docs = load_table(spark, SF_DIR, "documents")
+    max_doc = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    dparts = [
+        docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * max_doc))
+        for i in range(COPIES)
+    ]
+    dout = dparts[0]
+    for p in dparts[1:]:
+        dout = dout.unionByName(p)
+    dout.write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
+
+    for t in ("orders", "customer"):
+        spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode("overwrite").parquet(
+            f"{SCALE_DIR}/{t}.parquet"
+        )
+
+
+def shapes(spark, sf_dir):
+    def q01():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return (
+            li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(dsum("l_quantity", "sum_qty"), F.count(F.lit(1)).alias("n"))
+        )
+
+    def q02():
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey"
+        )
+        rev_m = F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1_000_000
+        ).cast("long")
+        # NB: at 10x the shifted orderkeys don't join orders — probe cost is
+        # the probe-side scan + broadcast build, which is the point here.
+        return (
+            li.select("l_orderkey", rev_m.alias("rv_m"))
+            .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_custkey")
+            .agg(F.sum("rv_m").alias("rv_m"))
+        )
+
+    def dedup():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return exact_dedup(docs.select("doc_id", "text"), "text", "doc_id")
+
+    def minhash():
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        return minhash_signatures(docs, "doc_id", "text")
+
+    return {"q01_agg": q01, "q02_bjoin": q02, "exact_dedup": dedup, "minhash_sigs": minhash}
+
+
+def main() -> None:
+    spark = get_session("oeem-scale-probe")
+    ensure_session_confs(spark)
+    build_scaled(spark)
+
+    regimes = {
+        "local8": {"spark.sql.adaptive.enabled": "false", "spark.sql.shuffle.partitions": "8"},
+        "aqe": {"spark.sql.adaptive.enabled": "true", "spark.sql.shuffle.partitions": "64"},
+    }
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
+    for regime, confs in regimes.items():
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        for scale, sf_dir in (("1x", SF_DIR), (f"{COPIES}x", SCALE_DIR)):
+            for name, fn in shapes(spark, sf_dir).items():
+                fn().count()  # warm
+                best = float("inf")
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    fn().count()
+                    best = min(best, time.perf_counter() - t0)
+                print(
+                    json.dumps(
+                        {"shape": name, "scale": scale, "regime": regime, "sec": round(best, 4)}
+                    )
+                )
+
+
+if __name__ == "__main__":
+    main()
