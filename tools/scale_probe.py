@@ -63,10 +63,21 @@ def build_scaled(spark) -> None:
         dout = dout.unionByName(p)
     dout.write.mode("overwrite").parquet(f"{SCALE_DIR}/documents.parquet")
 
-    for t in ("orders", "customer"):
-        spark.read.parquet(f"{SF_DIR}/{t}.parquet").write.mode("overwrite").parquet(
-            f"{SCALE_DIR}/{t}.parquet"
-        )
+    # orders scales WITH lineitem (same key shifts) so the broadcast join
+    # matches at every scale — a no-match probe would understate join cost.
+    orders = load_table(spark, SF_DIR, "orders")
+    oparts = [
+        orders.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(i * max_ok))
+        for i in range(COPIES)
+    ]
+    oout = oparts[0]
+    for p in oparts[1:]:
+        oout = oout.unionByName(p)
+    oout.write.mode("overwrite").parquet(f"{SCALE_DIR}/orders.parquet")
+
+    spark.read.parquet(f"{SF_DIR}/customer.parquet").write.mode("overwrite").parquet(
+        f"{SCALE_DIR}/customer.parquet"
+    )
 
 
 def shapes(spark, sf_dir):
@@ -86,11 +97,13 @@ def shapes(spark, sf_dir):
         rev_m = F.round(
             (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1_000_000
         ).cast("long")
-        # NB: at 10x the shifted orderkeys don't join orders — probe cost is
-        # the probe-side scan + broadcast build, which is the point here.
+        # No broadcast hint: orders scales with lineitem, so the planner
+        # must flip broadcast-hash (1×, 150k rows) → sort-merge/shuffled-hash
+        # (100×, 15M rows) — exactly the cutover the library's C9 docstrings
+        # promise AQE handles when a "dimension" outgrows the threshold.
         return (
             li.select("l_orderkey", rev_m.alias("rv_m"))
-            .join(F.broadcast(orders), F.col("l_orderkey") == F.col("o_orderkey"))
+            .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
             .groupBy("o_custkey")
             .agg(F.sum("rv_m").alias("rv_m"))
         )
