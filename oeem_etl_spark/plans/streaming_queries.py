@@ -279,3 +279,50 @@ def i9_stream_stream_join(spark, sf_dir):
         F.col("r.ts").alias("purchase_ts"),
     )
     return harness.run_available_now(out, "append")
+
+
+@query(
+    "a13_streaming_upsert_sink",
+    sql="""
+    SELECT user_id, event_type, event_id, value FROM events
+    QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tier="T3",
+    survey="A10,K6,D12",
+)
+def a13_streaming_upsert_sink(spark, sf_dir):
+    """Streaming upsert sink (A10 × K6): the event stream is replayed as
+    3 micro-batches through foreach_batch_upsert; the parquet target must
+    end up exactly keep-latest-per-key — the reference's incremental
+    fetch→upsert→datastore loop, order-independent by construction (the
+    per-batch merge is commutative)."""
+    src = os.path.join(_TMP, "a13_src")
+    target = os.path.join(_TMP, "a13_target")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(target, ignore_errors=True)
+    shutil.rmtree(target + ".tmp", ignore_errors=True)
+
+    ev = T(spark, sf_dir, "events")
+    cols = ["user_id", "event_type", "ts", "event_id", "value"]
+    cut1 = F.lit("2024-01-10").cast("timestamp")
+    cut2 = F.lit("2024-01-20").cast("timestamp")
+    chunks = [
+        ev.where(F.col("ts") < cut1),
+        ev.where((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ev.where(F.col("ts") >= cut2),
+    ]
+    for i, ch in enumerate(chunks):
+        ch.select(cols).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*.parquet"))
+    )
+    harness.foreach_batch_upsert(
+        sdf, target, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    )
+    return spark.read.parquet(target).select("user_id", "event_type", "event_id", "value")

@@ -98,3 +98,64 @@ def assert_batch_equivalent(
         f"stream/batch divergence: {len(got)} vs {len(want)} rows; "
         f"first diff: {next(((a, b) for a, b in zip(got, want) if a != b), None)}"
     )
+
+
+def foreach_batch_upsert(
+    sdf: DataFrame,
+    target_path: str,
+    keys: list[str],
+    order_cols: list[str],
+    timeout_s: int = 300,
+) -> None:
+    """Streaming upsert sink: each micro-batch merges into a parquet
+    target with the newest record per key (by ``order_cols``) winning —
+    the reference's incremental bulk-upload loop (fetch batch → upsert
+    into datastore) as a foreachBatch sink.
+
+    The merge is COMMUTATIVE: target ∪ delta → keep-latest by
+    ``order_cols``, so the result is independent of micro-batch arrival
+    order and idempotent under batch replay — exactly the property an
+    at-least-once foreachBatch sink needs (a last-batch-wins merge would
+    silently depend on file-listing order).
+
+    The target is swapped atomically per batch (write to `<path>.tmp`,
+    os.replace) so readers never see a half-written snapshot. That swap is
+    single-writer; production multi-writer targets belong in a
+    transactional table format — the merge logic is identical there, only
+    the commit protocol changes.
+    """
+    from oeem_etl_spark.operators.relational import dedupe_keep_latest_by
+
+    ckpt = _mkdtemp_ckpt("oeem_ckpt_upsert_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        delta = dedupe_keep_latest_by(batch_df, keys, order_cols)
+        if os.path.isdir(target_path):
+            target = spark.read.parquet(target_path)
+            merged = dedupe_keep_latest_by(
+                target.unionByName(delta), keys, order_cols
+            )
+        else:
+            merged = delta
+        tmp = f"{target_path}.tmp"
+        merged.write.mode("overwrite").parquet(tmp)
+        old = f"{target_path}.old"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.isdir(target_path):
+            os.replace(target_path, old)
+        os.replace(tmp, target_path)
+        shutil.rmtree(old, ignore_errors=True)
+
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"upsert sink exceeded {timeout_s}s")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)

@@ -224,3 +224,51 @@ def test_interval_join_batch_equivalence(spark):
     )
     got = sorted(map(tuple, got_df.collect()))
     assert got == want and len(got) > 0
+
+
+def test_foreach_batch_upsert_equals_batch_keep_latest(spark, sf_dir, tmp_path):
+    """Streaming upsert sink over multiple micro-batches must equal a
+    single batch dedupe-keep-latest over the whole input (cross-batch the
+    later batch wins; events are written to batch files in ts order)."""
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.operators.relational import dedupe_keep_latest_by
+    from oeem_etl_spark.streaming.harness import foreach_batch_upsert
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 30)
+    cols = ["user_id", "event_type", "ts", "event_id", "value"]
+
+    # three time-ordered chunks -> three source files -> 3 micro-batches
+    src = str(tmp_path / "src")
+    cut1, cut2 = "2024-01-10", "2024-01-20"
+    chunks = [
+        ev.where(F.col("ts") < cut1),
+        ev.where((F.col("ts") >= cut1) & (F.col("ts") < cut2)),
+        ev.where(F.col("ts") >= cut2),
+    ]
+    for i, ch in enumerate(chunks):
+        ch.select(cols).coalesce(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+
+    target = str(tmp_path / "target")
+    stream = (
+        spark.readStream.schema(ev.select(cols).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{src}/*.parquet")
+    )
+    foreach_batch_upsert(
+        stream, target, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
+    )
+
+    got = sorted(
+        map(tuple, spark.read.parquet(target).select(cols).collect())
+    )
+    want = sorted(
+        map(
+            tuple,
+            dedupe_keep_latest_by(
+                ev.select(cols), ["user_id", "event_type"], ["ts", "event_id"]
+            ).collect(),
+        )
+    )
+    assert got == want
