@@ -617,3 +617,47 @@ def l2e_simhash_oracle(spark, sf_dir):
             for b in range(_L2E_BITS)
         ]
     )
+
+
+@query(
+    "l23_quantize_int8",
+    sql="""
+    SELECT vec_id,
+           round(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END, 6) AS qscale_r,
+           list_transform(e, x -> CAST(round(x * (CASE WHEN m > 0 THEN 127.0 / m
+                                                       ELSE 0.0 END)) AS TINYINT))
+             AS qvec
+    FROM (
+      SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+            FROM embeddings)
+    )
+    """,
+    tier="T3",
+    survey="L3,H8",
+)
+def l23_quantize_int8(spark, sf_dir):
+    """Symmetric int8 quantization of the embedding corpus — 4× smaller
+    candidate-generation data (the vector-search bytes story). Quantized
+    values are exact integer arithmetic → fully oracle-checkable."""
+    from oeem_etl_spark.operators.similarity import quantize_int8
+
+    emb = T(spark, sf_dir, "embeddings")
+    out = quantize_int8(emb, "vec_id", "embedding")
+    return out.select(
+        "vec_id", F.round("qscale", 6).alias("qscale_r"), "qvec"
+    )
+
+
+@query("l3d_int8_topk", sql=None, tier="T3", survey="L3")
+def l3d_int8_topk(spark, sf_dir):
+    """Approximate top-k on int8-quantized vectors (rows-only: quantization
+    error reorders near-ties; recall vs the exact operator is asserted in
+    tests/test_operators.py)."""
+    from oeem_etl_spark.operators.similarity import int8_topk
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return int8_topk(emb, queries, k=10)

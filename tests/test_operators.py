@@ -314,3 +314,31 @@ def test_redact_pii_exact(spark):
     )
     got = df.select(redact_pii("text").alias("t")).collect()[0]["t"]
     assert got == "mail <EMAIL>, call <PHONE>, ssn <SSN> ok"
+
+
+def test_int8_quantization_roundtrip_and_recall(spark, sf_dir):
+    """Quantized values stay in [-127, 127]; dequantized vectors are close;
+    int8 top-10 recalls >=8 of the exact float top-10 per query."""
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.operators.similarity import cosine_topk, int8_topk, quantize_int8
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = quantize_int8(emb, "vec_id", "embedding")
+    stats = q.select(
+        F.array_max("qvec").alias("mx"), F.array_min("qvec").alias("mn")
+    ).agg(F.max("mx").alias("mx"), F.min("mn").alias("mn")).collect()[0]
+    assert stats["mx"] <= 127 and stats["mn"] >= -127
+
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact = cosine_topk(emb, queries, k=10)
+    approx = int8_topk(emb, queries, k=10)
+    e = {(r["q_id"], r["vec_id"]) for r in exact.collect()}
+    a = {(r["q_id"], r["vec_id"]) for r in approx.collect()}
+    per_q = {}
+    for qid, vid in e:
+        per_q.setdefault(qid, set()).add(vid)
+    for qid, evids in per_q.items():
+        avids = {vid for (qq, vid) in a if qq == qid}
+        assert len(evids & avids) >= 8, (qid, evids, avids)
