@@ -82,3 +82,28 @@ def salted_join(
     )
     out = salted_big.join(replicated_small, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def salted_collect_list(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    n_salts: int = 16,
+    sort: bool = True,
+) -> DataFrame:
+    """Skew-proof collect_list — the aggregation that partial aggregation
+    canNOT collapse (every row survives to the reduce side, so a hot key
+    ships all its values to one task). Two stages: collect per (key, salt)
+    — a hot key's values spread over ``n_salts`` reducers — then flatten
+    the ≤ n_salts partial arrays per key. ``sort=True`` sorts the final
+    array so results are deterministic (salt assignment is not an order)."""
+    salted = with_salt(df, n_salts)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.collect_list(value_col).alias("__part")
+    )
+    merged = partial.groupBy(*keys).agg(
+        F.flatten(F.collect_list("__part")).alias("values")
+    )
+    if sort:
+        merged = merged.withColumn("values", F.sort_array("values"))
+    return merged

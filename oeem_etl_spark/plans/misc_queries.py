@@ -150,3 +150,30 @@ def j6_udtf_tokenize(spark, sf_dir):
     return spark.sql(
         "SELECT d.doc_id, t.tok, t.pos FROM j6_docs d, LATERAL oeem_tokenize(d.text) t"
     )
+
+
+@query(
+    "d5b_salted_collect_list",
+    sql="""
+    SELECT user_id,
+           array_to_string(list_sort(list(event_id)), ',') AS ids,
+           COUNT(*) AS n
+    FROM events WHERE user_id <= 50 GROUP BY user_id
+    """,
+    tier="T3",
+    survey="D5",
+)
+def d5b_salted_collect_list(spark, sf_dir):
+    """Skew-proof collect_list (two-stage salted collect + flatten):
+    collect_list is the aggregation partial aggregation cannot collapse,
+    so a hot key ships every value to one reducer — the salted form
+    spreads it over n_salts reducers and must produce identical arrays."""
+    from oeem_etl_spark.operators.skew import salted_collect_list
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") <= 50)
+    out = salted_collect_list(ev, ["user_id"], "event_id")
+    return out.select(
+        "user_id",
+        F.array_join(F.transform("values", lambda x: x.cast("string")), ",").alias("ids"),
+        F.size("values").cast("long").alias("n"),
+    )

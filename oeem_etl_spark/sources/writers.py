@@ -40,3 +40,49 @@ def write_orc(df: DataFrame, path: str, partition_by: Sequence[str] | None = Non
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.orc(path)
+
+
+def compact_parquet(
+    spark,
+    path: str,
+    target_file_mb: int = 128,
+    partition_by: Sequence[str] = (),
+) -> int:
+    """Compact a small-files parquet directory toward ``target_file_mb``
+    output files; returns the number of files written.
+
+    The small-files problem is a first-order 100 TB concern: streaming
+    upserts and per-batch appends leave thousands of KB-scale files whose
+    open/footer costs dominate scans. Strategy: size the output file count
+    from the directory's actual bytes (driver-side metadata listing only —
+    no data through the driver), rewrite via repartition (round-robin when
+    unpartitioned, hash on the partition keys otherwise), then atomically
+    swap directories.
+    """
+    import math
+    import os
+    import shutil
+
+    total_bytes = 0
+    for root, _dirs, files in os.walk(path):
+        for f in files:
+            if not f.startswith(("_", ".")):
+                total_bytes += os.path.getsize(os.path.join(root, f))
+    n_files = max(1, math.ceil(total_bytes / (target_file_mb * 1024 * 1024)))
+
+    df = spark.read.parquet(path)
+    if partition_by:
+        df = df.repartition(n_files, *[df[c] for c in partition_by])
+    else:
+        df = df.repartition(n_files)
+    tmp = f"{path}.compact_tmp"
+    w = df.write.mode("overwrite")
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.parquet(tmp)
+    old = f"{path}.compact_old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.replace(path, old)
+    os.replace(tmp, path)
+    shutil.rmtree(old, ignore_errors=True)
+    return n_files

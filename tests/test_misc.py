@@ -61,3 +61,38 @@ def test_approx_count_distinct_near_exact(spark, sf_dir):
     }
     for k, a in approx.items():
         assert abs(a - exact[k]) / exact[k] < 0.05, (k, a, exact[k])
+
+
+def test_compact_parquet_reduces_files(spark, sf_dir, tmp_path):
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.sources.writers import compact_parquet
+
+    path = str(tmp_path / "frag")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(40).write.parquet(path)
+    import glob
+    before = len(glob.glob(f"{path}/part-*"))
+    assert before >= 40
+    rows_before = spark.read.parquet(path).count()
+    n = compact_parquet(spark, path, target_file_mb=128)
+    after = len(glob.glob(f"{path}/part-*"))
+    assert n == 1 and after == 1
+    assert spark.read.parquet(path).count() == rows_before
+
+
+def test_salted_collect_list_matches_plain(spark, sf_dir):
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.operators.skew import salted_collect_list
+
+    ev = load_table(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    plain = {
+        r["user_id"]: sorted(r["values"])
+        for r in ev.groupBy("user_id")
+        .agg(F.collect_list("event_id").alias("values"))
+        .collect()
+    }
+    salted = {
+        r["user_id"]: list(r["values"])
+        for r in salted_collect_list(ev, ["user_id"], "event_id").collect()
+    }
+    assert salted == plain
