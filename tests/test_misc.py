@@ -96,3 +96,59 @@ def test_salted_collect_list_matches_plain(spark, sf_dir):
         for r in salted_collect_list(ev, ["user_id"], "event_id").collect()
     }
     assert salted == plain
+
+
+def test_zorder_prunes_row_groups_on_second_dimension(spark, sf_dir, tmp_path):
+    """Parquet row-group statistics proof: a layout sorted only on user_id
+    cannot skip row groups for a timestamp-range predicate; the z-ordered
+    layout (user_id × epoch interleaved) must make a strict majority of
+    row groups skippable for the same predicate."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.sources.zorder import write_zordered
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("epoch"), "value"
+    )
+    plain = str(tmp_path / "plain")
+    zord = str(tmp_path / "zorder")
+    (
+        ev.repartitionByRange(2, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.option("parquet.block.size", str(8 * 1024))
+        .option("parquet.page.size", str(2 * 1024))
+        .mode("overwrite")
+        .parquet(plain)
+    )
+    write_zordered(ev, zord, ["user_id", "epoch"], n_files=2, small_row_groups=True)
+
+    lo, hi = ev.agg(F.min("epoch"), F.max("epoch")).collect()[0]
+    qlo = lo + (hi - lo) * 4 // 10
+    qhi = lo + (hi - lo) * 5 // 10  # 10% epoch slice
+
+    def overlap_fraction(path):
+        total = hit = 0
+        for f in glob.glob(f"{path}/part-*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["epoch"]
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                total += 1
+                if st.min <= qhi and st.max >= qlo:
+                    hit += 1
+        assert total > 8, f"need many row groups to prove pruning, got {total}"
+        return hit / total
+
+    frac_plain = overlap_fraction(plain)
+    frac_z = overlap_fraction(zord)
+    # user_id-sorted layout: epoch spans every group -> ~no skipping
+    assert frac_plain > 0.9, frac_plain
+    # z-ordered: most groups' epoch ranges exclude the slice
+    assert frac_z < 0.5, frac_z
+
+    # and the data is unchanged
+    n = spark.read.parquet(zord).count()
+    assert n == ev.count()
