@@ -35,3 +35,46 @@ def validate_quality(
     for name, cond in checks.items():
         aggs.append(F.sum(cond.cast("bigint")).alias(name))
     return df.groupBy(*group_by).agg(*aggs)
+
+
+def profile_table(
+    df: DataFrame,
+    numeric_cols: Sequence[str],
+    string_cols: Sequence[str] = (),
+) -> DataFrame:
+    """One-pass column profiler: (column, n_rows, n_nulls, n_distinct,
+    min_val, max_val) per profiled column, numeric min/max as doubles and
+    string min/max lexicographic (cast to string for a uniform schema).
+
+    Single aggregation job — every per-column statistic is an aggregate
+    expression in ONE groupBy().agg(), so the table is scanned once
+    regardless of how many columns are profiled (the profiling shape that
+    matters at 100 TB). Output is unpivoted to one row per column.
+    """
+    from pyspark.sql import functions as F
+
+    aggs = []
+    fields = []
+    for c in [*numeric_cols, *string_cols]:
+        col = F.col(c)
+        aggs += [
+            F.count(F.lit(1)).alias(f"__n_{c}"),
+            F.sum(col.isNull().cast("bigint")).alias(f"__nulls_{c}"),
+            F.count_distinct(col).alias(f"__dist_{c}"),
+            F.min(col).cast("string").alias(f"__min_{c}"),
+            F.max(col).cast("string").alias(f"__max_{c}"),
+        ]
+        fields.append(c)
+    one = df.agg(*aggs)
+    rows = [
+        F.struct(
+            F.lit(c).alias("column"),
+            F.col(f"__n_{c}").alias("n_rows"),
+            F.col(f"__nulls_{c}").alias("n_nulls"),
+            F.col(f"__dist_{c}").alias("n_distinct"),
+            F.col(f"__min_{c}").alias("min_val"),
+            F.col(f"__max_{c}").alias("max_val"),
+        )
+        for c in fields
+    ]
+    return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")

@@ -387,3 +387,37 @@ def k13_snapshot_cdc(spark, sf_dir):
         ev.where(F.col("ts") >= cutoff), ["user_id"], ["ts", "event_id"]
     ).select("user_id", "value")
     return diff_snapshots(old, new, "user_id", ["value"])
+
+
+@query(
+    "k14_profile_table",
+    sql="""
+    SELECT 'value' AS column, COUNT(*) AS n_rows,
+           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           COUNT(DISTINCT value) AS n_distinct,
+           CAST(MIN(value) AS VARCHAR) AS min_val,
+           CAST(MAX(value) AS VARCHAR) AS max_val
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*),
+           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*),
+           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           COUNT(DISTINCT event_type),
+           MIN(event_type), MAX(event_type)
+    FROM events
+    """,
+    tier="T2",
+    survey="K9,D1,D2",
+)
+def k14_profile_table(spark, sf_dir):
+    """Single-pass column profiler over events (K-ext): the reference's
+    data-quality reporting generalized — one scan however many columns."""
+    from oeem_etl_spark.operators.quality import profile_table
+
+    ev = T(spark, sf_dir, "events")
+    return profile_table(ev, numeric_cols=["value", "user_id"], string_cols=["event_type"])
