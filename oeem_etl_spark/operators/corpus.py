@@ -51,23 +51,43 @@ def eval_ngrams(eval_df: DataFrame, text_col: str, n: int) -> DataFrame:
 
 
 def contaminated_doc_ids(
-    corpus: DataFrame, eval_df: DataFrame, key: str, text_col: str, n: int = 5
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    key: str,
+    text_col: str,
+    n: int = 5,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Corpus keys sharing ≥1 token n-gram with the eval set.
 
     The eval gram list is broadcast (benchmarks are small); the corpus
     explode is map-side only — the semi join adds no shuffle of the corpus.
+
+    ``hash_grams=True`` compares xxhash64(gram) longs instead of gram
+    strings — the at-scale choice (8-byte keys in the broadcast + semi
+    join instead of ~n·word-length strings) at the cost of a ~2^-64
+    per-pair false-positive chance. Default False keeps the operator
+    string-exact for the oracle contract.
     """
     grams = _exploded_grams(corpus, [key], text_col, n)
-    hits = grams.join(F.broadcast(eval_ngrams(eval_df, text_col, n)), "gram", "left_semi")
+    evg = eval_ngrams(eval_df, text_col, n)
+    if hash_grams:
+        grams = grams.select(F.col(key), F.xxhash64("gram").alias("gram"))
+        evg = evg.select(F.xxhash64("gram").alias("gram")).distinct()
+    hits = grams.join(F.broadcast(evg), "gram", "left_semi")
     return hits.select(key).distinct()
 
 
 def decontaminate(
-    corpus: DataFrame, eval_df: DataFrame, key: str, text_col: str, n: int = 5
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    key: str,
+    text_col: str,
+    n: int = 5,
+    hash_grams: bool = False,
 ) -> DataFrame:
     """Corpus minus contaminated documents (n-gram-overlap rule)."""
-    bad = contaminated_doc_ids(corpus, eval_df, key, text_col, n)
+    bad = contaminated_doc_ids(corpus, eval_df, key, text_col, n, hash_grams)
     return corpus.join(bad, [key], "left_anti")
 
 

@@ -108,3 +108,18 @@ def test_connected_components_long_chain_converges(spark):
     labels = {r["node"]: r["label"] for r in connected_components(pairs).collect()}
     assert set(labels) == set(range(1, 13))
     assert set(labels.values()) == {1}
+
+
+def test_decontaminate_hashed_equals_exact(spark, sf_dir):
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.operators.corpus import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    ev = docs.where(F.col("source") == "src0")
+    rest = docs.where(F.col("source") != "src0")
+    exact = sorted(r["doc_id"] for r in decontaminate(rest, ev, "doc_id", "text").collect())
+    hashed = sorted(
+        r["doc_id"]
+        for r in decontaminate(rest, ev, "doc_id", "text", hash_grams=True).collect()
+    )
+    assert exact == hashed
