@@ -1,0 +1,86 @@
+"""Driver-style verification sweep: every declared query vs its DuckDB
+oracle, in a BARE session (no library session confs — exactly what the
+driver does), at one or more scale-factor directories.
+
+Usage:
+    python tools/verify_all.py                 # sf0.01 (the driver's gate)
+    python tools/verify_all.py sf0.001 sf0.1   # other/multiple sf dirs
+
+Exit code 0 iff every oracle query matches (row count + repr-sorted
+values) and every rows-only query executes. Known benign repr diff: none —
+timestamps compare equal because DuckDB's fetchall() truncates ns→µs like
+Spark does (SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+from pathlib import Path
+
+import duckdb
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def main() -> int:
+    sfs = sys.argv[1:] or ["sf0.01"]
+    repo = Path(__file__).resolve().parents[1]
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", repo / "__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    print("entry rows:", len(mod.entry(spark).collect()))
+
+    qs, osql = mod.queries(), mod.oracle_sql()
+    failures = 0
+    for sf in sfs:
+        sf_dir = sf if "/" in sf else f"/root/testdata/{sf}"
+        con = duckdb.connect()
+        for t in TABLES:
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+            )
+        bad = []
+        for name in sorted(osql):
+            try:
+                s = sorted(
+                    map(repr, [tuple(r) for r in qs[name](spark, sf_dir).collect()])
+                )
+                d = sorted(map(repr, [tuple(r) for r in con.sql(osql[name]).fetchall()]))
+                if len(s) != len(d) or s != d:
+                    bad.append(name)
+                    print(f"{sf}: {name} MISMATCH {len(s)} vs {len(d)}")
+            except Exception as e:  # noqa: BLE001 — report-and-continue sweep
+                bad.append(name)
+                print(f"{sf}: {name} ERROR {str(e)[:200]}")
+        for name in sorted(set(qs) - set(osql)):
+            try:
+                assert qs[name](spark, sf_dir).count() >= 0
+            except Exception as e:  # noqa: BLE001
+                bad.append(name)
+                print(f"{sf}: {name} (rows-only) ERROR {str(e)[:200]}")
+        print(
+            f"{sf}: {len(osql)} oracle + {len(qs) - len(osql)} rows-only checked;"
+            f" failures: {bad or 'none'}"
+        )
+        failures += len(bad)
+        con.close()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
