@@ -95,10 +95,14 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     allow_exact: bool = True,
+    direction: str = "backward",
 ) -> DataFrame:
     """As-of join (§2.C8): for each left row, attach ``value_cols`` from the
     latest right row with ``right.ts <= left.ts`` (or ``<`` when
-    ``allow_exact=False``) within the same key group.
+    ``allow_exact=False``) within the same key group. ``direction=
+    "forward"`` flips the inequality: the EARLIEST right row with
+    ``right.ts >= left.ts`` (next-reading-after semantics — e.g. the first
+    meter read following a correction).
 
     Spark has no native as-of join; the scalable plan used here is the
     union + ordered-window forward-fill trick:
@@ -117,11 +121,15 @@ def asof_join(
     needing a specific winner should pre-dedup the right side.
     """
     lcols = [c for c in left.columns if c not in value_cols]
-    tag_order = (
-        [F.col("__ts").asc(), F.col("__is_left").asc()]  # right (0) first at tie => <=
-        if allow_exact
-        else [F.col("__ts").asc(), F.col("__is_left").desc()]  # left first => strict <
-    )
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    # scan order: backward scans time ascending (running last = nearest past
+    # right row); forward scans descending (running last = nearest future).
+    # At a timestamp tie, the right row must be scanned BEFORE the left row
+    # for the inclusive (allow_exact) variant, after it for the strict one.
+    ts = F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    tag = F.col("__is_left").asc() if allow_exact else F.col("__is_left").desc()
+    tag_order = [ts, tag]
 
     lhs = left.select(
         *[F.col(c) for c in lcols],

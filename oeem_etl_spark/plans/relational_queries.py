@@ -1170,3 +1170,49 @@ def k6_merge_upsert(spark, sf_dir):
     target = dedupe_keep_latest_by(ev.where(F.col("ts") < cutoff), keys, order_cols).select(cols)
     delta = dedupe_keep_latest_by(ev.where(F.col("ts") >= cutoff), keys, order_cols).select(cols)
     return merge_upsert(target, delta, keys, broadcast_delta=True)
+
+
+@query(
+    "c8b_asof_forward",
+    sql="""
+    WITH views AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'view'
+      QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    )
+    SELECT event_id, user_id, next_view_value FROM (
+      SELECT l.event_id, l.user_id, r.value AS next_view_value,
+             row_number() OVER (PARTITION BY l.event_id
+                                ORDER BY r.ts ASC NULLS LAST) AS rn
+      FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+      LEFT JOIN views r ON l.user_id = r.user_id AND r.ts >= l.ts
+    ) WHERE rn = 1
+    """,
+    tier="T2",
+    survey="C8",
+)
+def c8b_asof_forward(spark, sf_dir):
+    """Forward as-of join: each purchase gets the value of the user's NEXT
+    view at-or-after it (next-reading-after semantics; same single-shuffle
+    union+window plan as c8, scanned in reverse)."""
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = dedupe_keep_latest_by(
+        ev.where(F.col("event_type") == "view").select(
+            "user_id", "ts", F.col("value").alias("next_view_value"), "event_id"
+        ),
+        keys=["user_id", "ts"],
+        order_cols=["event_id"],
+    ).drop("event_id")
+    out = asof_join(
+        purchases,
+        views,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=["next_view_value"],
+        allow_exact=True,
+        direction="forward",
+    )
+    return out.select("event_id", "user_id", "next_view_value")

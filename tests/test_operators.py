@@ -342,3 +342,37 @@ def test_int8_quantization_roundtrip_and_recall(spark, sf_dir):
     for qid, evids in per_q.items():
         avids = {vid for (qq, vid) in a if qq == qid}
         assert len(evids & avids) >= 8, (qid, evids, avids)
+
+
+def test_asof_join_forward_exact_semantics(spark):
+    import datetime as dt
+
+    from oeem_etl_spark.operators.relational import asof_join
+
+    t = lambda m: dt.datetime(2024, 1, 1, 0, m)
+    left = spark.createDataFrame(
+        [(1, t(10)), (1, t(30)), (2, t(5))], "k long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, t(10), 100.0), (1, t(20), 200.0), (2, t(1), 300.0)],
+        "k long, ts timestamp, v double",
+    )
+    fwd = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"], direction="forward"
+        ).collect()
+    }
+    # t10 matches the exact-ts right row; t30 has no future row -> null;
+    # k2 t5 matches nothing forward (right is at t1)
+    assert fwd == {(1, t(10)): 100.0, (1, t(30)): None, (2, t(5)): None}
+
+    strict = {
+        (r["k"], r["ts"]): r["v"]
+        for r in asof_join(
+            left, right, ["k"], "ts", "ts", ["v"],
+            allow_exact=False, direction="forward",
+        ).collect()
+    }
+    # strict >: t10 skips the equal-ts row and takes t20
+    assert strict[(1, t(10))] == 200.0
