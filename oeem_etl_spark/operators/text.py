@@ -168,3 +168,35 @@ def fingerprint_winnow(
         widx, lambda i: F.array_min(F.slice(F.col("__hashes"), i + 1, window))
     )
     return h.select(F.col(key), F.array_distinct(mins).alias("fingerprint"))
+
+
+def unigram_logprob_score(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """Per-document mean unigram log-probability under the corpus's own
+    unigram distribution — the SQL-computable stand-in for LM-perplexity
+    quality filtering (low score = tokens rare in the corpus = gibberish
+    or off-distribution; high = stereotypical text).
+
+    Two aggregations over the exploded token stream (corpus frequencies,
+    then per-doc mean of ln p(token)); the frequency table joins on the
+    token with map-side combined counts. Each ln value is quantized to
+    integer micros before the per-doc sum, so the mean is exact integer
+    arithmetic — order-independent across engines/parallelism (the same
+    trick as plans/util.dsum).
+    """
+    toks = df.select(F.col(key), F.explode(tokenize(text_col)).alias("__t"))
+    freq = toks.groupBy("__t").agg(F.count(F.lit(1)).alias("__tf"))
+    total = toks.agg(F.count(F.lit(1)).alias("__n"))
+    logp_micros = F.round(
+        F.log(F.col("__tf") / F.col("__n")) * 1_000_000
+    ).cast("long")
+    scored = (
+        toks.join(freq, "__t")
+        .crossJoin(F.broadcast(total))
+        .select(F.col(key), logp_micros.alias("__lp"))
+    )
+    return scored.groupBy(key).agg(
+        F.round(F.sum("__lp") / F.count("__lp") / F.lit(1_000_000.0), 6).alias(
+            "mean_logprob"
+        ),
+        F.count("__lp").cast("long").alias("n_tokens"),
+    )

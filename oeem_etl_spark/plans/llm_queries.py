@@ -661,3 +661,29 @@ def l3d_int8_topk(spark, sf_dir):
         F.col("vec_id").alias("q_id"), "embedding"
     )
     return int8_topk(emb, queries, k=10)
+
+
+@query(
+    "l24_unigram_logprob",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    freq AS (SELECT t, COUNT(*) AS tf FROM toks GROUP BY t),
+    total AS (SELECT COUNT(*) AS n FROM toks)
+    SELECT doc_id,
+           ROUND(SUM(CAST(ROUND(ln(tf * 1.0 / n) * 1000000) AS BIGINT))
+                 / COUNT(*) / 1000000.0, 6) AS mean_logprob,
+           COUNT(*) AS n_tokens
+    FROM toks JOIN freq USING (t), total
+    GROUP BY doc_id
+    """,
+    tier="T3",
+    survey="L7,H5,H9",
+)
+def l24_unigram_logprob(spark, sf_dir):
+    """Perplexity-proxy quality score: mean unigram log-probability per
+    document under the corpus distribution (micros-exact accumulation, so
+    the float mean hash-matches across engines)."""
+    docs = T(spark, sf_dir, "documents")
+    return text.unigram_logprob_score(docs, "doc_id", "text")
