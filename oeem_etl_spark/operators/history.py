@@ -40,10 +40,11 @@ def scd2_from_events(
     order = [F.col(ts_col).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
     w = Window.partitionBy(key).orderBy(*order)
     vals = [F.col(c) for c in value_cols]
+    # eqNullSafe, not `!=`: ordinary struct comparison returns NULL when a
+    # member is NULL, which would silently swallow null->value transitions.
+    prev = F.lag(F.struct(*vals)).over(w)
     changed = F.when(
-        F.lag(F.struct(*vals)).over(w).isNull()
-        | (F.lag(F.struct(*vals)).over(w) != F.struct(*vals)),
-        F.lit(1),
+        prev.isNull() | ~prev.eqNullSafe(F.struct(*vals)), F.lit(1)
     ).otherwise(F.lit(0))
     runs = df.withColumn("__chg", changed).withColumn(
         "__version", F.sum("__chg").over(w.rowsBetween(Window.unboundedPreceding, 0))
@@ -91,7 +92,7 @@ def diff_snapshots(
     change = (
         F.when(F.col("__ok").isNull(), "insert")
         .when(F.col("__nk").isNull(), "delete")
-        .when(o_struct != n_struct, "update")
+        .when(~o_struct.eqNullSafe(n_struct), "update")  # null-safe: see scd2
     )
     out_vals = [
         F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in value_cols

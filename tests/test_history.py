@@ -46,3 +46,29 @@ def test_diff_snapshots_all_labels(spark):
     # key 2 unchanged -> absent; 1 deleted keeps old value; 3 updated and
     # 4 inserted carry new values
     assert got == {1: ("delete", 10.0), 3: ("update", 99.0), 4: ("insert", 40.0)}
+
+
+def test_scd2_and_cdc_null_value_transitions(spark):
+    """null→value and value→null must register as changes (ordinary struct
+    `!=` returns NULL there and would swallow them)."""
+    rows = [
+        (1, _ts(1), None, 10),
+        (1, _ts(2), "a", 11),   # null -> 'a': new version
+        (1, _ts(3), None, 12),  # 'a' -> null: new version
+        (1, _ts(4), None, 13),  # null -> null: same version
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string, eid long")
+    hist = scd2_from_events(df, "k", "ts", ["v"], tiebreak="eid").collect()
+    assert len(hist) == 3
+    versions = {r["version"]: r["v"] for r in hist}
+    assert versions == {1: None, 2: "a", 3: None}
+
+    old = spark.createDataFrame([(1, None), (2, 5.0), (3, None)], "k long, v double")
+    new = spark.createDataFrame([(1, 7.0), (2, None), (3, None)], "k long, v double")
+    got = {
+        r["k"]: (r["change"], r["v"])
+        for r in diff_snapshots(old, new, "k", ["v"]).collect()
+    }
+    # 1: null->7.0 update; 2: 5.0->null update (value coalesces to old 5.0
+    # since new is null); 3: null->null unchanged
+    assert got == {1: ("update", 7.0), 2: ("update", 5.0)}
