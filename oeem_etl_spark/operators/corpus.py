@@ -106,6 +106,8 @@ def pack_sequences(
     packs are numbered per partition and the window never spans executors'
     memory at scale; a global pack id is ``(partition, pack_id)``.
     """
+    # null token counts contribute 0 to offsets (F.sum skips nulls);
+    # upstream quality gates should have dropped un-tokenizable docs
     tok = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
     part = [partition_by] if partition_by else []
     w = (
@@ -131,7 +133,11 @@ def stratified_mixture_sample(
     each stratum keeps its quota-prefix in (md5(key), key) order. Counting
     and quota math ride one tiny aggregate (broadcast back); the per-row
     work is a window rank within stratum — one shuffle on the stratum key.
-    Strata absent from ``weights`` are dropped.
+    Strata absent from ``weights`` are dropped. A stratum named in
+    ``weights`` but EMPTY in the data is dropped too (scale is the min
+    over strata actually present) — callers requiring every stratum should
+    validate counts first; an exact mixture with a missing stratum would
+    otherwise force an empty sample.
     """
     w_df = df.sparkSession.createDataFrame(
         [(s, float(w)) for s, w in sorted(weights.items())],
