@@ -132,3 +132,112 @@ def standardize_schema(
             c = c.cast(typ)
         cols.append(c.alias(canon))
     return df.select(*cols)
+
+
+def seasonal_baseline(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+) -> DataFrame:
+    """Seasonal usage profile + deviation (K-ext): each row gets the mean
+    of its key's (day-of-week, hour-of-day) cell as ``expected`` and the
+    difference as ``deviation`` — the calendarized baseline at the heart
+    of energy-savings computation (eemeter's modeled-baseline idea reduced
+    to its groupable core).
+
+    Window-free: one aggregate over (keys, dow, hour) then a re-join —
+    both sides shuffle on the same compound key, and the profile side is
+    one row per key-cell (≤ keys×168), so the join is broadcastable per
+    key at any corpus scale. The mean uses integer-micros accumulation so
+    results are engine-exact.
+    """
+    dow = F.dayofweek(F.col(ts))
+    hod = F.hour(F.col(ts))
+    micros = F.round(F.col(value) * 1_000_000).cast("long")
+    cells = (
+        df.select(*keys, dow.alias("__dow"), hod.alias("__hod"), micros.alias("__m"))
+        .groupBy(*keys, "__dow", "__hod")
+        .agg(
+            (F.sum("__m") / F.count("__m") / F.lit(1_000_000.0)).alias("__expected")
+        )
+    )
+    out = df.withColumn("__dow", dow).withColumn("__hod", hod).join(
+        cells, [*keys, "__dow", "__hod"]
+    )
+    return (
+        out.withColumn("expected", F.round("__expected", 6))
+        .withColumn("deviation", F.round(F.col(value) - F.col("__expected"), 6))
+        .drop("__dow", "__hod", "__expected")
+    )
+
+
+def gap_report(
+    df: DataFrame,
+    keys: Sequence[str],
+    bucket: str,
+    freq: str = "hour",
+) -> DataFrame:
+    """Contiguous-gap inventory (K-ext): for each key, the maximal runs of
+    MISSING buckets between observed ones — (keys..., gap_start, gap_end,
+    n_missing), where the gap covers (prev bucket, next bucket) exclusive.
+
+    The fill_gaps complement: instead of materializing the dense grid
+    (unbounded for sparse meters), this reports only the gap intervals —
+    one lag window per key over observed buckets, output cardinality =
+    number of gaps, not missing cells.
+    """
+    step_s = {"hour": 3600, "day": 86400, "minute": 60}[freq]
+    w = Window.partitionBy(*keys).orderBy(bucket)
+    prev = F.lag(F.col(bucket)).over(w)
+    missing = ((F.unix_timestamp(F.col(bucket)) - F.unix_timestamp(prev)) / step_s - 1)
+    return (
+        df.select(*keys, F.col(bucket))
+        .distinct()
+        .withColumn("__prev", prev)
+        .withColumn("__n_missing", missing.cast("long"))
+        .where(F.col("__n_missing") > 0)
+        .select(
+            *keys,
+            (F.col("__prev") + F.expr(f"INTERVAL {step_s} SECONDS")).alias("gap_start"),
+            (F.col(bucket) - F.expr(f"INTERVAL {step_s} SECONDS")).alias("gap_end"),
+            F.col("__n_missing").alias("n_missing"),
+        )
+    )
+
+
+def rolling_zscore_anomalies(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    window_rows: int = 24,
+    threshold: float = 3.0,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Rolling z-score anomaly flags (K-ext): each reading is compared to
+    the mean/stddev of the preceding ``window_rows`` readings of its key;
+    rows with |z| > threshold (and a defined stddev) are returned.
+
+    One window per key ordered by time — state is the frame, no UDF.
+    Emits ``roll_mean``, ``roll_std``, ``zscore`` rounded to 6dp for
+    cross-engine comparability (stddev accumulation is numerically stable
+    in both engines at fixture magnitudes; SURVEY §7.4 #1 applies to sums,
+    not variance, so rounding is the guard here).
+    """
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, -1)
+    )
+    roll_mean = F.avg(value).over(w)
+    roll_std = F.stddev_samp(value).over(w)
+    z = (F.col(value) - roll_mean) / roll_std
+    return (
+        df.withColumn("roll_mean", F.round(roll_mean, 6))
+        .withColumn("roll_std", F.round(roll_std, 6))
+        .withColumn("zscore", F.round(z, 6))
+        .where(F.col("roll_std").isNotNull() & (F.col("roll_std") > 0))
+        .where(F.abs(F.col("zscore")) > threshold)
+    )

@@ -421,3 +421,103 @@ def k14_profile_table(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return profile_table(ev, numeric_cols=["value", "user_id"], string_cols=["event_type"])
+
+
+# ---------------------------------------------------------------------------
+# K-ext: seasonal baseline, gap inventory, anomaly detection
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k15_seasonal_baseline",
+    sql="""
+    WITH cells AS (
+      SELECT user_id, dayofweek(ts) AS dw, hour(ts) AS hr,
+             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / COUNT(*) / 1000000.0
+               AS expected
+      FROM events GROUP BY user_id, dw, hr
+    )
+    SELECT e.event_id, e.value, ROUND(c.expected, 6) AS expected,
+           ROUND(e.value - c.expected, 6) AS deviation
+    FROM events e
+    JOIN cells c ON e.user_id = c.user_id
+                AND dayofweek(e.ts) = c.dw AND hour(e.ts) = c.hr
+    """,
+    tier="T2",
+    survey="K3,D1,H4",
+)
+def k15_seasonal_baseline(spark, sf_dir):
+    """Seasonal (day-of-week × hour-of-day) usage baseline per meter with
+    per-reading deviation — the calendarized-baseline core of the
+    reference ecosystem's savings computation. Day-of-week LABELS differ
+    across engines (Spark 1-7, DuckDB 0-6) but only the cell partitioning
+    matters, and that is identical."""
+    from oeem_etl_spark.operators.timeseries import seasonal_baseline
+
+    ev = T(spark, sf_dir, "events")
+    out = seasonal_baseline(ev, ["user_id"], "ts", "value")
+    return out.select("event_id", "value", "expected", "deviation")
+
+
+@query(
+    "k16_gap_report",
+    sql="""
+    WITH b AS (SELECT DISTINCT user_id, date_trunc('hour', ts) AS bucket
+               FROM events),
+    g AS (SELECT user_id, bucket,
+                 lag(bucket) OVER (PARTITION BY user_id ORDER BY bucket) AS prev
+          FROM b)
+    SELECT user_id,
+           prev + INTERVAL 1 HOUR AS gap_start,
+           bucket - INTERVAL 1 HOUR AS gap_end,
+           CAST((epoch(bucket) - epoch(prev)) / 3600 - 1 AS BIGINT) AS n_missing
+    FROM g
+    WHERE prev IS NOT NULL AND (epoch(bucket) - epoch(prev)) / 3600 - 1 > 0
+    """,
+    tier="T2",
+    survey="K4,E2,H4",
+)
+def k16_gap_report(spark, sf_dir):
+    """Contiguous-gap inventory over hourly meter buckets: the fill_gaps
+    complement — reports gap INTERVALS (output = #gaps) instead of
+    materializing missing cells (output = #missing), the right shape for
+    sparse meters at scale."""
+    from oeem_etl_spark.operators.timeseries import gap_report
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket")
+    )
+    return gap_report(ev, ["user_id"], "bucket", freq="hour")
+
+
+@query(
+    "k17_zscore_anomalies",
+    sql="""
+    SELECT event_id, user_id, value, roll_mean, roll_std, zscore FROM (
+      SELECT event_id, user_id, value,
+             ROUND(m, 6) AS roll_mean, ROUND(s, 6) AS roll_std,
+             ROUND((value - m) / s, 6) AS zscore
+      FROM (
+        SELECT event_id, user_id, value,
+               AVG(value) OVER w AS m, STDDEV_SAMP(value) OVER w AS s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+      )
+    ) WHERE roll_std IS NOT NULL AND roll_std > 0 AND ABS(zscore) > 3
+    """,
+    tier="T2",
+    survey="E3,D3,K9",
+)
+def k17_zscore_anomalies(spark, sf_dir):
+    """Rolling z-score anomaly detection per meter: each reading vs the
+    mean/std of its 24 preceding readings, |z| > 3 flagged (meter-fault
+    screening). Pure window frame — no state, no UDF."""
+    from oeem_etl_spark.operators.timeseries import rolling_zscore_anomalies
+
+    ev = T(spark, sf_dir, "events")
+    out = rolling_zscore_anomalies(
+        ev, ["user_id"], "ts", "value", window_rows=24, threshold=3.0,
+        tiebreak="event_id",
+    )
+    return out.select("event_id", "user_id", "value", "roll_mean", "roll_std", "zscore")
