@@ -241,3 +241,108 @@ def rolling_zscore_anomalies(
         .where(F.col("roll_std").isNotNull() & (F.col("roll_std") > 0))
         .where(F.abs(F.col("zscore")) > threshold)
     )
+
+
+def synthetic_daily_temperature(day_col: Column) -> Column:
+    """Deterministic pseudo-weather: md5-derived daily temperature in
+    [-5, 30) °C from the date string — integer arithmetic only, so any
+    engine reproduces it bit-for-bit (no trig, no RNG; stands in for a
+    real weather join until a station feed exists — the join shape is the
+    real deliverable, per the multimodal-stub convention)."""
+    h = F.md5(day_col.cast("date").cast("string"))
+    hi = F.ascii(F.substring(h, 1, 1))
+    lo = F.ascii(F.substring(h, 2, 1))
+    bucket = F.pmod(hi * 256 + lo, F.lit(3500))  # [0, 3500)
+    return F.round(bucket / 100.0 - 5.0, 2)  # [-5.00, 30.00)
+
+
+def degree_day_normalize(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    base_temp: float = 18.0,
+) -> DataFrame:
+    """Degree-day-normalized usage intensity per key-month (K-ext): join
+    each reading's day to (synthetic) daily temperature, derive heating /
+    cooling degree days, and aggregate usage per HDD/CDD — the eemeter-
+    style weather normalization reduced to its relational core.
+
+    Output: (keys..., month, usage_total, hdd_total, cdd_total,
+    usage_per_hdd, usage_per_cdd) with micros-exact sums; per-degree-day
+    intensities NULL when the month has no degree days of that kind.
+    """
+    day = F.date_trunc("day", F.col(ts))
+    temp = synthetic_daily_temperature(day)
+    hdd = F.greatest(F.lit(0.0), F.round(F.lit(base_temp) - temp, 2))
+    cdd = F.greatest(F.lit(0.0), F.round(temp - F.lit(base_temp), 2))
+    vm = F.round(F.col(value) * 1_000_000).cast("long")
+    hm = F.round(hdd * 1_000_000).cast("long")
+    cm = F.round(cdd * 1_000_000).cast("long")
+    per = (
+        df.select(
+            *keys,
+            F.date_trunc("month", F.col(ts)).alias("month"),
+            vm.alias("__vm"),
+            hm.alias("__hm"),
+            cm.alias("__cm"),
+        )
+        .groupBy(*keys, "month")
+        .agg(
+            F.sum("__vm").alias("__v"), F.sum("__hm").alias("__h"), F.sum("__cm").alias("__c")
+        )
+    )
+    return per.select(
+        *keys,
+        "month",
+        F.round(F.col("__v") / 1_000_000.0, 6).alias("usage_total"),
+        F.round(F.col("__h") / 1_000_000.0, 6).alias("hdd_total"),
+        F.round(F.col("__c") / 1_000_000.0, 6).alias("cdd_total"),
+        F.when(F.col("__h") > 0, F.round(F.col("__v") / F.col("__h"), 6)).alias(
+            "usage_per_hdd"
+        ),
+        F.when(F.col("__c") > 0, F.round(F.col("__v") / F.col("__c"), 6)).alias(
+            "usage_per_cdd"
+        ),
+    )
+
+
+def period_savings(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    cutoff: str,
+) -> DataFrame:
+    """Baseline-vs-reporting comparison per key (K-ext): mean usage per
+    reading before the cutoff (baseline) and at-or-after it (reporting),
+    plus absolute and fractional savings — the project-level output shape
+    of the reference ecosystem (baseline_period_end /
+    reporting_period_start semantics).
+
+    Keys with an empty side report NULL savings rather than dropping.
+    Single aggregation pass (conditional micros sums).
+    """
+    cut = F.lit(cutoff).cast("timestamp")
+    vm = F.round(F.col(value) * 1_000_000).cast("long")
+    is_base = F.col(ts) < cut
+    agg = df.groupBy(*keys).agg(
+        F.sum(F.when(is_base, vm)).alias("__bv"),
+        F.count(F.when(is_base, F.lit(1))).alias("__bn"),
+        F.sum(F.when(~is_base, vm)).alias("__rv"),
+        F.count(F.when(~is_base, F.lit(1))).alias("__rn"),
+    )
+    base_avg = F.col("__bv") / F.col("__bn") / F.lit(1_000_000.0)
+    rep_avg = F.col("__rv") / F.col("__rn") / F.lit(1_000_000.0)
+    return agg.select(
+        *keys,
+        F.col("__bn").alias("n_baseline"),
+        F.col("__rn").alias("n_reporting"),
+        F.round(base_avg, 6).alias("baseline_avg"),
+        F.round(rep_avg, 6).alias("reporting_avg"),
+        F.round(base_avg - rep_avg, 6).alias("savings_abs"),
+        F.when(
+            (F.col("__bn") > 0) & (F.col("__rn") > 0) & (F.col("__bv") != 0),
+            F.round((base_avg - rep_avg) / base_avg, 6),
+        ).alias("savings_frac"),
+    )

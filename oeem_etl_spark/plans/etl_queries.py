@@ -521,3 +521,85 @@ def k17_zscore_anomalies(spark, sf_dir):
         tiebreak="event_id",
     )
     return out.select("event_id", "user_id", "value", "roll_mean", "roll_std", "zscore")
+
+
+@query(
+    "k18_degree_day_normalize",
+    sql="""
+    WITH temps AS (
+      SELECT event_id, user_id, ts, value,
+             ROUND(((ascii(substring(md5(CAST(CAST(date_trunc('day', ts) AS DATE)
+                                              AS VARCHAR)), 1, 1)) * 256
+                     + ascii(substring(md5(CAST(CAST(date_trunc('day', ts) AS DATE)
+                                                AS VARCHAR)), 2, 1))) % 3500)
+                   / 100.0 - 5.0, 2) AS temp
+      FROM events
+    ),
+    dd AS (
+      SELECT user_id, date_trunc('month', ts) AS month,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS vm,
+             CAST(ROUND(GREATEST(0.0, ROUND(18.0 - temp, 2)) * 1000000) AS BIGINT) AS hm,
+             CAST(ROUND(GREATEST(0.0, ROUND(temp - 18.0, 2)) * 1000000) AS BIGINT) AS cm
+      FROM temps
+    ),
+    agg AS (
+      SELECT user_id, month, SUM(vm) AS v, SUM(hm) AS h, SUM(cm) AS c
+      FROM dd GROUP BY user_id, month
+    )
+    SELECT user_id, month,
+           ROUND(v / 1000000.0, 6) AS usage_total,
+           ROUND(h / 1000000.0, 6) AS hdd_total,
+           ROUND(c / 1000000.0, 6) AS cdd_total,
+           CASE WHEN h > 0 THEN ROUND(v * 1.0 / h, 6) END AS usage_per_hdd,
+           CASE WHEN c > 0 THEN ROUND(v * 1.0 / c, 6) END AS usage_per_cdd
+    FROM agg
+    """,
+    tier="T2",
+    survey="K8,K3,H6,H4",
+)
+def k18_degree_day_normalize(spark, sf_dir):
+    """Degree-day weather normalization per meter-month (eemeter's core
+    idea as a relational composition). Daily temperature is a DETERMINISTIC
+    md5-derived synthetic (documented stub — the join/aggregation shape is
+    the deliverable; swap in a real weather dimension at will)."""
+    from oeem_etl_spark.operators.timeseries import degree_day_normalize
+
+    ev = T(spark, sf_dir, "events")
+    out = degree_day_normalize(ev, ["user_id"], "ts", "value")
+    # DuckDB's date_trunc('month') yields DATE; align the kind
+    return out.withColumn("month", F.col("month").cast("date"))
+
+
+@query(
+    "k19_period_savings",
+    sql="""
+    WITH agg AS (
+      SELECT user_id,
+             SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                      THEN CAST(ROUND(value * 1000000) AS BIGINT) END) AS bv,
+             COUNT(CASE WHEN ts < TIMESTAMP '2024-01-15' THEN 1 END) AS bn,
+             SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                      THEN CAST(ROUND(value * 1000000) AS BIGINT) END) AS rv,
+             COUNT(CASE WHEN ts >= TIMESTAMP '2024-01-15' THEN 1 END) AS rn
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, bn AS n_baseline, rn AS n_reporting,
+           ROUND(bv / bn / 1000000.0, 6) AS baseline_avg,
+           ROUND(rv / rn / 1000000.0, 6) AS reporting_avg,
+           ROUND(bv / bn / 1000000.0 - rv / rn / 1000000.0, 6) AS savings_abs,
+           CASE WHEN bn > 0 AND rn > 0 AND bv <> 0
+                THEN ROUND((bv / bn / 1000000.0 - rv / rn / 1000000.0)
+                           / (bv / bn / 1000000.0), 6) END AS savings_frac
+    FROM agg
+    """,
+    tier="T2",
+    survey="K7,K9,D1,B4",
+)
+def k19_period_savings(spark, sf_dir):
+    """Baseline-vs-reporting savings per meter around a cutoff — the
+    project-level output of the reference ecosystem (baseline_period_end /
+    reporting_period_start), one conditional-aggregate pass."""
+    from oeem_etl_spark.operators.timeseries import period_savings
+
+    ev = T(spark, sf_dir, "events")
+    return period_savings(ev, ["user_id"], "ts", "value", "2024-01-15")
