@@ -376,3 +376,46 @@ def test_asof_join_forward_exact_semantics(spark):
     }
     # strict >: t10 skips the equal-ts row and takes t20
     assert strict[(1, t(10))] == 200.0
+
+
+def test_period_savings_empty_sides_and_fraction(spark):
+    import datetime as dt
+
+    from oeem_etl_spark.operators.timeseries import period_savings
+
+    t = lambda d: dt.datetime(2024, 1, d)
+    rows = [
+        (1, t(1), 10.0), (1, t(2), 20.0),   # baseline avg 15
+        (1, t(20), 6.0),                    # reporting avg 6 -> 60% savings
+        (2, t(1), 5.0),                     # baseline only
+        (3, t(20), 7.0),                    # reporting only
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {
+        r["k"]: (
+            r["n_baseline"], r["n_reporting"],
+            r["baseline_avg"], r["reporting_avg"], r["savings_frac"],
+        )
+        for r in period_savings(df, ["k"], "ts", "v", "2024-01-15").collect()
+    }
+    assert got[1] == (2, 1, 15.0, 6.0, 0.6)
+    assert got[2] == (1, 0, 5.0, None, None)
+    assert got[3] == (0, 1, None, 7.0, None)
+
+
+def test_gap_report_exact_intervals(spark):
+    import datetime as dt
+
+    from oeem_etl_spark.operators.timeseries import gap_report
+
+    h = lambda n: dt.datetime(2024, 1, 1, n)
+    df = spark.createDataFrame(
+        [(1, h(0)), (1, h(1)), (1, h(4)), (1, h(5)), (2, h(0)), (2, h(2))],
+        "k long, bucket timestamp",
+    )
+    got = sorted(
+        (r["k"], r["gap_start"], r["gap_end"], r["n_missing"])
+        for r in gap_report(df, ["k"], "bucket").collect()
+    )
+    # k1: hours 2-3 missing; k2: hour 1 missing
+    assert got == [(1, h(2), h(3), 2), (2, h(1), h(1), 1)]
