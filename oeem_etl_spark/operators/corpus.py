@@ -194,3 +194,64 @@ def repetition_stats(df: DataFrame, key: str, text_col: str) -> DataFrame:
         dup_frac.alias("dup_bigram_frac"),
         F.round(top_cnt / n_tok, 6).alias("top_token_frac"),
     )
+
+
+def pack_sequences_no_straddle(
+    df: DataFrame,
+    key: str,
+    n_tokens: str,
+    budget: int,
+    partition_by: str,
+) -> DataFrame:
+    """Bin packing WITHOUT document straddling: first-fit-decreasing within
+    each ``partition_by`` shard — documents larger than ``budget`` get a
+    pack of their own (flagged ``oversize``).
+
+    Unlike :func:`pack_sequences` (concat-then-chunk, pure window math),
+    no-straddle packing is inherently sequential per shard, so this is the
+    grouped-map (applyInPandas) surface used for real work: each shard's
+    rows arrive as one pandas frame, FFD runs in-memory, Arrow carries the
+    batches. Shards are the parallelism unit — size them so a shard's doc
+    METADATA (key + token count, not text) fits an executor; at 100 TB
+    that's millions of docs per shard, far beyond what FFD needs.
+    Deterministic: FFD processes (tokens desc, key asc).
+    """
+    import pandas as pd
+
+    out_schema = (
+        f"{partition_by} string, {key} long, {n_tokens} long, "
+        "pack_id long, oversize boolean"
+    )
+
+    def ffd(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values([n_tokens, key], ascending=[False, True])
+        bins: list[int] = []  # remaining capacity per pack
+        pack_ids = []
+        oversize = []
+        for tok in pdf[n_tokens]:
+            tok = int(tok)
+            if tok >= budget:
+                bins.append(0)
+                pack_ids.append(len(bins) - 1)
+                oversize.append(True)
+                continue
+            for i, rem in enumerate(bins):
+                if rem >= tok:
+                    bins[i] = rem - tok
+                    pack_ids.append(i)
+                    break
+            else:
+                bins.append(budget - tok)
+                pack_ids.append(len(bins) - 1)
+            oversize.append(False)
+        pdf = pdf.copy()
+        pdf["pack_id"] = pack_ids
+        pdf["oversize"] = oversize
+        return pdf[[partition_by, key, n_tokens, "pack_id", "oversize"]]
+
+    src = df.select(
+        F.col(partition_by).cast("string").alias(partition_by),
+        F.col(key).cast("long").alias(key),
+        F.col(n_tokens).cast("long").alias(n_tokens),
+    )
+    return src.groupBy(partition_by).applyInPandas(ffd, out_schema)

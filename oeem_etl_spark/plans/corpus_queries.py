@@ -161,3 +161,18 @@ def l22_repetition_stats(spark, sf_dir):
         "dup_bigram_frac",
         "top_token_frac",
     )
+
+
+@query("l20b_pack_no_straddle", sql=None, tier="T3", survey="J3,E3")
+def l20b_pack_no_straddle(spark, sf_dir):
+    """No-straddle first-fit-decreasing packing per source shard
+    (applyInPandas grouped-map; FFD is deterministic but not
+    SQL-expressible → rows-only; exact fixtures in tests/test_corpus.py)."""
+    from oeem_etl_spark.operators.corpus import pack_sequences_no_straddle
+
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return pack_sequences_no_straddle(
+        docs, "doc_id", "n_tokens", budget=256, partition_by="source"
+    )

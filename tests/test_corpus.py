@@ -123,3 +123,31 @@ def test_decontaminate_hashed_equals_exact(spark, sf_dir):
         for r in decontaminate(rest, ev, "doc_id", "text", hash_grams=True).collect()
     )
     assert exact == hashed
+
+
+def test_pack_no_straddle_ffd(spark):
+    from oeem_etl_spark.operators.corpus import pack_sequences_no_straddle
+
+    rows = [
+        ("s", 1, 60), ("s", 2, 50), ("s", 3, 40), ("s", 4, 30),
+        ("s", 5, 150),  # oversize
+        ("t", 6, 10),
+    ]
+    df = spark.createDataFrame(rows, "shard string, doc_id long, n_tokens int")
+    out = pack_sequences_no_straddle(df, "doc_id", "n_tokens", budget=100, partition_by="shard")
+    got = {r["doc_id"]: (r["pack_id"], r["oversize"]) for r in out.collect()}
+    # FFD order within shard s: 150(oversize, own pack 0), 60->pack1,
+    # 50->pack2, 40->pack1 (60+40=100 fits), 30->pack2 (50+30=80)
+    assert got[5] == (0, True)
+    assert got[1] == (1, False) and got[3] == (1, False)
+    assert got[2] == (2, False) and got[4] == (2, False)
+    assert got[6] == (0, False)
+    # no pack over budget (excluding oversize singletons)
+    sums = {}
+    for doc, (pack, over) in got.items():
+        if not over:
+            shard = "s" if doc <= 5 else "t"
+            sums[(shard, pack)] = sums.get((shard, pack), 0) + dict(
+                (r[1], r[2]) for r in rows
+            )[doc]
+    assert all(v <= 100 for v in sums.values()), sums
