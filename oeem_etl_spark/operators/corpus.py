@@ -255,3 +255,43 @@ def pack_sequences_no_straddle(
         F.col(n_tokens).cast("long").alias(n_tokens),
     )
     return src.groupBy(partition_by).applyInPandas(ffd, out_schema)
+
+
+def chunk_documents(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    chunk_tokens: int = 128,
+    stride: int = 64,
+) -> DataFrame:
+    """Split documents into overlapping token windows (RAG / pretraining
+    chunking): chunk i covers tokens [i·stride, i·stride + chunk_tokens),
+    last chunk may be short, documents shorter than one chunk yield one
+    chunk. Output: (key, chunk_id, chunk_text, n_chunk_tokens).
+
+    Pure array expressions — tokens materialized once per doc (the
+    split-in-lambda trap), starts generated with sequence(), windows cut
+    with slice(); one generator, no shuffle. Chunk count per doc is
+    ceil(max(n - chunk_tokens, 0) / stride) + 1.
+    """
+    toks = df.select(F.col(key), tokenize(text_col).alias("__toks"))
+    n = F.size("__toks")
+    n_chunks = (
+        F.ceil(F.greatest(n - chunk_tokens, F.lit(0)) / F.lit(stride)).cast("int") + 1
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = toks.select(
+        F.col(key),
+        F.posexplode(
+            F.transform(
+                starts,
+                lambda i: F.slice(F.col("__toks"), i * stride + 1, chunk_tokens),
+            )
+        ).alias("chunk_id", "__chunk"),
+    )
+    return chunks.select(
+        F.col(key),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
+        F.size("__chunk").cast("long").alias("n_chunk_tokens"),
+    )

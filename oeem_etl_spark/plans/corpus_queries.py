@@ -176,3 +176,30 @@ def l20b_pack_no_straddle(spark, sf_dir):
     return pack_sequences_no_straddle(
         docs, "doc_id", "n_tokens", budget=256, partition_by="source"
     )
+
+
+@query(
+    "l25_chunk_documents",
+    sql="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(0, CAST(ceil(greatest(len(t) - 128, 0) / 64.0) AS BIGINT) + 1))
+               AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, chunk_id,
+           array_to_string(t[chunk_id * 64 + 1 : chunk_id * 64 + 128], ' ')
+             AS chunk_text,
+           len(t[chunk_id * 64 + 1 : chunk_id * 64 + 128]) AS n_chunk_tokens
+    FROM starts
+    """,
+    tier="T3",
+    survey="H7,H9,L5",
+)
+def l25_chunk_documents(spark, sf_dir):
+    """Overlapping token-window chunking (128-token chunks, stride 64) —
+    the RAG/pretraining windowing staple; chunk boundaries and counts are
+    pure integer arithmetic, fully oracle-checkable."""
+    docs = T(spark, sf_dir, "documents")
+    return corpus.chunk_documents(docs, "doc_id", "text", chunk_tokens=128, stride=64)

@@ -151,3 +151,26 @@ def test_pack_no_straddle_ffd(spark):
                 (r[1], r[2]) for r in rows
             )[doc]
     assert all(v <= 100 for v in sums.values()), sums
+
+
+def test_chunk_documents_boundaries(spark):
+    from oeem_etl_spark.operators.corpus import chunk_documents
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c"),                      # shorter than one chunk
+            (2, " ".join(f"t{i}" for i in range(10))),  # exactly 2 chunks + tail
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        (r["doc_id"], r["chunk_id"]): (r["chunk_text"], r["n_chunk_tokens"])
+        for r in chunk_documents(docs, "doc_id", "text", chunk_tokens=6, stride=3).collect()
+    }
+    assert out[(1, 0)] == ("a b c", 3)
+    assert (1, 1) not in out
+    # doc 2 (10 tokens, chunk 6, stride 3): ceil((10-6)/3)+1 = 3 chunks
+    assert out[(2, 0)] == ("t0 t1 t2 t3 t4 t5", 6)
+    assert out[(2, 1)] == ("t3 t4 t5 t6 t7 t8", 6)
+    assert out[(2, 2)] == ("t6 t7 t8 t9", 4)
+    assert len([k for k in out if k[0] == 2]) == 3
