@@ -143,3 +143,32 @@ def test_t10_scans_prune_columns(spark, sf_dir):
         s <= {"l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"}
         for s in li_reads
     ), li_reads
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The three join strategies must be selectable per side — at cluster
+    scale the right pick is data-dependent and the hints are the override
+    when AQE/statistics guess wrong."""
+    from oeem_etl_spark.catalog import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey")
+    cases = {
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+        "broadcast": "BroadcastHashJoin",
+    }
+    for hint, node in cases.items():
+        plan = plan_of(
+            li.join(orders.hint(hint), F.col("l_orderkey") == F.col("o_orderkey"))
+        )
+        assert node in plan, (hint, plan[:500])
+
+
+def test_t08_eight_way_join_stays_broadcast(spark, sf_dir):
+    """The deepest join chain (Q8 shape) must not shuffle the fact for any
+    of its seven dimension attachments."""
+    q = registry.queries()["t08_market_share"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
