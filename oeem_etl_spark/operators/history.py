@@ -94,8 +94,13 @@ def diff_snapshots(
         .when(F.col("__nk").isNull(), "delete")
         .when(~o_struct.eqNullSafe(n_struct), "update")  # null-safe: see scd2
     )
+    # Per-column values come from the surviving side: old for delete, new
+    # otherwise.  NOT coalesce(new, old) — an update that sets a value column
+    # to NULL must emit NULL, not the stale old value.
+    is_delete = F.col("__nk").isNull()
     out_vals = [
-        F.coalesce(F.col(f"__n_{c}"), F.col(f"__o_{c}")).alias(c) for c in value_cols
+        F.when(is_delete, F.col(f"__o_{c}")).otherwise(F.col(f"__n_{c}")).alias(c)
+        for c in value_cols
     ]
     return (
         j.withColumn("change", change)

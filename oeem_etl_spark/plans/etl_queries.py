@@ -363,8 +363,8 @@ def k12_scd2_history(spark, sf_dir):
       SELECT COALESCE(n.user_id, o.user_id) AS user_id,
              CASE WHEN o.user_id IS NULL THEN 'insert'
                   WHEN n.user_id IS NULL THEN 'delete'
-                  WHEN n.value <> o.value THEN 'update' END AS change,
-             COALESCE(n.value, o.value) AS value
+                  WHEN n.value IS DISTINCT FROM o.value THEN 'update' END AS change,
+             CASE WHEN n.user_id IS NULL THEN o.value ELSE n.value END AS value
       FROM old o FULL JOIN new n ON o.user_id = n.user_id
     ) WHERE change IS NOT NULL
     """,

@@ -69,6 +69,7 @@ def test_scd2_and_cdc_null_value_transitions(spark):
         r["k"]: (r["change"], r["v"])
         for r in diff_snapshots(old, new, "k", ["v"]).collect()
     }
-    # 1: null->7.0 update; 2: 5.0->null update (value coalesces to old 5.0
-    # since new is null); 3: null->null unchanged
-    assert got == {1: ("update", 7.0), 2: ("update", 5.0)}
+    # 1: null->7.0 update; 2: 5.0->null update carrying the NEW (null)
+    # value — emitting the stale 5.0 would break CDC apply-back; 3:
+    # null->null unchanged
+    assert got == {1: ("update", 7.0), 2: ("update", None)}

@@ -271,7 +271,20 @@ def test_scd2_current_rows_equal_keep_latest(spark, rows):
         assert vers[-1][2] is None
 
 
-@given(old=kv_rows, new=kv_rows)
+# Nullable values: updates that set a column to NULL must emit NULL (a
+# coalesce(new, old) projection would leak the stale old value — ADVICE r1).
+nullable_kv_rows = st.lists(
+    st.tuples(
+        st.integers(0, 5),
+        st.integers(0, 10),
+        st.one_of(st.none(), st.integers(-1000, 1000)),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(old=nullable_kv_rows, new=nullable_kv_rows)
 @settings(**SETTINGS)
 def test_diff_snapshots_applies_back_to_new(spark, old, new):
     """Applying the CDC diff to the old snapshot reproduces the new one:

@@ -5,6 +5,7 @@ driver does), at one or more scale-factor directories.
 Usage:
     python tools/verify_all.py                 # sf0.01 (the driver's gate)
     python tools/verify_all.py sf0.001 sf0.1   # other/multiple sf dirs
+    python tools/verify_all.py sf0.01 --only k13,l2   # substring filter
 
 Exit code 0 iff every oracle query matches (row count + repr-sorted
 values) and every rows-only query executes. Known benign repr diff: none —
@@ -27,7 +28,13 @@ TABLES = [
 
 
 def main() -> int:
-    sfs = sys.argv[1:] or ["sf0.01"]
+    argv = sys.argv[1:]
+    only: list[str] = []
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        argv = argv[:i] + argv[i + 2 :]
+    sfs = argv or ["sf0.01"]
     repo = Path(__file__).resolve().parents[1]
     spec = importlib.util.spec_from_file_location(
         "__spark_entry__", repo / "__spark_entry__.py"
@@ -46,6 +53,9 @@ def main() -> int:
     print("entry rows:", len(mod.entry(spark).collect()))
 
     qs, osql = mod.queries(), mod.oracle_sql()
+    if only:
+        qs = {k: v for k, v in qs.items() if any(p in k for p in only)}
+        osql = {k: v for k, v in osql.items() if k in qs}
     failures = 0
     for sf in sfs:
         sf_dir = sf if "/" in sf else f"/root/testdata/{sf}"
