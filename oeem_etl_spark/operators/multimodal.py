@@ -1,17 +1,25 @@
-"""Multimodal column plumbing (SURVEY.md §2.L8).
+"""Multimodal column plumbing + real pure-Python codecs (SURVEY.md §2.L8).
 
 Image/audio/video payloads are opaque ``binary`` columns + a typed
 metadata struct. The Spark-side plumbing — schema, partition-friendly
-layout, Arrow-batched UDF signatures, batch shapes — is real and tested;
-the actual codec work is stubbed (no image/audio libraries in this
-container) behind ``decode_image``, which raises NotImplementedError, and
-``fake_features``, a deterministic stand-in with the same dataflow shape.
+layout, Arrow-batched UDF signatures, batch shapes — is real and tested.
+
+Codecs: two public formats are decoded for real, with no third-party
+libraries — binary **PPM (P6)** images and **RIFF/WAV PCM** audio
+(8/16-bit), both ~30-line parsers over numpy. ``image_features`` /
+``audio_features`` run them inside mapInPandas, one Arrow batch per core.
+Formats that genuinely need codec libraries (JPEG/PNG/MP3/H.264) still
+raise NotImplementedError from ``decode_image`` — honest boundary, the
+dataflow is identical. ``extract_features`` remains the deterministic
+hash-projection embedding stand-in for arbitrary payloads (SURVEY §2.L9
+specifies the stub); the decode paths below are the real L8 surface.
 """
 
 from __future__ import annotations
 
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -56,15 +64,123 @@ def to_multimodal(df: DataFrame, key: str, payload_col: str, mime: str) -> DataF
     )
 
 
-def decode_image(content: bytes) -> "object":
-    """Real decode would use PIL/libvips — STUB: not available here.
+# ---------------------------------------------------------------------------
+# Real pure-Python codecs: PPM (P6) and WAV PCM
+# ---------------------------------------------------------------------------
 
-    Cited design: at scale this runs inside ``extract_features``'s
-    mapInPandas loop, one Arrow batch of payloads at a time, never
-    materializing more than a batch per core.
-    """
+
+def _ppm_tokens(buf: bytes, n: int) -> tuple[list[int], int]:
+    """Read ``n`` whitespace-separated integer header tokens from a PPM,
+    skipping ``#`` comments; returns (tokens, offset past final token's
+    single trailing whitespace byte)."""
+    toks: list[int] = []
+    i = 0
+    while len(toks) < n:
+        if i >= len(buf):
+            raise ValueError("truncated PPM header")
+        c = buf[i : i + 1]
+        if c == b"#":
+            while i < len(buf) and buf[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(buf) and not buf[j : j + 1].isspace():
+                j += 1
+            toks.append(int(buf[i:j]))
+            i = j + (1 if len(toks) == n else 0)  # final token: exactly one ws
+    return toks, i
+
+
+def decode_ppm(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a binary PPM (P6): returns (width, height, uint8 array of
+    shape (height, width, 3)). Pure Python + numpy, no codec libraries."""
+    if content[:2] != b"P6":
+        raise ValueError(f"not a P6 PPM: magic {content[:2]!r}")
+    (width, height, maxval), off = _ppm_tokens(content[2:], 3)
+    off += 2
+    if maxval != 255:
+        raise ValueError(f"only 8-bit PPM supported, maxval={maxval}")
+    n = width * height * 3
+    raster = content[off : off + n]
+    if len(raster) != n:
+        raise ValueError(f"PPM raster truncated: {len(raster)} != {n}")
+    return width, height, np.frombuffer(raster, dtype=np.uint8).reshape(height, width, 3)
+
+
+def encode_ppm(pixels: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as binary PPM (P6)."""
+    h, w, _ = pixels.shape
+    return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
+
+
+def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode RIFF/WAV PCM (8- or 16-bit): returns (sample_rate,
+    n_channels, float64 samples in [-1, 1] of shape (n_frames, n_channels)).
+    Walks the chunk list properly (handles extra chunks, word alignment)."""
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE file")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid = content[pos : pos + 4]
+        size = int.from_bytes(content[pos + 4 : pos + 8], "little")
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = body
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    audio_format = int.from_bytes(fmt[0:2], "little")
+    n_channels = int.from_bytes(fmt[2:4], "little")
+    sample_rate = int.from_bytes(fmt[4:8], "little")
+    bits = int.from_bytes(fmt[14:16], "little")
+    if audio_format != 1:
+        raise ValueError(f"only PCM supported, format={audio_format}")
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2") / 32768.0
+    elif bits == 8:
+        samples = (np.frombuffer(data, dtype=np.uint8) - 128.0) / 128.0
+    else:
+        raise ValueError(f"only 8/16-bit PCM supported, bits={bits}")
+    n_frames = len(samples) // n_channels
+    return sample_rate, n_channels, samples[: n_frames * n_channels].reshape(
+        n_frames, n_channels
+    )
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
+    """Encode float samples in [-1, 1] (1-D mono or (frames, ch)) as
+    16-bit PCM WAV."""
+    arr = np.atleast_2d(np.asarray(samples, dtype=np.float64))
+    if arr.shape[0] == 1 and arr.ndim == 2 and np.asarray(samples).ndim == 1:
+        arr = arr.T
+    n_ch = arr.shape[1]
+    pcm = np.clip(np.round(arr * 32768.0), -32768, 32767).astype("<i2").tobytes()
+    fmt = (
+        (1).to_bytes(2, "little")
+        + n_ch.to_bytes(2, "little")
+        + sample_rate.to_bytes(4, "little")
+        + (sample_rate * n_ch * 2).to_bytes(4, "little")
+        + (n_ch * 2).to_bytes(2, "little")
+        + (16).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(pcm).to_bytes(4, "little") + pcm
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an image payload by magic sniffing. PPM (P6) decodes for
+    real; formats that need codec libraries (JPEG/PNG) raise — that part
+    of the boundary is honest, the mapInPandas dataflow is identical."""
+    if content[:2] == b"P6":
+        return decode_ppm(content)
     raise NotImplementedError(
-        "image decoding requires PIL/libvips, not present in this environment"
+        f"no pure-Python decoder for magic {bytes(content[:4])!r}; "
+        "JPEG/PNG need PIL/libvips, not present in this environment"
     )
 
 
@@ -99,6 +215,124 @@ def extract_features(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(fn, schema)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """REAL image decode + feature extraction over multimodal rows
+    (PPM payloads): mapInPandas, one Arrow batch per core, emits
+    (asset_id, width, height, mean_r, mean_g, mean_b, n_bytes).
+    Per-channel means are float64 over all pixels, rounded 6dp — exact
+    for solid-color fixtures, closed-form-checkable for gradients."""
+    schema = (
+        "asset_id long, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, n_bytes long"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, px = decode_ppm(bytes(content))
+                mr, mg, mb = px.astype(np.float64).mean(axis=(0, 1))
+                rows.append(
+                    (aid, w, h, round(mr, 6), round(mg, 6), round(mb, 6), len(content))
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "width", "height",
+                    "mean_r", "mean_g", "mean_b", "n_bytes",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def audio_features(df: DataFrame) -> DataFrame:
+    """REAL audio decode + feature extraction (WAV PCM payloads): emits
+    (asset_id, sample_rate, n_channels, duration_s, mean_abs, rms).
+    duration_s = frames / rate; mean_abs and rms over all samples, 6dp."""
+    schema = (
+        "asset_id long, sample_rate int, n_channels int, "
+        "duration_s double, mean_abs double, rms double"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                rate, n_ch, samples = decode_wav(bytes(content))
+                rows.append(
+                    (
+                        aid, rate, n_ch,
+                        round(samples.shape[0] / rate, 6),
+                        round(float(np.abs(samples).mean()), 6),
+                        round(float(np.sqrt((samples**2).mean())), 6),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id", "sample_rate", "n_channels",
+                    "duration_s", "mean_abs", "rms",
+                ],
+            )
+
+    return df.mapInPandas(fn, schema)
+
+
+def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """REAL nearest-neighbor resize of PPM payloads (numpy integer
+    indexing, no codec libs): content is re-encoded PPM at (out_w, out_h),
+    meta carries the new dims. Same canonical multimodal schema out."""
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, px = decode_ppm(bytes(content))
+                ys = (np.arange(out_h) * h) // out_h
+                xs = (np.arange(out_w) * w) // out_w
+                resized = encode_ppm(px[ys][:, xs])
+                out.append(
+                    (
+                        aid,
+                        resized,
+                        {
+                            "mime": "image/x-portable-pixmap",
+                            "width": out_w,
+                            "height": out_h,
+                            "n_bytes": len(resized),
+                        },
+                    )
+                )
+            yield pd.DataFrame(out, columns=["asset_id", "content", "meta"])
+
+    return df.mapInPandas(fn, MULTIMODAL_SCHEMA)
+
+
+def frame_extract(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """REAL video-frame sampling over the naive container "concatenated
+    equal-size PPM frames": reads the first frame header to get the frame
+    byte size, slices every ``every_n``-th frame's actual bytes, emits
+    (asset_id, frame_idx, frame) with each frame a standalone PPM.
+    Byte-slicing happens Python-side per Arrow batch; a real container
+    (MP4) would swap the slicer for a demuxer with the same shape."""
+    frame_schema = "asset_id long, frame_idx int, frame binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                buf = bytes(content)
+                w, h, _ = decode_ppm(buf)  # validates 1st frame, gives dims
+                hdr = buf.index(b"\n255\n") + 5
+                fsize = hdr + w * h * 3
+                for idx in range(0, len(buf) // fsize, every_n):
+                    rows.append((aid, idx, buf[idx * fsize : (idx + 1) * fsize]))
+            yield pd.DataFrame(rows, columns=["asset_id", "frame_idx", "frame"])
+
+    return df.mapInPandas(fn, frame_schema)
 
 
 def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:

@@ -418,6 +418,126 @@ def l8_multimodal_features(spark, sf_dir):
     )
 
 
+@query(
+    "l8b_image_decode",
+    sql="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 3 AS INT) AS height,
+           ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+           ROUND(CAST((2 * doc_id) % 256 AS DOUBLE), 6) AS mean_g,
+           ROUND(CAST((3 * doc_id) % 256 AS DOUBLE), 6) AS mean_b
+    FROM documents WHERE doc_id < 40
+    """,
+    tier="T3",
+    survey="L8,J4",
+)
+def l8b_image_decode(spark, sf_dir):
+    """REAL image decode, oracle-checked: build a deterministic solid-color
+    PPM per doc_id (width/height/color are closed-form functions of the
+    key), decode it with the pure-Python P6 parser inside mapInPandas, and
+    emit the measured features. The oracle computes the same features
+    symbolically — a broken parser (header, raster layout, channel order)
+    mismatches. Encode and decode run in separate mapInPandas stages, so
+    real bytes cross the Arrow boundary both ways."""
+    import numpy as np
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                w, h = 4 + int(d) % 5, 3 + int(d) % 3
+                px = np.full((h, w, 3), 0, dtype=np.uint8)
+                px[:, :, 0] = d % 256
+                px[:, :, 1] = (2 * d) % 256
+                px[:, :, 2] = (3 * d) % 256
+                rows.append((int(d), multimodal.encode_ppm(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = docs.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(encoded, "doc_id", "payload", "image/x-portable-pixmap")
+    return multimodal.image_features(assets).select(
+        F.col("asset_id").alias("doc_id"),
+        "width", "height", "mean_r", "mean_g", "mean_b",
+    )
+
+
+@query(
+    "l8c_audio_decode",
+    sql="""
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           ROUND(CAST(8000 + doc_id * 100 AS DOUBLE) / 8000, 6) AS duration_s,
+           ROUND(CAST(8 + doc_id AS DOUBLE) / 64, 6) AS mean_abs,
+           ROUND(CAST(8 + doc_id AS DOUBLE) / 64, 6) AS rms
+    FROM documents WHERE doc_id < 40
+    """,
+    tier="T3",
+    survey="L8,J4",
+)
+def l8c_audio_decode(spark, sf_dir):
+    """REAL audio decode, oracle-checked: per doc_id, a 16-bit PCM WAV
+    square wave with amplitude (8+doc_id)/64 (exactly representable in
+    int16 AND in ≤6 decimal digits, so quantization and ROUND are both
+    exact) and 8000 + 100*doc_id frames at 8 kHz. The decoder's measured
+    duration/mean_abs/rms must equal the oracle's closed forms."""
+    import numpy as np
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                n = 8000 + 100 * int(d)
+                amp = (8 + int(d)) / 64.0
+                samples = amp * np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+                rows.append((int(d), multimodal.encode_wav(samples, 8000)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = docs.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(encoded, "doc_id", "payload", "audio/wav")
+    return multimodal.audio_features(assets).select(
+        F.col("asset_id").alias("doc_id"),
+        "sample_rate", "duration_s", "mean_abs", "rms",
+    )
+
+
+@query("l8d_frame_sample", sql=None, tier="T3", survey="L8,J4")
+def l8d_frame_sample(spark, sf_dir):
+    """REAL frame sampling over concatenated-PPM "video" payloads: every
+    10th frame's bytes are sliced out and re-decoded; rows-only (the codec
+    correctness is oracle-checked in l8b and pinned in tests)."""
+    import numpy as np
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 20).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                n_frames = 5 + int(d) % 20
+                frames = b"".join(
+                    multimodal.encode_ppm(np.full((2, 2, 3), (int(d) + i) % 256, np.uint8))
+                    for i in range(n_frames)
+                )
+                rows.append((int(d), frames))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = docs.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(encoded, "doc_id", "payload", "video/x-ppm-frames")
+    frames = multimodal.frame_extract(assets, every_n=10)
+    feats = multimodal.image_features(
+        frames.select(F.col("asset_id"), F.col("frame").alias("content"))
+    )
+    return feats.select("asset_id", "width", "height", "mean_r")
+
+
 @query("l9_embed_batch", sql=None, tier="T3", survey="L9,J2")
 def l9_embed_batch(spark, sf_dir):
     """Pluggable embedding stub: deterministic hash-projection features for
