@@ -14,9 +14,14 @@ order-independent and engine-independent:
   primitive path; Spark's decimal sum buffers are object-backed above
   precision 18). EXACTNESS BOUND: the group's |sum| must stay below
   2^63 / 10^scale (9.2e12 at scale 6) — holds for every fixture scale and
-  for most real aggregates, but a 100 TB money-sum over trillions of units
-  must use the decimal path below (Spark is non-ANSI by default and would
-  wrap silently).
+  for most real aggregates; a 100 TB money-sum over trillions of units
+  must use the decimal path below. The bound is ENFORCED at runtime:
+  under ANSI mode (Spark 4.x default, pinned in session.py) the long sum
+  itself raises ARITHMETIC_OVERFLOW exactly when it would wrap; on a
+  legacy non-ANSI session, ``checked=True`` (default) arms a conservative
+  max·count probe riding the same aggregate that raises instead of letting
+  the long wrap silently. Either way an out-of-range aggregate is an
+  error, never a wrong answer.
 - :func:`dsum_decimal` / :func:`davg_decimal` — **decimal path**: casts to
   ``DECIMAL(30, scale)`` and sums with Spark's overflow-checked decimal
   aggregate (returns NULL on overflow instead of wrapping). The 100 TB-safe
@@ -43,23 +48,76 @@ def _col(col: Column | str) -> Column:
     return F.col(col) if isinstance(col, str) else col
 
 
-def dsum(col: Column | str, alias: str, scale: int = 6) -> Column:
+def _ansi_enabled() -> bool:
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    return (
+        spark is None  # no session yet: assume the 4.x default (ANSI on)
+        or spark.conf.get("spark.sql.ansi.enabled", "true").lower() == "true"
+    )
+
+
+def _overflow_guard(micros: Column, agg: Column) -> Column:
+    """Ensure a long-sum aggregate raises instead of wrapping silently.
+
+    Under ANSI mode (the Spark 4.x default, pinned in session.py) the long
+    sum's own accumulation already raises ARITHMETIC_OVERFLOW exactly when
+    it would wrap, which preempts and strictly dominates any probe — so
+    this is a no-op there (a conservative probe could only add false
+    positives on top of an exact engine check).
+
+    On a non-ANSI session (legacy deployments), arm a conservative bound
+    piggybacked into the SAME aggregation (two extra primitive agg buffers
+    — max(abs) and count — no extra pass or shuffle): if
+    ``max(|micros|) * count`` could reach 2^63 the long sum *may* have
+    wrapped, so fail loudly and point at the decimal path. One-sided: a
+    raise means "not provably safe" (mixed-sign groups can trigger it
+    without actual overflow); no raise means the returned sum is exact.
+    """
+    if _ansi_enabled():
+        return agg
+    bound = F.max(F.abs(micros)).cast("double") * F.count(micros).cast("double")
+    return F.when(
+        bound < float(2**63), agg
+    ).otherwise(
+        F.raise_error(
+            F.lit(
+                "dsum/davg integer-micros overflow risk: |group sum| may exceed "
+                "2^63 (non-ANSI long wraps silently) — use dsum_decimal/"
+                "davg_decimal for this aggregate, or lower the scale"
+            )
+        ).cast("long")
+    )
+
+
+def dsum(col: Column | str, alias: str, scale: int = 6, checked: bool = True) -> Column:
     """Order-independent SUM over doubles: integer-micros accumulation.
 
     ``scale`` must exceed the data's intrinsic decimal precision so the
     quantization is lossless (fixture money columns have ≤2dp, their
     2-term products ≤6dp → scale 6 is exact, not approximate).
+
+    ``checked=True`` (default) piggybacks an overflow guard into the same
+    aggregate: groups whose |sum| could exceed 2^63/10^scale raise at
+    execution instead of wrapping silently (see :func:`_overflow_guard`).
     """
     m = 10**scale
     micros = F.round(_col(col) * m).cast("long")
-    return F.round(F.sum(micros) / F.lit(float(m)), scale).alias(alias)
+    total = F.sum(micros)
+    if checked:
+        total = _overflow_guard(micros, total)
+    return F.round(total / F.lit(float(m)), scale).alias(alias)
 
 
-def davg(col: Column | str, alias: str, scale: int = 6) -> Column:
+def davg(col: Column | str, alias: str, scale: int = 6, checked: bool = True) -> Column:
     """Order-independent AVG: exact integer-micros sum / count, rounded."""
     m = 10**scale
     micros = F.round(_col(col) * m).cast("long")
-    return F.round(F.sum(micros) / F.count(micros) / F.lit(float(m)), scale).alias(alias)
+    total = F.sum(micros)
+    if checked:
+        total = _overflow_guard(micros, total)
+    return F.round(total / F.count(micros) / F.lit(float(m)), scale).alias(alias)
 
 
 def sql_dsum(expr: str, alias: str, scale: int = 6) -> str:

@@ -47,6 +47,10 @@ def get_session(app_name: str = "oeem_etl_spark", cpus: str | None = None) -> Sp
         # so a misconfigured parent environment can't silently disable them.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.enableVectorizedReader", "true")
+        # ANSI mode is the 4.x default; pinned so the dsum/davg
+        # integer-micros aggregates (plans/util.py) keep their engine-level
+        # overflow check even under a parent env that flips the default.
+        .config("spark.sql.ansi.enabled", "true")
         # Warehouse + metastore under tmp so bucketed saveAsTable works
         # without polluting the repo (static confs — first session wins).
         .config(

@@ -56,8 +56,14 @@ def compact_parquet(
     open/footer costs dominate scans. Strategy: size the output file count
     from the directory's actual bytes (driver-side metadata listing only —
     no data through the driver), rewrite via repartition (round-robin when
-    unpartitioned, hash on the partition keys otherwise), then atomically
-    swap directories.
+    unpartitioned, hash on the partition keys otherwise), then swap
+    directories.
+
+    The swap is two sequential renames, NOT atomic: a crash between them
+    leaves ``path`` absent with the data intact at ``<path>.compact_old``
+    (recovery: rename it back), and a concurrent reader can observe the
+    gap. Run it in a maintenance window, or on a table-format layer
+    (Delta/Iceberg) use its transactional rewrite instead.
     """
     import math
     import os

@@ -28,10 +28,9 @@ def tumbling_agg(
 ) -> DataFrame:
     """I1: fixed, epoch-aligned, non-overlapping windows."""
     w = F.window(ts_col, duration)
-    return (
-        df.groupBy(w.alias("w"), *keys)
-        .agg(*aggs)
-        .select(F.col("w.start").alias("window_start"), *keys, *[a for a in _names(aggs)])
+    agged = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    return agged.select(
+        F.col("w.start").alias("window_start"), *keys, *_agg_names(agged, 1 + len(keys))
     )
 
 
@@ -45,10 +44,9 @@ def sliding_agg(
 ) -> DataFrame:
     """I2: overlapping windows — each event lands in duration/slide windows."""
     w = F.window(ts_col, duration, slide)
-    return (
-        df.groupBy(w.alias("w"), *keys)
-        .agg(*aggs)
-        .select(F.col("w.start").alias("window_start"), *keys, *[a for a in _names(aggs)])
+    agged = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    return agged.select(
+        F.col("w.start").alias("window_start"), *keys, *_agg_names(agged, 1 + len(keys))
     )
 
 
@@ -62,15 +60,12 @@ def session_agg(
     """I3: gap-based sessions; a session closes after ``gap`` of silence.
     ``session_end`` is last-event-ts + gap (Spark's session_window shape)."""
     w = F.session_window(ts_col, gap)
-    return (
-        df.groupBy(w.alias("w"), *keys)
-        .agg(*aggs)
-        .select(
-            *keys,
-            F.col("w.start").alias("session_start"),
-            F.col("w.end").alias("session_end"),
-            *[a for a in _names(aggs)],
-        )
+    agged = df.groupBy(w.alias("w"), *keys).agg(*aggs)
+    return agged.select(
+        *keys,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *_agg_names(agged, 1 + len(keys)),
     )
 
 
@@ -137,14 +132,12 @@ def running_totals_state(df: DataFrame, key: str = "user_id", value_col: str = "
     )
 
 
-def _names(aggs: list[Column]) -> list[str]:
-    """Output column names of (always-aliased) agg expressions."""
-    names = []
-    for a in aggs:
-        s = a._jc.toString()
-        assert " AS " in s, f"agg expression must be aliased: {s}"
-        names.append(s.rsplit(" AS ", 1)[-1].strip("`"))
-    return names
+def _agg_names(agged: DataFrame, n_grouping: int) -> list[str]:
+    """Output names of the agg expressions of a ``groupBy(...).agg(...)``
+    frame: every column after the ``n_grouping`` leading grouping columns.
+    Schema-derived (public API) — no parsing of private JVM expression
+    strings, stable across Spark versions."""
+    return agged.columns[n_grouping:]
 
 
 def running_totals_tws(df: DataFrame, key: str = "user_id", value_col: str = "value"):

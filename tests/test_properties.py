@@ -336,3 +336,83 @@ def test_pack_sequences_offsets_conserve_tokens(spark, toks, budget):
         assert pack >= prev_pack
         prefix += toks[i]
         prev_pack = pack
+
+
+# --- dsum overflow guard (plans/util.py) -------------------------------------
+
+import pytest
+from pyspark.errors.exceptions.captured import (
+    ArithmeticException,
+    SparkRuntimeException,
+)
+
+from oeem_etl_spark.plans.util import davg, dsum, dsum_decimal
+
+
+@pytest.fixture
+def non_ansi(spark):
+    """Temporarily flip the session to legacy non-ANSI semantics."""
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try:
+        yield spark
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", "true")
+
+
+def test_dsum_overflow_raises_under_ansi(spark):
+    """3 × 4e18 micros exceeds 2^63: under ANSI (pinned in session.py) the
+    long accumulation itself raises — an out-of-range dsum is an error,
+    never a silently wrapped value. The decimal path stays exact."""
+    v = 4e12  # scale 6 → micros = 4e18 each
+    df = spark.createDataFrame([(v,), (v,), (v,)], "x double")
+    with pytest.raises(ArithmeticException, match="ARITHMETIC_OVERFLOW"):
+        df.agg(dsum("x", "s")).collect()
+    with pytest.raises(ArithmeticException, match="ARITHMETIC_OVERFLOW"):
+        df.agg(davg("x", "a")).collect()
+    assert df.agg(dsum_decimal("x", "s")).collect()[0]["s"] == 3 * v
+
+
+def test_dsum_guard_arms_on_non_ansi_session(non_ansi):
+    """On a legacy non-ANSI session the long sum would wrap silently; the
+    checked probe (max·count bound riding the same aggregate) turns that
+    into a loud error, while checked=False demonstrates the wrap the guard
+    exists to catch."""
+    spark = non_ansi
+    v = 4e12
+    df = spark.createDataFrame([(v,), (v,), (v,)], "x double")
+    with pytest.raises(SparkRuntimeException, match="overflow risk"):
+        df.agg(dsum("x", "s")).collect()
+    with pytest.raises(SparkRuntimeException, match="overflow risk"):
+        df.agg(davg("x", "a")).collect()
+
+    wrapped = df.agg(dsum("x", "s", checked=False)).collect()[0]["s"]
+    exact = df.agg(dsum_decimal("x", "s")).collect()[0]["s"]
+    assert exact == 3 * v
+    assert wrapped != exact  # the silent wrap
+
+    # per-group: one safe group + one hot group still raises (all-or-nothing
+    # job failure — the safe value is never paired with garbage)
+    rows = [("safe", 1.5), ("safe", 2.5)] + [("hot", v)] * 3
+    gdf = spark.createDataFrame(rows, "g string, x double")
+    with pytest.raises(SparkRuntimeException, match="overflow risk"):
+        gdf.groupBy("g").agg(dsum("x", "s")).collect()
+    ok = gdf.filter("g = 'safe'").groupBy("g").agg(dsum("x", "s")).collect()
+    assert ok[0]["s"] == 4.0
+
+
+@given(
+    micros=st.lists(
+        st.integers(-8 * 10**11, 8 * 10**11), min_size=1, max_size=8
+    )
+)
+@settings(**SETTINGS)
+def test_dsum_micros_path_matches_decimal_path(spark, micros):
+    """In the documented lossless domain (values with ≤6dp whose micros are
+    double-exact), the fast integer-micros path and the overflow-checked
+    decimal path agree bit-exactly. Out-of-range magnitudes are covered by
+    the deterministic overflow tests above: they raise, never wrap."""
+    vals = [m / 1e6 for m in micros]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    fast = df.agg(dsum("x", "s")).collect()[0]["s"]
+    exact = df.agg(dsum_decimal("x", "s")).collect()[0]["s"]
+    assert fast == exact
