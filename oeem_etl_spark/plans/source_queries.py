@@ -207,3 +207,89 @@ def a12_orc_roundtrip(spark, sf_dir):
     path = os.path.join(_TMP, "a12_orc")
     writers.write_orc(sub, path)
     return readers.scan_orc(spark, path)
+
+
+@query(
+    "a14_fetch_upload_pipeline",
+    sql="""
+    SELECT CAST(user_id % 4 AS BIGINT) AS bucket,
+           COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS total_value
+    FROM events WHERE event_id <= 2000
+    GROUP BY 1 ORDER BY 1
+    """,
+    tier="T2",
+    survey="A11,A12",
+)
+def a14_fetch_upload_pipeline(spark, sf_dir):
+    """The reference's full fetch -> parse -> transform -> upload loop
+    (SURVEY §3.1), oracle-checked end to end: events are staged as CSV
+    shards behind a flaky mock transport, fetched with retry to a landing
+    dir (executor-side, atomic, idempotent), parsed, aggregated, then
+    bulk-upserted in chunks through a flaky mock REST datastore with
+    idempotency keys. The returned frame is the DATASTORE's materialized
+    state — so the oracle match proves every record survived two injected
+    transient-failure edges exactly once.
+    """
+    import functools
+    import shutil
+
+    from oeem_etl_spark.sources import fetch as fx
+    from oeem_etl_spark.sources import upload as up
+
+    root = os.path.join(_TMP, f"a14_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    remote = os.path.join(root, "remote")
+    fstate = os.path.join(root, "fstate")
+    ustate = os.path.join(root, "ustate")
+    landing = os.path.join(root, "landing")
+    dsroot = os.path.join(root, "ds")
+    for d in (remote, fstate, ustate):
+        os.makedirs(d, exist_ok=True)
+
+    # stage the "remote": 4 CSV shards of the events subset
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 2000)
+        .select((F.col("user_id") % 4).cast("long").alias("bucket"), "value")
+    )
+    ev.repartition(4, "bucket").write.mode("overwrite").option("header", True).csv(remote)
+    shards = sorted(
+        f for f in os.listdir(remote) if f.endswith(".csv") and not f.startswith(("_", "."))
+    )
+
+    # 1. fetch through a transport that fails each shard's first attempt
+    tasks = spark.createDataFrame([(s, s) for s in shards], "task_id string, uri string")
+    ffactory = functools.partial(
+        fx.local_flaky_fetcher, remote=remote, fail_times=1, state_dir=fstate
+    )
+    statuses = {r["status"] for r in fx.fetch_to_landing(tasks, ffactory, landing).collect()}
+    assert statuses <= {"fetched", "skipped"}
+
+    # 2. parse + 3. transform (dsum-style integer-micros for determinism)
+    raw = spark.read.option("header", True).schema("bucket long, value double").csv(landing)
+    daily = raw.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000).cast("long")) / F.lit(1000000.0), 6
+        ).alias("total_value"),
+    )
+
+    # 4. upload through a datastore that fails each chunk's first attempt
+    ufactory = functools.partial(
+        up.local_flaky_datastore, root=dsroot, fail_times=1, state_dir=ustate
+    )
+    up.bulk_upload(
+        daily.withColumn("seq", F.lit(1)), ufactory, epoch_id=0, batch_size=2, max_attempts=4
+    )
+
+    # the query's result IS the datastore's materialized state
+    state = up.FilesystemDatastore(dsroot).state("bucket", "seq")
+    rows = [
+        (int(v["bucket"]), int(v["n_events"]), float(v["total_value"]))
+        for v in state.values()
+    ]
+    return spark.createDataFrame(
+        rows, "bucket long, n_events long, total_value double"
+    ).orderBy("bucket")

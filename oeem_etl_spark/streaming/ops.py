@@ -140,6 +140,20 @@ def _agg_names(agged: DataFrame, n_grouping: int) -> list[str]:
     return agged.columns[n_grouping:]
 
 
+def tws_available() -> bool:
+    """Capability probe for the transformWithStateInPandas surface: the
+    stateful-v2 Python runner speaks protobuf to the JVM, so the API is
+    only usable where ``google.protobuf`` is importable. Callers should
+    check this and fall back to :func:`running_totals_state`
+    (applyInPandasWithState, no extra deps) where it returns False."""
+    try:
+        import google.protobuf.descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def running_totals_tws(df: DataFrame, key: str = "user_id", value_col: str = "value"):
     """I6 via transformWithStateInPandas (Spark 4's stateful-v2 API).
 
@@ -154,6 +168,12 @@ def running_totals_tws(df: DataFrame, key: str = "user_id", value_col: str = "va
     it, so the test for this operator import-skips. Prefer
     :func:`running_totals_state` where protobuf availability is unknown.
     """
+    if not tws_available():
+        raise ImportError(
+            "transformWithStateInPandas needs google.protobuf (absent in "
+            "this environment) — use running_totals_state "
+            "(applyInPandasWithState) instead; see tws_available()"
+        )
     from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
     import pandas as pd
 

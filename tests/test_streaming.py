@@ -172,7 +172,13 @@ def test_running_totals_tws_matches_v1(spark, tmp_path):
     """I6 on the stateful-v2 API (transformWithStateInPandas) must produce
     the same final per-key totals as the v1 applyInPandasWithState op.
     Skips where the TWS runner's protobuf dependency is absent."""
-    pytest.importorskip("google.protobuf.descriptor")
+    if not ops.tws_available():
+        # documented impossibility in this container (BASELINE.md): the
+        # stateful-v2 runner needs protobuf, which cannot be installed here;
+        # the capability probe + ImportError path is tested instead.
+        with pytest.raises(ImportError, match="protobuf"):
+            ops.running_totals_tws(spark.range(1).selectExpr("id user_id", "1.0 value"))
+        pytest.skip("google.protobuf absent: TWS unusable here by construction")
     d = str(tmp_path / "tws")
     os.makedirs(d, exist_ok=True)
     _write_ordered_files(spark, d, _TWO_BATCHES)
