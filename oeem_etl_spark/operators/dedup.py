@@ -38,6 +38,43 @@ def exact_dedup(df: DataFrame, text_col: str, key: str) -> DataFrame:
     ).drop("__digest")
 
 
+def digest_index(df: DataFrame, text_col: str) -> DataFrame:
+    """The persisted dedup index for :func:`incremental_dedup`: one 32-hex
+    md5 digest per distinct normalized text. At 100 TB this is the ONLY
+    state the dedup pipeline keeps between snapshots — a compact digest
+    table (16 bytes/doc of entropy), never the text itself; store it
+    bucketed by digest so successive anti joins are co-located."""
+    return df.select(F.md5(normalize_text(text_col)).alias("digest")).distinct()
+
+
+def incremental_dedup(
+    new_df: DataFrame, seen: DataFrame, text_col: str, key: str
+) -> DataFrame:
+    """Dedup a NEW batch against an already-accepted corpus (L1 extension —
+    the production crawl-snapshot shape: each increment dedups within
+    itself and against everything previously accepted, without re-reading
+    accepted text).
+
+    ``seen`` is a :func:`digest_index` frame (column ``digest``). Two
+    steps, both digest-keyed so text bytes never shuffle:
+
+    1. within-batch exact dedup (smallest ``key`` survives);
+    2. left-anti join against ``seen`` on the digest.
+
+    The union of ``seen`` and the survivors' digests is the next round's
+    index — the caller owns persisting it (append-only table).
+    """
+    hashed = new_df.withColumn("__digest", F.md5(normalize_text(text_col)))
+    batch_kept = dedupe_keep_latest_by(
+        hashed, keys=["__digest"], order_cols=[key], keep="min"
+    )
+    return (
+        batch_kept.join(
+            seen.withColumnRenamed("digest", "__digest"), "__digest", "left_anti"
+        ).drop("__digest")
+    )
+
+
 def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     """Token k-shingles (distinct) from an ALREADY-MATERIALIZED token array
     column. Pass a real column, not a `split(...)` expression: an

@@ -807,3 +807,57 @@ def l24_unigram_logprob(spark, sf_dir):
     the float mean hash-matches across engines)."""
     docs = T(spark, sf_dir, "documents")
     return text.unigram_logprob_score(docs, "doc_id", "text")
+
+
+@query(
+    "l26_incremental_dedup",
+    sql=r"""
+    WITH seen AS (
+      SELECT DISTINCT md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+      FROM documents WHERE doc_id % 3 <> 0
+    ),
+    batch AS (
+      SELECT doc_id, lang, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS digest
+      FROM documents WHERE doc_id % 3 = 0
+    ),
+    kept AS (
+      SELECT doc_id, lang, source, digest,
+             row_number() OVER (PARTITION BY digest ORDER BY doc_id) AS rn
+      FROM batch
+    )
+    SELECT doc_id, lang, source FROM kept
+    WHERE rn = 1 AND digest NOT IN (SELECT digest FROM seen)
+    """,
+    tier="T3",
+    survey="L1,C4",
+)
+def l26_incremental_dedup(spark, sf_dir):
+    """Incremental (cross-snapshot) exact dedup: the new batch
+    (doc_id % 3 == 0) dedups within itself and against the digest index of
+    the accepted corpus (the other two thirds) — the production crawl-increment
+    shape; only digests persist between snapshots, never text."""
+    docs = T(spark, sf_dir, "documents")
+    seen = dedup.digest_index(docs.where(F.col("doc_id") % 3 != 0), "text")
+    batch = docs.where(F.col("doc_id") % 3 == 0)
+    return dedup.incremental_dedup(batch, seen, "text", "doc_id").select(
+        "doc_id", "lang", "source"
+    )
+
+
+@query(
+    "l3e_topk_arrow",
+    sql=_TOPK_SQL,
+    tier="T3",
+    survey="L3,J4",
+)
+def l3e_topk_arrow(spark, sf_dir):
+    """Same exact top-10 as l3, via the Arrow/BLAS batched path with
+    per-partition local top-k (the shuffle carries batches*k rows, not
+    the full N*Q score matrix) — oracle-checked against the identical SQL."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    out = similarity.cosine_topk_arrow(emb, queries, k=10)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))

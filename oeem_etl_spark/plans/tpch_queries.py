@@ -695,3 +695,48 @@ def t16_supplier_part_counts(spark, sf_dir):
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
         .orderBy(F.col("supplier_cnt").desc(), "p_brand", "p_size")
     )
+
+
+@query(
+    "t13_customer_distribution",
+    sql="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey AS ck, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT OUTER JOIN orders o
+          ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '1-URGENT'
+        GROUP BY 1
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    tier="T2",
+    survey="C2,D1",
+)
+def t13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: customers-per-order-count distribution — LEFT OUTER
+    join with an ON-clause filter (customers with zero qualifying orders
+    must survive with count 0) feeding a second aggregation.
+
+    Scale shape: the join ON-filter prunes the orders side BEFORE the
+    shuffle; the first agg keys on c_custkey (high cardinality, even), the
+    second on c_count (tiny domain) — partial aggregation absorbs it, so
+    no skew handling is needed despite the low-cardinality final key.
+    (Adapted to the fixture schema: the reference Q13 filters o_comment,
+    which has no column basis here; o_orderpriority plays the role of the
+    ON-clause predicate.)"""
+    cust = T(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderpriority") != "1-URGENT")
+        .select("o_custkey", "o_orderkey")
+    )
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )

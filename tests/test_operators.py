@@ -419,3 +419,59 @@ def test_gap_report_exact_intervals(spark):
     )
     # k1: hours 2-3 missing; k2: hour 1 missing
     assert got == [(1, h(2), h(3), 2), (2, h(1), h(1), 1)]
+
+
+def test_cosine_topk_arrow_matches_jvm_path(spark, sf_dir):
+    """The Arrow/BLAS batched top-k (local per-batch top-k + merge) must
+    reproduce the JVM expression-tree path row-for-row, including rounded
+    score ties broken by key. Repartition forces multiple batches so the
+    local-topk/merge logic is actually exercised."""
+    from oeem_etl_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    jvm = similarity.cosine_topk(emb, queries, k=10)
+    arrow = similarity.cosine_topk_arrow(emb.repartition(7), queries, k=10)
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, arrow.collect()))
+
+
+def test_cosine_topk_arrow_zero_norm_excluded(spark):
+    """Zero vectors (undefined cosine) never enter the Arrow path's local
+    candidates; with >= k valid rows the result equals the JVM path, which
+    ranks its NULL scores past k."""
+    rows = [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 0.0]), (4, [0.5, 0.5])]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [(100, [1.0, 0.0])], "q_id long, embedding array<double>"
+    )
+    got = similarity.cosine_topk_arrow(corpus, queries, k=3).collect()
+    assert [r["vec_id"] for r in got] == [1, 2, 4]
+    assert all(r["score"] is not None for r in got)
+
+
+def test_incremental_dedup_within_and_across_batch(spark):
+    """Within-batch: smallest key per normalized text survives. Across:
+    anything already in the seen index is dropped, even if its in-batch
+    key is minimal. Whitespace/case variants hash identically."""
+    seen_docs = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "old news")], "doc_id long, text string"
+    )
+    seen = dedup.digest_index(seen_docs, "text")
+    batch = spark.createDataFrame(
+        [
+            (10, "hello world"),      # dup of seen #1 (normalized) -> dropped
+            (11, "fresh content"),    # new -> kept
+            (12, "FRESH   content"),  # in-batch dup of 11 -> dropped
+            (13, "another one"),      # new -> kept
+        ],
+        "doc_id long, text string",
+    )
+    kept = dedup.incremental_dedup(batch, seen, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
+
+    # empty seen index: pure within-batch dedup
+    empty = dedup.digest_index(seen_docs.limit(0), "text")
+    kept2 = dedup.incremental_dedup(batch, empty, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in kept2.collect()) == [10, 11, 13]
