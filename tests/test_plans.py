@@ -172,3 +172,37 @@ def test_t08_eight_way_join_stays_broadcast(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert plan.count("BroadcastHashJoin") >= 4, plan.count("BroadcastHashJoin")
+
+
+def test_t13_on_clause_filter_precedes_join(spark, sf_dir):
+    """Q13 shape: the o_orderpriority predicate must prune the orders side
+    BEFORE its exchange (pushed to the scan), and both aggregations must
+    combine map-side (partial_count) so the low-cardinality second key
+    never concentrates raw rows."""
+    q = registry.queries()["t13_customer_distribution"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "PushedFilters" in plan and "1-URGENT" in plan, plan
+    assert "partial_count" in plan
+
+
+def test_l26_shuffles_digests_not_text(spark, sf_dir):
+    """Incremental dedup: every exchange carries the 16-byte digest (plus
+    key/meta columns) — the document text column must be projected away
+    before any shuffle."""
+    q = registry.queries()["l26_incremental_dedup"]
+    plan = plan_of(q(spark, sf_dir))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), m.group(0)
+    # the within-batch dedup is a hash aggregate on the digest, not a sort
+    assert "max_by" in plan or "min_by" in plan, plan
+
+
+def test_l3e_arrow_topk_shuffles_only_local_winners(spark, sf_dir):
+    """Arrow top-k: the only wide operator above the Python stage is the
+    final window merge over per-batch winners — no cross join, no global
+    sort of the full score matrix."""
+    q = registry.queries()["l3e_topk_arrow"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "MapInPandas" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "WindowGroupLimit" in plan or "Window" in plan
