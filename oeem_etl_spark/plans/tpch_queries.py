@@ -740,3 +740,267 @@ def t13_customer_distribution(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("custdist"))
         .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
     )
+
+
+@query(
+    "t11_part_value_concentration",
+    sql=f"""
+    WITH pv AS (
+      SELECT l_partkey,
+             SUM(CAST(ROUND(({_REV}) * 1000000) AS BIGINT)) AS pvm
+      FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+      WHERE s_nationkey < 4
+      GROUP BY l_partkey
+    ), tot AS (SELECT SUM(pvm) AS tm, COUNT(*) AS cnt FROM pv)
+    SELECT l_partkey, ROUND(pvm / 1000000.0, 6) AS part_value
+    FROM pv, tot
+    WHERE pvm * cnt * 10 > tm * 11
+    ORDER BY part_value DESC, l_partkey
+    """,
+    tier="T2",
+    survey="C1,C9,D1,D10,F1",
+)
+def t11_part_value_concentration(spark, sf_dir):
+    """TPC-H Q11 shape: per-key value concentration against a scalar
+    aggregate threshold (HAVING value > fraction-of-total).
+
+    The fixtures carry no partsupp table, so lineitem revenue restricted to
+    one supplier region plays the role of ps_supplycost * ps_availqty — the
+    plan shape (aggregate → scalar subquery over the same aggregate →
+    threshold filter) is Q11's, on real column basis.
+
+    The threshold is RELATIVE — parts whose value exceeds 1.1× the mean
+    part value — because a fixed fraction-of-total (Q11's 0.0001/SF) empties
+    as part cardinality grows with scale; the relative form keeps a stable
+    ~top-tail selectivity at every sf. The comparison is integer-exact on
+    BOTH sides (pvm·cnt·10 > tm·11, all in long micros; overflows long only
+    past |total| ~ 2^63/(cnt·10), where ANSI mode raises rather than wraps
+    and dsum_decimal is the documented path), so the cut is
+    order-independent — no double-summation ambiguity at the boundary. The
+    total is a 1-row frame cross-joined broadcast (no collect); the supplier
+    region filter is broadcast so lineitem never shuffles before the partkey
+    aggregation."""
+    sup = (
+        T(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") < 4)
+        .select("s_suppkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", _rev().alias("rev"))
+    micros = F.round(F.col("rev") * 1_000_000).cast("long")
+    pv = (
+        li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(micros).alias("pvm"))
+    )
+    tot = pv.agg(F.sum("pvm").alias("tm"), F.count(F.lit(1)).alias("cnt"))
+    return (
+        pv.crossJoin(F.broadcast(tot))
+        .where(F.col("pvm") * F.col("cnt") * 10 > F.col("tm") * 11)
+        .select(
+            "l_partkey",
+            F.round(F.col("pvm") / F.lit(1_000_000.0), 6).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), "l_partkey")
+    )
+
+
+@query(
+    "t12_late_line_priority",
+    sql="""
+    SELECT l_linestatus AS line_group,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_priority_count,
+           SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS low_priority_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 30 DAY
+      AND l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY line_group
+    ORDER BY line_group
+    """,
+    tier="T2",
+    survey="B4,C1,C9,D1,H4",
+)
+def t12_late_line_priority(spark, sf_dir):
+    """TPC-H Q12 shape: join + dual conditional aggregation (urgent vs
+    non-urgent order counts per shipping class).
+
+    The fixtures carry no l_shipmode / l_commitdate / l_receiptdate, so
+    "shipped >30 days after order" is the lateness predicate and
+    l_linestatus the grouping class — Q12's plan shape (fact/dim join with
+    a residual non-equi date predicate feeding CASE-conditional counts) on
+    real column basis.
+
+    Scale notes: orders carries only (o_orderkey, o_orderdate,
+    o_orderpriority) into the join; the date-window filter on l_shipdate is
+    pushed to the lineitem scan; the conditional counts are long sums —
+    partial-aggregated map-side, 2-row result."""
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+    )
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .where(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 30 DAYS"))
+        .groupBy(F.col("l_linestatus").alias("line_group"))
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_priority_count"),
+            F.sum(F.when(~urgent, 1).otherwise(0)).alias("low_priority_count"),
+        )
+        .orderBy("line_group")
+    )
+
+
+@query(
+    "t20_excess_shippers",
+    sql="""
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_nationkey < 4
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem
+        WHERE l_partkey IN (SELECT p_partkey FROM part
+                            WHERE p_name LIKE 'small%')
+          AND l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY l_suppkey, l_partkey
+        HAVING SUM(l_quantity) > 40
+      )
+    ORDER BY s_name
+    """,
+    tier="T2",
+    survey="C3,C9,D1,D10,H2",
+)
+def t20_excess_shippers(spark, sf_dir):
+    """TPC-H Q20 shape: nested semi-join chain — suppliers selected by an
+    aggregate-thresholded fact subquery that is itself part-filtered by a
+    name-pattern subquery.
+
+    The fixtures carry no partsupp availability, so "shipped more than 40
+    units of some small-part in 1996" plays the role of Q20's
+    half-of-availability test; the plan shape (semi-join into a grouped
+    HAVING subquery into a LIKE-filtered dimension subquery) is Q20's.
+
+    Scale notes: the part-name filter is broadcast into the lineitem scan
+    (left-semi, no lineitem shuffle for it); the (suppkey, partkey)
+    aggregate is the only fact shuffle; the final supplier semi-join is
+    against a tiny distinct-suppkey frame, broadcast."""
+    parts = (
+        T(spark, sf_dir, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = (
+        T(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .select("l_partkey", "l_suppkey", "l_quantity")
+    )
+    qualifying = (
+        li.join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .where(F.col("qty") > 40)
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        T(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") < 4)
+        .join(
+            F.broadcast(qualifying),
+            F.col("s_suppkey") == F.col("l_suppkey"),
+            "left_semi",
+        )
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "t21_waiting_supplier",
+    sql="""
+    WITH lo AS (
+      SELECT l_orderkey, l_suppkey, o_orderstatus,
+             (l_shipdate > o_orderdate + INTERVAL 60 DAY) AS late
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    )
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier, lo l1
+    WHERE s_suppkey = l1.l_suppkey
+      AND l1.late AND l1.o_orderstatus = 'F'
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lo l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.late)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+    tier="T3",
+    survey="C3,C4,C9,C10,D1,F3",
+)
+def t21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: the sole-late-supplier query — correlated EXISTS
+    plus correlated NOT EXISTS over self-joins of the fact table.
+
+    The fixtures carry no l_commitdate / l_receiptdate, so "shipped >60
+    days after the order date" is the lateness predicate — Q21's plan
+    shape (semi-join for 'another supplier exists on the order', anti-join
+    for 'no OTHER supplier was late') on real column basis.
+
+    Scale notes: lateness needs o_orderdate, so lineitem joins orders ONCE
+    (orderkey-equi, sort-merge at scale) and the late flag is carried;
+    both the semi and anti self-joins are orderkey-equi with a residual
+    suppkey<>suppkey predicate — shuffle-partitioned on the same key, so
+    AQE can reuse the exchange. The supplier name attach is broadcast; the
+    top-20 cut is a TakeOrdered, never a global sort materialization."""
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+        "l_orderkey",
+        "l_suppkey",
+        "o_orderstatus",
+        (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
+            "late"
+        ),
+    )
+    l1 = lo.where(F.col("late") & (F.col("o_orderstatus") == "F")).alias("l1")
+    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
+    l3 = lo.where(F.col("late")).select("l_orderkey", "l_suppkey").alias("l3")
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
+            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
+            "left_anti",
+        )
+    )
+    sup = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        waiting.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )

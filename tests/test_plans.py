@@ -206,3 +206,55 @@ def test_l3e_arrow_topk_shuffles_only_local_winners(spark, sf_dir):
     assert "MapInPandas" in plan, plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
     assert "WindowGroupLimit" in plan or "Window" in plan
+
+
+def test_t11_threshold_is_broadcast_single_fact_shuffle(spark, sf_dir):
+    """Q11 shape: the supplier region filter must reach lineitem as a
+    broadcast hash join (the fact side never shuffles for it), the partkey
+    aggregation must combine map-side, and the scalar threshold must attach
+    as a broadcast of the 1-row total — never a CartesianProduct. The pv
+    subtree appears twice in the static plan (once for values, once for the
+    total); at runtime AQE must collapse the duplicate into a
+    ReusedExchange so the fact is scanned and aggregated exactly once."""
+    q = registry.queries()["t11_part_value_concentration"]
+    df = q(spark, sf_dir)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(l_partkey" in plan, plan
+    df.collect()
+    assert "ReusedExchange" in plan_of(df)
+
+
+def test_t12_date_window_pushed_to_scan(spark, sf_dir):
+    """Q12 shape: the l_shipdate year window must prune at the parquet scan
+    (PushedFilters), and the conditional counts must partial-aggregate
+    map-side so the 2-row result never concentrates raw lines."""
+    q = registry.queries()["t12_late_line_priority"]
+    plan = plan_of(q(spark, sf_dir))
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan), plan
+    assert "partial_sum" in plan
+
+
+def test_t20_nested_semi_chain_broadcasts(spark, sf_dir):
+    """Q20 shape: both membership tests (part-name filter into lineitem,
+    qualifying-supplier set into supplier) must be broadcast LEFT-SEMI
+    joins; the only fact shuffle is the (suppkey, partkey) aggregate."""
+    q = registry.queries()["t20_excess_shippers"]
+    plan = plan_of(q(spark, sf_dir))
+    assert plan.count("LeftSemi") >= 2, plan
+    assert "CartesianProduct" not in plan
+    assert "partial_sum" in plan
+
+
+def test_t21_semi_anti_pair_and_topk(spark, sf_dir):
+    """Q21 shape: the 'another supplier exists' test must be a LEFT-SEMI
+    join and the 'no other late supplier' test a LEFT-ANTI join (never a
+    count-based rewrite), and the final top-20 must be a TakeOrdered, not a
+    global sort materialization."""
+    q = registry.queries()["t21_waiting_supplier"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "LeftSemi" in plan, plan
+    assert "LeftAnti" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
