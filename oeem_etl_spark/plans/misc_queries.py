@@ -177,3 +177,74 @@ def d5b_salted_collect_list(spark, sf_dir):
         F.array_join(F.transform("values", lambda x: x.cast("string")), ",").alias("ids"),
         F.size("values").cast("long").alias("n"),
     )
+
+
+_G5_RECURSIVE = """
+WITH RECURSIVE up AS (
+  SELECT c_custkey AS start_key, c_custkey AS cur, 0 AS depth
+  FROM {customer}
+  UNION ALL
+  SELECT start_key, cur {div} 10, depth + 1 FROM up WHERE cur >= 10
+)
+SELECT depth, COUNT(*) AS n_nodes,
+       MIN(start_key) AS min_start, MAX(start_key) AS max_start
+FROM up GROUP BY depth ORDER BY depth
+"""
+
+
+@query(
+    "g5_recursive_hierarchy",
+    sql=_G5_RECURSIVE.format(customer="customer", div="//"),
+    tier="T3",
+    survey="G1,D1",
+)
+def g5_recursive_hierarchy(spark, sf_dir):
+    """Recursive CTE (Spark 4 ``WITH RECURSIVE``): walk every customer up a
+    key-derived hierarchy (parent = key DIV 10) to the root, then profile
+    the ancestor chain per depth.
+
+    The fixtures carry no parent-child column, so the tree is synthesized
+    from the key itself — the recursion SHAPE (seed UNION ALL step-join,
+    fixpoint iteration inside the engine) is the real surface being
+    declared: it is the SQL-native expression of iterative reachability
+    (the DataFrame twin is operators/dedup.py connected_components, which
+    drives the loop from Python with localCheckpoint lineage cuts).
+
+    Scale notes: each recursion step is a self-union of the frontier only
+    (rows with cur >= 10), not the full closure; depth is bounded by
+    log10(max key), so the plan is ~6 unioned steps after unrolling —
+    no driver-side loop, no lineage blowup at fixture depths. For
+    unbounded-depth graphs at 100 TB prefer the checkpointed DataFrame
+    loop, which this query's docstring exists to point at."""
+    T(spark, sf_dir, "customer").createOrReplaceTempView("g5_customer")
+    return spark.sql(_G5_RECURSIVE.format(customer="g5_customer", div="DIV"))
+
+
+@query("d15_hll_mergeable_rollup", sql=None, tier="T3", survey="D8")
+def d15_hll_mergeable_rollup(spark, sf_dir):
+    """Mergeable HLL sketches (Datasketches): per-language document
+    sketches unioned into a corpus-wide estimate WITHOUT rescanning the
+    data — the incremental-rollup pattern that matters at 100 TB (persist
+    per-partition sketch binaries, union them at query time; re-aggregation
+    cost is O(sketches), not O(rows)).
+
+    Unlike approx_count_distinct (d8, estimate-only output), the sketch
+    itself is a first-class binary value here: hll_sketch_agg → group rows,
+    hll_union_agg → register-wise merge. The union is NOT guaranteed
+    bit-identical to sketching the whole column directly (Datasketches
+    unions promote through HLL_8/coupon paths), but both estimates carry
+    the same error bound — tests/test_misc.py asserts merged and direct
+    estimates agree with each other and with the exact count to within the
+    sketch's relative standard error. Rows-only by design: DuckDB's
+    approx_count_distinct is a different HLL implementation with different
+    estimates."""
+    per = (
+        T(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.hll_sketch_agg("doc_id").alias("sk"))
+    )
+    per_lang = per.select("lang", F.hll_sketch_estimate("sk").alias("approx_docs"))
+    total = per.agg(F.hll_union_agg("sk").alias("sk")).select(
+        F.lit("ALL").alias("lang"), F.hll_sketch_estimate("sk").alias("approx_docs")
+    )
+    return per_lang.unionAll(total)

@@ -1216,3 +1216,41 @@ def c8b_asof_forward(spark, sf_dir):
         direction="forward",
     )
     return out.select("event_id", "user_id", "next_view_value")
+
+
+@query(
+    "d9b_cube",
+    sql=f"""
+    SELECT r_name, o_orderstatus,
+           CAST(2 * GROUPING(r_name) + GROUPING(o_orderstatus) AS INT) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, o_orderstatus)
+    """,
+    tier="T2",
+    survey="D9",
+)
+def d9b_cube(spark, sf_dir):
+    """CUBE over (region, orderstatus) — all four grouping sets in one
+    pass, disambiguated by grouping-id (D9's other half next to ROLLUP's
+    hierarchy). Scale shape identical to rollup: Expand multiplies rows
+    map-side but partial aggregation collapses them before the single
+    shuffle on the (grouping-set, keys) composite."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.cube("r_name", "o_orderstatus").agg(
+        (2 * F.grouping("r_name") + F.grouping("o_orderstatus")).cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )

@@ -152,3 +152,40 @@ def test_zorder_prunes_row_groups_on_second_dimension(spark, sf_dir, tmp_path):
     # and the data is unchanged
     n = spark.read.parquet(zord).count()
     assert n == ev.count()
+
+
+def test_hll_sketch_rollup_near_exact_and_merge_consistent(spark, sf_dir):
+    """d15: per-group estimates near exact; the union-of-sketches estimate
+    agrees with the direct whole-column sketch to within HLL error (the
+    mergeability contract — re-aggregation never rescans rows)."""
+    from oeem_etl_spark.plans.misc_queries import d15_hll_mergeable_rollup
+
+    rows = {r["lang"]: r["approx_docs"] for r in d15_hll_mergeable_rollup(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    exact = {
+        r["lang"]: r["n"]
+        for r in docs.groupBy("lang").agg(F.count_distinct("doc_id").alias("n")).collect()
+    }
+    exact["ALL"] = docs.select("doc_id").distinct().count()
+    for k, est in rows.items():
+        assert abs(est - exact[k]) / exact[k] < 0.05, (k, est, exact[k])
+    direct = docs.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("doc_id")).alias("e")
+    ).collect()[0]["e"]
+    # lgConfigK=12 → RSE ≈ 1.04/sqrt(4096) ≈ 1.6%; allow 2× that
+    assert abs(rows["ALL"] - direct) / direct < 0.033, (rows["ALL"], direct)
+
+
+def test_recursive_hierarchy_depths(spark, sf_dir):
+    """g5: the seed level holds every customer, depths are contiguous, and
+    the frontier shrinks monotonically (depth d holds exactly the keys with
+    more than d decimal digits, since each step divides by 10)."""
+    from oeem_etl_spark.plans.misc_queries import g5_recursive_hierarchy
+
+    rows = {r["depth"]: r["n_nodes"] for r in g5_recursive_hierarchy(spark, sf_dir).collect()}
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert rows[0] == n_cust  # seed level: every customer
+    depths = sorted(rows)
+    assert depths == list(range(len(depths)))  # contiguous depths
+    for a, b in zip(depths, depths[1:]):  # frontier shrinks monotonically
+        assert rows[b] <= rows[a], rows
