@@ -448,3 +448,38 @@ def j7_sql_registered_udf(spark, sf_dir):
     return spark.sql(
         "SELECT doc_id, double_len(text) AS dlen FROM documents_v WHERE doc_id <= 200"
     )
+
+
+@query(
+    "h12c_variant",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
+           MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="T3",
+    survey="H12",
+)
+def h12c_variant(spark, sf_dir):
+    """VARIANT semi-structured type (Spark 4): ``parse_json`` → binary
+    variant encoding → typed path extraction with ``variant_get`` —
+    the third JSON surface next to h12's get_json_object/json_tuple and
+    h12b's from_json-to-struct.
+
+    At scale VARIANT is the right default for ragged JSON: the binary
+    encoding decodes fields lazily (no full-document string re-parse per
+    access), stays shreddable by Parquet writers, and ``variant_get``
+    path+cast happens JVM-side inside codegen. The oracle mirrors the
+    typed extraction with DuckDB's json_extract."""
+    ev = T(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'int')")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )

@@ -293,3 +293,50 @@ def a14_fetch_upload_pipeline(spark, sf_dir):
     return spark.createDataFrame(
         rows, "bucket long, n_events long, total_value double"
     ).orderBy("bucket")
+
+
+@query(
+    "a15_python_datasource",
+    sql="""
+    SELECT CAST(t AS VARCHAR) AS trace_id,
+           TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 3600) SECOND AS start,
+           TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ((i + 1) * 3600) SECOND AS "end",
+           CAST(t * 1000 + i * 37 AS DOUBLE) * 0.001 AS value,
+           'kWh' AS unit,
+           (i % 5 = 0) AS estimated
+    FROM range(0, 20) tr(t), range(0, 24) ri(i)
+    """,
+    tier="T3",
+    survey="A1,A4,K1",
+)
+def a15_python_datasource(spark, sf_dir):
+    """Custom Python DataSource (Spark 4 ``pyspark.sql.datasource``): the
+    fetch tier lands 20 synthetic ESPI XML documents, then
+    ``spark.read.format("espi_dir")`` plans one InputPartition per file
+    and parses executor-side with stdlib ElementTree
+    (sources/pydatasource.py) — the pure-Python pluggable-source surface
+    next to a11's JVM from_xml path, same canonical record schema.
+
+    The payloads are arithmetic-deterministic (synthetic_espi_xml), so the
+    oracle reproduces every parsed record from range() alone — the match
+    proves fetch landing, partition planning, XML parse, scaling, and the
+    estimated-quality flag end to end."""
+    import shutil
+
+    from oeem_etl_spark.sources import fetch as fx
+    from oeem_etl_spark.sources import pydatasource as pds
+
+    root = os.path.join(_TMP, "a15_pyds")
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    tasks = spark.createDataFrame(
+        [(f"{t}.xml", f"synthetic://{t}") for t in range(20)],
+        "task_id string, uri string",
+    )
+    statuses = {
+        r["status"]
+        for r in fx.fetch_to_landing(tasks, pds.SyntheticEspiFetcher, landing).collect()
+    }
+    assert statuses <= {"fetched", "skipped"}
+    pds.register(spark)
+    return spark.read.format("espi_dir").option("path", landing).load()

@@ -63,3 +63,37 @@ def test_espi_parse_is_jvm_side(spark):
         out._jdf.queryExecution(), "formatted"
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_python_datasource_partitions_per_file(spark, tmp_path):
+    """espi_dir (Python DataSource): one InputPartition per landing file —
+    the fan-out contract that makes a 100k-file directory parallelize —
+    and parse parity with the JVM from_xml path on the same documents."""
+    from oeem_etl_spark.sources import pydatasource as pds
+
+    d = tmp_path / "landing"
+    d.mkdir()
+    for t in range(5):
+        (d / f"{t}.xml").write_text(pds.synthetic_espi_xml(t, n_readings=4))
+    (d / "_SUCCESS").write_text("")  # marker files must be ignored
+    reader = pds.EspiDirReader({"path": str(d)})
+    parts = reader.partitions()
+    assert len(parts) == 5
+    assert [p.trace_id for p in parts] == ["0", "1", "2", "3", "4"]
+
+    pds.register(spark)
+    pds.register(spark)  # re-registration must not raise
+    got = (
+        spark.read.format("espi_dir")
+        .option("path", str(d))
+        .load()
+        .orderBy("trace_id", "start")
+        .collect()
+    )
+    assert len(got) == 20
+    first = got[0]
+    assert (first["trace_id"], first["value"], first["estimated"]) == ("0", 0.0, True)
+
+    # parity with the JVM wholetext+from_xml path on identical files
+    jvm = read_espi_dir(spark, str(d)).orderBy("trace_id", "start").collect()
+    assert [tuple(r) for r in jvm] == [tuple(r) for r in got]
