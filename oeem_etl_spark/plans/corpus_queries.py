@@ -203,3 +203,66 @@ def l25_chunk_documents(spark, sf_dir):
     pure integer arithmetic, fully oracle-checkable."""
     docs = T(spark, sf_dir, "documents")
     return corpus.chunk_documents(docs, "doc_id", "text", chunk_tokens=128, stride=64)
+
+
+@query(
+    "l27_corpus_pipeline",
+    sql=r"""
+    WITH dedup AS (
+      SELECT doc_id, lang, text FROM (
+        SELECT doc_id, lang, text,
+               row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ), quality AS (
+      SELECT doc_id, lang, text FROM dedup
+      WHERE length(text) >= 50
+        AND len(str_split(text, ' ')) >= 10
+        AND CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+            / len(str_split(text, ' ')) >= 0.2
+    ), train AS (
+      SELECT doc_id, lang, text FROM quality
+      WHERE (ascii(substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) * 256
+             + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           SUM(len(str_split(text, ' '))) AS total_tokens,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM train GROUP BY lang
+    """,
+    tier="T3",
+    survey="L1,L7,B8,D1",
+)
+def l27_corpus_pipeline(spark, sf_dir):
+    """The curation funnel END TO END in one declarative plan: exact dedup
+    (digest shuffle, smallest doc_id survives) → quality gate (length /
+    token-count / distinct-token-ratio) → deterministic train split
+    (md5-bucket projection) → per-language document and token accounting.
+    Every stage is the same operator the standalone queries verify
+    (l1 / l13 / l17) — this query proves they COMPOSE: one job, one digest
+    shuffle plus one final two-phase aggregation, filters and the split
+    projection fused into the scan-side stages by Catalyst, nothing
+    materialized between stages.
+
+    The near-dup (minhash) and packing stages are deliberately absent
+    here: their xxhash64-based internals aren't oracle-expressible, so
+    they're verified separately (l2 family, l20) — this is the maximal
+    fully-oracle-checkable slice of the pipeline."""
+    from oeem_etl_spark.operators import dedup as dd
+    from oeem_etl_spark.operators import text as tx
+    from oeem_etl_spark.operators.splits import deterministic_split
+
+    docs = T(spark, sf_dir, "documents")
+    survivors = dd.exact_dedup(docs, "text", "doc_id")
+    gated = tx.quality_filter(
+        survivors, "text", min_chars=50, min_tokens=10, min_distinct_ratio=0.2
+    )
+    train = deterministic_split(gated, "doc_id").where(F.col("split") == "train")
+    return train.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+        F.min("doc_id").alias("min_doc"),
+        F.max("doc_id").alias("max_doc"),
+    )

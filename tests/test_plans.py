@@ -258,3 +258,16 @@ def test_t21_semi_anti_pair_and_topk(spark, sf_dir):
     assert "LeftSemi" in plan, plan
     assert "LeftAnti" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_l27_pipeline_is_two_shuffles(spark, sf_dir):
+    """The composed curation funnel (dedup -> quality -> split -> rollup)
+    must stay a single linear job with exactly two hash exchanges: the
+    dedup digest and the final language rollup. Quality predicates and the
+    split projection are narrow — if either ever introduces a join or an
+    extra exchange, the composition has stopped fusing."""
+    q = registry.queries()["l27_corpus_pipeline"]
+    plan = plan_of(q(spark, sf_dir))
+    keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
+    assert [k.split("#")[0] for k in keys] == ["__digest", "lang"], keys
+    assert "Join" not in plan, plan
