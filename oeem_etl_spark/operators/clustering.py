@@ -1,0 +1,169 @@
+"""Fixed-point k-means over embedding columns + SemDeDup-style pruning.
+
+Capability match: the reference's corpus-curation tier (SURVEY.md §2.L —
+embedding-space operations); the clustering-then-prune shape follows the
+published SemDeDup recipe (Abbas et al. 2023): cluster embeddings with
+k-means, then search for near-duplicate pairs only *within* a cluster,
+turning the O(N²) all-pairs scan into O(Σ n_c²) ≈ O(N²/k).
+
+Determinism / oracle strategy — **fixed-point arithmetic**: embeddings and
+centroids are quantized to integers (``round(x · 10³)`` as int64), so every
+squared-L2 distance is exact integer math. Assignment therefore does not
+depend on floating-point summation order and the whole Lloyd iteration is
+reproducible bit-for-bit in ANSI SQL (the DuckDB oracle unrolls the same
+iterations) and on any cluster/partitioning. Squared distances stay below
+dim · (2·maxq)² — int64-safe for any realistic embedding scale (unit-norm
+vectors at scale 10³ and dim 4096 peak at ~1.6e10).
+
+Scale shape (100 TB):
+
+- **assignment is a pure map** — the k centroids are folded into the plan
+  as literals (k·dim int64s), so scoring N rows against k centroids is
+  whole-stage-codegen arithmetic with NO join and NO shuffle;
+- **each update is one map-side-combinable aggregation** — posexplode to
+  (cluster, pos, value) then SUM/COUNT grouped on (cluster, pos): k·dim
+  cells per partition combine before the (tiny) shuffle;
+- **driver state is k·dim ints per iteration** (the canonical broadcast-
+  centroid shape, same as Spark MLlib KMeans) — the N-row data never
+  leaves executors and is scanned exactly once per iteration.
+"""
+
+from __future__ import annotations
+
+from decimal import ROUND_HALF_UP, Decimal
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+DEFAULT_SCALE = 1000
+
+
+def quantize_vec(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """array<float> -> array<bigint>, element = round(double(x) · scale).
+
+    The cast to double BEFORE the multiply matters for oracle parity:
+    float·int would round the product to float precision, which can flip
+    round-to-int on values near an x.5 boundary; double math here is
+    bit-identical to the oracle's ``CAST(x AS DOUBLE) * scale``.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return F.transform(
+        c, lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long")
+    )
+
+
+def _sqdist_lit(vec: Column, centroid: list[int]) -> Column:
+    """Exact int64 squared-L2 distance between a quantized vector column
+    and a literal centroid (folded into the plan — no join)."""
+    carr = F.array(*[F.lit(int(v)).cast("long") for v in centroid])
+    diffs = F.zip_with(vec, carr, lambda a, b: (a - b) * (a - b))
+    return F.aggregate(diffs, F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def assign_expr(vec: Column, centroids: list[list[int]]) -> Column:
+    """Argmin-over-centroids as a single map-side expression.
+
+    array_min over struct(dist, cid) compares dist first, then cid —
+    exact-integer distances make the argmin total-ordered and ties break
+    to the smallest cluster id, matching the oracle's
+    ``row_number() OVER (ORDER BY dist, cid)``.
+    """
+    cells = [
+        F.struct(_sqdist_lit(vec, c).alias("d"), F.lit(j).alias("c"))
+        for j, c in enumerate(centroids)
+    ]
+    return F.array_min(F.array(*cells))["c"]
+
+
+def _round_half_away(v: float) -> int:
+    """round-half-away-from-zero on the double's exact value — matches
+    Spark ROUND and DuckDB ROUND; Decimal avoids the floor(x+0.5)
+    float-boundary pitfall."""
+    return int(Decimal(v).quantize(Decimal(1), rounding=ROUND_HALF_UP))
+
+
+def kmeans_assign(
+    df: DataFrame,
+    key: str,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """Deterministic Lloyd k-means; returns (key, cluster int).
+
+    Init: centroids are the quantized vectors of the ``k`` smallest keys
+    (cid = rank order). Each iteration: map-only argmin assignment, then
+    centroid update as one grouped aggregation whose k·dim result is
+    collected to the driver (tiny, by construction) and re-folded into
+    the next iteration's plan as literals. An empty cluster keeps its
+    previous centroid. New centroid element = round(sum/count) — i.e.
+    centroids stay on the same integer grid as the data (fixed-point
+    k-means), which is what makes iteration N+1 exact again.
+    """
+    qdf = df.select(F.col(key).alias("__k"), quantize_vec(vec_col, scale).alias("__qv"))
+    seed = qdf.orderBy("__k").limit(k).collect()  # k rows — driver-held by design
+    centroids = [list(r["__qv"]) for r in seed]
+    dim = len(centroids[0])
+    for _ in range(iters):
+        assigned = qdf.select(
+            assign_expr(F.col("__qv"), centroids).alias("__c"), "__qv"
+        )
+        cells = (
+            assigned.select("__c", F.posexplode("__qv").alias("__p", "__v"))
+            .groupBy("__c", "__p")
+            .agg(F.sum("__v").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()  # k·dim cells — driver-held by design
+        )
+        upd: dict[int, dict[int, int]] = {}
+        for r in cells:
+            upd.setdefault(r["__c"], {})[r["__p"]] = _round_half_away(r["s"] / r["n"])
+        centroids = [
+            [upd[j][p] for p in range(dim)] if j in upd else centroids[j]
+            for j in range(len(centroids))
+        ]
+    return qdf.select(
+        F.col("__k").alias(key), assign_expr(F.col("__qv"), centroids).alias("cluster")
+    )
+
+
+def semantic_dedup_pairs(
+    df: DataFrame,
+    key: str,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.35,
+    scale: int = DEFAULT_SCALE,
+) -> DataFrame:
+    """SemDeDup: near-duplicate pairs found *within* k-means clusters.
+
+    Returns (cluster, keep_id, drop_id, cos) — for each within-cluster
+    pair with rounded cosine ≥ threshold, the larger key is the drop
+    candidate (deterministic greedy-by-key policy). Survivors are
+    ``df.join(pairs.select("drop_id"), key == drop_id, "left_anti")``.
+
+    Scale: the pair join is equi-keyed on cluster, so work is
+    O(Σ n_c²) — the k-fold reduction over all-pairs that makes
+    embedding dedup feasible at corpus scale; skewed clusters can be
+    re-clustered recursively (raise k) before pairing.
+    """
+    from oeem_etl_spark.functions import vector
+
+    clusters = kmeans_assign(df, key, vec_col, k, iters, scale)
+    side = clusters.join(df.select(F.col(key), F.col(vec_col)), key)
+    x = side.select(
+        F.col("cluster"),
+        F.col(key).alias("keep_id"),
+        F.col(vec_col).alias("__vx"),
+    )
+    y = side.select(
+        F.col("cluster"),
+        F.col(key).alias("drop_id"),
+        F.col(vec_col).alias("__vy"),
+    )
+    pairs = x.join(y, ["cluster"]).where(F.col("keep_id") < F.col("drop_id"))
+    cos = F.round(vector.cosine("__vx", "__vy"), 6)
+    return pairs.select(
+        "cluster", "keep_id", "drop_id", cos.alias("cos")
+    ).where(F.col("cos") >= threshold)

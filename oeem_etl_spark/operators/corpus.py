@@ -295,3 +295,51 @@ def chunk_documents(
         F.concat_ws(" ", F.col("__chunk")).alias("chunk_text"),
         F.size("__chunk").cast("long").alias("n_chunk_tokens"),
     )
+
+
+def duplicated_window_stats(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    n: int = 5,
+    hashed: bool = True,
+) -> DataFrame:
+    """Span-level duplication signal (the Lee et al. 2021 "Deduplicating
+    Training Data" substring statistic, at token-window granularity):
+    for each document, how many of its n-token windows occur more than
+    once in the whole corpus. Output: (key, n_windows, n_dup, dup_frac).
+
+    ``hashed=True`` (the scale path) replaces each window string with its
+    xxhash64 before the corpus-wide count, so the shuffle carries 8-byte
+    keys instead of window text — counts are identical to the string
+    grouping unless xxhash64 collides (~2⁻⁶⁴ per pair; the same standing
+    assumption the MinHash/LSH tier documents). Documents shorter than
+    ``n`` tokens are excluded (they have no windows).
+
+    Scale shape: window explode is a map-side generator; the occurrence
+    count is one map-combinable groupBy on the hashed window; the join
+    back to per-doc rows is equi-keyed on that hash. No all-pairs stage
+    exists at any point — cost is O(total windows), not O(docs²).
+    """
+    toks = tokenize(text_col)
+    windows = F.transform(
+        F.sequence(F.lit(1), F.size("__toks") - (n - 1)),
+        lambda i: F.array_join(F.slice(F.col("__toks"), i, n), " "),
+    )
+    e = (
+        df.select(F.col(key), toks.alias("__toks"))
+        .where(F.size("__toks") >= n)
+        .select(F.col(key), F.explode(windows).alias("__w"))
+    )
+    if hashed:
+        e = e.select(F.col(key), F.xxhash64("__w").alias("__w"))
+    counts = e.groupBy("__w").agg(F.count(F.lit(1)).alias("__cnt"))
+    return (
+        e.join(counts, "__w")
+        .groupBy(key)
+        .agg(
+            F.count(F.lit(1)).alias("n_windows"),
+            F.count(F.when(F.col("__cnt") > 1, F.lit(1))).alias("n_dup"),
+        )
+        .withColumn("dup_frac", F.round(F.col("n_dup") / F.col("n_windows"), 6))
+    )

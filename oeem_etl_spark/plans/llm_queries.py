@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
+from oeem_etl_spark.operators import corpus as corpus_ops
 from oeem_etl_spark.operators import dedup, multimodal, similarity, text
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T
@@ -861,3 +862,160 @@ def l3e_topk_arrow(spark, sf_dir):
     )
     out = similarity.cosine_topk_arrow(emb, queries, k=10)
     return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+# ---------------------------------------------------------------------------
+# Clustering / semantic-dedup family (operators/clustering.py)
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_cte(k: int = 8, iters: int = 2, dim: int = 64, scale: int = 1000):
+    """DuckDB oracle for fixed-point k-means: the Lloyd iterations unroll
+    into CTEs (assignment a{i} from centroids c{i-1}; update c{i} keeps a
+    cluster's previous centroid when it goes empty). All distances are
+    exact int64 arithmetic on the same quantized grid the Spark operator
+    uses, so assignment matches bit-for-bit. Returns (cte_sql, final) where
+    ``final`` names the CTE holding (vec_id, cid) after ``iters`` updates."""
+    parts = [
+        f"""q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+      FROM embeddings
+    ),
+    c0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+      FROM q ORDER BY vec_id LIMIT {k}
+    )"""
+    ]
+    for it in range(1, iters + 1):
+        parts.append(
+            f"""d{it} AS (
+      SELECT q.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, {dim}),
+                      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS dist
+      FROM q CROSS JOIN c{it - 1} c
+    ),
+    a{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d{it}
+      ) WHERE rn = 1
+    ),
+    s{it} AS (
+      SELECT a{it}.cid, p.pos,
+             CAST(round(CAST(SUM(q.v[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+      FROM a{it} JOIN q USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {dim})) AS pos) p
+      GROUP BY a{it}.cid, p.pos
+    ),
+    n{it} AS (SELECT cid, list(cv ORDER BY pos) AS v FROM s{it} GROUP BY cid),
+    c{it} AS (
+      SELECT c{it - 1}.cid, COALESCE(n{it}.v, c{it - 1}.v) AS v
+      FROM c{it - 1} LEFT JOIN n{it} USING (cid)
+    )"""
+        )
+    final = f"""df AS (
+      SELECT q.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, {dim}),
+                      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS dist
+      FROM q CROSS JOIN c{iters} c
+    ),
+    af AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM df
+      ) WHERE rn = 1
+    )"""
+    parts.append(final)
+    return "WITH " + ",\n    ".join(parts), "af"
+
+
+_KMEANS_CTE, _KMEANS_FINAL = _kmeans_cte()
+
+
+@query(
+    "l28_kmeans_assign",
+    sql=f"""
+    {_KMEANS_CTE}
+    SELECT vec_id, CAST(cid AS INT) AS cluster FROM {_KMEANS_FINAL}
+    """,
+    tier="T3",
+    survey="L3,H8,D1",
+)
+def l28_kmeans_assign(spark, sf_dir):
+    """Fixed-point k-means (k=8, 2 Lloyd updates) cluster assignment over
+    the embeddings table — assignment is a pure map against literal
+    centroids; each update is one map-combinable aggregation. The integer
+    distance grid makes the full iteration oracle-checkable."""
+    from oeem_etl_spark.operators import clustering
+
+    emb = T(spark, sf_dir, "embeddings")
+    return clustering.kmeans_assign(emb, "vec_id", "embedding", k=8, iters=2)
+
+
+@query(
+    "l29_semantic_dedup",
+    sql=f"""
+    {_KMEANS_CTE}
+    SELECT CAST(x.cid AS INT) AS cluster,
+           x.vec_id AS keep_id, y.vec_id AS drop_id,
+           ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                        CAST(ey.embedding AS DOUBLE[])), 6) AS cos
+    FROM {_KMEANS_FINAL} x JOIN {_KMEANS_FINAL} y
+      ON x.cid = y.cid AND x.vec_id < y.vec_id
+    JOIN embeddings ex ON ex.vec_id = x.vec_id
+    JOIN embeddings ey ON ey.vec_id = y.vec_id
+    WHERE ROUND(list_cosine_similarity(CAST(ex.embedding AS DOUBLE[]),
+                                       CAST(ey.embedding AS DOUBLE[])), 6) >= 0.35
+    """,
+    tier="T3",
+    survey="L2,L3,H8",
+)
+def l29_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style near-duplicate pairs: cosine search restricted to
+    within k-means clusters (O(N²/k), not O(N²)); larger vec_id is the
+    drop candidate. Fully oracle-checked including the clustering."""
+    from oeem_etl_spark.operators import clustering
+
+    emb = T(spark, sf_dir, "embeddings")
+    return clustering.semantic_dedup_pairs(
+        emb, "vec_id", "embedding", k=8, iters=2, threshold=0.35
+    )
+
+
+@query(
+    "l30_span_dedup_stats",
+    sql="""
+    WITH t AS (
+      SELECT doc_id, str_split(text, ' ') AS toks FROM documents
+    ),
+    e AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, len(toks) - 4),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                    || ' ' || toks[i+3] || ' ' || toks[i+4])) AS w
+      FROM t WHERE len(toks) >= 5
+    ),
+    c AS (SELECT w, COUNT(*) AS cnt FROM e GROUP BY w)
+    SELECT e.doc_id,
+           COUNT(*) AS n_windows,
+           COUNT(*) FILTER (WHERE c.cnt > 1) AS n_dup,
+           ROUND(CAST(COUNT(*) FILTER (WHERE c.cnt > 1) AS DOUBLE)
+                 / COUNT(*), 6) AS dup_frac
+    FROM e JOIN c USING (w)
+    GROUP BY e.doc_id
+    """,
+    tier="T3",
+    survey="L1,L5,H9",
+)
+def l30_span_dedup_stats(spark, sf_dir):
+    """Span-level duplication signal (Lee et al. substring-dedup statistic):
+    per document, the count/fraction of its 5-token windows occurring more
+    than once corpus-wide. Spark side shuffles xxhash64(window) 8-byte keys
+    (never window text); counts match the oracle's string grouping under
+    the standing no-collision assumption."""
+    docs = T(spark, sf_dir, "documents")
+    return corpus_ops.duplicated_window_stats(docs, "doc_id", "text", n=5)

@@ -1,0 +1,116 @@
+"""Unit tests for operators/clustering.py (fixed-point k-means, SemDeDup)
+and corpus.duplicated_window_stats (span-level dedup signal)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators import clustering, corpus
+
+
+def _emb(spark, rows):
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_kmeans_separated_blobs_recovered(spark):
+    # Three tight blobs far apart; init takes the 3 smallest vec_ids, one
+    # from each blob, so 3 Lloyd updates must land each point with its blob.
+    blobs = {0: [10.0, 0.0], 1: [0.0, 10.0], 2: [-10.0, -10.0]}
+    rows = []
+    for b, center in blobs.items():
+        for i in range(4):
+            rows.append(
+                (b + 3 * i, [center[0] + 0.01 * i, center[1] - 0.01 * i])
+            )
+    df = _emb(spark, rows)
+    out = clustering.kmeans_assign(df, "vec_id", k=3, iters=3).collect()
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    for b in blobs:
+        members = {got[b + 3 * i] for i in range(4)}
+        assert len(members) == 1, f"blob {b} split across clusters: {members}"
+    assert {got[0], got[1], got[2]} == {0, 1, 2}
+
+
+def test_kmeans_deterministic_across_runs(spark, sf_dir):
+    from oeem_etl_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = clustering.kmeans_assign(emb, "vec_id", k=8, iters=2)
+    b = clustering.kmeans_assign(emb, "vec_id", k=8, iters=2)
+    ra = sorted((r["vec_id"], r["cluster"]) for r in a.collect())
+    rb = sorted((r["vec_id"], r["cluster"]) for r in b.collect())
+    assert ra == rb
+    assert len(ra) == emb.count()
+    assert {c for _, c in ra} <= set(range(8))
+
+
+def test_kmeans_empty_cluster_keeps_previous_centroid(spark):
+    # vec_ids 0..2 are identical, so init ties send every point to cid 0
+    # in round 1; clusters 1 and 2 go empty and must keep their [0,0]
+    # centroid. Round 2: c0 has drifted to the mean, so the zero-points
+    # tie between (unchanged) c1/c2 and break to cid 1; the far point
+    # stays with c0. A dropped empty-cluster centroid would instead
+    # crash or collapse everything into one cluster.
+    rows = [(i, [0.0, 0.0]) for i in range(3)] + [(10, [0.1, 0.1])]
+    df = _emb(spark, rows)
+    out = clustering.kmeans_assign(df, "vec_id", k=3, iters=2).collect()
+    got = {r["vec_id"]: r["cluster"] for r in out}
+    assert got == {0: 1, 1: 1, 2: 1, 10: 0}
+
+
+def test_kmeans_assignment_plan_is_map_only(spark, sf_dir):
+    # Final assignment = scan + project against literal centroids: the
+    # 100 TB contract is that scoring N rows against k centroids never
+    # shuffles. (kmeans_assign's *fit* aggregates once per iteration; the
+    # returned assignment plan itself must be exchange-free.)
+    from oeem_etl_spark.catalog import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = clustering.kmeans_assign(emb, "vec_id", k=4, iters=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_semantic_dedup_finds_planted_near_duplicate(spark):
+    # Two near-identical vectors land in the same cluster and must surface
+    # as a (keep=smaller, drop=larger) pair; orthogonal vectors must not.
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.0, 1.0, 0.0]),
+        (5, [0.999, 0.001, 0.0]),  # near-dup of vec 0
+        (7, [0.0, 0.0, 1.0]),
+    ]
+    df = _emb(spark, rows)
+    pairs = clustering.semantic_dedup_pairs(
+        df, "vec_id", k=2, iters=2, threshold=0.9
+    ).collect()
+    assert [(p["keep_id"], p["drop_id"]) for p in pairs] == [(0, 5)]
+    assert pairs[0]["cos"] >= 0.9
+
+
+def test_duplicated_window_stats_exact_counts(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e f"),      # windows: "a b c d e", "b c d e f"
+            (2, "a b c d e x"),      # windows: "a b c d e", "b c d e x"
+            (3, "z z z z z z z"),    # 3 identical windows "z z z z z"
+            (4, "too short"),        # < 5 tokens: excluded
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_windows"], r["n_dup"], r["dup_frac"])
+        for r in corpus.duplicated_window_stats(docs, "doc_id", "text").collect()
+    }
+    assert out == {1: (2, 1, 0.5), 2: (2, 1, 0.5), 3: (3, 3, 1.0)}
+
+
+def test_duplicated_window_stats_hashed_matches_strings(spark, sf_dir):
+    from oeem_etl_spark.catalog import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(200)
+    h = corpus.duplicated_window_stats(docs, "doc_id", "text", hashed=True)
+    s = corpus.duplicated_window_stats(docs, "doc_id", "text", hashed=False)
+    rh = sorted(map(tuple, h.collect()))
+    rs = sorted(map(tuple, s.collect()))
+    assert rh == rs
