@@ -78,3 +78,30 @@ def profile_table(
         for c in fields
     ]
     return one.select(F.explode(F.array(*rows)).alias("p")).select("p.*")
+
+
+def observe_load(
+    df: DataFrame,
+    cols: list[str],
+    observation=None,
+    name: str = "load_metrics",
+) -> DataFrame:
+    """Piggyback load metrics on a DataFrame without a second scan
+    (Spark's ``observe`` surface): row count plus per-column null counts
+    ride the next action as accumulator-style metrics — the monitoring
+    pattern for ETL loads where a separate ``count()``/profile pass over
+    100 TB is unaffordable.
+
+    Pass a ``pyspark.sql.Observation`` to read the metrics after an
+    action (``obs.get``); pass ``observation=None`` to attach by name for
+    listener-based collection (QueryExecutionListener / streaming
+    progress). The returned frame is row-identical to the input — metric
+    evaluation adds one whole-stage-codegen aggregate alongside the scan,
+    no shuffle and no extra job.
+    """
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    for c in cols:
+        metrics.append(
+            F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"null_{c}")
+        )
+    return df.observe(observation if observation is not None else name, *metrics)

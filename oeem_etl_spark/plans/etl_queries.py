@@ -603,3 +603,25 @@ def k19_period_savings(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return period_savings(ev, ["user_id"], "ts", "value", "2024-01-15")
+
+
+@query(
+    "k20_observed_load",
+    sql="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tier="T2",
+    survey="K9,K10",
+)
+def k20_observed_load(spark, sf_dir):
+    """Load with piggybacked observe() metrics (row count + null counts
+    ride the scan as accumulators — no second pass over the data). The
+    frame is row-identical to the plain projection, so the oracle checks
+    the passthrough; the metric values themselves are asserted in
+    tests/test_clustering.py::test_observe_load_metrics."""
+    from oeem_etl_spark.operators.quality import observe_load
+
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    return observe_load(ev, ["user_id", "value"])

@@ -1019,3 +1019,47 @@ def l30_span_dedup_stats(spark, sf_dir):
     the standing no-collision assumption."""
     docs = T(spark, sf_dir, "documents")
     return corpus_ops.duplicated_window_stats(docs, "doc_id", "text", n=5)
+
+
+@query(
+    "l31_heavy_hitters",
+    sql="""
+    WITH tok AS (
+      SELECT unnest(str_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token, COUNT(*) AS n FROM tok
+    GROUP BY token ORDER BY n DESC, token LIMIT 20
+    """,
+    tier="T3",
+    survey="L5,D1,F3,H9",
+)
+def l31_heavy_hitters(spark, sf_dir):
+    """Exact corpus-wide top-20 tokens (map-combinable count + single
+    reduced top-k) — the verify twin of the CMS path in l31b."""
+    from oeem_etl_spark.operators import sketch
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokenize("text")).alias("token"))
+    return sketch.heavy_hitters_exact(toks, "token", k=20)
+
+
+@query(
+    "l31b_cms_estimates",
+    sql=None,  # estimates depend on xxhash64 bucketing — rows-only;
+    # the CMS guarantee (exact <= est <= exact + eps*N) is property-tested
+    # in tests/test_clustering.py.
+    tier="T3",
+    survey="D7,D8,L5",
+)
+def l31b_cms_estimates(spark, sf_dir):
+    """Count-min-sketch estimated counts for the exact top-20 tokens:
+    sketch built in one bounded-state pass (4x1024 cells), probes resolved
+    by broadcast join against the cell frame."""
+    from oeem_etl_spark.operators import sketch
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(text.tokenize("text")).alias("token"))
+    cms = sketch.cms_build(toks, "token")
+    probes = sketch.heavy_hitters_exact(toks, "token", k=20).select("token")
+    est = sketch.cms_estimate(cms, probes, "token")
+    return est.orderBy(F.col("est").desc(), F.col("token"))

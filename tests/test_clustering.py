@@ -114,3 +114,57 @@ def test_duplicated_window_stats_hashed_matches_strings(spark, sf_dir):
     rh = sorted(map(tuple, h.collect()))
     rs = sorted(map(tuple, s.collect()))
     assert rh == rs
+
+
+def test_observe_load_metrics(spark, sf_dir):
+    from pyspark.sql import Observation
+
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.operators.quality import observe_load
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    obs = Observation()
+    out = observe_load(ev, ["user_id", "value"], observation=obs)
+    n = out.count()
+    got = obs.get
+    direct = ev.select(
+        F.count(F.lit(1)).alias("rows"),
+        F.count(F.when(F.col("user_id").isNull(), 1)).alias("null_user_id"),
+        F.count(F.when(F.col("value").isNull(), 1)).alias("null_value"),
+    ).first()
+    assert got["rows"] == n == direct["rows"]
+    assert got["null_user_id"] == direct["null_user_id"]
+    assert got["null_value"] == direct["null_value"]
+
+
+def test_cms_guarantee_and_merge(spark, sf_dir):
+    # CMS bounds: exact <= estimate <= exact + eps*N (eps = e/width) for
+    # every probed token; and merging two half-sketches equals building
+    # one sketch over the whole corpus (CMS is a linear sketch).
+    import math
+
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.operators import sketch
+    from oeem_etl_spark.operators.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.col("doc_id"), F.explode(tokenize("text")).alias("token"))
+    exact = {r["token"]: r["n"] for r in
+             toks.groupBy("token").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(exact.values())
+    eps = math.e / 1024
+
+    cms = sketch.cms_build(toks, "token")
+    probes = toks.select("token").distinct()
+    est = {r["token"]: r["est"]
+           for r in sketch.cms_estimate(cms, probes, "token").collect()}
+    assert set(est) == set(exact)
+    for t, n in exact.items():
+        assert n <= est[t] <= n + eps * total, (t, n, est[t])
+
+    half_a = sketch.cms_build(toks.where(F.col("doc_id") % 2 == 0), "token")
+    half_b = sketch.cms_build(toks.where(F.col("doc_id") % 2 == 1), "token")
+    merged = sketch.cms_merge(half_a, half_b)
+    rm = sorted(map(tuple, merged.collect()))
+    rw = sorted(map(tuple, cms.collect()))
+    assert rm == rw
