@@ -340,3 +340,34 @@ def a15_python_datasource(spark, sf_dir):
     assert statuses <= {"fetched", "skipped"}
     pds.register(spark)
     return spark.read.format("espi_dir").option("path", landing).load()
+
+
+@query(
+    "a16_schema_evolution",
+    sql="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END AS event_type
+    FROM events WHERE event_id <= 400
+    """,
+    tier="T2",
+    survey="A1,A6,B6",
+)
+def a16_schema_evolution(spark, sf_dir):
+    """Schema-evolution read (mergeSchema): an early batch written before a
+    column existed and a later batch carrying it land in one dataset
+    directory; the merged scan unions the schemas and nulls the missing
+    column — the crawl-era ingest reality (feeds gain fields over time)
+    without a rewrite of old data. The oracle reproduces the same
+    null-pattern from the base table."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") <= 400)
+    path = os.path.join(_TMP, "a16_evolving")
+    old = ev.where(F.col("event_id") % 2 == 0).select("event_id", "user_id")
+    new = ev.where(F.col("event_id") % 2 == 1).select(
+        "event_id", "user_id", "event_type"
+    )
+    writers.write_parquet(old, os.path.join(path, "batch=0"))
+    writers.write_parquet(new, os.path.join(path, "batch=1"))
+    back = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(path, "batch=0"), os.path.join(path, "batch=1")
+    )
+    return back.select("event_id", "user_id", "event_type")

@@ -326,3 +326,44 @@ def a13_streaming_upsert_sink(spark, sf_dir):
         sdf, target, keys=["user_id", "event_type"], order_cols=["ts", "event_id"]
     )
     return spark.read.parquet(target).select("user_id", "event_type", "event_id", "value")
+
+
+@query(
+    "i10_streaming_cms",
+    sql=None,  # sketch cells are xxhash64-derived (engine-internal);
+    # streamed-merge == batch-build equality is asserted exactly in
+    # tests/test_clustering.py::test_streaming_cms_equals_batch.
+    tier="T3",
+    survey="I8,D7,D8",
+)
+def i10_streaming_cms(spark, sf_dir):
+    """Streaming count-min sketch: each micro-batch contributes its own
+    (row, bucket, cnt) cell frame via foreachBatch; because CMS is a
+    linear sketch, appending per-batch cells and summing at read time is
+    EXACTLY the sketch of the full stream — the persist-partial-sketches
+    pattern under continuous ingest (no per-key state store needed at
+    all; state is the bounded cell frame). Output: estimated event
+    counts for users 1..5."""
+    from oeem_etl_spark.operators import sketch
+
+    cells_dir = os.path.join(_TMP, "i10_cells")
+    shutil.rmtree(cells_dir, ignore_errors=True)
+    sdf = events_stream(spark, sf_dir).select(F.col("user_id").cast("string"))
+
+    def sink(batch_df, batch_id):
+        sketch.cms_build(batch_df, "user_id").write.mode("append").parquet(
+            cells_dir
+        )
+
+    q = (
+        sdf.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", harness._mkdtemp_ckpt("i10"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    merged = spark.read.parquet(cells_dir).groupBy("row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    probes = spark.range(1, 6).select(F.col("id").cast("string").alias("user_id"))
+    return sketch.cms_estimate(merged, probes, "user_id").orderBy("user_id")

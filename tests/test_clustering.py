@@ -168,3 +168,48 @@ def test_cms_guarantee_and_merge(spark, sf_dir):
     rm = sorted(map(tuple, merged.collect()))
     rw = sorted(map(tuple, cms.collect()))
     assert rm == rw
+
+
+def test_streaming_cms_equals_batch(spark, sf_dir):
+    # Linear-sketch property under streaming: per-micro-batch cells
+    # appended and summed == one batch-built sketch, exactly.
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.operators import sketch
+    from oeem_etl_spark.plans.streaming_queries import i10_streaming_cms
+
+    streamed = {
+        r["user_id"]: r["est"] for r in i10_streaming_cms(spark, sf_dir).collect()
+    }
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("user_id")
+    )
+    batch_cms = sketch.cms_build(ev, "user_id")
+    probes = spark.range(1, 6).select(F.col("id").cast("string").alias("user_id"))
+    batch = {
+        r["user_id"]: r["est"]
+        for r in sketch.cms_estimate(batch_cms, probes, "user_id").collect()
+    }
+    assert streamed == batch
+    exact = {
+        r["user_id"]: r["n"]
+        for r in ev.where(F.col("user_id").cast("long").between(1, 5))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for u, n in exact.items():
+        assert streamed[u] >= n
+
+
+def test_write_sharded_caps_file_rows(spark, sf_dir, tmp_path):
+    from oeem_etl_spark.catalog import load_table
+    from oeem_etl_spark.sources.writers import write_sharded
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    n = ev.count()
+    manifest = write_sharded(
+        ev, str(tmp_path / "shards"), max_records_per_file=1000, order_by=["user_id"]
+    )
+    assert sum(rows for _, rows in manifest) == n
+    assert all(rows <= 1000 for _, rows in manifest)
+    assert len(manifest) >= n // 1000
