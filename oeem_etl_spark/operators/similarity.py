@@ -449,3 +449,63 @@ def cosine_topk_arrow(
         .where(F.col("rnk") <= k)
         .select(query_key, corpus_key, "score", "rnk")
     )
+
+
+def sparse_tfidf_topk(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    k: int = 5,
+    weight_scale: int = 1000,
+    max_df: int | None = None,
+) -> DataFrame:
+    """Sparse tf-idf document-similarity top-k: the inverted-index join
+    (explode terms → equi-join on term → per-pair dot product) that scales
+    where dense all-pairs cosine can't — cost is Σ df(term)², not docs².
+
+    Fixed-point weights (tf-idf rounded to 6 then quantized ×weight_scale
+    to int64) make every dot product exact integer arithmetic —
+    order-independent across engines and partitionings, same trick as
+    plans/util.dsum and the k-means grid. Output:
+    (key_a, key_b, score, rnk), symmetric (each doc ranks all others).
+
+    ``max_df`` is the prefix-filtering lever at scale: dropping terms that
+    appear in more than max_df documents removes exactly the join's
+    quadratic hot keys (stopword posting lists) — the standard
+    Chaudhuri-style prefix-filter trade of recall on ubiquitous terms for
+    a bounded join; at 100 TB always set it (df stats are already
+    computed, so the filter is free).
+    """
+    from oeem_etl_spark.operators.text import tf_idf
+
+    w = tf_idf(df, key, text_col)
+    if max_df is not None:
+        w = w.where(F.col("df") <= max_df)
+    w = w.select(
+        F.col(key),
+        "term",
+        F.round(F.col("tfidf") * weight_scale).cast("long").alias("__wm"),
+    )
+    a = w.select(F.col(key).alias("key_a"), "term", F.col("__wm").alias("__wa"))
+    b = w.select(F.col(key).alias("key_b"), "term", F.col("__wm").alias("__wb"))
+    dots = (
+        a.join(b, "term")
+        .where(F.col("key_a") != F.col("key_b"))
+        .groupBy("key_a", "key_b")
+        .agg(F.sum(F.col("__wa") * F.col("__wb")).alias("__dot"))
+    )
+    rank_w = Window.partitionBy("key_a").orderBy(
+        F.col("__dot").desc(), F.col("key_b").asc()
+    )
+    return (
+        dots.withColumn("rnk", F.row_number().over(rank_w))
+        .where(F.col("rnk") <= k)
+        .select(
+            "key_a",
+            "key_b",
+            F.round(F.col("__dot") / F.lit(float(weight_scale) ** 2), 6).alias(
+                "score"
+            ),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )

@@ -625,3 +625,66 @@ def k20_observed_load(spark, sf_dir):
         "event_id", "user_id", "event_type", "value"
     )
     return observe_load(ev, ["user_id", "value"])
+
+
+@query(
+    "k21_funnel_stages",
+    sql="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t1 AS (SELECT user_id, MIN(CAST(ts AS TIMESTAMP)) AS t1 FROM events
+           WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t2
+           FROM events e JOIN t1 USING (user_id)
+           WHERE e.event_type = 'click' AND CAST(e.ts AS TIMESTAMP) > t1.t1
+           GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, MIN(CAST(e.ts AS TIMESTAMP)) AS t3
+           FROM events e JOIN t2 USING (user_id)
+           WHERE e.event_type = 'purchase' AND CAST(e.ts AS TIMESTAMP) > t2.t2
+           GROUP BY e.user_id)
+    SELECT u.user_id,
+           CAST(CASE WHEN t3.user_id IS NOT NULL THEN 3
+                     WHEN t2.user_id IS NOT NULL THEN 2
+                     WHEN t1.user_id IS NOT NULL THEN 1
+                     ELSE 0 END AS INT) AS stage
+    FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+           LEFT JOIN t3 USING (user_id)
+    """,
+    tier="T2",
+    survey="K11,D1,C2,B4",
+)
+def k21_funnel_stages(spark, sf_dir):
+    """Funnel progression per user (view → click → purchase,
+    greedy-earliest strictly-ordered chain): one conditional min-agg per
+    stage, all shuffles co-partitioned on user_id."""
+    from oeem_etl_spark.operators.behavior import funnel_stages
+
+    ev = T(spark, sf_dir, "events")
+    return funnel_stages(ev, "user_id", "ts", "event_type",
+                         ["view", "click", "purchase"])
+
+
+@query(
+    "k22_cohort_retention",
+    sql="""
+    WITH act AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', CAST(ts AS TIMESTAMP)) AS DATE) AS period
+      FROM events
+    ),
+    cohorts AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY user_id)
+    SELECT cohort,
+           CAST((period - cohort) / 7 AS INT) AS period_offset,
+           COUNT(DISTINCT act.user_id) AS n_users
+    FROM act JOIN cohorts USING (user_id)
+    GROUP BY cohort, period_offset
+    """,
+    tier="T2",
+    survey="K11,D2,H4",
+)
+def k22_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix: users bucketed by first-activity
+    ISO week; n_users active at each week offset."""
+    from oeem_etl_spark.operators.behavior import cohort_retention
+
+    ev = T(spark, sf_dir, "events")
+    return cohort_retention(ev, "user_id", "ts")

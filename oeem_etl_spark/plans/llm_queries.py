@@ -1063,3 +1063,44 @@ def l31b_cms_estimates(spark, sf_dir):
     probes = sketch.heavy_hitters_exact(toks, "token", k=20).select("token")
     est = sketch.cms_estimate(cms, probes, "token")
     return est.orderBy(F.col("est").desc(), F.col("token"))
+
+
+@query(
+    "l32_sparse_doc_similarity",
+    sql="""
+    WITH sub AS (SELECT doc_id, text FROM documents WHERE doc_id <= 80),
+    tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM sub
+      ) GROUP BY doc_id, tok
+    ),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM sub),
+    w AS (
+      SELECT tf.doc_id, tf.term,
+             CAST(round(ROUND(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.df), 6)
+                        * 1000) AS BIGINT) AS wm
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    ),
+    dots AS (
+      SELECT a.doc_id AS key_a, b.doc_id AS key_b, SUM(a.wm * b.wm) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.doc_id <> b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT key_a, key_b,
+           ROUND(CAST(dot AS DOUBLE) / 1000000.0, 6) AS score,
+           CAST(row_number() OVER (PARTITION BY key_a ORDER BY dot DESC, key_b)
+                AS INT) AS rnk
+    FROM dots QUALIFY rnk <= 5
+    """,
+    tier="T3",
+    survey="L6,L3,C1,E5",
+)
+def l32_sparse_doc_similarity(spark, sf_dir):
+    """Sparse tf-idf document similarity via the inverted-index join
+    (term-posting equi-join, fixed-point dot products) — the sparse
+    retrieval twin of l3's dense cosine; cost scales with posting-list
+    sizes, not docs². Bounded to doc_id<=80 for the oracle; max_df is the
+    at-scale stopword prefix filter."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 80)
+    return similarity.sparse_tfidf_topk(docs, "doc_id", "text", k=5)

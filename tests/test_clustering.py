@@ -213,3 +213,79 @@ def test_write_sharded_caps_file_rows(spark, sf_dir, tmp_path):
     assert sum(rows for _, rows in manifest) == n
     assert all(rows <= 1000 for _, rows in manifest)
     assert len(manifest) >= n // 1000
+
+
+def test_funnel_stages_strict_ordering(spark):
+    from oeem_etl_spark.operators.behavior import funnel_stages
+
+    rows = [
+        # u1: full funnel in order -> 3
+        (1, "2024-01-01 00:00:00", "view"),
+        (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "purchase"),
+        # u2: purchase BEFORE click -> stops at 2
+        (2, "2024-01-01 00:00:00", "view"),
+        (2, "2024-01-01 00:00:30", "purchase"),
+        (2, "2024-01-01 00:01:00", "click"),
+        # u3: no view -> 0 even though click/purchase exist
+        (3, "2024-01-01 00:00:00", "click"),
+        (3, "2024-01-01 00:01:00", "purchase"),
+        # u4: simultaneous view+click (not strictly after) -> 1
+        (4, "2024-01-01 00:00:00", "view"),
+        (4, "2024-01-01 00:00:00", "click"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        r["user_id"]: r["stage"]
+        for r in funnel_stages(
+            df, "user_id", "ts", "event_type", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2, 3: 0, 4: 1}
+
+
+def test_cohort_retention_offsets(spark):
+    from oeem_etl_spark.operators.behavior import cohort_retention
+
+    rows = [
+        (1, "2024-01-01 10:00:00"),  # Monday, cohort week 0
+        (1, "2024-01-09 10:00:00"),  # next week -> offset 1
+        (2, "2024-01-02 10:00:00"),  # same cohort week
+        (2, "2024-01-16 10:00:00"),  # offset 2
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    out = {
+        (str(r["cohort"]), r["period_offset"]): r["n_users"]
+        for r in cohort_retention(df, "user_id", "ts").collect()
+    }
+    assert out == {
+        ("2024-01-01", 0): 2,
+        ("2024-01-01", 1): 1,
+        ("2024-01-01", 2): 1,
+    }
+
+
+def test_sparse_tfidf_topk_max_df_prunes_hot_terms(spark):
+    from oeem_etl_spark.operators.similarity import sparse_tfidf_topk
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common rare1 rare2"),
+            (2, "common rare1 rare3"),
+            (3, "common other thing"),
+        ],
+        "doc_id long, text string",
+    )
+    # 'common' has df=3 and idf=0, so it contributes nothing anyway;
+    # pruning at max_df=2 must keep the rare1 overlap between docs 1,2.
+    full = sparse_tfidf_topk(docs, "doc_id", "text", k=2)
+    pruned = sparse_tfidf_topk(docs, "doc_id", "text", k=2, max_df=2)
+    f = {(r["key_a"], r["key_b"]): r["score"] for r in full.collect()}
+    p = {(r["key_a"], r["key_b"]): r["score"] for r in pruned.collect()}
+    assert p[(1, 2)] == f[(1, 2)] > 0
+    # doc 3 shares only the pruned/zero-idf term: no pair survives pruning
+    assert not any(3 in k for k in p)
