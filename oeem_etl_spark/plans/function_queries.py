@@ -483,3 +483,33 @@ def h12c_variant(spark, sf_dir):
         F.min(k).alias("min_k"),
         F.max(k).alias("max_k"),
     )
+
+
+@query(
+    "h14_try_functions",
+    sql="""
+    SELECT event_id,
+           CASE WHEN user_id % 5 = 0 THEN NULL
+                ELSE ROUND(CAST(event_id AS DOUBLE) / (user_id % 5), 6)
+           END AS safe_ratio,
+           TRY_CAST(event_type AS INTEGER) AS type_as_int,
+           TRY_CAST(substr(props, 2, 3) AS INTEGER) AS props_prefix_int
+    FROM events WHERE event_id <= 2000
+    """,
+    tier="T2",
+    survey="H13,B5,B6",
+)
+def h14_try_functions(spark, sf_dir):
+    """Error-safe expression family (Spark ANSI mode is pinned ON, so
+    failing casts/divisions raise unless the try_ forms are used): NULL on
+    divide-by-zero and on unparseable casts instead of job abort — the
+    quarantine-free path for tolerable per-value errors."""
+    ev = T(spark, sf_dir, "events").where(F.col("event_id") <= 2000)
+    return ev.select(
+        "event_id",
+        F.round(
+            F.try_divide(F.col("event_id").cast("double"), F.col("user_id") % 5), 6
+        ).alias("safe_ratio"),
+        F.col("event_type").try_cast("int").alias("type_as_int"),
+        F.substring("props", 2, 3).try_cast("int").alias("props_prefix_int"),
+    )

@@ -1254,3 +1254,40 @@ def d9b_cube(spark, sf_dir):
         F.count(F.lit(1)).alias("n_orders"),
         dsum("o_totalprice", "total_price"),
     )
+
+
+@query(
+    "e6_range_interval_window",
+    sql="""
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6))) OVER (
+             PARTITION BY user_id
+             ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE), 6) AS trailing_1h_sum
+    FROM events WHERE user_id <= 50
+    """,
+    tier="T2",
+    survey="E3,H4",
+)
+def e6_range_interval_window(spark, sf_dir):
+    """RANGE window over event time (not row count): trailing 1-hour sum
+    of value per user — the value-based frame the row-frame e3 can't
+    express; decimal-exact so the float sum is order-independent.
+    Ordering key is epoch seconds (floor), identical in both engines."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.round(
+                F.sum(F.col("value").cast("decimal(30,6)")).over(w).cast("double"), 6
+            ).alias("trailing_1h_sum"),
+        )
+    )

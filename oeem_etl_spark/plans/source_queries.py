@@ -371,3 +371,35 @@ def a16_schema_evolution(spark, sf_dir):
         os.path.join(path, "batch=0"), os.path.join(path, "batch=1")
     )
     return back.select("event_id", "user_id", "event_type")
+
+
+@query(
+    "a17_csv_quarantine",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+    WHERE o_orderkey <= 300
+    """,
+    tier="T2",
+    survey="A2,K9,B6",
+)
+def a17_csv_quarantine(spark, sf_dir):
+    """PERMISSIVE CSV ingest with a quarantine channel: a valid extract
+    plus hand-corrupted lines (wrong arity / unparseable numerics) are
+    scanned with an explicit schema; malformed rows land in the reject
+    frame, good rows reproduce the source subset exactly (the oracle).
+    The quarantined side's count is asserted in tests/test_clustering.py."""
+    sub = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 300)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+    path = os.path.join(_TMP, "a17_csv")
+    writers.write_csv(sub, path)
+    # Corrupt lines appended driver-side: a short row and a bad numeric.
+    with open(os.path.join(path, "_bad_extra.csv"), "w") as f:
+        f.write("9999999\n")
+        f.write("9999998,12,not_a_number\n")
+    good, _bad = readers.scan_csv_quarantine(
+        spark, path, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
+    )
+    return good

@@ -58,3 +58,38 @@ def scan_orc(spark: SparkSession, path: str) -> DataFrame:
     format — same vectorized reader + predicate pushdown machinery as
     parquet, relevant when interoperating with Hive-era warehouses."""
     return spark.read.orc(path)
+
+
+def scan_csv_quarantine(
+    spark: SparkSession,
+    path: str,
+    schema: str,
+    header: bool = True,
+    **options: str,
+) -> tuple[DataFrame, DataFrame]:
+    """PERMISSIVE CSV scan with a quarantine channel: rows that fail the
+    explicit schema land in a reject frame (raw line preserved) instead of
+    aborting the load or being silently dropped — the malformed-feed
+    reality of utility-file ingest. Returns (good, quarantined).
+
+    The corrupt-record column only materializes if the parsed frame is
+    cached before filtering on it (Spark disallows corrupt-only
+    projections on the raw scan), so this caches the parsed batch; callers
+    should unpersist after the two sides are consumed. At scale, route
+    ``quarantined`` to a dead-letter sink and alert on its count via
+    operators/quality.observe_load.
+    """
+    raw = (
+        spark.read.schema(schema + ", _corrupt string")
+        .options(
+            header=str(header).lower(),
+            mode="PERMISSIVE",
+            columnNameOfCorruptRecord="_corrupt",
+            **options,
+        )
+        .csv(path)
+    )
+    raw = raw.cache()
+    good = raw.where(raw["_corrupt"].isNull()).drop("_corrupt")
+    bad = raw.where(raw["_corrupt"].isNotNull()).select("_corrupt")
+    return good, bad

@@ -289,3 +289,24 @@ def test_sparse_tfidf_topk_max_df_prunes_hot_terms(spark):
     assert p[(1, 2)] == f[(1, 2)] > 0
     # doc 3 shares only the pruned/zero-idf term: no pair survives pruning
     assert not any(3 in k for k in p)
+
+
+def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
+    from oeem_etl_spark.sources.readers import scan_csv_quarantine
+
+    p = tmp_path / "feed"
+    p.mkdir()
+    (p / "part1.csv").write_text(
+        "id,name,amount\n1,alpha,10.5\n2,beta,20.0\n"
+    )
+    (p / "part2.csv").write_text(
+        "id,name,amount\n3,gamma,not_a_number\njunkline\n4,delta,40.25\n"
+    )
+    good, bad = scan_csv_quarantine(
+        spark, str(p), "id bigint, name string, amount double"
+    )
+    g = sorted((r["id"], r["name"], r["amount"]) for r in good.collect())
+    assert g == [(1, "alpha", 10.5), (2, "beta", 20.0), (4, "delta", 40.25)]
+    quarantined = [r["_corrupt"] for r in bad.collect()]
+    assert len(quarantined) == 2
+    assert any("not_a_number" in q for q in quarantined)
