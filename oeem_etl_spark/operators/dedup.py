@@ -114,33 +114,47 @@ def minhash_signatures(
 ) -> DataFrame:
     """Per-document MinHash signature: array<bigint> of length ``num_perm``.
 
-    One explode + ONE groupBy(key) with num_perm min-aggregates — partial
-    aggregation collapses each document's shingles map-side, so the shuffle
-    moves num_perm longs per document regardless of document size.
+    MAP-ONLY: each permutation's min is an ``array_min(transform(...))``
+    over the document's shingle-hash array, so signatures involve NO
+    explode, NO shuffle, and NO aggregation — the whole step is one
+    projection fused into whatever reads it. Local latency matches the
+    former explode + num_perm-min-aggregate formulation (the step is
+    arithmetic-bound either way), but at cluster scale this removes the
+    pipeline's largest exchange — the former shuffle grew with corpus
+    size; now the first exchange anywhere is the (tiny) LSH bucket join.
+
+    Each shingle is hashed ONCE (xxhash64 → mod Mersenne prime) into an
+    intermediate array column; the num_perm permuted mins are multiply-add
+    universal hashes of those values (two integer ops each). The values
+    are identical to the former aggregate formulation — min over the same
+    multiset — so LSH banding and all downstream results are unchanged.
     """
-    ex = df.select(F.col(key), F.split(F.col(text_col), " ").alias("__toks")).select(
-        F.col(key),
-        F.explode(shingles_from_tokens(F.col("__toks"), shingle_k)).alias("__sh"),
+    toks = df.select(F.col(key), F.split(F.col(text_col), " ").alias("__toks"))
+    sh = toks.select(
+        F.col(key), shingles_from_tokens(F.col("__toks"), shingle_k).alias("__sh")
     )
-    # Hash each shingle ONCE; derive the num_perm permuted values with
-    # multiply-add universal hashing (odd multiplier + offset per perm,
-    # 64-bit wraparound is the hash mix). Replacing per-perm string
-    # concat+xxhash64 with two integer ops cut signature time ~4× at sf0.1.
-    base = ex.withColumn("__h", F.pmod(F.xxhash64("__sh"), F.lit(_MERSENNE_P)))
-    mins = base.groupBy(key).agg(
-        *[
-            F.min(
-                F.pmod(
-                    F.col("__h") * F.lit(_PERM_A[p]) + F.lit(_PERM_B[p]),
-                    F.lit(_MERSENNE_P),
+    hs = sh.select(
+        F.col(key),
+        F.transform(
+            "__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
+        ).alias("__hs"),
+    )
+    return hs.select(
+        F.col(key),
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "__hs",
+                        lambda h: F.pmod(
+                            h * F.lit(_PERM_A[p]) + F.lit(_PERM_B[p]),
+                            F.lit(_MERSENNE_P),
+                        ),
+                    )
                 )
-            ).alias(f"__m{p}")
-            for p in range(num_perm)
-        ]
-    )
-    return mins.select(
-        F.col(key),
-        F.array(*[F.col(f"__m{p}") for p in range(num_perm)]).alias("minhash"),
+                for p in range(num_perm)
+            ]
+        ).alias("minhash"),
     )
 
 
