@@ -1,0 +1,142 @@
+"""Link-graph centrality (SURVEY.md §2.L10): fixed-iteration PageRank as
+pure DataFrame power iteration — the web-graph quality signal corpus
+pipelines attach to documents (crawl frontiers, CommonCrawl-style harmonic
+/ PageRank scores feeding quality filters).
+
+Spark-first shape: each iteration is ONE shuffle — `ranks ⋈ edges` on
+``src`` (contributions fan out map-side along the edge partitioning) into
+a map-combinable ``SUM`` on ``dst`` — exactly the iterative-join pattern
+of the MinHash connected-components operator (dedup.py), and the standard
+scale shape for billion-edge graphs (partition edges by src; ranks are the
+small, re-shuffled side). ``checkpoint_every`` truncates lineage with
+``localCheckpoint`` so deep iteration counts don't stack analysis cost.
+
+Determinism (SURVEY.md §7.4 trap #1): the per-node contribution sum is
+quantized to ``scale`` decimals and accumulated as BIGINT micros — the
+same order-independent trick as plans/util.dsum — so ranks are
+bit-identical across partitionings, engines, and reruns, and the operator
+is DuckDB-oracle-able with mirrored layered-CTE SQL (m2 query).
+
+Semantics: damping ``d``; nodes with no in-edges get the teleport term
+``(1−d)/N``; every node in ``nodes`` (or, when nodes is None, every
+endpoint of ``edges``) holds rank mass. Dangling-node mass (out-degree 0)
+is dropped, not redistributed — the common simplification (GraphX's
+default `staticPageRank` does the same); ranks then sum to ≤1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame | None = None,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 12,
+    checkpoint_every: int = 0,
+) -> DataFrame:
+    """Fixed-iteration PageRank → (node, rank) with deterministic ranks.
+
+    ``edges`` must have columns (src, dst); duplicate edges are collapsed
+    (distinct) so parallel edges don't double-send mass. ``nodes`` (one
+    ``node`` column) fixes the vertex set; derived from edge endpoints
+    when omitted. ``scale`` is the quantization for the order-independent
+    contribution sum (12 decimals holds rank mass exactly for graphs up
+    to ~10^6 nodes; beyond that drop to 9 — the bound is |sum of
+    micros| < 2^63).
+    """
+    e = edges.select("src", "dst").distinct()
+    if nodes is None:
+        nodes = (
+            e.select(F.col("src").alias("node"))
+            .unionByName(e.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+    nodes = nodes.select("node")
+
+    # (1-d)/N as a broadcast 1-row frame (text.py's scalar-subquery
+    # pattern) — no driver-side count(), N stays inside the plan.
+    n_frame = nodes.agg(F.count(F.lit(1)).cast("double").alias("__n"))
+    outdeg = e.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("double").alias("outdeg")
+    )
+
+    m = 10**scale
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_frame))
+        .select("node", (F.lit(1.0) / F.col("__n")).alias("rank"))
+    )
+    for i in range(iterations):
+        contribs = (
+            ranks.join(F.broadcast(outdeg), "node")
+            .join(e, ranks["node"] == e["src"])
+            .select(
+                F.col("dst").alias("node"),
+                F.round(F.col("rank") / F.col("outdeg") * m).cast("long").alias(
+                    "__micros"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.sum("__micros").alias("__sum_micros"))
+        )
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_frame))
+            .join(contribs, "node", "left")
+            .select(
+                "node",
+                (
+                    (F.lit(1.0) - damping) / F.col("__n")
+                    + damping
+                    * (F.coalesce(F.col("__sum_micros"), F.lit(0)) / F.lit(float(m)))
+                ).alias("rank"),
+            )
+        )
+        if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
+    return ranks
+
+
+def sql_pagerank(
+    edges_cte: str,
+    iterations: int = 3,
+    damping: float = 0.85,
+    scale: int = 12,
+    out_scale: int = 9,
+) -> str:
+    """DuckDB mirror of :func:`pagerank` as layered CTEs (the m2 oracle).
+
+    ``edges_cte`` is a SQL body producing (src, dst); the generated SQL
+    repeats the Spark expression structure exactly — same quantization,
+    same coalesce, same operation order — so doubles agree bit-for-bit.
+    """
+    m = 10**scale
+    d = damping
+    sql = [
+        f"WITH e AS (SELECT DISTINCT src, dst FROM ({edges_cte})),",
+        " nd AS (SELECT src AS node FROM e UNION SELECT dst FROM e),",
+        " nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS __n FROM nd),",
+        " outdeg AS (SELECT src AS node, CAST(COUNT(*) AS DOUBLE) AS outdeg"
+        " FROM e GROUP BY src),",
+        f" r0 AS (SELECT node, 1.0 / __n AS rank FROM nd, nn),",
+    ]
+    for i in range(iterations):
+        sql.append(
+            f" c{i + 1} AS (SELECT e.dst AS node,"
+            f" SUM(CAST(ROUND(r.rank / o.outdeg * {m}) AS BIGINT)) AS s"
+            f" FROM r{i} r JOIN outdeg o ON r.node = o.node"
+            f" JOIN e ON r.node = e.src GROUP BY e.dst),"
+        )
+        sql.append(
+            f" r{i + 1} AS (SELECT nd.node,"
+            f" (1.0 - {d}) / nn.__n + {d} * (COALESCE(c.s, 0) / {m}.0) AS rank"
+            f" FROM nd CROSS JOIN nn LEFT JOIN c{i + 1} c ON nd.node = c.node),"
+        )
+    sql[-1] = sql[-1].rstrip(",")
+    sql.append(
+        f" SELECT node, ROUND(rank, {out_scale}) AS rank FROM r{iterations}"
+        " ORDER BY node"
+    )
+    return "\n".join(sql)

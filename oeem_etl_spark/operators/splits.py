@@ -82,3 +82,72 @@ def sql_redact_pii(expr: str) -> str:
         escaped = pat.replace("'", "''")
         expr = f"regexp_replace({expr}, '{escaped}', '{repl}', 'g')"
     return expr
+
+
+def hash_uniform(key: Column | str, seed: int = 0) -> Column:
+    """Deterministic uniform in [0, 1) from md5(key:seed) — the seeded-RNG
+    replacement for distributed sampling (SURVEY.md §2.L11).
+
+    First 8 md5 hex chars → 32-bit int → /2^32. Engine-portable: Spark's
+    ``conv(hex,16,10)`` and DuckDB's ``'0x'||hex`` cast produce the same
+    integer, so samples are reproducible across engines, partitionings and
+    reruns — the property `rand(seed)` loses the moment partitioning
+    changes. 32 bits of resolution is ample for sampling weights (ties
+    broken by key below).
+    """
+    k = (F.col(key) if isinstance(key, str) else key).cast("string")
+    h = F.substring(F.md5(F.concat(k, F.lit(f":{seed}"))), 1, 8)
+    return F.conv(h, 16, 10).cast("double") / F.lit(float(1 << 32))
+
+
+def sql_hash_uniform(expr: str, seed: int = 0) -> str:
+    """DuckDB mirror of :func:`hash_uniform`."""
+    return (
+        f"CAST(CAST(concat('0x', substring(md5(concat(CAST({expr} AS VARCHAR),"
+        f" ':{seed}')), 1, 8)) AS UBIGINT) AS DOUBLE) / {float(1 << 32)}"
+    )
+
+
+def weighted_sample_without_replacement(
+    df: DataFrame,
+    key: str,
+    weight: Column | str,
+    k: int,
+    group_by: list[str] | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Efraimidis–Spirakis A-ES weighted sampling without replacement:
+    per row draw u = hash_uniform(key), score = u^(1/w); the top-k scores
+    ARE a weighted sample without replacement (Efraimidis & Spirakis 2006,
+    "Weighted random sampling with a reservoir").
+
+    The 100 TB shape: scoring is a pure per-row expression, selection is
+    one top-k — per group via a rank window (WindowGroupLimit pushes the
+    cut map-side, same audited shape as E5), or global via orderBy+limit
+    (TakeOrdered, no full sort). Deterministic end-to-end: the "random"
+    key is the md5 hash, so resampling a grown corpus keeps every
+    previously-chosen row whose score still makes the cut — stable
+    incremental mixtures, and exactly reproducible by the DuckDB oracle
+    (m3 query). Rows with weight ≤ 0 or NULL are excluded (zero-weight
+    items are never sampled; E-S scores them 0 anyway).
+    """
+    from pyspark.sql import Window
+
+    w = (F.col(weight) if isinstance(weight, str) else weight).cast("double")
+    scored = df.where(w.isNotNull() & (w > 0)).withColumn(
+        "__score", F.pow(hash_uniform(key, seed), F.lit(1.0) / w)
+    )
+    if group_by:
+        win = Window.partitionBy(*group_by).orderBy(
+            F.col("__score").desc(), F.col(key).asc()
+        )
+        return (
+            scored.withColumn("__rn", F.row_number().over(win))
+            .where(F.col("__rn") <= k)
+            .drop("__rn", "__score")
+        )
+    return (
+        scored.orderBy(F.col("__score").desc(), F.col(key).asc())
+        .limit(k)
+        .drop("__score")
+    )

@@ -20,4 +20,5 @@ def load_all() -> None:
         misc_queries,
         tpch_queries,
         corpus_queries,
+        scale_queries,
     )

@@ -1,0 +1,143 @@
+"""Scale-extension operators (SURVEY.md §2 rows C11, L10, L11): explicit
+Bloom join pruning, link-graph centrality, and deterministic weighted
+sampling — the three 100 TB moves that have no single built-in operator:
+shed shuffle bytes before the exchange, score corpus quality from the link
+graph, and draw reproducible weighted mixtures.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators.graph import pagerank, sql_pagerank
+from oeem_etl_spark.operators.pruning import bloom_pruned_join
+from oeem_etl_spark.operators.splits import (
+    hash_uniform,
+    sql_hash_uniform,
+    weighted_sample_without_replacement,
+)
+from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T, dsum, sql_dsum
+
+
+@query(
+    "m1_bloom_pruned_join",
+    sql=f"""
+    SELECT l.l_suppkey AS suppkey,
+           COUNT(*) AS n_lines,
+           {sql_dsum("l.l_extendedprice", "revenue")}
+    FROM lineitem l
+    JOIN (SELECT s_suppkey FROM supplier WHERE s_nationkey <= 2) s
+      ON l.l_suppkey = s.s_suppkey
+    GROUP BY l.l_suppkey
+    ORDER BY suppkey
+    """,
+    tier="T2",
+    survey="C11,C1,D1",
+)
+def m1_bloom_pruned_join(spark, sf_dir):
+    """Bloom-prefiltered fact⋈dim: the dimension (suppliers in 3 nations)
+    is hashed into an 8 KiB bitmap pushed into the lineitem scan as a pure
+    predicate, so fact rows for the other ~22 nations never reach the join
+    exchange. The oracle is the PLAIN join — pruning must not change one
+    row. Plan shape asserted in tests/test_scale_ops.py (pure Filter on
+    the scan — no UDF, no extra shuffle)."""
+    dim = (
+        T(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") <= 2)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    fact = T(spark, sf_dir, "lineitem").select("l_suppkey", "l_extendedprice")
+    joined = bloom_pruned_join(fact, F.broadcast(dim), on="l_suppkey")
+    return (
+        joined.groupBy(F.col("l_suppkey").alias("suppkey"))
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            dsum("l_extendedprice", "revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+_PR_EDGES_SPARK_BOUND = 150  # custkeys in the oracle-sized subgraph
+
+
+def _purchase_edges(spark, sf_dir):
+    """Bipartite purchase graph: customer↔supplier via lineitem×orders,
+    edges both directions so the random walk alternates sides. Orders are
+    filtered to a bounded custkey range FIRST (predicate reaches the
+    parquet scan), then broadcast into lineitem — the fact table never
+    shuffles to build edges."""
+    o = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= _PR_EDGES_SPARK_BOUND)
+        .select("o_orderkey", "o_custkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]).select(
+        F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("cust"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("supp"),
+    )
+    fwd = pairs.select(F.col("cust").alias("src"), F.col("supp").alias("dst"))
+    rev = pairs.select(F.col("supp").alias("src"), F.col("cust").alias("dst"))
+    return fwd.unionByName(rev)
+
+
+_PR_EDGES_SQL = f"""
+    SELECT concat('c', CAST(o.o_custkey AS VARCHAR)) AS src,
+           concat('s', CAST(l.l_suppkey AS VARCHAR)) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey <= {_PR_EDGES_SPARK_BOUND}
+    UNION ALL
+    SELECT concat('s', CAST(l.l_suppkey AS VARCHAR)) AS src,
+           concat('c', CAST(o.o_custkey AS VARCHAR)) AS dst
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_custkey <= {_PR_EDGES_SPARK_BOUND}
+"""
+
+
+@query(
+    "m2_pagerank_centrality",
+    sql=sql_pagerank(_PR_EDGES_SQL, iterations=3, damping=0.85),
+    tier="T3",
+    survey="L10,C1,D1",
+)
+def m2_pagerank_centrality(spark, sf_dir):
+    """3-iteration PageRank over the customer↔supplier purchase graph —
+    the corpus-quality link-score shape (operators/graph.py). Ranks are
+    integer-micros deterministic, so the layered-CTE DuckDB oracle matches
+    hash-exactly despite 3 rounds of double arithmetic."""
+    ranks = pagerank(_purchase_edges(spark, sf_dir), iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 9).alias("rank")).orderBy("node")
+
+
+@query(
+    "m3_weighted_sample",
+    sql=f"""
+    SELECT source, doc_id, n_chars
+    FROM (
+      SELECT source, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY pow({sql_hash_uniform("doc_id", seed=11)},
+                         1.0 / CAST(n_chars AS DOUBLE)) DESC,
+                        doc_id ASC
+             ) AS rn
+      FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+    tier="T3",
+    survey="L11,B8,E5",
+)
+def m3_weighted_sample(spark, sf_dir):
+    """Length-weighted 5-doc sample per source, without replacement
+    (Efraimidis–Spirakis over an md5-derived uniform). Fully deterministic
+    → oracle-checked, unlike rand(seed) sampling (b8) which is engine- and
+    partitioning-specific. Tie risk in the pow() comparison across libm
+    implementations is measure-zero (md5 spreads scores apart)."""
+    docs = T(spark, sf_dir, "documents").select("source", "doc_id", "n_chars")
+    picked = weighted_sample_without_replacement(
+        docs, key="doc_id", weight="n_chars", k=5, group_by=["source"], seed=11
+    )
+    return picked.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")

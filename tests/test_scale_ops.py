@@ -1,0 +1,144 @@
+"""Scale-extension operators (SURVEY §2 C11/L10/L11): Bloom join pruning,
+PageRank centrality, deterministic weighted sampling. Correctness is
+oracle-checked by the driver (m1/m2/m3); these tests pin the properties
+the oracle can't see — pruning actually sheds rows, ranks behave like
+PageRank, sampling follows the weights."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators.graph import pagerank
+from oeem_etl_spark.operators.pruning import (
+    bloom_build,
+    bloom_might_contain,
+    bloom_pruned_join,
+)
+from oeem_etl_spark.operators.splits import weighted_sample_without_replacement
+
+
+# --- C11 Bloom pruning -------------------------------------------------------
+
+
+def test_bloom_no_false_negatives_and_low_fpp(spark, sf_dir):
+    dim = spark.range(0, 500).select(F.col("id").alias("k"))
+    bitmap = bloom_build(dim, "k")
+    probe = spark.range(0, 50_000).select(F.col("id").alias("k"))
+    hits = probe.where(bloom_might_contain("k", bitmap))
+    got = {r["k"] for r in hits.collect()}
+    assert set(range(500)) <= got  # a Bloom filter never loses a member
+    fpp = (len(got) - 500) / (50_000 - 500)
+    assert fpp < 0.01, fpp  # m=2^16, k=3, n=500 → expected ≪ 0.1%
+
+
+def test_bloom_pruned_join_equals_plain_join(spark, sf_dir):
+    from oeem_etl_spark.catalog import load_table
+
+    dim = (
+        load_table(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") <= 2)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    fact = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    pruned = bloom_pruned_join(fact, dim, on="l_suppkey")
+    plain = fact.join(dim, "l_suppkey")
+    assert pruned.count() == plain.count()
+    a = pruned.groupBy("l_suppkey").count().collect()
+    b = plain.groupBy("l_suppkey").count().collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+
+
+def test_bloom_probe_is_pure_scan_filter(spark, sf_dir):
+    """The probe must compile to a Filter on the scan — no UDF (no
+    BatchEvalPython / ArrowEvalPython) and no extra Exchange before the
+    filter; that's what makes it free at 100 TB."""
+    from tests.test_plans import plan_of
+
+    dim = spark.range(0, 100).select(F.col("id").alias("l_suppkey"))
+    bitmap = bloom_build(dim, "l_suppkey")
+    from oeem_etl_spark.catalog import load_table
+
+    fact = load_table(spark, sf_dir, "lineitem").select("l_suppkey")
+    plan = plan_of(fact.where(bloom_might_contain("l_suppkey", bitmap)))
+    assert "Filter" in plan
+    assert "Exchange" not in plan
+    assert "EvalPython" not in plan
+
+
+# --- L10 PageRank ------------------------------------------------------------
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def test_pagerank_mass_and_ordering(spark):
+    # star graph: everyone links to "hub"; hub links back to a1 only
+    pairs = [("a1", "hub"), ("a2", "hub"), ("a3", "hub"), ("hub", "a1")]
+    ranks = {r["node"]: r["rank"] for r in pagerank(_edges(spark, pairs), iterations=5).collect()}
+    assert set(ranks) == {"a1", "a2", "a3", "hub"}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-6  # no dangling nodes → mass 1
+    assert ranks["hub"] > ranks["a1"] > ranks["a2"]  # hub most central
+    assert math.isclose(ranks["a2"], ranks["a3"], rel_tol=1e-12)  # symmetric
+
+
+def test_pagerank_uniform_on_cycle(spark):
+    # directed 4-cycle: rank must stay exactly uniform at every iteration
+    pairs = [("n1", "n2"), ("n2", "n3"), ("n3", "n4"), ("n4", "n1")]
+    ranks = [r["rank"] for r in pagerank(_edges(spark, pairs), iterations=4).collect()]
+    assert all(math.isclose(r, 0.25, rel_tol=1e-9) for r in ranks)
+
+
+def test_pagerank_partitioning_invariant(spark):
+    """Integer-micros contributions make ranks bit-identical across
+    parallelism — the determinism the m2 oracle hash relies on."""
+    pairs = [(f"u{i}", f"u{(i * 7) % 23}") for i in range(100)]
+    e = _edges(spark, pairs)
+    r1 = {r["node"]: r["rank"] for r in pagerank(e.coalesce(1), iterations=3).collect()}
+    r32 = {r["node"]: r["rank"] for r in pagerank(e.repartition(32), iterations=3).collect()}
+    assert r1 == r32
+
+
+# --- L11 weighted sampling ---------------------------------------------------
+
+
+def test_weighted_sample_is_without_replacement_and_deterministic(spark):
+    rows = [(f"d{i}", 1.0 + (i % 10)) for i in range(200)]
+    df = spark.createDataFrame(rows, "key string, w double")
+    s1 = weighted_sample_without_replacement(df, "key", "w", k=20, seed=3)
+    s2 = weighted_sample_without_replacement(df.repartition(16), "key", "w", k=20, seed=3)
+    got1 = sorted(r["key"] for r in s1.collect())
+    got2 = sorted(r["key"] for r in s2.collect())
+    assert len(got1) == len(set(got1)) == 20
+    assert got1 == got2  # partitioning- and rerun-invariant
+
+
+def test_weighted_sample_follows_weights(spark):
+    """Across many seeds, a 9×-weighted item must be drawn far more often
+    than a 1×-weighted one (E-S inclusion probability is monotone in w)."""
+    rows = [("heavy", 9.0)] + [(f"light{i}", 1.0) for i in range(49)]
+    df = spark.createDataFrame(rows, "key string, w double")
+    heavy_hits = 0
+    for seed in range(30):
+        picked = {
+            r["key"]
+            for r in weighted_sample_without_replacement(
+                df, "key", "w", k=5, seed=seed
+            ).collect()
+        }
+        assert len(picked) == 5
+        heavy_hits += "heavy" in picked
+    # P(heavy in sample) ≈ 1-(1-9/58)^5-ish ≳ 0.5; lights sit at ~0.1.
+    assert heavy_hits >= 15, heavy_hits
+
+
+def test_weighted_sample_per_group_respects_k(spark):
+    rows = [(f"d{i}", ["a", "b", "c"][i % 3], float(1 + i % 7)) for i in range(90)]
+    df = spark.createDataFrame(rows, "key string, grp string, w double")
+    out = weighted_sample_without_replacement(
+        df, "key", "w", k=4, group_by=["grp"], seed=1
+    )
+    counts = {r["grp"]: r["n"] for r in out.groupBy("grp").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"a": 4, "b": 4, "c": 4}
