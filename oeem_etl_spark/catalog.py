@@ -91,10 +91,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def _canonicalize(df: DataFrame) -> DataFrame:
     """Normalize engine-unreadable physical types to the logical model.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark reads only as
-    int64 nanos (session config ``nanosAsLong``); convert to a microsecond
-    TimestampType — the same floor-truncation DuckDB applies when casting
-    TIMESTAMP_NS to TIMESTAMP, so both engines see identical values.
+    ``events.ts`` has shipped in two physical vintages:
+
+    - parquet TIMESTAMP(NANOS), which Spark reads only as int64 nanos
+      (session config ``nanosAsLong``); convert to a microsecond
+      TimestampType — the same floor-truncation DuckDB applies when
+      casting TIMESTAMP_NS to TIMESTAMP, so both engines see identical
+      values.
+    - parquet TIMESTAMP(MICROS) with isAdjustedToUTC=false, which Spark 4
+      scans as TIMESTAMP_NTZ; the epoch/watermark/window surfaces
+      (unix_micros, withWatermark, …) require TIMESTAMP, so cast. The
+      session timezone is pinned UTC (ensure_session_confs), making the
+      NTZ→LTZ cast value-exact and matching the oracle's NTZ reading.
     """
     from pyspark.sql import functions as F
     from pyspark.sql import types as Ty
@@ -103,6 +111,8 @@ def _canonicalize(df: DataFrame) -> DataFrame:
         if field.name == "ts" and isinstance(field.dataType, Ty.LongType):
             # integer DIV: float division would lose precision on epoch-ns
             df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+        elif field.name == "ts" and isinstance(field.dataType, Ty.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

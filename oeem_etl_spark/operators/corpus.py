@@ -343,3 +343,122 @@ def duplicated_window_stats(
         )
         .withColumn("dup_frac", F.round(F.col("n_dup") / F.col("n_windows"), 6))
     )
+
+
+def contamination_score(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    key: str,
+    text_col: str,
+    n: int = 5,
+) -> DataFrame:
+    """Per-document contamination REPORT (the scored companion to the
+    binary :func:`decontaminate` rule, as published LLM data reports
+    tabulate it): for each corpus document, how many of its token n-gram
+    occurrences appear anywhere in the evaluation set.
+
+    Output: (key, n_grams, n_hit, hit_frac) — ``hit_frac`` is the
+    occurrence-weighted overlap fraction, rounded to 6dp; documents with
+    fewer than ``n`` tokens have no grams and report (0, 0, 0.0).
+
+    Scale shape: identical to :func:`contaminated_doc_ids` — the eval
+    gram list is broadcast, the corpus explode is a map-side generator,
+    and the only shuffle is the final map-combinable count per ``key``.
+    Use this when a threshold policy ("drop above 20% overlap") is wanted
+    instead of the drop-on-any-hit rule.
+    """
+    toks = corpus.select(F.col(key), tokenize(text_col).alias("__toks"))
+    grams = toks.select(
+        F.col(key),
+        F.explode_outer(ngrams_from_tokens(F.col("__toks"), n)).alias("gram"),
+    )
+    evg = eval_ngrams(eval_df, text_col, n).withColumn("__hit", F.lit(1))
+    flagged = grams.join(F.broadcast(evg), "gram", "left")
+    return (
+        flagged.groupBy(key)
+        .agg(
+            F.count("gram").alias("n_grams"),
+            F.count("__hit").alias("n_hit"),
+        )
+        .withColumn(
+            "hit_frac",
+            F.when(F.col("n_grams") > 0, F.round(F.col("n_hit") / F.col("n_grams"), 6))
+            .otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def quality_quantile_gate(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    group_col: str,
+    q: float = 0.25,
+) -> DataFrame:
+    """Data-driven quality gate: keep documents whose token count is at or
+    above their group's ``q``-th exact interpolated percentile — the
+    per-language/per-source adaptive threshold used when a fixed
+    ``min_tokens`` constant would over-prune low-resource strata.
+
+    Output: input rows (key, group, n_tokens) that survive the gate.
+
+    Determinism note: thresholds interpolate between integer token counts
+    with quarter-grid quantiles (q a multiple of 0.25 keeps every product
+    exact in doubles), so the >= comparison is engine-independent.
+
+    Scale shape: the threshold frame is one map-combinable aggregate with
+    ``n_groups`` rows, broadcast back onto the corpus — the corpus itself
+    is filtered in place with NO shuffle (grouped percentile runs on the
+    tiny projected (group, n_tokens) frame, not the text bytes).
+    """
+    base = df.select(
+        F.col(key), F.col(group_col), F.size(tokenize(text_col)).alias("n_tokens")
+    )
+    thresholds = base.groupBy(group_col).agg(
+        F.percentile("n_tokens", q).alias("__thr")
+    )
+    return (
+        base.join(F.broadcast(thresholds), group_col)
+        .where(F.col("n_tokens") >= F.col("__thr"))
+        .select(key, group_col, "n_tokens")
+    )
+
+
+def token_budget_select(
+    df: DataFrame,
+    key: str,
+    n_tokens: Column | str,
+    budget: int,
+    partition_by: str | None = None,
+) -> DataFrame:
+    """Deterministic token-budget corpus selection: within each partition
+    (source/shard), documents are taken in shuffled-but-stable
+    (md5(key), key) order until the running token total would exceed
+    ``budget`` — the "give me exactly ~N tokens per domain" primitive for
+    assembling a fixed-size training mix.
+
+    Prefix rule: a document survives iff its INCLUSIVE running total is
+    ≤ budget; later smaller documents are NOT backfilled (that knapsack
+    variant is :func:`pack_sequences_no_straddle`'s FFD policy — here
+    determinism and single-pass windowing win at scale).
+
+    Output: (key, partition, n_tokens, cum_tokens) for survivors.
+
+    Scale shape: one window over the partition key on a 3-column
+    projection (the text never moves); the md5 order de-correlates the
+    selection from ingest order so the prefix is an unbiased sample.
+    """
+    tok = F.col(n_tokens) if isinstance(n_tokens, str) else n_tokens
+    part = [partition_by] if partition_by else []
+    order = [F.md5(F.col(key).cast("string")), F.col(key)]
+    w = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out_cols = [F.col(key)] + ([F.col(partition_by)] if partition_by else [])
+    return (
+        df.select(*out_cols, tok.cast("long").alias("n_tokens"))
+        .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
+        .where(F.col("cum_tokens") <= budget)
+    )

@@ -105,10 +105,10 @@ def sessionize(
     """
     w = Window.partitionBy(*keys).orderBy(ts)
     gap_us = gap_minutes * 60_000_000
-    is_new = (
-        (F.unix_micros(F.col(ts)) - F.lag(F.unix_micros(F.col(ts))).over(w))
-        > gap_us
-    ).cast("int")
+    # cast tolerates TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP;
+    # no-op on TIMESTAMP; session tz pinned UTC makes NTZ→LTZ exact)
+    ts_us = F.unix_micros(F.col(ts).cast("timestamp"))
+    is_new = ((ts_us - F.lag(ts_us).over(w)) > gap_us).cast("int")
     return df.withColumn(
         "session_id",
         F.sum(F.coalesce(is_new, F.lit(1))).over(

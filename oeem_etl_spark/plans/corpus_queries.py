@@ -266,3 +266,108 @@ def l27_corpus_pipeline(spark, sf_dir):
         F.min("doc_id").alias("min_doc"),
         F.max("doc_id").alias("max_doc"),
     )
+
+
+@query(
+    "l33_contamination_score",
+    sql=f"""
+    WITH toks AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                  FROM documents),
+    eval_grams AS (
+      SELECT DISTINCT unnest({_SQL_GRAMS_5}) AS gram FROM toks
+      WHERE source = 'src0'
+    ),
+    grams AS (
+      SELECT doc_id, unnest({_SQL_GRAMS_5}) AS gram FROM toks
+      WHERE source <> 'src0'
+    ),
+    hits AS (
+      SELECT g.doc_id,
+             COUNT(*) AS n_grams,
+             COUNT(e.gram) AS n_hit
+      FROM grams g LEFT JOIN eval_grams e USING (gram)
+      GROUP BY g.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(h.n_grams, 0) AS n_grams,
+           COALESCE(h.n_hit, 0) AS n_hit,
+           CASE WHEN COALESCE(h.n_grams, 0) > 0
+                THEN round(h.n_hit * 1.0 / h.n_grams, 6) ELSE 0.0
+           END AS hit_frac
+    FROM toks d LEFT JOIN hits h USING (doc_id)
+    WHERE d.source <> 'src0'
+    """,
+    tier="T3",
+    survey="L2,H9,D1",
+)
+def l33_contamination_score(spark, sf_dir):
+    """Scored decontamination report (the l19 rule's quantitative twin):
+    per-document occurrence-weighted 5-gram overlap against the src0 eval
+    set. The threshold policy ("drop above X% overlap") reads off this
+    frame; eval grams broadcast, corpus never shuffles before the per-doc
+    count."""
+    docs = T(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("source") == "src0")
+    rest = docs.where(F.col("source") != "src0")
+    return corpus.contamination_score(rest, eval_df, "doc_id", "text", n=5)
+
+
+@query(
+    "l34_quality_quantile_gate",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, lang, CAST(len(string_split(text, ' ')) AS BIGINT)
+               AS n_tokens
+      FROM documents
+    ),
+    thr AS (
+      SELECT lang, quantile_cont(n_tokens, 0.25) AS t FROM base GROUP BY lang
+    )
+    SELECT doc_id, lang, n_tokens
+    FROM base JOIN thr USING (lang) WHERE n_tokens >= t
+    """,
+    tier="T3",
+    survey="L7,D6,C9",
+)
+def l34_quality_quantile_gate(spark, sf_dir):
+    """Adaptive quality gate: keep documents at/above their language's
+    exact P25 token count — the data-driven alternative to l13's fixed
+    constants for low-resource strata. The per-group threshold frame is
+    rows=n_langs and broadcast back; the corpus filters with no shuffle."""
+    docs = T(spark, sf_dir, "documents")
+    out = corpus.quality_quantile_gate(docs, "doc_id", "text", "lang", q=0.25)
+    return out.select("doc_id", "lang", F.col("n_tokens").cast("long").alias("n_tokens"))
+
+
+@query(
+    "l35_token_budget_select",
+    sql="""
+    WITH base AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             CAST(SUM(n_tokens) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               AS cum_tokens
+      FROM base
+    )
+    SELECT doc_id, source, n_tokens, cum_tokens FROM c WHERE cum_tokens <= 400
+    """,
+    tier="T3",
+    survey="E3,B8,L5",
+)
+def l35_token_budget_select(spark, sf_dir):
+    """Fixed token budget per source: md5-ordered prefix until 400 tokens —
+    the "assemble an exactly-N-token mix per domain" primitive. One window
+    over a 3-column projection; text bytes never shuffle."""
+    docs = T(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    return corpus.token_budget_select(
+        docs, "doc_id", "n_tokens", budget=400, partition_by="source"
+    )

@@ -174,13 +174,17 @@ def a11_espi_xml_parse(spark, sf_dir):
     from oeem_etl_spark.sources import espi
 
     ev = T(spark, sf_dir, "events").where(F.col("event_id") <= 200)
+    # `ts` may scan as TIMESTAMP or TIMESTAMP_NTZ depending on the parquet
+    # writer's isAdjustedToUTC flag; unix_seconds only takes the former.
+    # Session tz is pinned UTC (catalog.py), so the NTZ→LTZ cast is exact.
+    epoch = F.unix_seconds(F.col("ts").cast("timestamp_ltz"))
     payload = F.format_string(
         "<IntervalBlock><interval><duration>3600</duration><start>%d</start>"
         "</interval><IntervalReading><timePeriod><duration>3600</duration>"
         "<start>%d</start></timePeriod><value>%d</value></IntervalReading>"
         "</IntervalBlock>",
-        F.unix_seconds("ts"),
-        F.unix_seconds("ts"),
+        epoch,
+        epoch,
         F.round(F.col("value") * 1000).cast("long"),
     )
     xml_rows = ev.select(F.col("user_id").alias("trace"), payload.alias("xml"))

@@ -50,4 +50,8 @@ def events_stream(spark: SparkSession, sf_dir: str, **kw) -> DataFrame:
     df = file_stream(spark, sf_dir, "events", **kw)
     if dict(df.dtypes).get("ts") == "bigint":
         df = df.withColumn("ts", F.expr("timestamp_micros(ts DIV 1000)"))
+    elif dict(df.dtypes).get("ts") == "timestamp_ntz":
+        # withWatermark/window require TIMESTAMP; session tz is UTC so the
+        # cast is value-exact (same rule as catalog._canonicalize)
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

@@ -174,3 +174,74 @@ def test_chunk_documents_boundaries(spark):
     assert out[(2, 1)] == ("t3 t4 t5 t6 t7 t8", 6)
     assert out[(2, 2)] == ("t6 t7 t8 t9", 4)
     assert len([k for k in out if k[0] == 2]) == 3
+
+
+def test_contamination_score_fractions(spark):
+    evald = spark.createDataFrame(
+        [(100, "alpha beta gamma delta")], "doc_id long, text string"
+    )
+    docs = spark.createDataFrame(
+        [
+            # 3 trigrams, one of which ("alpha beta gamma") is banned
+            (1, "zzz alpha beta gamma yyy"),
+            # 4 trigrams, zero hits
+            (2, "alpha beta zzz gamma delta qqq"),
+            # too short for trigrams -> (0, 0, 0.0)
+            (3, "alpha beta"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: (r["n_grams"], r["n_hit"], r["hit_frac"])
+        for r in corpus.contamination_score(docs, evald, "doc_id", "text", n=3).collect()
+    }
+    assert rows[1] == (3, 1, round(1 / 3, 6))
+    assert rows[2] == (4, 0, 0.0)
+    assert rows[3] == (0, 0, 0.0)
+
+
+def test_quality_quantile_gate_threshold(spark):
+    # lang a token counts: 1,2,3,4 -> P25 = 1.75 -> keep counts >= 2
+    # lang b token counts: 5,5 -> P25 = 5 -> keep both
+    docs = spark.createDataFrame(
+        [
+            (1, "a", "x"),
+            (2, "a", "x y"),
+            (3, "a", "x y z"),
+            (4, "a", "x y z w"),
+            (5, "b", "p q r s t"),
+            (6, "b", "p q r s t"),
+        ],
+        "doc_id long, lang string, text string",
+    )
+    kept = sorted(
+        r["doc_id"]
+        for r in corpus.quality_quantile_gate(docs, "doc_id", "text", "lang", q=0.25).collect()
+    )
+    assert kept == [2, 3, 4, 5, 6]
+
+
+def test_token_budget_select_prefix_rule(spark):
+    docs = spark.createDataFrame(
+        [(i, "s", 10) for i in range(1, 11)],
+        "doc_id long, source string, n_tokens int",
+    )
+    out = corpus.token_budget_select(
+        docs, "doc_id", "n_tokens", budget=35, partition_by="source"
+    ).collect()
+    # inclusive running total <= 35 with 10-token docs -> exactly 3 survive
+    assert len(out) == 3
+    assert max(r["cum_tokens"] for r in out) == 30
+    # survivors are the md5-order prefix, not doc_id order
+    from pyspark.sql import functions as FF
+
+    expected = [
+        r["doc_id"]
+        for r in docs.select(
+            "doc_id", FF.md5(FF.col("doc_id").cast("string")).alias("h")
+        )
+        .orderBy("h", "doc_id")
+        .limit(3)
+        .collect()
+    ]
+    assert sorted(r["doc_id"] for r in out) == sorted(expected)
