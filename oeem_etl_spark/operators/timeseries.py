@@ -346,3 +346,59 @@ def period_savings(
             F.round((base_avg - rep_avg) / base_avg, 6),
         ).alias("savings_frac"),
     )
+
+
+def calendarize(
+    df: DataFrame,
+    start: str,
+    end: str,
+    value_col: str,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Calendarization (billing-period proration — the energy-ETL staple
+    for aligning consumption/revenue intervals to reporting months): each
+    input interval [start, end] (DATE columns, inclusive both ends) is
+    split across the calendar months it overlaps, and ``value_col`` is
+    allocated to each month by its day-count overlap fraction.
+
+    Output: keys..., month (first day), overlap_days, total_days,
+    ``{value}_alloc`` = floor(value · overlap/total) at 1e-4 granularity.
+    The allocation is EXACT integer arithmetic end-to-end (value scaled
+    to 1e-4 units — lossless for ≤4dp money columns — times overlap
+    days, floor-divided by total days), so results are bit-identical
+    across engines, partitionings, and summation orders; a round() of
+    the double quotient instead would flip on .00005 boundaries between
+    engines. The sub-1e-4 remainder per interval stays unallocated by
+    design (conservative recognition).
+
+    Scale shape: a pure map-side generator — one ``sequence()`` explode
+    per row with fan-out = months spanned (bounded by interval length),
+    no join and no shuffle; downstream monthly rollups group on (month),
+    a low-cardinality map-combinable key.
+    """
+    s, e = F.col(start), F.col(end)
+    month = F.explode(
+        F.sequence(F.trunc(s, "month"), F.trunc(e, "month"), F.expr("interval 1 month"))
+    ).alias("month")
+    base = df.select(
+        *[F.col(k) for k in keys],
+        s.alias("__s"),
+        e.alias("__e"),
+        F.col(value_col).alias("__v"),
+        month,
+    )
+    m = F.col("month")
+    overlap = F.datediff(F.least(F.col("__e"), F.last_day(m)), F.greatest(F.col("__s"), m)) + 1
+    total = F.datediff(F.col("__e"), F.col("__s")) + 1
+    # exact fixed-point: (value·1e4 as long) · overlap, floor-divided by
+    # total. numer - numer % total is divisible by total, so the double
+    # division is exact (magnitudes < 2^53); no float rounding anywhere.
+    numer = F.round(F.col("__v") * 10_000).cast("long") * overlap.cast("long")
+    alloc_e4 = ((numer - numer % total.cast("long")) / total.cast("long")).cast("long")
+    return base.select(
+        *[F.col(k) for k in keys],
+        m,
+        overlap.cast("int").alias("overlap_days"),
+        total.cast("int").alias("total_days"),
+        (alloc_e4 / F.lit(10_000.0)).alias(f"{value_col}_alloc"),
+    )

@@ -688,3 +688,92 @@ def k22_cohort_retention(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     return cohort_retention(ev, "user_id", "ts")
+
+
+@query(
+    "k23_calendarize",
+    sql=f"""
+    WITH iv AS (
+      SELECT l.l_orderkey, l.l_linenumber,
+             o.o_orderdate AS s, l.l_shipdate AS e, l.l_extendedprice AS v
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE l.l_shipdate >= o.o_orderdate
+    ),
+    parts AS (
+      SELECT s, e, v,
+             CAST(unnest(generate_series(date_trunc('month', s),
+                                         date_trunc('month', e),
+                                         INTERVAL 1 MONTH)) AS DATE) AS month
+      FROM iv
+    ),
+    alloc AS (
+      SELECT month,
+             (CAST(round(v * 10000) AS BIGINT)
+                * (date_diff('day', greatest(s, month),
+                             least(e, last_day(month))) + 1))
+               // (date_diff('day', s, e) + 1) / 10000.0 AS a
+      FROM parts
+    )
+    SELECT month, COUNT(*) AS n_parts,
+           {sql_dsum('a', 'recognized', 4)}
+    FROM alloc GROUP BY month
+    """,
+    tier="T2",
+    survey="K7,H4,D1",
+)
+def k23_calendarize(spark, sf_dir):
+    """Calendarization: prorate each order's line revenue across the
+    calendar months between order date and ship date by day-overlap
+    fraction, then roll up recognized revenue per month — the
+    billing-period alignment move the reference's domain (meter billing
+    intervals vs reporting months) is built around. The month explode is
+    a map-side generator (no join, no shuffle); the rollup groups on the
+    low-cardinality month key with integer-micros accumulation."""
+    from oeem_etl_spark.operators.timeseries import calendarize
+
+    li = T(spark, sf_dir, "lineitem")
+    o = T(spark, sf_dir, "orders")
+    iv = (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .where(F.col("l_shipdate") >= F.col("o_orderdate"))
+        .select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "l_extendedprice")
+    )
+    parts = calendarize(
+        iv, "o_orderdate", "l_shipdate", "l_extendedprice",
+        keys=["l_orderkey", "l_linenumber"],
+    )
+    return parts.groupBy("month").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        dsum("l_extendedprice_alloc", "recognized", scale=4),
+    )
+
+
+_TOU_PEAK = (
+    "isodow(CAST(ts AS TIMESTAMP)) <= 5"
+    " AND hour(CAST(ts AS TIMESTAMP)) BETWEEN 8 AND 19"
+)
+
+
+@query(
+    "k24_tou_buckets",
+    sql=f"""
+    SELECT user_id,
+           {sql_dsum(f"CASE WHEN {_TOU_PEAK} THEN value ELSE 0 END", "peak_kwh")},
+           {sql_dsum(f"CASE WHEN NOT ({_TOU_PEAK}) THEN value ELSE 0 END", "offpeak_kwh")}
+    FROM events GROUP BY user_id
+    """,
+    tier="T2",
+    survey="K8,B4,D1,H4",
+)
+def k24_tou_buckets(spark, sf_dir):
+    """Time-of-use tariff split (metering-analytics staple): per-user
+    consumption in the weekday 08:00–19:59 peak window vs everything else.
+    One map-combinable aggregate — the conditional routing is a scan-side
+    projection; integer-micros accumulation keeps both buckets exact."""
+    ev = T(spark, sf_dir, "events")
+    # weekday(): 0=Monday — weekday<=4 matches the oracle's isodow<=5
+    is_peak = (F.weekday("ts") <= 4) & F.hour("ts").between(8, 19)
+    return ev.groupBy("user_id").agg(
+        dsum(F.when(is_peak, F.col("value")).otherwise(F.lit(0.0)), "peak_kwh"),
+        dsum(F.when(~is_peak, F.col("value")).otherwise(F.lit(0.0)), "offpeak_kwh"),
+    )

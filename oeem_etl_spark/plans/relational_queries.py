@@ -1291,3 +1291,67 @@ def e6_range_interval_window(spark, sf_dir):
             ).alias("trailing_1h_sum"),
         )
     )
+
+
+@query(
+    "e7_rolling_distinct",
+    sql="""
+    SELECT event_id, user_id,
+           COUNT(DISTINCT event_type) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS distinct_types
+    FROM events WHERE user_id <= 50
+    """,
+    tier="T2",
+    survey="E3,D2",
+)
+def e7_rolling_distinct(spark, sf_dir):
+    """Rolling DISTINCT count over a trailing row frame — Spark has no
+    native windowed distinct aggregate, so this is the collect_set∘size
+    composition (set semantics inside the frame buffer). Frame order is
+    (ts, event_id), a unique compound, so results are deterministic."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-9, Window.currentRow)
+    )
+    return (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 50)
+        .select(
+            "event_id",
+            "user_id",
+            F.size(F.collect_set("event_type").over(w)).cast("long").alias("distinct_types"),
+        )
+    )
+
+
+@query(
+    "e8_distribution_ranks",
+    sql="""
+    SELECT c_nationkey, c_custkey,
+           ntile(4) OVER w AS quartile,
+           CAST(floor(percent_rank() OVER w * 1000000 + 0.5) AS BIGINT) AS pr_e6,
+           CAST(floor(cume_dist() OVER w * 1000000 + 0.5) AS BIGINT) AS cd_e6
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    tier="T2",
+    survey="E1",
+)
+def e8_distribution_ranks(spark, sf_dir):
+    """Distribution ranks (E1 completion): ntile quartiles, percent_rank,
+    cume_dist over a unique (acctbal, custkey) order — the remaining
+    ranking functions e1 doesn't exercise. Emitted as integer micro-units
+    via an EXPLICIT floor(x·1e6 + 0.5): rank/n can land exactly on a
+    .5·1e-6 rounding tie (e.g. 333/640), where Spark's half-up ROUND and
+    DuckDB's half-even disagree — the explicit double expression is
+    computed identically by both engines."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return T(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_custkey",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.floor(F.percent_rank().over(w) * 1_000_000 + 0.5).cast("long").alias("pr_e6"),
+        F.floor(F.cume_dist().over(w) * 1_000_000 + 0.5).cast("long").alias("cd_e6"),
+    )

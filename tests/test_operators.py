@@ -4,6 +4,7 @@ the SQL oracle can't see (UDF internals, stubs, hash-based signatures)."""
 
 from __future__ import annotations
 
+import datetime
 import math
 
 import pytest
@@ -475,3 +476,33 @@ def test_incremental_dedup_within_and_across_batch(spark):
     empty = dedup.digest_index(seen_docs.limit(0), "text")
     kept2 = dedup.incremental_dedup(batch, empty, "text", "doc_id")
     assert sorted(r["doc_id"] for r in kept2.collect()) == [10, 11, 13]
+
+
+def test_calendarize_split_exact(spark):
+    from oeem_etl_spark.operators.timeseries import calendarize
+
+    df = spark.createDataFrame(
+        # Jan 30 .. Feb 2 inclusive: 4 days total, 2 in Jan, 2 in Feb
+        [(1, datetime.date(2026, 1, 30), datetime.date(2026, 2, 2), 100.0),
+         # single-day interval, no straddle
+         (2, datetime.date(2026, 3, 5), datetime.date(2026, 3, 5), 7.07)],
+        "k long, s date, e date, v double",
+    )
+    out = {
+        (r["k"], str(r["month"])): (r["overlap_days"], r["total_days"], r["v_alloc"])
+        for r in calendarize(df, "s", "e", "v", keys=["k"]).collect()
+    }
+    assert out[(1, "2026-01-01")] == (2, 4, 50.0)
+    assert out[(1, "2026-02-01")] == (2, 4, 50.0)
+    assert out[(2, "2026-03-01")] == (1, 1, 7.07)
+    # floor at 1e-4: 100/3 allocates 33.3333, remainder unallocated
+    df3 = spark.createDataFrame(
+        [(3, datetime.date(2026, 4, 29), datetime.date(2026, 5, 1), 100.0)],
+        "k long, s date, e date, v double",
+    )
+    out3 = {
+        str(r["month"]): r["v_alloc"]
+        for r in calendarize(df3, "s", "e", "v", keys=["k"]).collect()
+    }
+    assert out3["2026-04-01"] == 66.6666  # 2/3 of 100, floored
+    assert out3["2026-05-01"] == 33.3333  # 1/3 of 100, floored

@@ -271,3 +271,51 @@ def test_l27_pipeline_is_two_shuffles(spark, sf_dir):
     keys = re.findall(r"Arguments: hashpartitioning\((\w+)", plan)
     assert [k.split("#")[0] for k in keys] == ["__digest", "lang"], keys
     assert "Join" not in plan, plan
+
+
+def shuffle_exchanges(plan: str) -> int:
+    """Count shuffle Exchange nodes in a formatted plan (detail-line form
+    "(N) Exchange" is one line per node; BroadcastExchange doesn't match)."""
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def test_l33_contamination_score_broadcasts_eval_grams(spark, sf_dir):
+    q = registry.queries()["l33_contamination_score"]
+    plan = plan_of(q(spark, sf_dir))
+    # the eval gram list joins as a broadcast; the corpus path shuffles
+    # only for the eval-distinct and the per-doc count (no SortMergeJoin)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "Generate" in plan, plan
+    assert shuffle_exchanges(plan) <= 2, plan
+
+
+def test_k23_calendarize_is_map_side_until_rollup(spark, sf_dir):
+    q = registry.queries()["k23_calendarize"]
+    plan = plan_of(q(spark, sf_dir))
+    # month fan-out is a generator (no join introduced by the split);
+    # orders⋈lineitem broadcasts; the ONLY shuffle is the monthly rollup,
+    # which combines map-side first
+    assert "Generate" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_sum" in plan, plan
+    assert shuffle_exchanges(plan) == 1, plan
+
+
+def test_l34_quantile_gate_broadcasts_thresholds(spark, sf_dir):
+    q = registry.queries()["l34_quality_quantile_gate"]
+    plan = plan_of(q(spark, sf_dir))
+    # the n_langs-row threshold frame must come back as a broadcast join —
+    # the corpus side is filtered with no shuffle
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_e7_e8_single_window_sort_each(spark, sf_dir):
+    for name in ("e7_rolling_distinct", "e8_distribution_ranks"):
+        q = registry.queries()[name]
+        plan = plan_of(q(spark, sf_dir))
+        # one shuffle on the partition key feeding Window — a second
+        # exchange would mean the frame order wasn't reused
+        assert shuffle_exchanges(plan) == 1, (name, plan)
+        assert "Window" in plan, (name, plan)
