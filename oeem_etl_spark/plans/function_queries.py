@@ -513,3 +513,34 @@ def h14_try_functions(spark, sf_dir):
         F.col("event_type").try_cast("int").alias("type_as_int"),
         F.substring("props", 2, 3).try_cast("int").alias("props_prefix_int"),
     )
+
+
+@query(
+    "h15_url_funcs",
+    sql="""
+    SELECT doc_id,
+           source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS path,
+           lang AS lang_param
+    FROM documents WHERE doc_id <= 300
+    """,
+    tier="T2",
+    survey="H1,H2",
+)
+def h15_url_funcs(spark, sf_dir):
+    """URL parsing (parse_url HOST/PATH/QUERY-key) — the domain-extraction
+    primitive behind per-domain corpus caps and provenance accounting.
+    URLs are synthesized from fixture columns, so the oracle states the
+    expected components directly and Spark must recover them by parsing."""
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 300)
+    url = F.concat(
+        F.lit("https://"), F.col("source"), F.lit(".example.com/docs/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?lang="), F.col("lang"), F.lit("&v=1"),
+    )
+    return docs.select(
+        "doc_id",
+        F.parse_url(url, F.lit("HOST")).alias("host"),
+        F.parse_url(url, F.lit("PATH")).alias("path"),
+        F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
+    )

@@ -1355,3 +1355,39 @@ def e8_distribution_ranks(spark, sf_dir):
         F.floor(F.percent_rank().over(w) * 1_000_000 + 0.5).cast("long").alias("pr_e6"),
         F.floor(F.cume_dist().over(w) * 1_000_000 + 0.5).cast("long").alias("cd_e6"),
     )
+
+
+@query(
+    "d16_mode",
+    sql="""
+    WITH c AS (
+      SELECT l_returnflag, l_quantity, COUNT(*) AS n
+      FROM lineitem GROUP BY l_returnflag, l_quantity
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY l_returnflag ORDER BY n DESC, l_quantity ASC) AS rn
+      FROM c
+    )
+    SELECT l_returnflag, l_quantity AS mode_qty, n AS mode_n
+    FROM r WHERE rn = 1
+    """,
+    tier="T2",
+    survey="D3,D4,D1",
+)
+def d16_mode(spark, sf_dir):
+    """Deterministic MODE per group (D3 completion): Spark's native mode()
+    breaks ties arbitrarily, so the exact tie policy — highest count, then
+    smallest value — is built from two map-combinable hash aggregates
+    (count per (group, value), then max over struct(n, -value)): no
+    window, no sort, shuffles carry one row per distinct pair."""
+    li = T(spark, sf_dir, "lineitem")
+    c = li.groupBy("l_returnflag", "l_quantity").agg(F.count(F.lit(1)).alias("n"))
+    m = c.groupBy("l_returnflag").agg(
+        F.max(F.struct(F.col("n"), (-F.col("l_quantity")).alias("negq"))).alias("m")
+    )
+    return m.select(
+        "l_returnflag",
+        (-F.col("m.negq")).alias("mode_qty"),
+        F.col("m.n").alias("mode_n"),
+    )
