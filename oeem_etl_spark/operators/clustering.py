@@ -151,19 +151,35 @@ def semantic_dedup_pairs(
     from oeem_etl_spark.functions import vector
 
     clusters = kmeans_assign(df, key, vec_col, k, iters, scale)
-    side = clusters.join(df.select(F.col(key), F.col(vec_col)), key)
+    # Norms are hoisted to the sides BEFORE the pair join: one sqrt-norm
+    # per vector instead of two per pair, so each pair costs one dot
+    # product + a scalar multiply (3× less array work in the O(Σ n_c²)
+    # stage). The float expression is identical to cosine() — dot /
+    # (sqrt(Σx²)·sqrt(Σy²)) — so results are bit-equal to the unhoisted
+    # form and the oracle.
+    side = clusters.join(df.select(F.col(key), F.col(vec_col)), key).select(
+        F.col("cluster"),
+        F.col(key),
+        F.col(vec_col),
+        vector.norm(vec_col).alias("__n"),
+    )
     x = side.select(
         F.col("cluster"),
         F.col(key).alias("keep_id"),
         F.col(vec_col).alias("__vx"),
+        F.col("__n").alias("__nx"),
     )
     y = side.select(
         F.col("cluster"),
         F.col(key).alias("drop_id"),
         F.col(vec_col).alias("__vy"),
+        F.col("__n").alias("__ny"),
     )
     pairs = x.join(y, ["cluster"]).where(F.col("keep_id") < F.col("drop_id"))
-    cos = F.round(vector.cosine("__vx", "__vy"), 6)
+    denom = F.col("__nx") * F.col("__ny")
+    cos = F.round(
+        F.when(denom != 0, vector.dot("__vx", "__vy") / denom), 6
+    )
     return pairs.select(
         "cluster", "keep_id", "drop_id", cos.alias("cos")
     ).where(F.col("cos") >= threshold)
