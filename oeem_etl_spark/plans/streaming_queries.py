@@ -367,3 +367,47 @@ def i10_streaming_cms(spark, sf_dir):
     )
     probes = spark.range(1, 6).select(F.col("id").cast("string").alias("user_id"))
     return sketch.cms_estimate(merged, probes, "user_id").orderBy("user_id")
+
+
+@query(
+    "i11_rocksdb_window",
+    sql=f"""
+    SELECT time_bucket(INTERVAL '1 hour', {_CAST_TS}) AS window_start,
+           event_type, COUNT(*) AS cnt, {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY window_start, event_type
+    """,
+    tier="T3",
+    survey="I1,I6,I8",
+)
+def i11_rocksdb_window(spark, sf_dir):
+    """i1's hourly tumbling aggregation on the RocksDB state store
+    provider — the at-scale state backend (state lives off-heap /
+    on-disk with incremental snapshots, so per-executor state is bounded
+    by disk, not heap — the 100 TB streaming configuration). Results
+    must be identical to the default HDFS-backed provider, and the same
+    i1 oracle checks them. The provider conf is scoped to this query:
+    the stream fully drains inside run_available_now, then the previous
+    value is restored."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        sdf = events_stream(spark, sf_dir)
+        out = ops.tumbling_agg(
+            sdf,
+            "1 hour",
+            ["event_type"],
+            [F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")],
+        )
+        return harness.run_available_now(out, "complete")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
