@@ -416,3 +416,40 @@ def test_dsum_micros_path_matches_decimal_path(spark, micros):
     fast = df.agg(dsum("x", "s")).collect()[0]["s"]
     exact = df.agg(dsum_decimal("x", "s")).collect()[0]["s"]
     assert fast == exact
+
+
+@given(
+    ivs=st.lists(
+        st.tuples(
+            st.dates(dt.date(2020, 1, 1), dt.date(2026, 12, 1)),
+            st.integers(0, 400),  # interval length in days
+            st.integers(0, 10_000_00),  # value in hundredths
+        ),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_calendarize_conservation(spark, ivs):
+    """Invariants of the exact fixed-point proration: per interval, (a)
+    overlap_days across months sum exactly to total_days; (b) allocations
+    never overshoot the value; (c) the floor-truncation deficit is less
+    than 1e-4 per month touched."""
+    from oeem_etl_spark.operators.timeseries import calendarize
+
+    rows = [
+        (i, s, s + dt.timedelta(days=n), cents / 100.0)
+        for i, (s, n, cents) in enumerate(ivs)
+    ]
+    df = spark.createDataFrame(rows, "k long, s date, e date, v double")
+    out = calendarize(df, "s", "e", "v", keys=["k"]).collect()
+    by_k: dict[int, list] = {}
+    for r in out:
+        by_k.setdefault(r["k"], []).append(r)
+    for i, (s, n, cents) in enumerate(ivs):
+        parts = by_k[i]
+        v = cents / 100.0
+        assert sum(p["overlap_days"] for p in parts) == n + 1 == parts[0]["total_days"]
+        alloc = sum(p["v_alloc"] for p in parts)
+        assert alloc <= v + 1e-9
+        assert v - alloc < len(parts) * 1e-4 + 1e-9
