@@ -135,6 +135,7 @@ def semantic_dedup_pairs(
     iters: int = 2,
     threshold: float = 0.35,
     scale: int = DEFAULT_SCALE,
+    n_salts: int = 8,
 ) -> DataFrame:
     """SemDeDup: near-duplicate pairs found *within* k-means clusters.
 
@@ -147,6 +148,13 @@ def semantic_dedup_pairs(
     O(Σ n_c²) — the k-fold reduction over all-pairs that makes
     embedding dedup feasible at corpus scale; skewed clusters can be
     re-clustered recursively (raise k) before pairing.
+
+    The cluster id has only ``k`` distinct values, so a plain equi-join
+    caps parallelism at k tasks regardless of cluster size — the join is
+    therefore salted (``n_salts``, see operators/skew.py): the x side is
+    replicated, the y side salted, and the dot-product stage fans out to
+    k·n_salts partitions. Results are identical; set ``n_salts=1`` to
+    disable.
     """
     from oeem_etl_spark.functions import vector
 
@@ -175,7 +183,13 @@ def semantic_dedup_pairs(
         F.col(vec_col).alias("__vy"),
         F.col("__n").alias("__ny"),
     )
-    pairs = x.join(y, ["cluster"]).where(F.col("keep_id") < F.col("drop_id"))
+    if n_salts > 1:
+        from oeem_etl_spark.operators.skew import salted_join
+
+        pairs = salted_join(y, x, on=["cluster"], n_salts=n_salts)
+    else:
+        pairs = x.join(y, ["cluster"])
+    pairs = pairs.where(F.col("keep_id") < F.col("drop_id"))
     denom = F.col("__nx") * F.col("__ny")
     cos = F.round(
         F.when(denom != 0, vector.dot("__vx", "__vy") / denom), 6
