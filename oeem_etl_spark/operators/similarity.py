@@ -509,3 +509,65 @@ def sparse_tfidf_topk(
             F.col("rnk").cast("int").alias("rnk"),
         )
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    label_col: str = "label",
+    corpus_key: str = "vec_id",
+    query_key: str = "q_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hard-negative mining (contrastive-training staple, the public
+    dense-retrieval recipe: the most informative negatives are the
+    nearest neighbors NOT of the query's class): per query, the top-k
+    cosine-most-similar corpus rows whose label differs from the
+    query's own.
+
+    Output: (query_key, corpus_key, neg_label, score, rnk) with the
+    deterministic (rounded score desc, corpus key) order.
+
+    Scale shape: same broadcast-queries × corpus nested loop as
+    :func:`cosine_scores` (norms hoisted, one dot per pair) with the
+    label inequality filtered BEFORE ranking — no extra join or scan:
+    labels ride the same projections as the vectors. At corpus scale,
+    pre-bucket with :func:`lsh_buckets`/:func:`ivf_assign` exactly as
+    for positive retrieval.
+    """
+    q = F.broadcast(
+        queries.select(
+            F.col(query_key),
+            F.col(label_col).alias("__ql"),
+            F.col(vec_col).alias("__qvec"),
+            vector.norm(vec_col).alias("__qn"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_key),
+        F.col(label_col).alias("__cl"),
+        F.col(vec_col).alias("__cvec"),
+        vector.norm(vec_col).alias("__cn"),
+    )
+    denom = F.col("__cn") * F.col("__qn")
+    scored = (
+        c.crossJoin(q)
+        .where(F.col("__cl") != F.col("__ql"))
+        .select(
+            F.col(query_key),
+            F.col(corpus_key),
+            F.col("__cl").alias("neg_label"),
+            F.round(
+                F.when(denom != 0, vector.dot("__cvec", "__qvec") / denom), 6
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("score").desc(), F.col(corpus_key).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= k)
+        .select(query_key, corpus_key, "neg_label", "score", "rnk")
+    )

@@ -1104,3 +1104,36 @@ def l32_sparse_doc_similarity(spark, sf_dir):
     at-scale stopword prefix filter."""
     docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 80)
     return similarity.sparse_tfidf_topk(docs, "doc_id", "text", k=5)
+
+
+@query(
+    "l36_hard_negatives",
+    sql="""
+    WITH q AS (SELECT vec_id AS q_id, label AS ql, embedding AS qvec
+               FROM embeddings WHERE vec_id <= 5),
+    scored AS (
+      SELECT q.q_id, e.vec_id, e.label AS neg_label,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qvec AS DOUBLE[])), 6) AS score
+      FROM embeddings e CROSS JOIN q
+      WHERE e.label <> q.ql
+    )
+    SELECT q_id, vec_id, neg_label, score,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rnk
+    FROM scored
+    QUALIFY rnk <= 10
+    """,
+    tier="T3",
+    survey="L3,L4,E5",
+)
+def l36_hard_negatives(spark, sf_dir):
+    """Hard-negative mining: per query vector, the 10 most-similar vectors
+    of a DIFFERENT label (contrastive-training negatives). Labels ride the
+    same broadcast/projection as the vectors — no extra join."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "label", "embedding"
+    )
+    out = similarity.hard_negatives(emb, queries, k=10)
+    return out.withColumn("rnk", F.col("rnk").cast("int"))
