@@ -371,3 +371,44 @@ def l35_token_budget_select(spark, sf_dir):
     return corpus.token_budget_select(
         docs, "doc_id", "n_tokens", budget=400, partition_by="source"
     )
+
+
+@query(
+    "l37_dedup_rate_report",
+    sql=r"""
+    WITH d AS (
+      SELECT doc_id, source,
+             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS dg
+      FROM documents
+    ),
+    per AS (
+      SELECT source, COUNT(*) AS n_docs, COUNT(DISTINCT dg) AS n_unique
+      FROM d GROUP BY source
+    )
+    SELECT source, n_docs, n_unique,
+           n_docs - n_unique AS n_dups,
+           ROUND((n_docs - n_unique) * 1.0 / n_docs, 6) AS dup_rate
+    FROM per
+    """,
+    tier="T3",
+    survey="L1,D2,D1",
+)
+def l37_dedup_rate_report(spark, sf_dir):
+    """Per-source exact-duplicate rate report (the curation dashboard
+    number behind the l1 dedup): docs, distinct normalized digests, and
+    the dup fraction — one count-distinct aggregate over 16-byte digests;
+    text bytes never shuffle."""
+    from oeem_etl_spark.operators.dedup import normalize_text
+
+    docs = T(spark, sf_dir, "documents")
+    d = docs.select("source", F.md5(normalize_text("text")).alias("dg"))
+    per = d.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct("dg").alias("n_unique"),
+    )
+    dups = F.col("n_docs") - F.col("n_unique")
+    return per.select(
+        "source", "n_docs", "n_unique",
+        dups.alias("n_dups"),
+        F.round(dups / F.col("n_docs"), 6).alias("dup_rate"),
+    )

@@ -777,3 +777,56 @@ def k24_tou_buckets(spark, sf_dir):
         dsum(F.when(is_peak, F.col("value")).otherwise(F.lit(0.0)), "peak_kwh"),
         dsum(F.when(~is_peak, F.col("value")).otherwise(F.lit(0.0)), "offpeak_kwh"),
     )
+
+
+@query(
+    "k25_reconciliation",
+    sql=f"""
+    WITH raw AS (
+      SELECT user_id, {sql_dsum('value', 'raw_total')}, COUNT(*) AS n_raw
+      FROM events GROUP BY user_id
+    ),
+    daily AS (
+      SELECT user_id, date_trunc('day', ts) AS bucket,
+             {sql_dsum('value', 'day_total')}
+      FROM events GROUP BY user_id, bucket
+    ),
+    rolled AS (
+      SELECT user_id, {sql_dsum('day_total', 'rolled_total')},
+             COUNT(*) AS n_days
+      FROM daily GROUP BY user_id
+    )
+    SELECT r.user_id, r.n_raw, d.n_days, r.raw_total, d.rolled_total,
+           ROUND(ABS(r.raw_total - d.rolled_total), 6) AS abs_diff,
+           (ROUND(ABS(r.raw_total - d.rolled_total), 6) = 0.0) AS balanced
+    FROM raw r JOIN rolled d USING (user_id)
+    """,
+    tier="T2",
+    survey="K9,K3,D1",
+)
+def k25_reconciliation(spark, sf_dir):
+    """Conservation audit (the ETL QA step after any resample): per user,
+    the raw-read total must equal the sum of the daily rollup — surfaced
+    as an abs-diff + balanced flag report. Integer-micros accumulation on
+    BOTH levels makes the equality exact, so 'balanced' is a real
+    invariant, not a tolerance. Two map-combinable aggregations and one
+    equi-join on user_id."""
+    ev = T(spark, sf_dir, "events")
+    raw = ev.groupBy("user_id").agg(
+        dsum("value", "raw_total"), F.count(F.lit(1)).alias("n_raw")
+    )
+    daily = resample_interval(
+        ev, keys=["user_id"], ts="ts", freq="day", aggs=[dsum("value", "day_total")]
+    )
+    rolled = daily.groupBy("user_id").agg(
+        dsum("day_total", "rolled_total"), F.count(F.lit(1)).alias("n_days")
+    )
+    diff = F.round(F.abs(F.col("raw_total") - F.col("rolled_total")), 6)
+    return (
+        raw.join(rolled, "user_id")
+        .select(
+            "user_id", "n_raw", "n_days", "raw_total", "rolled_total",
+            diff.alias("abs_diff"),
+            (diff == 0.0).alias("balanced"),
+        )
+    )

@@ -506,3 +506,21 @@ def test_calendarize_split_exact(spark):
     }
     assert out3["2026-04-01"] == 66.6666  # 2/3 of 100, floored
     assert out3["2026-05-01"] == 33.3333  # 1/3 of 100, floored
+
+
+def test_hard_negatives_excludes_same_label(spark):
+    rows = [
+        (1, 0, [1.0, 0.0]),   # query: label 0
+        (2, 0, [0.99, 0.1]),  # same label — must never appear
+        (3, 1, [0.9, 0.2]),   # closest different-label
+        (4, 1, [0.0, 1.0]),   # orthogonal different-label
+        (5, 2, [0.8, 0.3]),   # second-closest different-label
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, label int, embedding array<double>")
+    queries = emb.where(F.col("vec_id") == 1).select(
+        F.col("vec_id").alias("q_id"), "label", "embedding"
+    )
+    out = similarity.hard_negatives(emb, queries, k=2).collect()
+    got = [(r["vec_id"], r["neg_label"], r["rnk"]) for r in sorted(out, key=lambda r: r["rnk"])]
+    assert [v for v, _, _ in got] == [3, 5]
+    assert all(l != 0 for _, l, _ in got)
