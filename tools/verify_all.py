@@ -44,13 +44,23 @@ def main() -> int:
 
     from pyspark.sql import SparkSession
 
+    # Hostile-config knobs (determinism re-certification): master via
+    # SPARK_VERIFY_MASTER, post-warmup conf overrides via
+    # SPARK_VERIFY_CONFS="k=v,k=v" (applied AFTER entry() so the library's
+    # set-once session confs are in place first, then deliberately abused).
+    import os
+
     spark = (
-        SparkSession.builder.master("local[8]")
+        SparkSession.builder.master(os.environ.get("SPARK_VERIFY_MASTER", "local[8]"))
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )
     spark.sparkContext.setLogLevel("ERROR")
     print("entry rows:", len(mod.entry(spark).collect()))
+    for kv in filter(None, os.environ.get("SPARK_VERIFY_CONFS", "").split(",")):
+        k, _, v = kv.partition("=")
+        spark.conf.set(k.strip(), v.strip())
+        print("conf override:", k.strip(), "=", v.strip())
 
     qs, osql = mod.queries(), mod.oracle_sql()
     if only:
