@@ -359,7 +359,9 @@ def calendarize(
     for aligning consumption/revenue intervals to reporting months): each
     input interval [start, end] (DATE columns, inclusive both ends) is
     split across the calendar months it overlaps, and ``value_col`` is
-    allocated to each month by its day-count overlap fraction.
+    allocated to each month by its day-count overlap fraction. Intervals
+    must satisfy start ≤ end (the month ``sequence()`` raises on a
+    negative span) — filter or ``least/greatest``-normalize upstream.
 
     Output: keys..., month (first day), overlap_days, total_days,
     ``{value}_alloc`` = floor(value · overlap/total) at 1e-4 granularity.
