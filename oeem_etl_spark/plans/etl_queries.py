@@ -830,3 +830,69 @@ def k25_reconciliation(spark, sf_dir):
             (diff == 0.0).alias("balanced"),
         )
     )
+
+
+@query(
+    "k26_point_in_time_join",
+    sql="""
+    WITH opened AS (
+      SELECT user_id, event_type, ts AS valid_from,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS version
+      FROM (
+        SELECT user_id, event_type, ts, event_id,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev
+        FROM events WHERE user_id <= 20
+      )
+      WHERE prev IS NULL OR prev <> event_type
+    ),
+    dim AS (
+      SELECT user_id, event_type, version, valid_from,
+             lead(valid_from) OVER (PARTITION BY user_id
+                                    ORDER BY valid_from, version) AS valid_to
+      FROM opened
+    )
+    SELECT e.event_id, e.user_id,
+           s.version AS dim_version, s.event_type AS dim_type
+    FROM events e JOIN dim s
+      ON e.user_id = s.user_id
+     AND s.valid_from <= e.ts
+     AND (s.valid_to IS NULL OR e.ts < s.valid_to)
+    WHERE e.user_id <= 20
+    """,
+    tier="T2",
+    survey="C8,K6,E2",
+)
+def k26_point_in_time_join(spark, sf_dir):
+    """Point-in-time (temporal) join — the canonical warehouse lookup:
+    each fact row resolves the SCD2 dimension version valid at its
+    timestamp. Expressed as a backward as-of join on (user, valid_from),
+    NOT an interval range join: validity intervals partition the
+    timeline, so "latest valid_from ≤ ts" IS the containing interval —
+    one ordered lookup instead of an O(facts·versions) theta join.
+    Empty intervals (superseded same-timestamp versions) are filtered
+    first, which also makes valid_from unique per user."""
+    from oeem_etl_spark.operators.history import scd2_from_events
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") <= 20)
+    dim = scd2_from_events(ev, "user_id", "ts", ["event_type"], tiebreak="event_id")
+    dim = dim.where(
+        F.col("valid_to").isNull() | (F.col("valid_from") < F.col("valid_to"))
+    ).select(
+        "user_id",
+        F.col("valid_from"),
+        F.col("version").alias("dim_version"),
+        F.col("event_type").alias("dim_type"),
+    )
+    facts = ev.select("event_id", "user_id", "ts")
+    out = asof_join(
+        facts,
+        dim,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=["dim_version", "dim_type"],
+        allow_exact=True,
+    )
+    return out.select("event_id", "user_id", "dim_version", "dim_type")
