@@ -9,6 +9,7 @@ each carries a full DuckDB oracle.
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from oeem_etl_spark.operators import corpus
@@ -411,4 +412,37 @@ def l37_dedup_rate_report(spark, sf_dir):
         "source", "n_docs", "n_unique",
         dups.alias("n_dups"),
         F.round(dups / F.col("n_docs"), 6).alias("dup_rate"),
+    )
+
+
+@query(
+    "l38_curriculum_stages",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             round(len(list_distinct(string_split(text, ' '))) * 1.0
+                   / len(string_split(text, ' ')), 6) AS q_score
+      FROM documents
+    )
+    SELECT doc_id, lang, q_score,
+           ntile(4) OVER (PARTITION BY lang ORDER BY q_score, doc_id) AS stage
+    FROM scored
+    """,
+    tier="T3",
+    survey="L7,E1,B8",
+)
+def l38_curriculum_stages(spark, sf_dir):
+    """Curriculum staging (quality-staged pretraining order): documents
+    are quartiled per language by a lexical-diversity score — stage 1 is
+    the lowest-quality quartile, stage 4 the highest, giving the sampler
+    a quality ramp. The (score, doc_id) order is unique, so stages are
+    deterministic; one window per language partition on a 3-column
+    projection."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    score = F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6)
+    w = Window.partitionBy("lang").orderBy("q_score", "doc_id")
+    return (
+        docs.select("doc_id", "lang", score.alias("q_score"))
+        .withColumn("stage", F.ntile(4).over(w))
     )
