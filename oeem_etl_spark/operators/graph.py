@@ -140,3 +140,29 @@ def sql_pagerank(
         " ORDER BY node"
     )
     return "\n".join(sql)
+
+
+def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """Triangle enumeration on an undirected graph — the clustering/
+    community signal next to :func:`pagerank`. Returns one row per
+    triangle as (a, b, c) with a < b < c.
+
+    Standard ordered-edge strategy: canonicalize every edge to
+    (lo, hi), dedupe, then join edge(a,b) ⋈ edge(b,c) ⋈ edge(a,c) with
+    a < b < c — each triangle is produced exactly once (no 6× blowup,
+    no post-dedup). Two equi-join shuffles over the (deduped) edge set;
+    at scale, orienting edges from lower- to higher-degree endpoints
+    bounds the candidate wedges (the degree-ordered refinement) — the
+    a<b<c total order used here is the value-ordered special case.
+    """
+    s = F.col(src)
+    d = F.col(dst)
+    e = (
+        edges.select(F.least(s, d).alias("lo"), F.greatest(s, d).alias("hi"))
+        .where(F.col("lo") != F.col("hi"))
+        .distinct()
+    )
+    ab = e.select(F.col("lo").alias("a"), F.col("hi").alias("b"))
+    bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
+    ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
+    return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")

@@ -141,3 +141,50 @@ def m3_weighted_sample(spark, sf_dir):
         docs, key="doc_id", weight="n_chars", k=5, group_by=["source"], seed=11
     )
     return picked.select("source", "doc_id", "n_chars").orderBy("source", "doc_id")
+
+
+@query(
+    "m5_triangle_count",
+    sql="""
+    WITH pairs AS (
+      SELECT DISTINCT least(l1.l_suppkey, l2.l_suppkey) AS lo,
+             greatest(l1.l_suppkey, l2.l_suppkey) AS hi
+      FROM lineitem l1
+      JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+                      AND l1.l_suppkey <> l2.l_suppkey
+      JOIN orders o ON o.o_orderkey = l1.l_orderkey
+      WHERE o.o_custkey <= 3
+    ),
+    ab AS (SELECT lo AS a, hi AS b FROM pairs),
+    bc AS (SELECT lo AS b, hi AS c FROM pairs),
+    ac AS (SELECT lo AS a, hi AS c FROM pairs)
+    SELECT ab.a, ab.b, bc.c
+    FROM ab JOIN bc USING (b) JOIN ac ON ac.a = ab.a AND ac.c = bc.c
+    """,
+    tier="T3",
+    survey="L10,C10,G2",
+)
+def m5_triangle_count(spark, sf_dir):
+    """Triangles in the supplier co-purchase graph (suppliers appearing on
+    the same order of a bounded customer set): the graph-community twin
+    of m2's centrality. Edge build: order-local supplier self-join with
+    the bounded order list broadcast; triangle join produces each
+    triangle once via the a<b<c total order."""
+    from oeem_etl_spark.operators.graph import triangles
+
+    o = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 3)
+        .select("o_orderkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        li.join(l2, "l_orderkey")
+        .where(F.col("l_suppkey") != F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+    )
+    return triangles(edges)
