@@ -446,3 +446,48 @@ def l38_curriculum_stages(spark, sf_dir):
         docs.select("doc_id", "lang", score.alias("q_score"))
         .withColumn("stage", F.ntile(4).over(w))
     )
+
+
+@query(
+    "l39_oov_rate",
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+    ),
+    counts AS (SELECT t, COUNT(*) AS n FROM tok GROUP BY t),
+    vocab AS (SELECT t FROM counts ORDER BY n DESC, t LIMIT 20),
+    per AS (
+      SELECT doc_id, COUNT(*) AS n_tok, COUNT(v.t) AS n_in
+      FROM tok LEFT JOIN vocab v USING (t) GROUP BY doc_id
+    )
+    SELECT doc_id, n_tok, n_in,
+           round((n_tok - n_in) * 1.0 / n_tok, 6) AS oov_rate
+    FROM per
+    """,
+    tier="T3",
+    survey="L5,L7,F3,D1",
+)
+def l39_oov_rate(spark, sf_dir):
+    """Vocabulary build + out-of-vocabulary audit (tokenizer-prep staple):
+    global top-20 tokens by frequency (deterministic count-desc/token-asc
+    tie-break, a TakeOrdered global top-k), then each document's OOV
+    fraction against that vocab. The vocab is broadcast back, so the
+    per-doc pass adds one map-combinable count — the corpus shuffles only
+    for the token counts."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+    counts = tok.groupBy("t").agg(F.count(F.lit(1)).alias("n"))
+    vocab = (
+        counts.orderBy(F.col("n").desc(), F.col("t").asc())
+        .limit(20)
+        .select("t", F.lit(1).alias("__in"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "t", "left")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.count("__in").alias("n_in"))
+    )
+    return per.select(
+        "doc_id", "n_tok", "n_in",
+        F.round((F.col("n_tok") - F.col("n_in")) / F.col("n_tok"), 6).alias("oov_rate"),
+    )
