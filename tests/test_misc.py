@@ -189,3 +189,34 @@ def test_recursive_hierarchy_depths(spark, sf_dir):
     assert depths == list(range(len(depths)))  # contiguous depths
     for a, b in zip(depths, depths[1:]):  # frontier shrinks monotonically
         assert rows[b] <= rows[a], rows
+
+
+def test_triangles_exact_enumeration(spark):
+    from oeem_etl_spark.operators.graph import triangles
+
+    # K4 minus edge (3,4): triangles (1,2,3), (1,2,4) — edges given in
+    # mixed orientation with a duplicate and a self-loop to exercise
+    # canonicalization
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 1), (2, 3), (4, 1), (2, 4), (2, 1), (3, 3)],
+        "src int, dst int",
+    )
+    got = sorted(tuple(r) for r in triangles(edges).collect())
+    assert got == [(1, 2, 3), (1, 2, 4)]
+
+
+def test_mode_tie_breaks_to_smallest_value(spark):
+    from oeem_etl_spark.plans.registry import all_queries  # noqa: F401 — registry import pattern
+    from pyspark.sql import functions as FF
+
+    df = spark.createDataFrame(
+        [("g", 5.0), ("g", 5.0), ("g", 2.0), ("g", 2.0), ("g", 9.0)],
+        "k string, v double",
+    )
+    c = df.groupBy("k", "v").agg(FF.count(FF.lit(1)).alias("n"))
+    m = c.groupBy("k").agg(
+        FF.max(FF.struct(FF.col("n"), (-FF.col("v")).alias("negv"))).alias("m")
+    )
+    row = m.select("k", (-FF.col("m.negv")).alias("mode_v"), FF.col("m.n")).collect()[0]
+    # 5.0 and 2.0 both appear twice; the tie must resolve to 2.0
+    assert row["mode_v"] == 2.0 and row["n"] == 2
