@@ -411,3 +411,53 @@ def i11_rocksdb_window(spark, sf_dir):
             spark.conf.unset(key)
         else:
             spark.conf.set(key, prev)
+
+
+@query(
+    "i12_stream_outer_join",
+    sql="""
+    WITH v AS (
+      SELECT event_id AS view_id, user_id, ts AS vts FROM events
+      WHERE event_type = 'view' AND ts < TIMESTAMP '2024-01-28'
+    ),
+    p AS (
+      SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.view_id, p.purchase_id
+    FROM v LEFT JOIN p
+      ON v.user_id = p.user_id
+     AND p.pts >= v.vts AND p.pts <= v.vts + INTERVAL 30 MINUTE
+    WHERE p.purchase_id IS NOT NULL
+       OR v.vts + INTERVAL 90 MINUTE < (SELECT max(vts) FROM v)
+    """,
+    tier="T3",
+    survey="I7,C2,C6",
+)
+def i12_stream_outer_join(spark, sf_dir):
+    """LEFT OUTER stream-stream interval join — the null-emitting sibling
+    of i9: views with no purchase within 30 minutes surface with a null
+    purchase id once the watermark passes their join horizon.
+
+    Batch-equivalence requires mirroring Spark's multi-watermark
+    semantics in the oracle: with two watermarked inputs the query
+    watermark is the MIN over both (multipleWatermarkPolicy=min), i.e.
+    max(view ts) − 1h here, and an unmatched view emits only when its
+    horizon (vts + 30min) falls below that — the oracle's WHERE clause
+    states exactly that rule (matched rows always; unmatched iff
+    vts + 90min < max view ts). Verified against the drained stream at
+    every fixture sf, where the withheld tail is genuinely non-empty."""
+    cutoff = F.lit("2024-01-28").cast("timestamp")
+    views = events_stream(spark, sf_dir).where(
+        (F.col("event_type") == "view") & (F.col("ts") < cutoff)
+    )
+    purchases = events_stream(spark, sf_dir).where(F.col("event_type") == "purchase")
+    joined = ops.interval_join_stream(
+        views, purchases, "user_id", "ts", "ts", "30 minutes", how="left_outer"
+    )
+    out = joined.select(
+        F.col("l.user_id").alias("user_id"),
+        F.col("l.event_id").alias("view_id"),
+        F.col("r.event_id").alias("purchase_id"),
+    )
+    return harness.run_available_now(out, "append")

@@ -210,9 +210,16 @@ def interval_join_stream(
     right_ts: str,
     within: str,
     watermark: str = "1 hour",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join (I-ext): right events within ``within``
-    AFTER the matching left event, same key.
+    """Stream-stream join (I-ext): right events within ``within`` AFTER
+    the matching left event, same key. ``how`` extends to "left_outer":
+    unmatched left rows emit with nulls — but ONLY once the watermark
+    passes their join horizon (left_ts + within), so rows near the end
+    of the stream whose horizon the final watermark (max event time −
+    delay) never crosses are withheld forever. Callers wanting
+    batch-equal outer results must bound the left side away from the
+    stream's tail by at least watermark + within (see i12).
 
     Both sides carry watermarks plus a time-range join condition — the two
     requirements for Spark to bound join state (each side's buffer is GC'd
@@ -231,4 +238,4 @@ def interval_join_stream(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)
