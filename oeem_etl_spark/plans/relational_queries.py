@@ -1391,3 +1391,28 @@ def d16_mode(spark, sf_dir):
         (-F.col("m.negq")).alias("mode_qty"),
         F.col("m.n").alias("mode_n"),
     )
+
+
+@query(
+    "d17_boolean_aggs",
+    sql="""
+    SELECT event_type,
+           COUNT(*) FILTER (WHERE value > 2.5) AS n_big,
+           bool_and(value >= 0) AS all_nonneg,
+           bool_or(value > 4.9) AS has_huge
+    FROM events GROUP BY event_type
+    """,
+    tier="T2",
+    survey="D1,D3,B4",
+)
+def d17_boolean_aggs(spark, sf_dir):
+    """Boolean/conditional aggregate family (D completion): count_if,
+    bool_and, bool_or — predicate rollups in one map-combinable hash
+    aggregate (the audit-flag shape: 'how many out-of-range, are all
+    non-negative, does any exceed the cap')."""
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_if(F.col("value") > 2.5).alias("n_big"),
+        F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
+        F.bool_or(F.col("value") > 4.9).alias("has_huge"),
+    )
