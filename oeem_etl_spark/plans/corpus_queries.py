@@ -229,7 +229,7 @@ def l25_chunk_documents(spark, sf_dir):
              + ascii(substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))) % 100 < 80
     )
     SELECT lang, COUNT(*) AS n_docs,
-           SUM(len(str_split(text, ' '))) AS total_tokens,
+           CAST(SUM(len(str_split(text, ' '))) AS BIGINT) AS total_tokens,
            MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
     FROM train GROUP BY lang
     """,

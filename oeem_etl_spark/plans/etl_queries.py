@@ -84,7 +84,7 @@ def k2_parse_timestamps(spark, sf_dir):
 @query(
     "k3_resample_interval",
     sql=f"""
-    SELECT user_id, date_trunc('day', ts) AS bucket,
+    SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
            COUNT(*) AS n_reads,
            {sql_dsum('value', 'day_total')},
            max(value) AS day_max
@@ -96,10 +96,10 @@ def k2_parse_timestamps(spark, sf_dir):
 def k3_resample_interval(spark, sf_dir):
     """Irregular reads → per-key daily buckets (hour/day calendarization).
 
-    Note: DuckDB date_trunc('day', TIMESTAMP_NS) returns DATE; Spark
-    returns TIMESTAMP — bucket kept as timestamp on the Spark side and the
-    oracle compares at day resolution via CAST in the driver's hash; here
-    we cast Spark's bucket to match DuckDB's DATE.
+    Note: both sides emit bucket as TIMESTAMP — Spark DateType would
+    materialize as pandas `object` (datetime.date) against DuckDB DATE's
+    datetime64[us], flipping the driver's dtype-sensitive hash (the k11
+    flap family, VERDICT r2).
     """
     ev = T(spark, sf_dir, "events")
     out = resample_interval(
@@ -113,7 +113,7 @@ def k3_resample_interval(spark, sf_dir):
             F.max("value").alias("day_max"),
         ],
     )
-    return out.withColumn("bucket", F.col("bucket").cast("date")).select(
+    return out.withColumn("bucket", F.col("bucket").cast("timestamp_ntz")).select(
         "user_id", "bucket", "n_reads", "day_total", "day_max"
     )
 
@@ -132,7 +132,7 @@ def k3_resample_interval(spark, sf_dir):
       SELECT user_id, unnest(generate_series(min_b, max_b, INTERVAL 1 DAY)) AS bucket
       FROM spans
     )
-    SELECT g.user_id, CAST(g.bucket AS DATE) AS day,
+    SELECT g.user_id, CAST(g.bucket AS TIMESTAMP) AS day,
            last_value(d.day_total IGNORE NULLS) OVER (
              PARTITION BY g.user_id ORDER BY g.bucket
              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_total,
@@ -154,7 +154,7 @@ def k4_fill_gaps(spark, sf_dir):
     )
     return filled.select(
         "user_id",
-        F.col("bucket").cast("date").alias("day"),
+        F.col("bucket").cast("timestamp_ntz").alias("day"),
         F.col("day_total").alias("filled_total"),
         F.coalesce(F.col("was_gap"), F.lit(True)).alias("was_gap"),
     )
@@ -277,9 +277,9 @@ def k9_validate_quality(spark, sf_dir):
            CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us
     FROM (
       SELECT user_id, ts,
-             SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+             CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
       FROM (
         SELECT user_id, ts,
                epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
@@ -393,20 +393,20 @@ def k13_snapshot_cdc(spark, sf_dir):
     "k14_profile_table",
     sql="""
     SELECT 'value' AS column, COUNT(*) AS n_rows,
-           SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_nulls,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
            COUNT(DISTINCT value) AS n_distinct,
            CAST(MIN(value) AS VARCHAR) AS min_val,
            CAST(MAX(value) AS VARCHAR) AS max_val
     FROM events
     UNION ALL
     SELECT 'user_id', COUNT(*),
-           SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT user_id),
            CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
     FROM events
     UNION ALL
     SELECT 'event_type', COUNT(*),
-           SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END),
+           CAST(SUM(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT),
            COUNT(DISTINCT event_type),
            MIN(event_type), MAX(event_type)
     FROM events
@@ -536,7 +536,7 @@ def k17_zscore_anomalies(spark, sf_dir):
       FROM events
     ),
     dd AS (
-      SELECT user_id, date_trunc('month', ts) AS month,
+      SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
              CAST(ROUND(value * 1000000) AS BIGINT) AS vm,
              CAST(ROUND(GREATEST(0.0, ROUND(18.0 - temp, 2)) * 1000000) AS BIGINT) AS hm,
              CAST(ROUND(GREATEST(0.0, ROUND(temp - 18.0, 2)) * 1000000) AS BIGINT) AS cm
@@ -566,8 +566,8 @@ def k18_degree_day_normalize(spark, sf_dir):
 
     ev = T(spark, sf_dir, "events")
     out = degree_day_normalize(ev, ["user_id"], "ts", "value")
-    # DuckDB's date_trunc('month') yields DATE; align the kind
-    return out.withColumn("month", F.col("month").cast("date"))
+    # month as TIMESTAMP_NTZ on both sides (date vs datetime64 dtype flap)
+    return out.withColumn("month", F.col("month").cast("timestamp_ntz"))
 
 
 @query(
@@ -672,11 +672,11 @@ def k21_funnel_stages(spark, sf_dir):
       FROM events
     ),
     cohorts AS (SELECT user_id, MIN(period) AS cohort FROM act GROUP BY user_id)
-    SELECT cohort,
+    SELECT CAST(cohort AS TIMESTAMP) AS cohort,
            CAST((period - cohort) / 7 AS INT) AS period_offset,
            COUNT(DISTINCT act.user_id) AS n_users
     FROM act JOIN cohorts USING (user_id)
-    GROUP BY cohort, period_offset
+    GROUP BY cohorts.cohort, period_offset
     """,
     tier="T2",
     survey="K11,D2,H4",
@@ -687,7 +687,10 @@ def k22_cohort_retention(spark, sf_dir):
     from oeem_etl_spark.operators.behavior import cohort_retention
 
     ev = T(spark, sf_dir, "events")
-    return cohort_retention(ev, "user_id", "ts")
+    # cohort as TIMESTAMP_NTZ on both sides (date vs datetime64 dtype flap)
+    return cohort_retention(ev, "user_id", "ts").withColumn(
+        "cohort", F.col("cohort").cast("timestamp_ntz")
+    )
 
 
 @query(
@@ -714,9 +717,9 @@ def k22_cohort_retention(spark, sf_dir):
                // (date_diff('day', s, e) + 1) / 10000.0 AS a
       FROM parts
     )
-    SELECT month, COUNT(*) AS n_parts,
+    SELECT CAST(month AS TIMESTAMP) AS month, COUNT(*) AS n_parts,
            {sql_dsum('a', 'recognized', 4)}
-    FROM alloc GROUP BY month
+    FROM alloc GROUP BY alloc.month
     """,
     tier="T2",
     survey="K7,H4,D1",
@@ -742,7 +745,8 @@ def k23_calendarize(spark, sf_dir):
         iv, "o_orderdate", "l_shipdate", "l_extendedprice",
         keys=["l_orderkey", "l_linenumber"],
     )
-    return parts.groupBy("month").agg(
+    # month as TIMESTAMP_NTZ on both sides (date vs datetime64 dtype flap)
+    return parts.groupBy(F.col("month").cast("timestamp_ntz").alias("month")).agg(
         F.count(F.lit(1)).alias("n_parts"),
         dsum("l_extendedprice_alloc", "recognized", scale=4),
     )

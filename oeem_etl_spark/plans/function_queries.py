@@ -112,11 +112,11 @@ def h3_fuzzy_string(spark, sf_dir):
            month(o_orderdate) AS m,
            day(o_orderdate) AS d,
            quarter(o_orderdate) AS q,
-           CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS month_start,
            date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS days_since,
-           CAST(o_orderdate + INTERVAL 5 DAY AS DATE) AS plus5,
-           last_day(CAST(o_orderdate AS DATE)) AS eom,
-           make_date(year(o_orderdate), month(o_orderdate), 1) AS month_first
+           CAST(CAST(o_orderdate + INTERVAL 5 DAY AS DATE) AS TIMESTAMP) AS plus5,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP) AS eom,
+           CAST(make_date(year(o_orderdate), month(o_orderdate), 1) AS TIMESTAMP) AS month_first
     FROM orders WHERE o_orderkey <= 500
     """,
     tier="T1",
@@ -132,16 +132,19 @@ def h4_datetime_funcs(spark, sf_dir):
         F.month("o_orderdate").alias("m"),
         F.dayofmonth("o_orderdate").alias("d"),
         F.quarter("o_orderdate").alias("q"),
-        # DuckDB date_trunc at day-or-coarser granularity returns DATE
-        F.date_trunc("month", "o_orderdate").cast("date").alias("month_start"),
+        # Date-valued outputs surface as TIMESTAMP_NTZ on both engines:
+        # Spark DateType materializes as pandas `object` (datetime.date)
+        # while DuckDB DATE gives datetime64[us] — a driver-hash dtype flap
+        # (VERDICT r2). timestamp_ntz == datetime64[us] on both sides.
+        F.date_trunc("month", "o_orderdate").cast("timestamp_ntz").alias("month_start"),
         F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
             "days_since"
         ),
-        (F.col("o_orderdate") + F.expr("INTERVAL 5 DAY")).cast("date").alias("plus5"),
-        F.last_day(F.col("o_orderdate").cast("date")).alias("eom"),
-        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1)).alias(
-            "month_first"
-        ),
+        (F.col("o_orderdate") + F.expr("INTERVAL 5 DAY"))
+        .cast("date").cast("timestamp_ntz").alias("plus5"),
+        F.last_day(F.col("o_orderdate").cast("date")).cast("timestamp_ntz").alias("eom"),
+        F.make_date(F.year("o_orderdate"), F.month("o_orderdate"), F.lit(1))
+        .cast("timestamp_ntz").alias("month_first"),
     )
 
 
@@ -455,7 +458,7 @@ def j7_sql_registered_udf(spark, sf_dir):
     sql="""
     SELECT event_type,
            COUNT(*) AS cnt,
-           SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
            MIN(CAST(json_extract_string(props, '$.k') AS INT)) AS min_k,
            MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
     FROM events

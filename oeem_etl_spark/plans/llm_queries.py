@@ -717,7 +717,7 @@ _L2E_BITS = 16
       SELECT doc_id, {_sql_md5_int16("tok")} AS h FROM toks
     )
     SELECT doc_id,
-           {", ".join(f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}" for b in range(_L2E_BITS))}
+           {", ".join(f"CAST(SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS BIGINT) AS b{b}" for b in range(_L2E_BITS))}
     FROM bits GROUP BY doc_id
     """,
     tier="T3",

@@ -72,6 +72,47 @@ def _norm(v):
     return str(v)
 
 
+def _spark_pandas_kind(dtype) -> str:
+    """Pandas dtype kind a Spark column materializes as via toPandas().
+
+    DateType and DecimalType become `object` (datetime.date / Decimal
+    instances) — NOT datetime64/float64 — which is the root of the
+    driver-hash dtype flaps (k11 family, VERDICT r2)."""
+    from pyspark.sql import types as S
+
+    if isinstance(dtype, (S.ByteType, S.ShortType, S.IntegerType, S.LongType)):
+        return "i"
+    if isinstance(dtype, (S.FloatType, S.DoubleType)):
+        return "f"
+    if isinstance(dtype, S.BooleanType):
+        return "b"
+    if isinstance(dtype, (S.TimestampType, S.TimestampNTZType)):
+        return "M"
+    if isinstance(dtype, S.DayTimeIntervalType):
+        return "m"
+    return "O"  # String, Date, Decimal, Array, Map, Struct, Binary, ...
+
+
+def _duck_pandas_kind(t) -> str:
+    """Pandas dtype kind a DuckDB column materializes as via .df().
+
+    HUGEINT and DECIMAL become float64 (no int128 in numpy); DATE becomes
+    datetime64[us] (no date dtype in pandas)."""
+    s = str(t).upper()
+    if s.startswith("DECIMAL") or s in ("HUGEINT", "UHUGEINT", "DOUBLE", "FLOAT", "REAL"):
+        return "f"
+    if s in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "i"
+    if s == "BOOLEAN":
+        return "b"
+    if s == "DATE" or s.startswith("TIMESTAMP"):
+        return "M"
+    if s == "INTERVAL":
+        return "m"
+    return "O"
+
+
 def _rows(colnames, records):
     """Project to name-sorted columns, normalize, sort rows."""
     order = sorted(range(len(colnames)), key=lambda i: colnames[i])
@@ -92,6 +133,18 @@ def test_oracle_match(name, spark, duck, sf_dir):
 
     assert sorted(spark_cols) == sorted(duck_cols), (
         f"{name}: column mismatch spark={spark_cols} duck={duck_cols}"
+    )
+
+    # pandas-dtype-kind parity: the driver hashes through pandas, where a
+    # value-identical result still flaps when the two sides materialize
+    # with different numpy kinds (DuckDB HUGEINT/DECIMAL -> float64 vs
+    # Spark int64; Spark DateType -> object vs DuckDB DATE -> datetime64).
+    # Schema-level, so it costs nothing and runs on every oracle.
+    spark_kinds = {f.name: _spark_pandas_kind(f.dataType) for f in sdf.schema.fields}
+    duck_kinds = {c: _duck_pandas_kind(t) for c, t in zip(duck_cols, rel.types)}
+    assert spark_kinds == duck_kinds, (
+        f"{name}: pandas dtype-kind flap (driver hash would diverge): "
+        f"spark={spark_kinds} duck={duck_kinds}"
     )
     assert len(spark_recs) == len(duck_recs), (
         f"{name}: row count spark={len(spark_recs)} duck={len(duck_recs)}"
