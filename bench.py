@@ -48,6 +48,48 @@ HEADLINE = [
 ]
 
 
+# In-process noise reference (VERDICT r2): the same four DuckDB oracle
+# queries BASELINE.md records at 0.083/0.072/0.045/0.075 s (sf0.1, 32-core).
+# Timing them in THIS process each round separates "the box is contended"
+# (ref inflates by the same factor as the Spark numbers — r2's uniform
+# 1.55× across all 14 headline queries) from "a plan regressed" (Spark
+# moves, ref doesn't). `normalized_value` divides the headline total by the
+# measured-vs-recorded ref ratio.
+DUCKDB_REF_RECORDED = {  # sec at sf0.1, in-process min-of-5 warm (r3 anchor)
+    # NOT BASELINE.md's original one-shot numbers — those were measured
+    # cold/single-run and disagree with this methodology by up to 8×
+    # (e.g. q03 0.075 one-shot vs 0.0086 warm-min). The anchor must share
+    # the measurement protocol or noise_factor measures protocol, not box.
+    "q01_pricing_summary": 0.074,
+    "q02_top_revenue_customers": 0.1324,
+    "e5_topk_per_group": 0.0198,
+    "q03_hourly_rollup": 0.0086,
+}
+
+
+def time_duckdb_refs(sf_dir: str, all_queries) -> dict[str, float]:
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    out: dict[str, float] = {}
+    for name in DUCKDB_REF_RECORDED:
+        sql = all_queries[name].sql
+        con.sql(sql).fetchall()  # warm (file footers, catalog)
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            con.sql(sql).fetchall()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 4)
+    con.close()
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
@@ -125,9 +167,16 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         aqe_timings[name] = round(best, 4)
 
+    duck_ref = time_duckdb_refs(sf_dir, registry.all_queries())
+    ref_total = sum(duck_ref.values())
+    recorded_total = sum(DUCKDB_REF_RECORDED.values())
+    # Only meaningful at the recorded sf; at other sfs report raw only.
+    noise_factor = round(ref_total / recorded_total, 4) if abs(sf - 0.1) < 1e-9 else None
+
+    value = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_warm_total",
-        "value": round(sum(timings.values()), 4),
+        "value": value,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
@@ -136,6 +185,15 @@ def main() -> None:
             "value": round(sum(aqe_timings.values()), 4),
             "queries": aqe_timings,
         },
+        "duckdb_ref": {
+            "queries": duck_ref,
+            "total": round(ref_total, 4),
+            "recorded_total": recorded_total,
+            "noise_factor": noise_factor,
+        },
+        "normalized_value": (
+            round(value / noise_factor, 4) if noise_factor and noise_factor > 0 else None
+        ),
     }
     print(json.dumps(out))
 

@@ -67,12 +67,28 @@ def assign_expr(vec: Column, centroids: list[list[int]]) -> Column:
     exact-integer distances make the argmin total-ordered and ties break
     to the smallest cluster id, matching the oracle's
     ``row_number() OVER (ORDER BY dist, cid)``.
+
+    The centroid matrix enters the plan as ONE nested-array literal (not
+    k·dim scalar literal nodes): per-centroid scalar literals made the
+    expression tree k·dim wide, and Janino recompiled it on every Lloyd
+    iteration (fresh literal values -> no codegen-cache hit) — measured
+    ~2 s/iteration at k=8, dim=64. A single array<array<bigint>> literal
+    keeps analysis and codegen O(1) in k·dim; the arithmetic and the
+    (d, c) tie-break are unchanged.
     """
-    cells = [
-        F.struct(_sqdist_lit(vec, c).alias("d"), F.lit(j).alias("c"))
-        for j, c in enumerate(centroids)
-    ]
-    return F.array_min(F.array(*cells))["c"]
+    m = F.lit([[int(v) for v in c] for c in centroids])
+    cells = F.transform(
+        m,
+        lambda c, j: F.struct(
+            F.aggregate(
+                F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("d"),
+            j.cast("int").alias("c"),
+        ),
+    )
+    return F.array_min(cells)["c"]
 
 
 def _round_half_away(v: float) -> int:
@@ -82,28 +98,16 @@ def _round_half_away(v: float) -> int:
     return int(Decimal(v).quantize(Decimal(1), rounding=ROUND_HALF_UP))
 
 
-def kmeans_assign(
-    df: DataFrame,
-    key: str,
-    vec_col: str = "embedding",
-    k: int = 8,
-    iters: int = 2,
-    scale: int = DEFAULT_SCALE,
-) -> DataFrame:
-    """Deterministic Lloyd k-means; returns (key, cluster int).
+def _lloyd(qdf: DataFrame, centroids: list[list[int]], iters: int) -> list[list[int]]:
+    """Run ``iters`` Lloyd iterations; returns the updated centroid list.
 
-    Init: centroids are the quantized vectors of the ``k`` smallest keys
-    (cid = rank order). Each iteration: map-only argmin assignment, then
-    centroid update as one grouped aggregation whose k·dim result is
-    collected to the driver (tiny, by construction) and re-folded into
-    the next iteration's plan as literals. An empty cluster keeps its
-    previous centroid. New centroid element = round(sum/count) — i.e.
-    centroids stay on the same integer grid as the data (fixed-point
-    k-means), which is what makes iteration N+1 exact again.
+    Each iteration: map-only argmin assignment, then centroid update as one
+    grouped aggregation whose k·dim result is collected to the driver
+    (tiny, by construction) and re-folded into the next iteration's plan as
+    literals. An empty cluster keeps its previous centroid. New centroid
+    element = round(sum/count) — centroids stay on the same integer grid as
+    the data (fixed-point k-means), which keeps iteration N+1 exact.
     """
-    qdf = df.select(F.col(key).alias("__k"), quantize_vec(vec_col, scale).alias("__qv"))
-    seed = qdf.orderBy("__k").limit(k).collect()  # k rows — driver-held by design
-    centroids = [list(r["__qv"]) for r in seed]
     dim = len(centroids[0])
     for _ in range(iters):
         assigned = qdf.select(
@@ -122,9 +126,90 @@ def kmeans_assign(
             [upd[j][p] for p in range(dim)] if j in upd else centroids[j]
             for j in range(len(centroids))
         ]
-    return qdf.select(
-        F.col("__k").alias(key), assign_expr(F.col("__qv"), centroids).alias("cluster")
+    return centroids
+
+
+def kmeans_assign(
+    df: DataFrame,
+    key: str,
+    vec_col: str = "embedding",
+    k: int = 8,
+    iters: int = 2,
+    scale: int = DEFAULT_SCALE,
+    max_cluster_size: int | None = None,
+) -> DataFrame:
+    """Deterministic Lloyd k-means; returns (key, cluster int).
+
+    Init: centroids are the quantized vectors of the ``k`` smallest keys
+    (cid = rank order); see ``_lloyd`` for the iteration shape.
+
+    ``max_cluster_size`` (the skewed-cluster mitigation the SemDeDup pair
+    stage needs — n_c² blows up on a dominant cluster): any cluster whose
+    final size exceeds it is re-clustered locally into
+    ``ceil(size / max_cluster_size)`` sub-clusters, seeded from the
+    cluster's smallest keys (same deterministic rule as the global init)
+    and assigned by the same exact-integer argmin. Cluster ids are then
+    densely renumbered on the driver (non-split clusters keep one id,
+    split clusters get one per sub-seed), so downstream grouping is
+    unchanged in shape. The extra driver state is (Σ splits)·dim ints and
+    the extra work is one count, one bounded seed collect, and one more
+    map-only assignment pass — no new shuffle of data rows.
+    """
+    qdf = df.select(F.col(key).alias("__k"), quantize_vec(vec_col, scale).alias("__qv"))
+    seed = qdf.orderBy("__k").limit(k).collect()  # k rows — driver-held by design
+    centroids = _lloyd(qdf, [list(r["__qv"]) for r in seed], iters)
+    assign = assign_expr(F.col("__qv"), centroids)
+    if max_cluster_size is None:
+        return qdf.select(F.col("__k").alias(key), assign.alias("cluster"))
+
+    assigned = qdf.select("__k", "__qv", assign.alias("__c"))
+    sizes = {r["__c"]: r["n"] for r in assigned.groupBy("__c").agg(
+        F.count(F.lit(1)).alias("n")).collect()}  # ≤ k rows
+    splits = {
+        c: -(-n // max_cluster_size) for c, n in sizes.items() if n > max_cluster_size
+    }
+    if not splits:
+        return assigned.select(F.col("__k").alias(key), F.col("__c").alias("cluster"))
+
+    # One MAP-ONLY job collects every oversized cluster's sub-seeds: keep
+    # rows whose key-hash lands on a per-cluster stride (expected yield =
+    # split count). Deterministic (xxhash64 is seed-stable), spreads seeds
+    # quasi-randomly across the cluster, and — unlike a row_number window —
+    # never shuffles the dominant clusters' rows into #oversized tasks,
+    # which would be its own skew cliff at scale. Clusters that draw < 2
+    # seeds (possible, hash variance) stay unsplit this pass.
+    strides = {c: -(-sizes[c] // s) for c, s in splits.items()}
+    stride_map = F.create_map(
+        *[F.lit(x) for c, st in strides.items() for x in (int(c), int(st))]
     )
+    seed_rows = (
+        assigned.where(F.col("__c").isin([int(c) for c in splits]))
+        .where(F.pmod(F.xxhash64("__k"), F.element_at(stride_map, F.col("__c"))) == 0)
+        .collect()  # ~Σ splits rows — driver-held by design
+    )
+    sub_centroids: dict[int, list[list[int]]] = {}
+    for r in sorted(seed_rows, key=lambda r: (r["__c"], r["__k"])):
+        sub_centroids.setdefault(r["__c"], []).append(list(r["__qv"]))
+    splits = {c: len(v) for c, v in sub_centroids.items() if len(v) >= 2}
+    if not splits:
+        return assigned.select(F.col("__k").alias(key), F.col("__c").alias("cluster"))
+
+    # Dense renumbering: non-split cluster -> one id; split cluster ->
+    # base id + local argmin over its sub-seeds. Pure driver arithmetic.
+    base: dict[int, int] = {}
+    nxt = 0
+    for c in sorted(sizes):
+        base[c] = nxt
+        nxt += splits.get(c, 1)
+    final = None
+    for c in sorted(sizes, reverse=True):
+        cid = (
+            F.lit(base[c]) + assign_expr(F.col("__qv"), sub_centroids[c])
+            if c in splits
+            else F.lit(base[c])
+        )
+        final = cid if final is None else F.when(F.col("__c") == c, cid).otherwise(final)
+    return assigned.select(F.col("__k").alias(key), final.alias("cluster"))
 
 
 def semantic_dedup_pairs(
@@ -136,6 +221,7 @@ def semantic_dedup_pairs(
     threshold: float = 0.35,
     scale: int = DEFAULT_SCALE,
     n_salts: int = 8,
+    max_cluster_size: int | None = None,
 ) -> DataFrame:
     """SemDeDup: near-duplicate pairs found *within* k-means clusters.
 
@@ -146,8 +232,12 @@ def semantic_dedup_pairs(
 
     Scale: the pair join is equi-keyed on cluster, so work is
     O(Σ n_c²) — the k-fold reduction over all-pairs that makes
-    embedding dedup feasible at corpus scale; skewed clusters can be
-    re-clustered recursively (raise k) before pairing.
+    embedding dedup feasible at corpus scale. ``max_cluster_size`` guards
+    the skewed-cluster cliff: clusters above it are split locally (see
+    ``kmeans_assign``) before pairing, bounding every n_c. True
+    near-duplicates have near-identical embeddings, so they land in the
+    same sub-cluster and the detected duplicate set is preserved (the
+    SemDeDup recall argument, asserted in tests/test_clustering.py).
 
     The cluster id has only ``k`` distinct values, so a plain equi-join
     caps parallelism at k tasks regardless of cluster size — the join is
@@ -158,7 +248,7 @@ def semantic_dedup_pairs(
     """
     from oeem_etl_spark.functions import vector
 
-    clusters = kmeans_assign(df, key, vec_col, k, iters, scale)
+    clusters = kmeans_assign(df, key, vec_col, k, iters, scale, max_cluster_size)
     # Norms are hoisted to the sides BEFORE the pair join: one sqrt-norm
     # per vector instead of two per pair, so each pair costs one dot
     # product + a scalar multiply (3× less array work in the O(Σ n_c²)
