@@ -59,7 +59,12 @@ def scd2_from_events(
             F.col("__version").alias("version"),
         )
     )
-    w2 = Window.partitionBy(key).orderBy(F.col("valid_from").asc())
+    # version in the orderBy: when two collapsed versions share a
+    # valid_from timestamp (possible with tied event timestamps), ordering
+    # by valid_from alone leaves the lead() — and hence which version gets
+    # the empty interval — shuffle-order-dependent, while oracles order by
+    # (valid_from, version). version is the deterministic tie-break.
+    w2 = Window.partitionBy(key).orderBy(F.col("valid_from").asc(), F.col("version").asc())
     return opened.select(
         key,
         *value_cols,

@@ -32,6 +32,31 @@ def test_scd2_collapses_runs_and_chains_validity(spark):
     assert len(out) == 4
 
 
+def test_scd2_tied_timestamps_deterministic_valid_to(spark):
+    """Two versions sharing valid_from (tied event timestamps, tiebreak
+    orders them into distinct versions): the lead() that assigns valid_to
+    must order by (valid_from, version), so version 1 deterministically
+    gets the empty interval and version 2 survives as the live row —
+    regardless of shuffle order (ADVICE r2: orderBy valid_from alone left
+    this nondeterministic)."""
+    rows = [
+        (1, _ts(1), "a", 10),
+        (1, _ts(1), "b", 11),  # same ts, later tiebreak -> version 2
+        (1, _ts(2), "c", 12),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v string, eid long")
+    for _ in range(3):  # repeated runs: same plan, but cheap re-assurance
+        out = {
+            r["version"]: (r["v"], r["valid_from"], r["valid_to"], r["is_current"])
+            for r in scd2_from_events(df, "k", "ts", ["v"], tiebreak="eid").collect()
+        }
+        assert out == {
+            1: ("a", _ts(1), _ts(1), False),  # empty interval, superseded
+            2: ("b", _ts(1), _ts(2), False),
+            3: ("c", _ts(2), None, True),
+        }
+
+
 def test_diff_snapshots_all_labels(spark):
     old = spark.createDataFrame(
         [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"

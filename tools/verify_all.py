@@ -48,6 +48,9 @@ def main() -> int:
     # SPARK_VERIFY_MASTER, post-warmup conf overrides via
     # SPARK_VERIFY_CONFS="k=v,k=v" (applied AFTER entry() so the library's
     # set-once session confs are in place first, then deliberately abused).
+    # Parsing splits on ',' then the first '=': conf VALUES containing
+    # commas (e.g. extraJavaOptions lists) cannot be expressed — use the
+    # JSON form SPARK_VERIFY_CONFS_JSON='{"k": "v,with,commas"}' instead.
     import os
 
     spark = (
@@ -61,6 +64,12 @@ def main() -> int:
         k, _, v = kv.partition("=")
         spark.conf.set(k.strip(), v.strip())
         print("conf override:", k.strip(), "=", v.strip())
+    if os.environ.get("SPARK_VERIFY_CONFS_JSON"):
+        import json
+
+        for k, v in json.loads(os.environ["SPARK_VERIFY_CONFS_JSON"]).items():
+            spark.conf.set(k, str(v))
+            print("conf override (json):", k, "=", v)
 
     qs, osql = mod.queries(), mod.oracle_sql()
     if only:
