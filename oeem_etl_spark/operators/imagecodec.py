@@ -1,0 +1,634 @@
+"""Pure-Python PNG and baseline-JPEG codecs (SURVEY.md §2.L8).
+
+Closes the last feasible multimodal-decode boundary without third-party
+libraries: PNG needs only ``zlib`` + ``struct`` (both stdlib), and
+baseline-sequential JFIF is ~250 lines of Huffman + numpy IDCT. Both a
+decoder AND an encoder ship for each format so the Spark queries can
+round-trip synthetic fixtures deterministically (l8e/l8f): the encoder
+writes its Huffman/quant tables into the stream and the decoder reads
+whatever tables the stream declares, so the pair is self-consistent by
+construction and the decoder stays table-driven for real-world files.
+
+Scope (documented, asserted):
+- PNG: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette, gray+A,
+  RGBA), all five filter types, no interlace (Adam7 raises).
+- JPEG: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
+  sampling factors 1-2, restart intervals honored. Progressive (SOF2),
+  arithmetic coding, and 12-bit raise.
+
+These run inside ``mapInPandas`` batches (operators/multimodal.py) —
+decode cost is per-asset Python, which is exactly the slow path Spark's
+execution model expects for opaque binary payloads; the surrounding plan
+(partitioning, Arrow batching, metadata pruning) stays JVM-side.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ---------------------------------------------------------------------------
+# PNG
+# ---------------------------------------------------------------------------
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def decode_png(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a PNG: returns (width, height, uint8 array (H, W, C)) with
+    C = channels of the declared color type (palette expands to 3).
+    Supports bit depth 8, color types 0/2/3/4/6, filters 0-4, interlace 0.
+    """
+    if content[:8] != _PNG_SIG:
+        raise ValueError(f"not a PNG: signature {content[:8]!r}")
+    pos, ihdr, plte, idat = 8, None, None, []
+    while pos + 8 <= len(content):
+        (length,) = struct.unpack(">I", content[pos : pos + 4])
+        ctype = content[pos + 4 : pos + 8]
+        body = content[pos + 8 : pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", body)
+        elif ctype == b"PLTE":
+            plte = np.frombuffer(body, np.uint8).reshape(-1, 3)
+        elif ctype == b"IDAT":
+            idat.append(body)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + body + crc
+    if ihdr is None or not idat:
+        raise ValueError("missing IHDR/IDAT")
+    w, h, depth, color, comp, filt, interlace = ihdr
+    if depth != 8 or comp != 0 or filt != 0:
+        raise ValueError(f"unsupported PNG: depth={depth} comp={comp} filt={filt}")
+    if interlace != 0:
+        raise ValueError("Adam7 interlace not supported")
+    if color not in _PNG_CHANNELS:
+        raise ValueError(f"unsupported color type {color}")
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError(f"bad IDAT size {len(raw)} for {w}x{h}x{ch}")
+    out = np.zeros((h, stride), dtype=np.uint8)
+    for y in range(h):
+        f = raw[y * (stride + 1)]
+        line = np.frombuffer(raw, np.uint8, stride, y * (stride + 1) + 1)
+        up = out[y - 1] if y else np.zeros(stride, np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 1:  # Sub: cumulative per byte-lane
+            lanes = line.reshape(w, ch).astype(np.int64)
+            out[y] = (np.cumsum(lanes, axis=0) % 256).astype(np.uint8).reshape(stride)
+        elif f == 2:  # Up
+            out[y] = line + up
+        elif f == 3:  # Average (left-sequential)
+            row = out[y]
+            for i in range(stride):
+                left = int(row[i - ch]) if i >= ch else 0
+                row[i] = (int(line[i]) + (left + int(up[i])) // 2) & 0xFF
+        elif f == 4:  # Paeth (left-sequential)
+            row = out[y]
+            for i in range(stride):
+                a = int(row[i - ch]) if i >= ch else 0
+                c = int(up[i - ch]) if i >= ch else 0
+                row[i] = (int(line[i]) + _paeth(a, int(up[i]), c)) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {f}")
+    px = out.reshape(h, w, ch)
+    if color == 3:
+        if plte is None:
+            raise ValueError("palette image without PLTE")
+        px = plte[px[:, :, 0]]
+    return w, h, px
+
+
+def _png_chunk(ctype: bytes, body: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(body))
+        + ctype
+        + body
+        + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(pixels: np.ndarray) -> bytes:
+    """Encode (H, W), (H, W, 1), (H, W, 3) or (H, W, 4) uint8 as PNG
+    (filter 0 rows, zlib level 6)."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + arr[y].tobytes() for y in range(h))
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+# ---------------------------------------------------------------------------
+# JPEG (baseline sequential, ITU T.81)
+# ---------------------------------------------------------------------------
+
+# Zig-zag scan order: _ZIGZAG[k] = natural (row-major) index of the k-th
+# coefficient in scan order (T.81 Figure 5).
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10,
+        17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34,
+        27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36,
+        29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46,
+        53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.1/K.2 example quantisation tables (natural order).
+_QT_LUMA = np.array(
+    [
+        16, 11, 10, 16, 24, 40, 51, 61,
+        12, 12, 14, 19, 26, 58, 60, 55,
+        14, 13, 16, 24, 40, 57, 69, 56,
+        14, 17, 22, 29, 51, 87, 80, 62,
+        18, 22, 37, 56, 68, 109, 103, 77,
+        24, 35, 55, 64, 81, 104, 113, 92,
+        49, 64, 78, 87, 103, 121, 120, 101,
+        72, 92, 95, 98, 112, 100, 103, 99,
+    ],
+    dtype=np.int64,
+)
+_QT_CHROMA = np.array(
+    [
+        17, 18, 24, 47, 99, 99, 99, 99,
+        18, 21, 26, 66, 99, 99, 99, 99,
+        24, 26, 56, 99, 99, 99, 99, 99,
+        47, 66, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+        99, 99, 99, 99, 99, 99, 99, 99,
+    ],
+    dtype=np.int64,
+)
+
+# Annex K.3 typical Huffman tables: (bits[1..16], values).
+_HT_DC_LUMA = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_DC_CHROMA = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0],
+    list(range(12)),
+)
+_HT_AC_LUMA = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [
+        0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+        0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+        0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+        0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+        0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+        0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+        0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+        0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+        0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+        0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+        0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+        0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+        0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+        0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+        0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+        0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+        0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+        0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+        0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+        0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+_HT_AC_CHROMA = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [
+        0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+        0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+        0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+        0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+        0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+        0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+        0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+        0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+        0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+        0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+        0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+        0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+        0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+        0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+        0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+        0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+        0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+        0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+        0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+        0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+        0xF9, 0xFA,
+    ],
+)
+
+# Orthonormal 8x8 DCT-II basis: dct2 = _DCT_T @ block @ _DCT_T.T
+_DCT_T = np.array(
+    [
+        [
+            (0.5 * (1.0 / np.sqrt(2.0) if u == 0 else 1.0))
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """Canonical Huffman assignment (T.81 C.2): symbol -> (code, length)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _quality_scale(base: np.ndarray, quality: int) -> np.ndarray:
+    """IJG quality scaling of a base quant table."""
+    quality = min(max(int(quality), 1), 100)
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    return np.clip((base * scale + 50) // 100, 1, 255).astype(np.int64)
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            byte = (self.acc >> self.n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+
+    def pad(self) -> None:
+        if self.n:
+            self.write(0x7F, 8 - self.n)  # pad with 1s
+
+    def write_marker(self, marker: int) -> None:
+        self.pad()
+        self.buf += bytes([0xFF, marker])  # raw marker, never stuffed
+
+    def flush(self) -> bytes:
+        self.pad()
+        return bytes(self.buf)
+
+
+def _magnitude(v: int) -> tuple[int, int]:
+    """(size, raw bits) for a DC diff / AC coefficient (T.81 F.1.2)."""
+    if v == 0:
+        return 0, 0
+    size = int(abs(v)).bit_length()
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def encode_jpeg(
+    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
+) -> bytes:
+    """Encode (H, W, 3) RGB or (H, W) grayscale uint8 as a baseline
+    sequential JFIF (4:4:4, Annex-K tables scaled by IJG quality).
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
+    N MCUs (exercises the decoder's restart resync path)."""
+    arr = np.asarray(pixels, dtype=np.float64)
+    gray = arr.ndim == 2
+    h, w = arr.shape[:2]
+    if gray:
+        planes = [arr]
+    else:
+        r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
+        planes = [
+            0.299 * r + 0.587 * g + 0.114 * b,
+            -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
+            0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
+        ]
+    qts = [_quality_scale(_QT_LUMA, quality), _quality_scale(_QT_CHROMA, quality)]
+    dc_tabs = [_huff_codes(*_HT_DC_LUMA), _huff_codes(*_HT_DC_CHROMA)]
+    ac_tabs = [_huff_codes(*_HT_AC_LUMA), _huff_codes(*_HT_AC_CHROMA)]
+
+    # Pad to 8x8 blocks by edge replication, then FDCT + quantise.
+    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    writer = _BitWriter()
+    pred = [0] * len(planes)
+    blocks = []
+    for plane in planes:
+        p = np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge") - 128.0
+        blocks.append(p)
+    n_mcu = 0
+    for by in range(bh // 8):
+        for bx in range(bw // 8):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                writer.write_marker(0xD0 + ((n_mcu // restart_interval - 1) & 7))
+                pred = [0] * len(planes)
+            n_mcu += 1
+            for ci in range(len(planes)):
+                tq = 0 if ci == 0 else 1
+                blk = blocks[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+                coefs = _DCT_T @ blk @ _DCT_T.T
+                q = np.round(coefs.reshape(64) / qts[tq]).astype(np.int64)
+                zz = q[_ZIGZAG]
+                # DC
+                diff = int(zz[0]) - pred[ci]
+                pred[ci] = int(zz[0])
+                size, bits = _magnitude(diff)
+                code, length = dc_tabs[tq][size]
+                writer.write(code, length)
+                if size:
+                    writer.write(bits, size)
+                # AC with run-length + EOB/ZRL
+                run = 0
+                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+                for k in range(1, 64):
+                    v = int(zz[k])
+                    if v == 0:
+                        if k > last_nz:
+                            code, length = ac_tabs[tq][0x00]  # EOB
+                            writer.write(code, length)
+                            break
+                        run += 1
+                        if run == 16:
+                            code, length = ac_tabs[tq][0xF0]  # ZRL
+                            writer.write(code, length)
+                            run = 0
+                    else:
+                        size, bits = _magnitude(v)
+                        code, length = ac_tabs[tq][(run << 4) | size]
+                        writer.write(code, length)
+                        writer.write(bits, size)
+                        run = 0
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+    def dqt(tq: int, table: np.ndarray) -> bytes:
+        return seg(0xDB, bytes([tq]) + bytes(int(x) for x in table[_ZIGZAG]))
+
+    def dht(tc: int, th: int, tab: tuple[list[int], list[int]]) -> bytes:
+        bits, vals = tab
+        return seg(0xC4, bytes([(tc << 4) | th]) + bytes(bits) + bytes(vals))
+
+    ncomp = len(planes)
+    sof_comps = b"".join(
+        bytes([ci + 1, 0x11, 0 if ci == 0 else 1]) for ci in range(ncomp)
+    )
+    sos_comps = b"".join(
+        bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(ncomp)
+    )
+    out = b"\xff\xd8"  # SOI
+    out += seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    out += dqt(0, qts[0])
+    if ncomp == 3:
+        out += dqt(1, qts[1])
+    out += seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+    out += dht(0, 0, _HT_DC_LUMA) + dht(1, 0, _HT_AC_LUMA)
+    if ncomp == 3:
+        out += dht(0, 1, _HT_DC_CHROMA) + dht(1, 1, _HT_AC_CHROMA)
+    if restart_interval:
+        out += seg(0xDD, struct.pack(">H", restart_interval))
+    out += seg(0xDA, bytes([ncomp]) + sos_comps + b"\x00\x3f\x00")
+    out += writer.flush()
+    return out + b"\xff\xd9"  # EOI
+
+
+class _BitReader:
+    """MSB-first reader over entropy-coded data with FF00 unstuffing;
+    stops (returns None bits) at any real marker."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> bool:
+        b = self.data[self.pos]
+        if b == 0xFF:
+            nxt = self.data[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7:  # RSTn handled by caller via sync()
+                return False
+            else:
+                return False
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+        return True
+
+    def read_bit(self) -> int:
+        if self.n == 0 and not self._fill():
+            raise ValueError("hit marker while reading entropy data")
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def read_bits(self, count: int) -> int:
+        v = 0
+        for _ in range(count):
+            v = (v << 1) | self.read_bit()
+        return v
+
+    def sync_restart(self) -> None:
+        """Byte-align and consume an RSTn marker."""
+        self.acc, self.n = 0, 0
+        if self.data[self.pos] == 0xFF and 0xD0 <= self.data[self.pos + 1] <= 0xD7:
+            self.pos += 2
+        else:
+            raise ValueError("expected restart marker")
+
+
+def _huff_decode(reader: _BitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read_bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code")
+
+
+def _extend(bits: int, size: int) -> int:
+    if size == 0:
+        return 0
+    return bits if bits >= (1 << (size - 1)) else bits - (1 << size) + 1
+
+
+def decode_jpeg(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode a baseline sequential JFIF: returns (width, height, uint8
+    RGB array (H, W, 3); grayscale replicates to 3 channels). Table-driven
+    Huffman + numpy IDCT; handles APPn/COM skip, DRI restarts, sampling
+    factors 1-2 per axis."""
+    if content[:2] != b"\xff\xd8":
+        raise ValueError(f"not a JPEG: {content[:2]!r}")
+    pos = 2
+    qts: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    frame = None  # (h, w, comps) comps: list of (cid, hs, vs, tq)
+    restart = 0
+    while pos + 4 <= len(content):
+        if content[pos] != 0xFF:
+            raise ValueError(f"marker expected at {pos}")
+        marker = content[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", content[pos + 2 : pos + 4])
+        body = content[pos + 2 + 2 : pos + 2 + seglen]
+        pos += 2 + seglen
+        if marker == 0xDB:  # DQT (possibly several tables)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise ValueError("16-bit quant tables not supported")
+                zzvals = np.frombuffer(body, np.uint8, 64, i + 1).astype(np.int64)
+                nat = np.zeros(64, np.int64)
+                nat[_ZIGZAG] = zzvals
+                qts[tq] = nat
+                i += 65
+        elif marker == 0xC4:  # DHT (possibly several tables)
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                nvals = sum(bits)
+                vals = list(body[i + 17 : i + 17 + nvals])
+                huff[(tc, th)] = {
+                    (code, length): sym
+                    for sym, (code, length) in _huff_codes(bits, vals).items()
+                }
+                i += 17 + nvals
+        elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 baseline
+            prec, fh, fw, nc = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for ci in range(nc):
+                cid, hv, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                comps.append((cid, hv >> 4, hv & 0xF, tq))
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB):
+            raise ValueError(f"non-baseline SOF 0x{marker:02x} not supported")
+        elif marker == 0xDD:  # DRI
+            (restart,) = struct.unpack(">H", body[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = body[0]
+            scan = []  # (comp, dc_table_id, ac_table_id)
+            for si in range(ns):
+                cs, tt = body[1 + 2 * si], body[2 + 2 * si]
+                comp = next(c for c in frame[2] if c[0] == cs)
+                scan.append((comp, tt >> 4, tt & 0xF))
+            return _decode_scan(content, pos, frame, scan, qts, huff, restart)
+        # APPn / COM / others: skipped
+    raise ValueError("no SOS marker found")
+
+
+def _decode_scan(data, pos, frame, scan, qts, huff, restart):
+    fh, fw, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-fw // (8 * hmax))
+    mcuy = -(-fh // (8 * vmax))
+    planes = {
+        c[0]: np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), np.float64) for c in comps
+    }
+    reader = _BitReader(data, pos)
+    pred = {c[0]: 0 for c in comps}
+    idct_t = _DCT_T.T
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                reader.sync_restart()
+                pred = {c[0]: 0 for c in comps}
+            n_mcu += 1
+            for (cid, hs, vs, tq), dct_id, act_id in scan:
+                dc_tab, ac_tab = huff[(0, dct_id)], huff[(1, act_id)]
+                q = qts[tq]
+                for v in range(vs):
+                    for hblk in range(hs):
+                        zz = np.zeros(64, np.int64)
+                        size = _huff_decode(reader, dc_tab)
+                        diff = _extend(reader.read_bits(size), size)
+                        pred[cid] += diff
+                        zz[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(reader, ac_tab)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, sz = sym >> 4, sym & 0xF
+                            if sz == 0:
+                                if run != 15:
+                                    raise ValueError(f"bad AC symbol {sym:#x}")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past block end")
+                            zz[k] = _extend(reader.read_bits(sz), sz)
+                            k += 1
+                        nat = np.zeros(64, np.int64)
+                        nat[_ZIGZAG] = zz
+                        block = idct_t @ (nat * q).reshape(8, 8).astype(np.float64) @ _DCT_T
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + hblk) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = block + 128.0
+    # Upsample each component to full MCU-grid resolution, crop, convert.
+    full = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        if hs < hmax or vs < vmax:
+            p = np.repeat(np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        y = np.clip(np.round(full[0]), 0, 255).astype(np.uint8)
+        return fw, fh, np.stack([y, y, y], axis=2)
+    y, cb, cr = full[0], full[1] - 128.0, full[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=2,
+    )
+    return fw, fh, np.clip(np.round(rgb), 0, 255).astype(np.uint8)

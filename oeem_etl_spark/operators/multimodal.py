@@ -4,12 +4,14 @@ Image/audio/video payloads are opaque ``binary`` columns + a typed
 metadata struct. The Spark-side plumbing — schema, partition-friendly
 layout, Arrow-batched UDF signatures, batch shapes — is real and tested.
 
-Codecs: two public formats are decoded for real, with no third-party
-libraries — binary **PPM (P6)** images and **RIFF/WAV PCM** audio
-(8/16-bit), both ~30-line parsers over numpy. ``image_features`` /
-``audio_features`` run them inside mapInPandas, one Arrow batch per core.
-Formats that genuinely need codec libraries (JPEG/PNG/MP3/H.264) still
-raise NotImplementedError from ``decode_image`` — honest boundary, the
+Codecs: four public formats are decoded for real, with no third-party
+libraries — binary **PPM (P6)** images, **RIFF/WAV PCM** audio
+(8/16-bit), **PNG** (stdlib zlib inflate + all five filters), and
+**baseline-sequential JPEG** (table-driven Huffman + numpy IDCT; see
+operators/imagecodec.py). ``image_features`` / ``audio_features`` run
+them inside mapInPandas, one Arrow batch per core. Formats that
+genuinely need codec libraries (MP3/H.264/WebP) still raise
+NotImplementedError from ``decode_image`` — honest boundary, the
 dataflow is identical. ``extract_features`` remains the deterministic
 hash-projection embedding stand-in for arbitrary payloads (SURVEY §2.L9
 specifies the stub); the decode paths below are the real L8 surface.
@@ -173,14 +175,30 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 
 def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode an image payload by magic sniffing. PPM (P6) decodes for
-    real; formats that need codec libraries (JPEG/PNG) raise — that part
-    of the boundary is honest, the mapInPandas dataflow is identical."""
+    """Decode an image payload by magic sniffing into (width, height,
+    RGB uint8 (H, W, 3)). PPM (P6), PNG, and baseline JPEG all decode
+    for real with zero third-party libraries (see operators/imagecodec.py);
+    PNG grayscale replicates to RGB and alpha is dropped. Formats that
+    genuinely need external codecs (MP3/H.264/WebP) raise — that boundary
+    is honest, the mapInPandas dataflow is identical."""
+    from . import imagecodec
+
     if content[:2] == b"P6":
         return decode_ppm(content)
+    if content[:8] == imagecodec._PNG_SIG:
+        w, h, px = imagecodec.decode_png(bytes(content))
+        if px.shape[2] == 1:
+            px = np.repeat(px, 3, axis=2)
+        elif px.shape[2] == 2:  # gray + alpha
+            px = np.repeat(px[:, :, :1], 3, axis=2)
+        elif px.shape[2] == 4:  # drop alpha
+            px = px[:, :, :3]
+        return w, h, px
+    if content[:2] == b"\xff\xd8":
+        return imagecodec.decode_jpeg(bytes(content))
     raise NotImplementedError(
         f"no pure-Python decoder for magic {bytes(content[:4])!r}; "
-        "JPEG/PNG need PIL/libvips, not present in this environment"
+        "MP3/H.264/WebP need external codec libraries, not present here"
     )
 
 
@@ -219,10 +237,11 @@ def extract_features(df: DataFrame) -> DataFrame:
 
 def image_features(df: DataFrame) -> DataFrame:
     """REAL image decode + feature extraction over multimodal rows
-    (PPM payloads): mapInPandas, one Arrow batch per core, emits
-    (asset_id, width, height, mean_r, mean_g, mean_b, n_bytes).
-    Per-channel means are float64 over all pixels, rounded 6dp — exact
-    for solid-color fixtures, closed-form-checkable for gradients."""
+    (PPM/PNG/JPEG payloads, sniffed by magic): mapInPandas, one Arrow
+    batch per core, emits (asset_id, width, height, mean_r, mean_g,
+    mean_b, n_bytes). Per-channel means are float64 over all pixels,
+    rounded 6dp — exact for solid-color lossless fixtures,
+    closed-form-checkable for gradients."""
     schema = (
         "asset_id long, width int, height int, "
         "mean_r double, mean_g double, mean_b double, n_bytes long"
@@ -232,7 +251,7 @@ def image_features(df: DataFrame) -> DataFrame:
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
-                w, h, px = decode_ppm(bytes(content))
+                w, h, px = decode_image(bytes(content))
                 mr, mg, mb = px.astype(np.float64).mean(axis=(0, 1))
                 rows.append(
                     (aid, w, h, round(mr, 6), round(mg, 6), round(mb, 6), len(content))

@@ -539,6 +539,143 @@ def l8d_frame_sample(spark, sf_dir):
     return feats.select("asset_id", "width", "height", "mean_r")
 
 
+@query(
+    "l8e_jpeg_decode",
+    sql=None,  # JPEG is lossy — exactness asserted via tolerance flag + pytest
+    tier="T3",
+    survey="L8,J4",
+)
+def l8e_jpeg_decode(spark, sf_dir):
+    """REAL baseline-JPEG decode (pure-Python Huffman + numpy IDCT,
+    operators/imagecodec.py): each doc gets a deterministic smooth-gradient
+    image encoded as JFIF (every 3rd doc with restart markers) AND as its
+    lossless PPM twin; both decode through the same mapInPandas feature
+    path and the query emits the per-channel mean absolute deviation of
+    the JPEG decode vs the lossless twin plus a within_tol flag. Rows-only
+    for the driver (lossy codec), exact dims + tolerance pinned in
+    tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators import imagecodec
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select("doc_id")
+
+    def encode_both(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                h, w = 16 + 8 * (d % 3), 24 + 8 * (d % 2)
+                yy, xx = np.mgrid[0:h, 0:w]
+                px = np.stack(
+                    [
+                        (xx * 2 + d) % 256,
+                        (yy * 3 + 2 * d) % 256,
+                        (xx + yy + 3 * d) % 256,
+                    ],
+                    axis=2,
+                ).astype(np.uint8)
+                jpeg = imagecodec.encode_jpeg(
+                    px, quality=90, restart_interval=2 if d % 3 == 0 else 0
+                )
+                rows.append((d, jpeg, multimodal.encode_ppm(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "jpeg", "ppm"])
+
+    encoded = docs.mapInPandas(
+        encode_both, "doc_id long, jpeg binary, ppm binary"
+    )
+    jf = multimodal.image_features(
+        multimodal.to_multimodal(encoded, "doc_id", "jpeg", "image/jpeg")
+    ).select(
+        F.col("asset_id").alias("doc_id"),
+        "width",
+        "height",
+        F.col("mean_r").alias("jr"),
+        F.col("mean_g").alias("jg"),
+        F.col("mean_b").alias("jb"),
+    )
+    pf = multimodal.image_features(
+        multimodal.to_multimodal(encoded, "doc_id", "ppm", "image/x-portable-pixmap")
+    ).select(
+        F.col("asset_id").alias("doc_id"),
+        F.col("mean_r").alias("pr"),
+        F.col("mean_g").alias("pg"),
+        F.col("mean_b").alias("pb"),
+    )
+    dev = (
+        F.abs(F.col("jr") - F.col("pr"))
+        + F.abs(F.col("jg") - F.col("pg"))
+        + F.abs(F.col("jb") - F.col("pb"))
+    ) / 3.0
+    return (
+        jf.join(pf, "doc_id")
+        .select(
+            "doc_id",
+            "width",
+            "height",
+            F.round(dev, 4).alias("mean_channel_dev"),
+            (dev <= F.lit(2.0)).alias("within_tol"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@query(
+    "l8f_png_decode",
+    sql="""
+    SELECT doc_id,
+           CAST(5 + doc_id % 4 AS INT) AS width,
+           CAST(4 + 2 * (doc_id % 3) AS INT) AS height,
+           ROUND((CAST(doc_id % 256 AS DOUBLE) + CAST((doc_id * 7) % 256 AS DOUBLE)) / 2, 6) AS mean_r,
+           ROUND((CAST((2 * doc_id) % 256 AS DOUBLE) + CAST((doc_id * 11) % 256 AS DOUBLE)) / 2, 6) AS mean_g,
+           ROUND((CAST((3 * doc_id) % 256 AS DOUBLE) + CAST((doc_id * 13) % 256 AS DOUBLE)) / 2, 6) AS mean_b
+    FROM documents WHERE doc_id < 40
+    """,
+    tier="T3",
+    survey="L8,J4",
+)
+def l8f_png_decode(spark, sf_dir):
+    """REAL PNG decode, oracle-checked (lossless: stdlib-zlib inflate +
+    filter reconstruction, operators/imagecodec.py): each doc gets a
+    two-tone RGBA PNG — top half color A = (d, 2d, 3d) mod 256, bottom
+    half color B = (7d, 11d, 13d) mod 256, height forced even so each
+    channel mean is exactly (A+B)/2 — decoded via the magic-sniffing
+    image_features path (alpha dropped). The oracle computes the same
+    means symbolically; a broken inflate, filter, or channel order
+    mismatches."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators import imagecodec
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 5 + d % 4, 4 + 2 * (d % 3)
+                px = np.zeros((h, w, 4), dtype=np.uint8)
+                px[: h // 2, :, :3] = [d % 256, (2 * d) % 256, (3 * d) % 256]
+                px[h // 2 :, :, :3] = [
+                    (7 * d) % 256,
+                    (11 * d) % 256,
+                    (13 * d) % 256,
+                ]
+                px[:, :, 3] = 255
+                rows.append((d, imagecodec.encode_png(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = docs.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(encoded, "doc_id", "payload", "image/png")
+    return multimodal.image_features(assets).select(
+        F.col("asset_id").alias("doc_id"),
+        "width", "height", "mean_r", "mean_g", "mean_b",
+    )
+
+
 @query("l9_embed_batch", sql=None, tier="T3", survey="L9,J2")
 def l9_embed_batch(spark, sf_dir):
     """Pluggable embedding stub: deterministic hash-projection features for

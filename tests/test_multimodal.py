@@ -138,3 +138,185 @@ def test_frame_extract_spark(spark):
         w, h, px = mm.decode_ppm(frame)
         assert (w, h) == (2, 2)
         assert np.all(px == idx)
+
+
+# ---------------------------------------------------------------------------
+# PNG + baseline JPEG (operators/imagecodec.py)
+# ---------------------------------------------------------------------------
+
+from oeem_etl_spark.operators import imagecodec as ic  # noqa: E402
+
+
+def test_png_roundtrip_exact_all_channel_counts():
+    rng = np.random.default_rng(7)
+    for shape in [(13, 17, 3), (5, 9), (8, 8, 4), (1, 1, 3)]:
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, got = ic.decode_png(ic.encode_png(px))
+        exp = px if px.ndim == 3 else px[:, :, None]
+        assert (w, h) == (exp.shape[1], exp.shape[0])
+        assert np.array_equal(got, exp)
+
+
+def test_png_all_filter_types_reconstruct():
+    """Hand-filter each row with types 0-4 against an independent
+    reference filterer; the decoder must invert every one."""
+    import struct
+    import zlib
+
+    rng = np.random.default_rng(3)
+    w, h, ch = 6, 5, 3
+    ref = rng.integers(0, 256, size=(h, w, ch), dtype=np.uint8)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        return a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+
+    raw = bytearray()
+    flat = ref.reshape(h, w * ch).astype(int)
+    for y in range(h):
+        f = y % 5
+        raw.append(f)
+        for i in range(w * ch):
+            x = flat[y][i]
+            left = flat[y][i - ch] if i >= ch else 0
+            up = flat[y - 1][i] if y > 0 else 0
+            ul = flat[y - 1][i - ch] if (y > 0 and i >= ch) else 0
+            if f == 0:
+                v = x
+            elif f == 1:
+                v = x - left
+            elif f == 2:
+                v = x - up
+            elif f == 3:
+                v = x - (left + up) // 2
+            else:
+                v = x - paeth(left, up, ul)
+            raw.append(v & 0xFF)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (
+        ic._PNG_SIG
+        + ic._png_chunk(b"IHDR", ihdr)
+        + ic._png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + ic._png_chunk(b"IEND", b"")
+    )
+    got_w, got_h, got = ic.decode_png(png)
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, ref)
+
+
+def test_png_palette_expands():
+    import struct
+    import zlib
+
+    plte = bytes([250, 0, 0, 0, 250, 0, 0, 0, 250])
+    idx = np.array([[0, 1], [2, 0]], dtype=np.uint8)
+    raw = b"".join(b"\x00" + idx[y].tobytes() for y in range(2))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    png = (
+        ic._PNG_SIG
+        + ic._png_chunk(b"IHDR", ihdr)
+        + ic._png_chunk(b"PLTE", plte)
+        + ic._png_chunk(b"IDAT", zlib.compress(raw))
+        + ic._png_chunk(b"IEND", b"")
+    )
+    w, h, got = ic.decode_png(png)
+    assert got.shape == (2, 2, 3)
+    assert tuple(got[0, 0]) == (250, 0, 0)
+    assert tuple(got[0, 1]) == (0, 250, 0)
+    assert tuple(got[1, 0]) == (0, 0, 250)
+
+
+def test_png_rejects_bad_input():
+    with pytest.raises(ValueError):
+        ic.decode_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        ic.decode_png(ic._PNG_SIG + b"\x00" * 20)
+
+
+def test_jpeg_solid_color_near_exact():
+    px = np.full((16, 16, 3), (200, 30, 90), dtype=np.uint8)
+    w, h, got = ic.decode_jpeg(ic.encode_jpeg(px, quality=85))
+    assert (w, h) == (16, 16)
+    assert np.abs(got.astype(int) - px.astype(int)).max() <= 3
+
+
+def test_jpeg_gradient_tolerance_and_odd_size():
+    hh, ww = 10, 13
+    yy, xx = np.mgrid[0:hh, 0:ww]
+    px = np.stack(
+        [(xx * 4) % 256, (yy * 5) % 256, ((xx + yy) * 3) % 256], axis=2
+    ).astype(np.uint8)
+    w, h, got = ic.decode_jpeg(ic.encode_jpeg(px, quality=90))
+    assert (w, h) == (ww, hh)
+    assert np.abs(got.astype(int) - px.astype(int)).mean() < 4.0
+
+
+def test_jpeg_grayscale_replicates_channels():
+    g = np.tile(np.arange(0, 256, 16, dtype=np.uint8), (8, 1))[:, :16]
+    w, h, got = ic.decode_jpeg(ic.encode_jpeg(g, quality=95))
+    assert got.shape == (8, 16, 3)
+    assert np.array_equal(got[:, :, 0], got[:, :, 1])
+    assert np.array_equal(got[:, :, 1], got[:, :, 2])
+
+
+def test_jpeg_restart_interval_identical_pixels():
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(24, 40, 3), dtype=np.uint8)
+    _, _, with_rst = ic.decode_jpeg(ic.encode_jpeg(px, quality=92, restart_interval=3))
+    _, _, without = ic.decode_jpeg(ic.encode_jpeg(px, quality=92))
+    assert np.array_equal(with_rst, without)
+
+
+def test_jpeg_rejects_progressive_and_junk():
+    with pytest.raises(ValueError):
+        ic.decode_jpeg(b"\x00\x01junk")
+    # Forge an SOF2 (progressive) header: decoder must refuse, not garble.
+    px = np.full((8, 8, 3), 128, dtype=np.uint8)
+    buf = bytearray(ic.encode_jpeg(px))
+    sof = buf.find(b"\xff\xc0")
+    buf[sof + 1] = 0xC2
+    with pytest.raises(ValueError, match="non-baseline"):
+        ic.decode_jpeg(bytes(buf))
+
+
+def test_decode_image_magic_sniffing_all_formats():
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, size=(9, 12, 3), dtype=np.uint8)
+    for payload in [mm.encode_ppm(px), ic.encode_png(px)]:
+        w, h, got = mm.decode_image(payload)
+        assert (w, h) == (12, 9)
+        assert np.array_equal(got, px)
+    w, h, got = mm.decode_image(ic.encode_jpeg(px, quality=95))
+    assert (w, h) == (12, 9)
+    with pytest.raises(NotImplementedError):
+        mm.decode_image(b"\x00\x00\x00\x20ftypmp42")  # mp4
+
+
+def test_image_features_spark_mixed_formats(spark):
+    """One asset per format through the same mapInPandas feature path;
+    PNG/PPM means must be exact, JPEG within tolerance."""
+    import pandas as pd
+
+    solid = np.full((6, 4, 3), (10, 20, 30), dtype=np.uint8)
+    rows = [
+        (1, mm.encode_ppm(solid)),
+        (2, ic.encode_png(solid)),
+        (3, ic.encode_jpeg(solid, quality=90)),
+    ]
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["asset_id", "payload"])
+    )
+    assets = mm.to_multimodal(df, "asset_id", "payload", "image/mixed")
+    out = {
+        r["asset_id"]: r
+        for r in mm.image_features(assets).collect()
+    }
+    for aid in (1, 2, 3):
+        assert (out[aid]["width"], out[aid]["height"]) == (4, 6)
+    for aid in (1, 2):
+        assert (out[aid]["mean_r"], out[aid]["mean_g"], out[aid]["mean_b"]) == (
+            10.0, 20.0, 30.0,
+        )
+    assert abs(out[3]["mean_r"] - 10.0) <= 2.0
+    assert abs(out[3]["mean_b"] - 30.0) <= 2.0
