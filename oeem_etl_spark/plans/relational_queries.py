@@ -1257,6 +1257,47 @@ def d9b_cube(spark, sf_dir):
 
 
 @query(
+    "d9c_grouping_sets",
+    sql=f"""
+    SELECT r_name, o_orderstatus,
+           CAST(2 * GROUPING(r_name) + GROUPING(o_orderstatus) AS INT) AS gid,
+           COUNT(*) AS n_orders,
+           {sql_dsum('o_totalprice', 'total_price')}
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY GROUPING SETS ((r_name), (o_orderstatus), ())
+    """,
+    tier="T2",
+    survey="D9",
+)
+def d9c_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS — the per-dimension marginals plus the grand
+    total WITHOUT the (r_name, o_orderstatus) cross cells that CUBE would
+    add (D9's third face next to ROLLUP/CUBE; Spark 4's native
+    ``DataFrame.groupingSets``). Same Expand-then-partial-agg scale shape:
+    rows multiply map-side by the number of sets (3 here, vs CUBE's 4),
+    partial aggregation collapses them before the single shuffle."""
+    orders = T(spark, sf_dir, "orders")
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = T(spark, sf_dir, "nation")
+    region = T(spark, sf_dir, "region")
+    joined = (
+        orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return joined.groupingSets(
+        [["r_name"], ["o_orderstatus"], []], "r_name", "o_orderstatus"
+    ).agg(
+        (2 * F.grouping("r_name") + F.grouping("o_orderstatus")).cast("int").alias("gid"),
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum("o_totalprice", "total_price"),
+    )
+
+
+@query(
     "e6_range_interval_window",
     sql="""
     SELECT event_id, user_id,

@@ -453,3 +453,78 @@ def test_calendarize_conservation(spark, ivs):
         alloc = sum(p["v_alloc"] for p in parts)
         assert alloc <= v + 1e-9
         assert v - alloc < len(parts) * 1e-4 + 1e-9
+
+
+# ---------------------------------------------------------------------------
+# Codec round-trip properties (operators/imagecodec.py) — pure numpy, no
+# Spark session, so example counts can be generous.
+# ---------------------------------------------------------------------------
+
+import numpy as np  # noqa: E402
+
+from oeem_etl_spark.operators import imagecodec as ic  # noqa: E402
+from oeem_etl_spark.operators import multimodal as mm  # noqa: E402
+
+img_dims = st.tuples(st.integers(1, 24), st.integers(1, 24))
+
+
+@given(dims=img_dims, chans=st.sampled_from([1, 3, 4]), seed=st.integers(0, 2**31))
+@settings(max_examples=60, deadline=None)
+def test_png_roundtrip_lossless_property(dims, chans, seed):
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, chans), dtype=np.uint8)
+    got_w, got_h, got = ic.decode_png(ic.encode_png(px))
+    assert (got_w, got_h) == (w, h)
+    assert np.array_equal(got, px)
+
+
+@given(
+    dims=img_dims,
+    seed=st.integers(0, 2**31),
+    quality=st.integers(50, 98),
+    rst=st.sampled_from([0, 1, 3]),
+)
+@settings(max_examples=40, deadline=None)
+def test_jpeg_roundtrip_bounded_error_property(dims, seed, quality, rst):
+    """JPEG decode(encode(x)) must (a) preserve dims exactly, (b) keep
+    smooth-content error bounded, (c) be insensitive to restart markers."""
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    # Smooth content (low-frequency): block-DC-dominated, so error stays
+    # small at any quality; pure noise is the known worst case for DCT.
+    base = rng.integers(0, 256, size=3)
+    yy, xx = np.mgrid[0:h, 0:w]
+    px = np.stack(
+        [(base[c] + 2 * xx + 3 * yy) % 256 for c in range(3)], axis=2
+    ).astype(np.uint8)
+    data = ic.encode_jpeg(px, quality=quality, restart_interval=rst)
+    got_w, got_h, got = ic.decode_jpeg(data)
+    assert (got_w, got_h) == (w, h)
+    # Wrap-around rows (255->0 seams) are high-frequency; allow a loose
+    # mean bound that still catches structural bugs (channel swap ~85).
+    assert np.abs(got.astype(int) - px.astype(int)).mean() < 30.0
+    if rst:
+        _, _, plain = ic.decode_jpeg(ic.encode_jpeg(px, quality=quality))
+        assert np.array_equal(got, plain)
+
+
+@given(dims=img_dims, seed=st.integers(0, 2**31))
+@settings(max_examples=30, deadline=None)
+def test_decode_image_sniffs_consistently_property(dims, seed):
+    """decode_image must route every supported container to a decoder that
+    agrees with the PPM ground truth (PNG exactly, JPEG within tolerance)."""
+    h, w = dims
+    rng = np.random.default_rng(seed)
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    for payload, exact in [
+        (mm.encode_ppm(px), True),
+        (ic.encode_png(px), True),
+        (ic.encode_jpeg(px, quality=95), False),
+    ]:
+        got_w, got_h, got = mm.decode_image(payload)
+        assert (got_w, got_h) == (w, h)
+        if exact:
+            assert np.array_equal(got, px)
+        else:
+            assert got.shape == px.shape
