@@ -120,7 +120,9 @@ def asof_join(
     the row that sorts last under ``value_cols`` order of arrival; callers
     needing a specific winner should pre-dedup the right side.
     """
-    lcols = [c for c in left.columns if c not in value_cols]
+    # left_ts is excluded here because it re-enters as __ts and is renamed
+    # back on return — keeping it would emit a duplicate, ambiguous column.
+    lcols = [c for c in left.columns if c not in value_cols and c != left_ts]
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, got {direction!r}")
     # scan order: backward scans time ascending (running last = nearest past

@@ -900,3 +900,92 @@ def k26_point_in_time_join(spark, sf_dir):
         allow_exact=True,
     )
     return out.select("event_id", "user_id", "dim_version", "dim_type")
+
+
+@query(
+    "k27_rated_billing",
+    sql="""
+    WITH rates AS (
+      SELECT user_id, TIMESTAMP '2024-01-01 00:00:00' AS rate_ts, 2 AS rate
+      FROM (SELECT DISTINCT user_id FROM events)
+      UNION ALL
+      SELECT user_id, TIMESTAMP '2024-01-15 00:00:00', 3
+      FROM (SELECT DISTINCT user_id FROM events)
+    ),
+    rated AS (
+      SELECT e.ts, e.value, r.rate
+      FROM events e
+      ASOF JOIN rates r ON e.user_id = r.user_id AND r.rate_ts <= e.ts
+    )
+    SELECT p.period, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(CAST(rated.value AS DECIMAL(30,6)) * rated.rate)
+                 AS DOUBLE), 6) AS billed
+    FROM rated
+    JOIN (VALUES ('w1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+                 ('w2', TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-12'),
+                 ('m1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01'))
+         AS p(period, p_start, p_end)
+      ON rated.ts < p.p_end AND p.p_start < rated.ts + INTERVAL 1 HOUR
+    GROUP BY p.period
+    """,
+    tier="T2",
+    survey="C7,C8,D1",
+)
+def k27_rated_billing(spark, sf_dir):
+    """Fused metering pipeline — the reference's rate-aware billing shape:
+    (1) C8 backward as-of join attaches each consumption event's
+    then-current tariff from a per-user rate-change history (tariff switch
+    mid-month; one shuffle on user_id via the union+window as-of plan);
+    (2) C7 interval-overlap join buckets the rated hour-events into
+    overlapping billing periods (broadcast of the tiny period table);
+    (3) exact decimal rollup of value x rate per period. Composition is
+    the point: as-of output flows straight into the overlap join with no
+    extra exchange beyond the as-of's own."""
+    from pyspark.sql import functions as F
+
+    from oeem_etl_spark.operators.relational import interval_overlap_join
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .select("user_id", "ts", "value")
+        .withColumn("ev_end", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+    )
+    users = ev.select("user_id").distinct()
+    changes = spark.createDataFrame(
+        [("2024-01-01 00:00:00", 2), ("2024-01-15 00:00:00", 3)],
+        "rate_ts_s STRING, rate INT",
+    ).select(F.col("rate_ts_s").cast("timestamp").alias("rate_ts"), "rate")
+    rates = users.crossJoin(F.broadcast(changes))
+    rated = asof_join(
+        ev,
+        rates,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="rate_ts",
+        value_cols=["rate"],
+        allow_exact=True,
+    )
+    periods = spark.createDataFrame(
+        [
+            ("w1", "2024-01-01", "2024-01-08"),
+            ("w2", "2024-01-05", "2024-01-12"),
+            ("m1", "2024-01-01", "2024-02-01"),
+        ],
+        "period STRING, p_start_s STRING, p_end_s STRING",
+    ).select(
+        "period",
+        F.col("p_start_s").cast("timestamp").alias("p_start"),
+        F.col("p_end_s").cast("timestamp").alias("p_end"),
+    )
+    joined = interval_overlap_join(
+        rated, F.broadcast(periods), "ts", "ev_end", "p_start", "p_end"
+    )
+    return joined.groupBy("period").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(30,6)") * F.col("rate")).cast(
+                "double"
+            ),
+            6,
+        ).alias("billed"),
+    )

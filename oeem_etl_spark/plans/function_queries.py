@@ -547,3 +547,55 @@ def h15_url_funcs(spark, sf_dir):
         F.parse_url(url, F.lit("PATH")).alias("path"),
         F.parse_url(url, F.lit("QUERY"), F.lit("lang")).alias("lang_param"),
     )
+
+
+@query(
+    "h16_props_wrangle",
+    sql="""
+    SELECT event_type,
+           COUNT(*) AS cnt,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(SUM(CASE WHEN CAST(json_extract_string(props, '$.k') AS INT) >= 50
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                WHEN 'purchase' THEN 10 ELSE 0 END AS INT) AS type_weight
+    FROM events
+    GROUP BY event_type
+    """,
+    tier="T2",
+    survey="H12,H11,H10",
+)
+def h16_props_wrangle(spark, sf_dir):
+    """Semi-structured wrangling chain — the props-payload triple play:
+    H12 ``from_json`` parses the JSON props into a typed struct, H11
+    struct surgery (``withField`` adds a derived flag, dot-path access
+    reads it back), and an H10 literal map (``create_map`` +
+    ``element_at``) attaches per-type weights — all three surfaces fused
+    in one per-row expression chain before a plain rollup, exactly how a
+    telemetry pipeline normalizes an opaque attributes column. Output is
+    scalar, so the oracle needs only DuckDB's JSON extraction."""
+    ev = T(spark, sf_dir, "events")
+    parsed = ev.withColumn(
+        "p", F.from_json(F.col("props"), "k INT")
+    ).withColumn(
+        "p", F.col("p").withField("is_high", F.col("p.k") >= 50)
+    )
+    weights = F.create_map(
+        F.lit("view"), F.lit(1),
+        F.lit("click"), F.lit(2),
+        F.lit("purchase"), F.lit(10),
+    )
+    enriched = parsed.select(
+        "event_type",
+        F.col("p.k").alias("k"),
+        F.col("p.is_high").cast("int").alias("is_high"),
+        F.coalesce(F.element_at(weights, F.col("event_type")), F.lit(0)).alias(
+            "type_weight"
+        ),
+    )
+    return enriched.groupBy("event_type", "type_weight").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("k").alias("sum_k"),
+        F.sum("is_high").alias("n_high"),
+    ).select("event_type", "cnt", "sum_k", "n_high", "type_weight")

@@ -1302,3 +1302,62 @@ def l36_hard_negatives(spark, sf_dir):
     )
     out = similarity.hard_negatives(emb, queries, k=10)
     return out.withColumn("rnk", F.col("rnk").cast("int"))
+
+
+@query(
+    "l41_knn_label_canon",
+    sql=f"""
+    WITH topk AS ({_TOPK_SQL}),
+    votes AS (
+      SELECT t.q_id, e.label, COUNT(*) AS votes
+      FROM topk t JOIN embeddings e USING (vec_id)
+      GROUP BY t.q_id, e.label
+    ),
+    preds AS (
+      SELECT q_id, label AS predicted, votes FROM votes
+      QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) = 1
+    )
+    SELECT p.q_id,
+           c.canonical AS canonical_label,
+           levenshtein('cls_' || CAST(p.predicted AS VARCHAR), c.canonical)
+             AS edit_dist,
+           p.votes
+    FROM preds p
+    JOIN (SELECT 'class_' || CAST(unnest(range(0, 10)) AS VARCHAR) AS canonical) c
+      ON levenshtein('cls_' || CAST(p.predicted AS VARCHAR), c.canonical) <= 2
+    """,
+    tier="T3",
+    survey="L4,H3",
+)
+def l41_knn_label_canon(spark, sf_dir):
+    """Fused curation pipeline: L4 kNN majority-vote classification of the
+    query vectors, whose predicted labels arrive in a NOISY external
+    vocabulary ('cls_3'), then H3 fuzzy vocabulary normalization — a
+    levenshtein(<=2) join against the canonical label table ('class_3').
+    The canonical table is 10 rows, so the fuzzy theta-join is a broadcast
+    nested loop over the handful of predictions — the label-vocab
+    reconciliation step every multi-source labeling pipeline needs.
+    Threshold 2 is exact for this vocabulary: the true canonical is
+    distance 2 (one insert + one insert), every wrong digit is >= 3."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    preds = similarity.knn_classify(emb, queries_df, k=10).select(
+        "q_id",
+        F.concat(F.lit("cls_"), F.col("predicted").cast("string")).alias("noisy"),
+        "votes",
+    )
+    canon = spark.range(0, 10).select(
+        F.concat(F.lit("class_"), F.col("id").cast("string")).alias("canonical")
+    )
+    joined = preds.join(
+        F.broadcast(canon),
+        F.levenshtein(F.col("noisy"), F.col("canonical")) <= 2,
+    )
+    return joined.select(
+        "q_id",
+        F.col("canonical").alias("canonical_label"),
+        F.levenshtein(F.col("noisy"), F.col("canonical")).alias("edit_dist"),
+        "votes",
+    )

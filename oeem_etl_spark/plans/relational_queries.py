@@ -1457,3 +1457,54 @@ def d17_boolean_aggs(spark, sf_dir):
         F.bool_and(F.col("value") >= 0).alias("all_nonneg"),
         F.bool_or(F.col("value") > 4.9).alias("has_huge"),
     )
+
+
+@query(
+    "g6_snapshot_reconcile",
+    sql="""
+    WITH first_half AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts < TIMESTAMP '2024-01-16'
+        AND event_type = 'purchase' AND value >= 180
+    ),
+    second_half AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE ts >= TIMESTAMP '2024-01-16'
+        AND event_type = 'purchase' AND value >= 180
+    )
+    SELECT 'both' AS status, user_id FROM
+      (SELECT user_id FROM first_half INTERSECT SELECT user_id FROM second_half)
+    UNION ALL
+    SELECT 'only_first', user_id FROM
+      (SELECT user_id FROM first_half EXCEPT SELECT user_id FROM second_half)
+    UNION ALL
+    SELECT 'only_second', user_id FROM
+      (SELECT user_id FROM second_half EXCEPT SELECT user_id FROM first_half)
+    """,
+    tier="T2",
+    survey="G3,G4,D11",
+)
+def g6_snapshot_reconcile(spark, sf_dir):
+    """Snapshot reconciliation — the set-algebra audit every incremental
+    load needs: which distinct high-value purchasers (D11) appear in BOTH
+    halves of the month (G3 intersect, retained), only the first (G4
+    except, churned), or only the second (gained).
+    One query, all three set operators, tagged and unioned into a single
+    report. Each INTERSECT/EXCEPT is a shuffle on the key — the same
+    exchange a join-based diff would need, with null-safe set semantics
+    for free."""
+    ev = T(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase") & (F.col("value") >= 180)
+    )
+    cut = F.lit("2024-01-16").cast("timestamp")
+    first = ev.where(F.col("ts") < cut).select("user_id").distinct()
+    second = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+    return (
+        first.intersect(second).select(F.lit("both").alias("status"), "user_id")
+        .unionAll(
+            first.subtract(second).select(F.lit("only_first").alias("status"), "user_id")
+        )
+        .unionAll(
+            second.subtract(first).select(F.lit("only_second").alias("status"), "user_id")
+        )
+    )

@@ -188,3 +188,118 @@ def m5_triangle_count(spark, sf_dir):
         .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
     )
     return triangles(edges)
+
+
+@query(
+    "m6_bloom_rebased_rollup",
+    sql=f"""
+    WITH pruned AS (
+      SELECT l.l_suppkey, l.l_returnflag, l.l_linestatus, l.l_extendedprice
+      FROM lineitem l
+      JOIN (SELECT s_suppkey FROM supplier WHERE s_nationkey <= 12) s
+        ON l.l_suppkey = s.s_suppkey
+    ), rebased AS (
+      SELECT l_returnflag, l_linestatus,
+             l_extendedprice - MIN(l_extendedprice)
+               OVER (PARTITION BY l_suppkey) AS rebased
+      FROM pruned
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(2 * GROUPING(l_returnflag) + GROUPING(l_linestatus) AS INT) AS gid,
+           COUNT(*) AS n_lines,
+           {sql_dsum('rebased', 'total_rebased')}
+    FROM rebased
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tier="T2",
+    survey="C11,J3,D9",
+)
+def m6_bloom_rebased_rollup(spark, sf_dir):
+    """Fused scale pipeline: (1) C11 bloom-pruned fact⋈dim — suppliers of
+    3 nations hashed into a bitmap pushed into the lineitem scan, so
+    non-matching fact rows die at the scan, not the exchange; (2) J3
+    applyInPandas grouped-map per supplier (price rebased to the
+    supplier's min — the per-trace transform idiom, min-based so the float
+    math is exact on both engines); (3) D9 ROLLUP over
+    (returnflag, linestatus) with grouping-id disambiguation. The grouped
+    map reuses the shuffle the bloom join's aggregation would need anyway;
+    the rollup's Expand collapses map-side before its single exchange."""
+    from oeem_etl_spark.functions import udfs
+
+    dim = (
+        T(spark, sf_dir, "supplier")
+        .where(F.col("s_nationkey") <= 12)
+        .select(F.col("s_suppkey").alias("l_suppkey"))
+    )
+    fact = T(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_returnflag", "l_linestatus", "l_extendedprice"
+    )
+    joined = bloom_pruned_join(fact, F.broadcast(dim), on="l_suppkey")
+    rebased = udfs.rebase_per_group(
+        joined, "l_suppkey", "l_extendedprice", "rebased"
+    )
+    return rebased.rollup("l_returnflag", "l_linestatus").agg(
+        (2 * F.grouping("l_returnflag") + F.grouping("l_linestatus"))
+        .cast("int")
+        .alias("gid"),
+        F.count(F.lit(1)).alias("n_lines"),
+        dsum("rebased", "total_rebased"),
+    )
+
+
+@query(
+    "l42_udtf_weighted_sample",
+    sql=f"""
+    WITH weighted AS (
+      SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT source, doc_id, n_tokens
+    FROM (
+      SELECT source, doc_id, n_tokens,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY pow({sql_hash_uniform("doc_id", seed=23)},
+                         1.0 / CAST(n_tokens AS DOUBLE)) DESC,
+                        doc_id ASC
+             ) AS rn
+      FROM weighted
+    ) WHERE rn <= 5
+    ORDER BY source, doc_id
+    """,
+    tier="T3",
+    survey="J6,L11",
+)
+def l42_udtf_weighted_sample(spark, sf_dir):
+    """Fused corpus-sampling pipeline: J6 Python UDTF tokenization (the
+    raw-payload → records parser surface, reached via SQL LATERAL join)
+    produces per-document token counts, which drive L11 length-weighted
+    Efraimidis–Spirakis sampling without replacement (5 docs per source,
+    md5-derived uniforms → fully deterministic, oracle-checked). This is
+    the standard 'sample training docs proportional to token count' step,
+    with the weight computed by the user-extension path instead of a
+    built-in — proving the two surfaces compose in one plan."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="tok string, pos int")
+    class TokenizeW:
+        def eval(self, text: str):
+            for i, t in enumerate(text.split(" ")):
+                yield t, i
+
+    spark.udtf.register("oeem_tokenize_w", TokenizeW)
+    T(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    ).createOrReplaceTempView("l42_docs")
+    weighted = spark.sql(
+        """
+        SELECT d.source, d.doc_id, COUNT(*) AS n_tokens
+        FROM l42_docs d, LATERAL oeem_tokenize_w(d.text) t
+        GROUP BY d.source, d.doc_id
+        """
+    )
+    picked = weighted_sample_without_replacement(
+        weighted, key="doc_id", weight="n_tokens", k=5,
+        group_by=["source"], seed=23,
+    )
+    return picked.select("source", "doc_id", "n_tokens").orderBy("source", "doc_id")

@@ -407,3 +407,39 @@ def a17_csv_quarantine(spark, sf_dir):
         spark, path, "o_orderkey bigint, o_custkey bigint, o_totalprice double"
     )
     return good
+
+
+@query(
+    "a18_sink_registered_udf",
+    sql="""
+    SELECT doc_id, lang, length(text) // 4 AS est_tokens
+    FROM documents WHERE doc_id <= 300
+    """,
+    tier="T2",
+    survey="A6,J7",
+)
+def a18_sink_registered_udf(spark, sf_dir):
+    """Materialize-then-extend: the curated subset is written to a
+    partitioned parquet sink (A6), scanned back, and queried through the
+    SQL entry point with a catalog-registered Python UDF (J7) — the
+    'land the cleaned table, then let analysts hit it with their own
+    functions' shape. Sink faithfulness and UDF execution are both on the
+    hook: a lossy write or a mis-registered function mismatches."""
+    sub = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300)
+        .select("doc_id", "lang", "text")
+    )
+    path = os.path.join(_TMP, "a18_parquet")
+    writers.write_parquet(sub, path, partition_by=["lang"])
+    back = readers.scan_parquet(spark, path)
+    spark.udf.register(
+        "est_tokens", lambda s: len(s) // 4 if s is not None else None, "bigint"
+    )
+    back.createOrReplaceTempView("a18_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, CAST(lang AS STRING) AS lang, est_tokens(text) AS est_tokens
+        FROM a18_docs
+        """
+    )

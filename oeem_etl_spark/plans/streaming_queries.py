@@ -487,3 +487,42 @@ def i12_stream_outer_join(spark, sf_dir):
         F.col("r.event_id").alias("purchase_id"),
     )
     return harness.run_available_now(out, "append")
+
+
+@query(
+    "i13_replay_dedup_sliding",
+    sql=f"""
+    WITH cand AS (
+      SELECT unnest([time_bucket(INTERVAL '30 minutes', {_CAST_TS}),
+                     time_bucket(INTERVAL '30 minutes', {_CAST_TS}) - INTERVAL '30 minutes'
+                    ]) AS window_start,
+             event_type, value
+      FROM events
+    )
+    SELECT window_start, event_type, COUNT(*) AS cnt, {sql_dsum("value", "sum_value")}
+    FROM cand GROUP BY window_start, event_type
+    """,
+    tier="T3",
+    survey="I5,I2",
+)
+def i13_replay_dedup_sliding(spark, sf_dir):
+    """Chained stateful operators — at-least-once ingest made exactly-once:
+    the source is read TWICE (two independent file-stream instances
+    unioned = a simulated replayed/duplicated feed), I5 streaming dedup on
+    event_id collapses the copies, and the deduped stream flows into the
+    I2 sliding-window aggregation (1 h windows every 30 min) WITHIN THE
+    SAME streaming query — Spark's supported dedup-before-aggregation
+    stateful chain. The oracle is the single-copy batch answer: if the
+    dedup state failed to suppress the replay, every count/sum doubles."""
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    replayed = s1.unionByName(s2)
+    deduped = replayed.dropDuplicates(["event_id"])
+    out = ops.sliding_agg(
+        deduped,
+        "1 hour",
+        "30 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")],
+    )
+    return harness.run_available_now(out, "complete")
