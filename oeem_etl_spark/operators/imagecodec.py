@@ -319,11 +319,50 @@ def _magnitude(v: int) -> tuple[int, int]:
     return size, (v if v >= 0 else v + (1 << size) - 1)
 
 
+def _encode_block(writer, blk, q, dc_tab, ac_tab, pred_val):
+    """FDCT + quantise + Huffman-code one 8x8 level-shifted block; returns
+    the new DC predictor."""
+    coefs = _DCT_T @ blk @ _DCT_T.T
+    zz = np.round(coefs.reshape(64) / q).astype(np.int64)[_ZIGZAG]
+    diff = int(zz[0]) - pred_val
+    size, bits = _magnitude(diff)
+    code, length = dc_tab[size]
+    writer.write(code, length)
+    if size:
+        writer.write(bits, size)
+    run = 0
+    last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
+    for k in range(1, 64):
+        v = int(zz[k])
+        if v == 0:
+            if k > last_nz:
+                code, length = ac_tab[0x00]  # EOB
+                writer.write(code, length)
+                break
+            run += 1
+            if run == 16:
+                code, length = ac_tab[0xF0]  # ZRL
+                writer.write(code, length)
+                run = 0
+        else:
+            size, bits = _magnitude(v)
+            code, length = ac_tab[(run << 4) | size]
+            writer.write(code, length)
+            writer.write(bits, size)
+            run = 0
+    return int(zz[0])
+
+
 def encode_jpeg(
-    pixels: np.ndarray, quality: int = 85, restart_interval: int = 0
+    pixels: np.ndarray,
+    quality: int = 85,
+    restart_interval: int = 0,
+    subsample: bool = False,
 ) -> bytes:
     """Encode (H, W, 3) RGB or (H, W) grayscale uint8 as a baseline
-    sequential JFIF (4:4:4, Annex-K tables scaled by IJG quality).
+    sequential JFIF (Annex-K tables scaled by IJG quality). Color is
+    4:4:4 by default; ``subsample=True`` writes 4:2:0 (chroma averaged
+    2x2 — exercises the decoder's multi-block-MCU + upsampling path).
     ``restart_interval`` > 0 emits a DRI segment and RSTn markers every
     N MCUs (exercises the decoder's restart resync path)."""
     arr = np.asarray(pixels, dtype=np.float64)
@@ -331,6 +370,7 @@ def encode_jpeg(
     h, w = arr.shape[:2]
     if gray:
         planes = [arr]
+        samps = [(1, 1)]
     else:
         r, g, b = arr[:, :, 0], arr[:, :, 1], arr[:, :, 2]
         planes = [
@@ -338,60 +378,53 @@ def encode_jpeg(
             -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,
             0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,
         ]
+        samps = [(2, 2), (1, 1), (1, 1)] if subsample else [(1, 1)] * 3
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
     qts = [_quality_scale(_QT_LUMA, quality), _quality_scale(_QT_CHROMA, quality)]
     dc_tabs = [_huff_codes(*_HT_DC_LUMA), _huff_codes(*_HT_DC_CHROMA)]
     ac_tabs = [_huff_codes(*_HT_AC_LUMA), _huff_codes(*_HT_AC_CHROMA)]
 
-    # Pad to 8x8 blocks by edge replication, then FDCT + quantise.
-    bh, bw = -(-h // 8) * 8, -(-w // 8) * 8
+    # Pad every plane to the full MCU grid by edge replication, then
+    # downsample subsampled components by block mean.
+    blocks = []
+    for (hs, vs), plane in zip(samps, planes):
+        p = np.pad(
+            plane,
+            ((0, mcuy * 8 * vmax - h), (0, mcux * 8 * hmax - w)),
+            mode="edge",
+        )
+        fy, fx = vmax // vs, hmax // hs
+        if fy > 1 or fx > 1:
+            p = p.reshape(p.shape[0] // fy, fy, p.shape[1] // fx, fx).mean(
+                axis=(1, 3)
+            )
+        blocks.append(p - 128.0)
+
     writer = _BitWriter()
     pred = [0] * len(planes)
-    blocks = []
-    for plane in planes:
-        p = np.pad(plane, ((0, bh - h), (0, bw - w)), mode="edge") - 128.0
-        blocks.append(p)
     n_mcu = 0
-    for by in range(bh // 8):
-        for bx in range(bw // 8):
+    for my in range(mcuy):
+        for mx in range(mcux):
             if restart_interval and n_mcu and n_mcu % restart_interval == 0:
                 writer.write_marker(0xD0 + ((n_mcu // restart_interval - 1) & 7))
                 pred = [0] * len(planes)
             n_mcu += 1
-            for ci in range(len(planes)):
+            for ci, (hs, vs) in enumerate(samps):
                 tq = 0 if ci == 0 else 1
-                blk = blocks[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-                coefs = _DCT_T @ blk @ _DCT_T.T
-                q = np.round(coefs.reshape(64) / qts[tq]).astype(np.int64)
-                zz = q[_ZIGZAG]
-                # DC
-                diff = int(zz[0]) - pred[ci]
-                pred[ci] = int(zz[0])
-                size, bits = _magnitude(diff)
-                code, length = dc_tabs[tq][size]
-                writer.write(code, length)
-                if size:
-                    writer.write(bits, size)
-                # AC with run-length + EOB/ZRL
-                run = 0
-                last_nz = int(np.max(np.nonzero(zz)[0])) if np.any(zz[1:]) else 0
-                for k in range(1, 64):
-                    v = int(zz[k])
-                    if v == 0:
-                        if k > last_nz:
-                            code, length = ac_tabs[tq][0x00]  # EOB
-                            writer.write(code, length)
-                            break
-                        run += 1
-                        if run == 16:
-                            code, length = ac_tabs[tq][0xF0]  # ZRL
-                            writer.write(code, length)
-                            run = 0
-                    else:
-                        size, bits = _magnitude(v)
-                        code, length = ac_tabs[tq][(run << 4) | size]
-                        writer.write(code, length)
-                        writer.write(bits, size)
-                        run = 0
+                for v in range(vs):
+                    for hb in range(hs):
+                        y0 = (my * vs + v) * 8
+                        x0 = (mx * hs + hb) * 8
+                        pred[ci] = _encode_block(
+                            writer,
+                            blocks[ci][y0 : y0 + 8, x0 : x0 + 8],
+                            qts[tq],
+                            dc_tabs[tq],
+                            ac_tabs[tq],
+                            pred[ci],
+                        )
 
     def seg(marker: int, body: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -405,7 +438,8 @@ def encode_jpeg(
 
     ncomp = len(planes)
     sof_comps = b"".join(
-        bytes([ci + 1, 0x11, 0 if ci == 0 else 1]) for ci in range(ncomp)
+        bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], 0 if ci == 0 else 1])
+        for ci in range(ncomp)
     )
     sos_comps = b"".join(
         bytes([ci + 1, 0x00 if ci == 0 else 0x11]) for ci in range(ncomp)

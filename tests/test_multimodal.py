@@ -320,3 +320,26 @@ def test_image_features_spark_mixed_formats(spark):
         )
     assert abs(out[3]["mean_r"] - 10.0) <= 2.0
     assert abs(out[3]["mean_b"] - 30.0) <= 2.0
+
+
+def test_jpeg_420_subsample_roundtrip():
+    """4:2:0 chroma subsampling: multi-block MCUs on the encoder, the
+    upsampling path on the decoder; restart markers interleave with the
+    4-blocks-per-MCU layout."""
+    yy, xx = np.mgrid[0:24, 0:32]
+    px = np.stack(
+        [(40 + 2 * xx + yy) % 256, (90 + xx) % 256, (10 + yy * 2) % 256], axis=2
+    ).astype(np.uint8)
+    for rst in (0, 2):
+        w, h, out = ic.decode_jpeg(
+            ic.encode_jpeg(px, quality=90, subsample=True, restart_interval=rst)
+        )
+        assert (w, h) == (32, 24)
+        assert np.abs(out.astype(int) - px.astype(int)).mean() < 8.0
+
+
+def test_jpeg_420_odd_dims_and_solid():
+    px = np.full((11, 13, 3), (180, 60, 120), np.uint8)
+    w, h, out = ic.decode_jpeg(ic.encode_jpeg(px, quality=85, subsample=True))
+    assert (w, h) == (13, 11)
+    assert np.abs(out.astype(int) - px.astype(int)).max() <= 2

@@ -484,9 +484,10 @@ def test_png_roundtrip_lossless_property(dims, chans, seed):
     seed=st.integers(0, 2**31),
     quality=st.integers(50, 98),
     rst=st.sampled_from([0, 1, 3]),
+    sub=st.booleans(),
 )
 @settings(max_examples=40, deadline=None)
-def test_jpeg_roundtrip_bounded_error_property(dims, seed, quality, rst):
+def test_jpeg_roundtrip_bounded_error_property(dims, seed, quality, rst, sub):
     """JPEG decode(encode(x)) must (a) preserve dims exactly, (b) keep
     smooth-content error bounded, (c) be insensitive to restart markers."""
     h, w = dims
@@ -498,14 +499,16 @@ def test_jpeg_roundtrip_bounded_error_property(dims, seed, quality, rst):
     px = np.stack(
         [(base[c] + 2 * xx + 3 * yy) % 256 for c in range(3)], axis=2
     ).astype(np.uint8)
-    data = ic.encode_jpeg(px, quality=quality, restart_interval=rst)
+    data = ic.encode_jpeg(px, quality=quality, restart_interval=rst, subsample=sub)
     got_w, got_h, got = ic.decode_jpeg(data)
     assert (got_w, got_h) == (w, h)
     # Wrap-around rows (255->0 seams) are high-frequency; allow a loose
     # mean bound that still catches structural bugs (channel swap ~85).
     assert np.abs(got.astype(int) - px.astype(int)).mean() < 30.0
     if rst:
-        _, _, plain = ic.decode_jpeg(ic.encode_jpeg(px, quality=quality))
+        _, _, plain = ic.decode_jpeg(
+            ic.encode_jpeg(px, quality=quality, subsample=sub)
+        )
         assert np.array_equal(got, plain)
 
 
