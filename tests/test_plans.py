@@ -319,3 +319,50 @@ def test_e7_e8_single_window_sort_each(spark, sf_dir):
         # exchange would mean the frame order wasn't reused
         assert shuffle_exchanges(plan) == 1, (name, plan)
         assert "Window" in plan, (name, plan)
+
+
+def test_k27_one_exchange_then_broadcast_overlap(spark, sf_dir):
+    """k27's as-of stage costs exactly one hash exchange on user_id (the
+    union+window plan); the period overlap join must be a broadcast
+    nested loop, never adding a second fact shuffle; the final period
+    rollup aggregates partially map-side."""
+    q = registry.queries()["k27_rated_billing"]
+    plan = plan_of(q(spark, sf_dir))
+    # exactly one Window (the as-of forward-fill) fed by one user_id sort
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 1, plan
+    # hash exchanges: users-distinct, as-of window, final rollup — no more
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) <= 3, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+
+
+def test_m6_bloom_filter_reaches_fact_scan(spark, sf_dir):
+    """m6's bloom bitmap must appear as a pure filter over the lineitem
+    scan (rows die pre-exchange), and the rollup's Expand sits above the
+    grouped map, not below the join."""
+    q = registry.queries()["m6_bloom_rebased_rollup"]
+    plan = plan_of(q(spark, sf_dir))
+    # the library bloom probe is a pure bit_get/xxhash64 expression filter
+    # over the fact scan (operators/pruning.py), codegen-able, no UDF
+    assert "bit_get" in plan and "xxhash64" in plan, plan
+    assert "Expand" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan or "FlatMapGroupsInArrow" in plan, plan
+
+
+def test_l41_canon_join_is_broadcast(spark, sf_dir):
+    """The fuzzy levenshtein theta-join must broadcast the 10-row
+    canonical vocabulary (nested loop over predictions only)."""
+    q = registry.queries()["l41_knn_label_canon"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_g6_set_ops_share_key_partitioning(spark, sf_dir):
+    """g6 compiles INTERSECT/EXCEPT to aggregates/joins over user_id
+    hash exchanges — assert no cartesian and no broadcast of the
+    (potentially huge) distinct-keys sides at scale shape."""
+    q = registry.queries()["g6_snapshot_reconcile"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "hashpartitioning(user_id" in plan, plan
