@@ -19,7 +19,9 @@ from oeem_etl_spark.plans.util import T
 from oeem_etl_spark.sources import manifest as mf
 from oeem_etl_spark.sources import readers, writers
 
-_TMP = os.path.join(tempfile.gettempdir(), "oeem_etl_spark_io")
+# pid-scoped (see streaming_queries._TMP): concurrent sweeps must not
+# share sink directories.
+_TMP = os.path.join(tempfile.gettempdir(), f"oeem_etl_spark_io_{os.getpid()}")
 
 
 @query(

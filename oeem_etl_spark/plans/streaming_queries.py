@@ -31,7 +31,10 @@ from oeem_etl_spark.plans.util import T, dsum, sql_dsum
 from oeem_etl_spark.streaming import harness, ops
 from oeem_etl_spark.streaming.source import events_stream, file_stream
 
-_TMP = os.path.join(tempfile.gettempdir(), "oeem_etl_spark_stream")
+# pid-scoped: two concurrent verify sweeps sharing one sink/checkpoint
+# directory corrupt each other's streaming state (observed as spurious
+# a10/a13 mismatches when sweeps overlap).
+_TMP = os.path.join(tempfile.gettempdir(), f"oeem_etl_spark_stream_{os.getpid()}")
 
 _CAST_TS = "CAST(ts AS TIMESTAMP)"
 
