@@ -529,3 +529,38 @@ def i13_replay_dedup_sliding(spark, sf_dir):
         [F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")],
     )
     return harness.run_available_now(out, "complete")
+
+
+@query(
+    "i14_bounded_dedup_window",
+    sql=f"""
+    SELECT time_bucket(INTERVAL '6 hours', {_CAST_TS}) AS window_start,
+           COUNT(*) AS cnt
+    FROM events
+    GROUP BY window_start
+    HAVING window_start + INTERVAL '6 hours'
+           <= (SELECT MAX({_CAST_TS}) - INTERVAL '10 minutes' FROM events)
+    """,
+    tier="T3",
+    survey="I5,I4",
+)
+def i14_bounded_dedup_window(spark, sf_dir):
+    """The PRODUCTION shape of i13: at-least-once replay (double-read
+    source) made exactly-once with BOUNDED state —
+    ``dropDuplicatesWithinWatermark`` GCs dedup keys once the 10-minute
+    watermark passes them (i13's plain dropDuplicates keeps every seen key
+    forever), then the deduped stream feeds a watermarked tumbling window
+    in APPEND mode, so the watermark must propagate correctly through the
+    chained stateful pair: only closed windows emit, the trailing open
+    window is withheld. Replay copies arrive in the same micro-batch set,
+    well inside the watermark delay, so the oracle is the single-copy
+    closed-window batch answer; doubled counts = dedup state GC'd too
+    early, missing trailing window = propagation bug."""
+    s1 = events_stream(spark, sf_dir)
+    s2 = events_stream(spark, sf_dir)
+    replayed = s1.unionByName(s2)
+    deduped = ops.dedup_keys_within_watermark(
+        replayed, ["event_id"], "10 minutes"
+    )
+    out = ops.tumbling_agg(deduped, "6 hours", [], [F.count(F.lit(1)).alias("cnt")])
+    return harness.run_available_now(out, "append")
