@@ -13,8 +13,13 @@ Scope (documented, asserted):
 - PNG: 8-bit depth, color types 0/2/3/4/6 (gray, RGB, palette, gray+A,
   RGBA), all five filter types, no interlace (Adam7 raises).
 - JPEG: baseline sequential DCT (SOF0), 8-bit, 1 or 3 components,
-  sampling factors 1-2, restart intervals honored. Progressive (SOF2),
-  arithmetic coding, and 12-bit raise.
+  sampling factors 1-2 (4:4:4 + 4:2:0 on encode), restart intervals
+  honored. Progressive (SOF2), arithmetic coding, and 12-bit raise.
+- BMP: uncompressed (BI_RGB) 24/32-bit, bottom-up and top-down rows.
+- GIF: 87a/89a, variable-width LZW with CLEAR resets, global + local
+  palettes, interlace, transparency index, multi-frame compositing
+  (animated GIF is the real multi-frame container behind
+  multimodal.frame_extract).
 
 These run inside ``mapInPandas`` batches (operators/multimodal.py) —
 decode cost is per-asset Python, which is exactly the slow path Spark's
@@ -666,3 +671,277 @@ def _decode_scan(data, pos, frame, scan, qts, huff, restart):
         axis=2,
     )
     return fw, fh, np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
+# ---------------------------------------------------------------------------
+# BMP (BITMAPINFOHEADER, uncompressed 24/32-bit)
+# ---------------------------------------------------------------------------
+
+
+def decode_bmp(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Decode an uncompressed (BI_RGB) 24- or 32-bit BMP: returns
+    (width, height, uint8 RGB (H, W, 3)). Handles bottom-up (positive
+    height) and top-down (negative height) rows and 4-byte row padding."""
+    if content[:2] != b"BM":
+        raise ValueError(f"not a BMP: {content[:2]!r}")
+    (pix_off,) = struct.unpack_from("<I", content, 10)
+    (hdr_size,) = struct.unpack_from("<I", content, 14)
+    if hdr_size < 40:
+        raise ValueError(f"BITMAPCOREHEADER ({hdr_size}) not supported")
+    w, h_raw = struct.unpack_from("<ii", content, 18)
+    (bpp,) = struct.unpack_from("<H", content, 28)
+    (compression,) = struct.unpack_from("<I", content, 30)
+    if compression != 0 or bpp not in (24, 32):
+        raise ValueError(f"only uncompressed 24/32-bit BMP (bpp={bpp}, comp={compression})")
+    h = abs(h_raw)
+    nch = bpp // 8
+    stride = (w * nch + 3) & ~3
+    rows = []
+    for y in range(h):
+        line = np.frombuffer(content, np.uint8, w * nch, pix_off + y * stride)
+        rows.append(line.reshape(w, nch))
+    px = np.stack(rows)
+    if h_raw > 0:  # bottom-up
+        px = px[::-1]
+    return w, h, px[:, :, [2, 1, 0]].copy()  # BGR(A) -> RGB, drop alpha
+
+
+def encode_bmp(pixels: np.ndarray) -> bytes:
+    """Encode (H, W, 3) uint8 RGB as a bottom-up 24-bit BI_RGB BMP."""
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):
+        row = arr[y][:, [2, 1, 0]].tobytes()  # RGB -> BGR
+        body += row + b"\x00" * (stride - len(row))
+    pix_off = 14 + 40
+    header = b"BM" + struct.pack("<IHHI", pix_off + len(body), 0, 0, pix_off)
+    header += struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body), 2835, 2835, 0, 0)
+    return bytes(header + body)
+
+
+# ---------------------------------------------------------------------------
+# GIF (87a/89a: LZW, palettes, multi-frame with basic compositing)
+# ---------------------------------------------------------------------------
+
+
+class _LZWReader:
+    """LSB-first bit reader over concatenated GIF data sub-blocks."""
+
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def read(self, nbits: int) -> int:
+        while self.n < nbits:
+            if self.pos >= len(self.data):
+                return -1
+            self.acc |= self.data[self.pos] << self.n
+            self.n += 8
+            self.pos += 1
+        v = self.acc & ((1 << nbits) - 1)
+        self.acc >>= nbits
+        self.n -= nbits
+        return v
+
+
+def _lzw_decode(min_code_size: int, data: bytes, n_pixels: int) -> bytes:
+    """GIF-variant LZW: variable code width, CLEAR resets the table."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    reader = _LZWReader(data)
+    out = bytearray()
+    table: list[bytes] = []
+
+    def reset():
+        nonlocal table, width
+        table = [bytes([i]) for i in range(clear)] + [b"", b""]
+        width = min_code_size + 1
+
+    width = min_code_size + 1
+    reset()
+    prev: bytes | None = None
+    while len(out) < n_pixels:
+        code = reader.read(width)
+        if code == -1 or code == end:
+            break
+        if code == clear:
+            reset()
+            prev = None
+            continue
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    return bytes(out[:n_pixels])
+
+
+def decode_gif_frames(content: bytes) -> tuple[int, int, list[np.ndarray]]:
+    """Decode a GIF87a/89a: returns (width, height, [frame RGB arrays]).
+    Composites partial frames onto the running canvas (disposal 'restore
+    to background' clears the frame rect; transparency index skips
+    pixels). Interlaced images are de-interlaced."""
+    if content[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError(f"not a GIF: {content[:6]!r}")
+    w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", content, 6)
+    pos = 13
+    gct = None
+    if packed & 0x80:
+        n = 2 << (packed & 7)
+        gct = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+        pos += n * 3
+    canvas = np.zeros((h, w, 3), dtype=np.uint8)
+    frames: list[np.ndarray] = []
+    transparent = None
+    disposal = 0
+    while pos < len(content):
+        block = content[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = content[pos + 1]
+            pos += 2
+            if label == 0xF9:  # graphic control
+                size = content[pos]
+                flags = content[pos + 1]
+                disposal = (flags >> 2) & 7
+                transparent = content[pos + 4] if flags & 1 else None
+                pos += size + 1
+            while content[pos] != 0:  # skip sub-blocks
+                pos += content[pos] + 1
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            left, top, fw, fh, ipacked = struct.unpack_from("<HHHHB", content, pos + 1)
+            pos += 10
+            pal = gct
+            if ipacked & 0x80:
+                n = 2 << (ipacked & 7)
+                pal = np.frombuffer(content, np.uint8, n * 3, pos).reshape(n, 3)
+                pos += n * 3
+            if pal is None:
+                raise ValueError("GIF image without any color table")
+            min_code = content[pos]
+            pos += 1
+            data = bytearray()
+            while content[pos] != 0:
+                size = content[pos]
+                data += content[pos + 1 : pos + 1 + size]
+                pos += size + 1
+            pos += 1
+            idx = np.frombuffer(
+                _lzw_decode(min_code, bytes(data), fw * fh), np.uint8
+            ).copy()
+            if len(idx) < fw * fh:
+                raise ValueError("GIF frame data truncated")
+            idx = idx.reshape(fh, fw)
+            if ipacked & 0x40:  # de-interlace: passes at rows 0,4,2,1 step 8,8,4,2
+                out_rows = np.empty_like(idx)
+                src = 0
+                for start, step in ((0, 8), (4, 8), (2, 4), (1, 2)):
+                    n_rows = len(range(start, fh, step))
+                    out_rows[start::step] = idx[src : src + n_rows]
+                    src += n_rows
+                idx = out_rows
+            region = canvas[top : top + fh, left : left + fw]
+            rgb = pal[idx]
+            if transparent is not None:
+                mask = idx != transparent
+                region[mask] = rgb[mask]
+            else:
+                region[:, :] = rgb
+            frames.append(canvas.copy())
+            if disposal == 2:  # restore to background: clear the rect
+                canvas[top : top + fh, left : left + fw] = 0
+        else:
+            raise ValueError(f"unknown GIF block 0x{block:02x} at {pos}")
+    if not frames:
+        raise ValueError("GIF contains no image data")
+    return w, h, frames
+
+
+def decode_gif(content: bytes) -> tuple[int, int, np.ndarray]:
+    """First frame of a GIF as (width, height, RGB array)."""
+    w, h, frames = decode_gif_frames(content)
+    return w, h, frames[0]
+
+
+def _lzw_encode_uncompressed(min_code_size: int, indices: np.ndarray) -> bytes:
+    """Valid GIF LZW stream that emits every pixel as a literal code,
+    inserting CLEAR before the table would force a width change — the
+    classic 'uncompressed GIF' writer (larger output, decodes anywhere)."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    acc = 0
+    nbits = 0
+    out = bytearray()
+
+    def emit(code: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    emit(clear)
+    # after CLEAR the decoder's table holds clear+2 entries; each literal
+    # adds one — emit CLEAR again before it reaches 2^width
+    budget = (1 << width) - clear - 2
+    for i, v in enumerate(indices.reshape(-1)):
+        if i and i % budget == 0:
+            emit(clear)
+        emit(int(v))
+    emit(end)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def encode_gif(
+    frames: list[np.ndarray] | np.ndarray,
+    palette: np.ndarray | None = None,
+) -> bytes:
+    """Encode one or more (H, W) palette-index arrays as a GIF89a with
+    the given (N, 3) palette (defaults to a 16-gray ramp). Multi-frame
+    inputs become an animated GIF (full-frame replaces, no transparency).
+    """
+    if isinstance(frames, np.ndarray):
+        frames = [frames]
+    if palette is None:
+        palette = np.stack([np.arange(0, 256, 17)] * 3, axis=1).astype(np.uint8)
+    n_colors = len(palette)
+    pal_bits = max(1, (n_colors - 1).bit_length())
+    pal_size = 1 << pal_bits
+    pal = np.zeros((pal_size, 3), dtype=np.uint8)
+    pal[:n_colors] = palette
+    h, w = frames[0].shape
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | ((pal_bits - 1) & 7), 0, 0)
+    out += pal.tobytes()
+    min_code = max(2, pal_bits)
+    for frame in frames:
+        if frame.shape != (h, w):
+            raise ValueError("all frames must share the logical screen size")
+        if len(frames) > 1:
+            out += b"\x21\xf9\x04\x00\x04\x00\x00\x00"  # GCE: 4cs delay
+        out += b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+        out += bytes([min_code])
+        stream = _lzw_encode_uncompressed(min_code, np.asarray(frame, np.uint8))
+        for i in range(0, len(stream), 255):
+            chunk = stream[i : i + 255]
+            out += bytes([len(chunk)]) + chunk
+        out += b"\x00"
+    return bytes(out + b"\x3b")

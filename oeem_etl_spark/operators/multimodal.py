@@ -196,6 +196,10 @@ def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
         return w, h, px
     if content[:2] == b"\xff\xd8":
         return imagecodec.decode_jpeg(bytes(content))
+    if content[:2] == b"BM":
+        return imagecodec.decode_bmp(bytes(content))
+    if content[:6] in (b"GIF87a", b"GIF89a"):
+        return imagecodec.decode_gif(bytes(content))
     raise NotImplementedError(
         f"no pure-Python decoder for magic {bytes(content[:4])!r}; "
         "MP3/H.264/WebP need external codec libraries, not present here"
@@ -331,19 +335,27 @@ def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
 
 
 def frame_extract(df: DataFrame, every_n: int = 10) -> DataFrame:
-    """REAL video-frame sampling over the naive container "concatenated
-    equal-size PPM frames": reads the first frame header to get the frame
-    byte size, slices every ``every_n``-th frame's actual bytes, emits
-    (asset_id, frame_idx, frame) with each frame a standalone PPM.
-    Byte-slicing happens Python-side per Arrow batch; a real container
-    (MP4) would swap the slicer for a demuxer with the same shape."""
+    """REAL video-frame sampling over multi-frame containers, sniffed by
+    magic: animated **GIF** (true LZW-compressed container with per-frame
+    compositing, operators/imagecodec.py) and the naive "concatenated
+    equal-size PPM frames" layout. Every ``every_n``-th composited frame
+    is re-encoded standalone (PPM) and emitted as (asset_id, frame_idx,
+    frame). Demux + decode happen Python-side per Arrow batch; an MP4
+    demuxer would slot into the same shape."""
     frame_schema = "asset_id long, frame_idx int, frame binary"
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from . import imagecodec
+
         for pdf in batches:
             rows = []
             for aid, content in zip(pdf["asset_id"], pdf["content"]):
                 buf = bytes(content)
+                if buf[:6] in (b"GIF87a", b"GIF89a"):
+                    _w, _h, frames = imagecodec.decode_gif_frames(buf)
+                    for idx in range(0, len(frames), every_n):
+                        rows.append((aid, idx, encode_ppm(frames[idx])))
+                    continue
                 w, h, _ = decode_ppm(buf)  # validates 1st frame, gives dims
                 hdr = buf.index(b"\n255\n") + 5
                 fsize = hdr + w * h * 3

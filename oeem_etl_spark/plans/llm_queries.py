@@ -1361,3 +1361,61 @@ def l41_knn_label_canon(spark, sf_dir):
         F.levenshtein(F.col("noisy"), F.col("canonical")).alias("edit_dist"),
         "votes",
     )
+
+
+@query(
+    "l8g_gif_frames",
+    sql="""
+    SELECT doc_id,
+           CAST(f AS INT) AS frame_idx,
+           CAST(8 AS INT) AS width,
+           CAST(6 AS INT) AS height,
+           ROUND(CAST(17 * ((doc_id + f) % 16) AS DOUBLE), 6) AS mean_r
+    FROM documents, LATERAL unnest(range(0, 3 + doc_id % 5, 2)) AS t(f)
+    WHERE doc_id < 30
+    """,
+    tier="T3",
+    survey="L8,J4",
+)
+def l8g_gif_frames(spark, sf_dir):
+    """REAL animated-container demux, oracle-EXACT end to end: each doc
+    gets an animated GIF (3 + doc_id%5 full frames, frame i solid
+    palette index (doc_id+i)%16 over a 17-step gray ramp — GIF's LZW is
+    lossless, so unlike JPEG the decoded pixels are bit-exact).
+    frame_extract sniffs the GIF magic, LZW-decodes and composites every
+    frame, samples every 2nd one, re-encodes each as standalone PPM, and
+    image_features measures them — the oracle computes the same
+    (frame_idx, dims, mean) lattice symbolically. A wrong LZW table
+    reset, compositing bug, or off-by-one in frame sampling mismatches."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators import imagecodec
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 30).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                frames = [
+                    np.full((6, 8), (d + i) % 16, np.uint8)
+                    for i in range(3 + d % 5)
+                ]
+                rows.append((d, imagecodec.encode_gif(frames)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = docs.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(encoded, "doc_id", "payload", "image/gif")
+    frames = multimodal.frame_extract(assets, every_n=2)
+    feats = multimodal.image_features(
+        frames.select("asset_id", "frame_idx", F.col("frame").alias("content"))
+        .withColumnRenamed("asset_id", "gif_id")
+        .withColumn("asset_id", F.col("gif_id") * 1000 + F.col("frame_idx"))
+    )
+    return feats.select(
+        (F.col("asset_id") / 1000).cast("long").alias("doc_id"),
+        F.pmod("asset_id", F.lit(1000)).cast("int").alias("frame_idx"),
+        "width", "height", "mean_r",
+    )

