@@ -117,10 +117,36 @@ def encode_ppm(pixels: np.ndarray) -> bytes:
     return b"P6\n%d %d\n255\n" % (w, h) + pixels.astype(np.uint8).tobytes()
 
 
+def _mulaw_table() -> np.ndarray:
+    """G.711 µ-law code → linear int16 expansion (256-entry table):
+    mag = (((mantissa << 3) + 132) << exponent) − 132, sign from bit 7 of
+    the complemented code. Silence (0xFF) decodes to exactly 0."""
+    codes = np.arange(256, dtype=np.int64)
+    u = ~codes & 0xFF
+    sign = (u & 0x80) != 0
+    exp = (u >> 4) & 7
+    mant = u & 0xF
+    mag = (((mant << 3) + 132) << exp) - 132
+    return np.where(sign, -mag, mag).astype(np.int64)
+
+
+def _alaw_table() -> np.ndarray:
+    """G.711 A-law code → linear int16 (256-entry table): XOR 0x55, then
+    segment expansion; bit 7 SET means positive (opposite of µ-law)."""
+    codes = np.arange(256, dtype=np.int64)
+    a = codes ^ 0x55
+    positive = (a & 0x80) != 0
+    exp = (a >> 4) & 7
+    mant = a & 0xF
+    mag = np.where(exp == 0, (mant << 4) + 8, ((mant << 4) + 0x108) << np.maximum(exp - 1, 0))
+    return np.where(positive, mag, -mag).astype(np.int64)
+
+
 def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode RIFF/WAV PCM (8- or 16-bit): returns (sample_rate,
-    n_channels, float64 samples in [-1, 1] of shape (n_frames, n_channels)).
-    Walks the chunk list properly (handles extra chunks, word alignment)."""
+    """Decode RIFF/WAV — linear PCM (8/16-bit) plus G.711 µ-law and
+    A-law telephony formats: returns (sample_rate, n_channels, float64
+    samples in [-1, 1] of shape (n_frames, n_channels)). Walks the chunk
+    list properly (handles extra chunks, word alignment)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
         raise ValueError("not a RIFF/WAVE file")
     pos, fmt, data = 12, None, None
@@ -139,14 +165,18 @@ def decode_wav(content: bytes) -> tuple[int, int, np.ndarray]:
     n_channels = int.from_bytes(fmt[2:4], "little")
     sample_rate = int.from_bytes(fmt[4:8], "little")
     bits = int.from_bytes(fmt[14:16], "little")
-    if audio_format != 1:
-        raise ValueError(f"only PCM supported, format={audio_format}")
-    if bits == 16:
-        samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2") / 32768.0
-    elif bits == 8:
-        samples = (np.frombuffer(data, dtype=np.uint8) - 128.0) / 128.0
+    if audio_format == 1:
+        if bits == 16:
+            samples = np.frombuffer(data[: len(data) // 2 * 2], dtype="<i2") / 32768.0
+        elif bits == 8:
+            samples = (np.frombuffer(data, dtype=np.uint8) - 128.0) / 128.0
+        else:
+            raise ValueError(f"only 8/16-bit PCM supported, bits={bits}")
+    elif audio_format in (6, 7):  # G.711 A-law / µ-law telephony
+        table = _alaw_table() if audio_format == 6 else _mulaw_table()
+        samples = table[np.frombuffer(data, dtype=np.uint8)] / 32768.0
     else:
-        raise ValueError(f"only 8/16-bit PCM supported, bits={bits}")
+        raise ValueError(f"only PCM/A-law/µ-law supported, format={audio_format}")
     n_frames = len(samples) // n_channels
     return sample_rate, n_channels, samples[: n_frames * n_channels].reshape(
         n_frames, n_channels

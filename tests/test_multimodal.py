@@ -455,3 +455,44 @@ def test_frame_extract_gif_spark(spark):
         w, h, px = mm.decode_image(bytes(r["frame"]))
         assert (w, h) == (5, 4)
         assert px[0, 0, 0] == 17 * r["frame_idx"]
+
+
+def _wav_with_format(fmt_code: int, payload: bytes, rate: int = 8000) -> bytes:
+    fmt = (
+        fmt_code.to_bytes(2, "little")
+        + (1).to_bytes(2, "little")
+        + rate.to_bytes(4, "little")
+        + rate.to_bytes(4, "little")
+        + (1).to_bytes(2, "little")
+        + (8).to_bytes(2, "little")
+    )
+    body = b"WAVE" + b"fmt " + len(fmt).to_bytes(4, "little") + fmt
+    body += b"data" + len(payload).to_bytes(4, "little") + payload
+    return b"RIFF" + len(body).to_bytes(4, "little") + body
+
+
+def test_wav_g711_mulaw_anchors():
+    """G.711 µ-law anchor codes (from the standard's expansion segments):
+    0xFF = silence = exactly 0, 0x00 = −32124 (max negative),
+    0x80 = +32124; decode is odd-symmetric around the complement pair."""
+    payload = bytes([0xFF, 0x00, 0x80, 0x7F])
+    rate, n_ch, samples = mm.decode_wav(_wav_with_format(7, payload))
+    vals = (samples[:, 0] * 32768.0).round().astype(int).tolist()
+    assert vals == [0, -32124, 32124, -0], vals
+    # all 256 codes decode within int16 range, monotone per sign segment
+    rate, _, s = mm.decode_wav(_wav_with_format(7, bytes(range(256))))
+    assert np.abs(s).max() <= 32124 / 32768.0
+
+
+def test_wav_g711_alaw_anchors():
+    """A-law anchors: 0x55 → −8, 0xD5 → +8 (quietest codes),
+    0x2A → −32256, 0xAA → +32256 (loudest)."""
+    payload = bytes([0x55, 0xD5, 0x2A, 0xAA])
+    rate, n_ch, samples = mm.decode_wav(_wav_with_format(6, payload))
+    vals = (samples[:, 0] * 32768.0).round().astype(int).tolist()
+    assert vals == [-8, 8, -32256, 32256], vals
+
+
+def test_wav_unknown_format_raises():
+    with pytest.raises(ValueError, match="format=2"):
+        mm.decode_wav(_wav_with_format(2, b"\x00\x01"))

@@ -278,3 +278,64 @@ def test_foreach_batch_upsert_equals_batch_keep_latest(spark, sf_dir, tmp_path):
         )
     )
     assert got == want
+
+
+def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Real recovery semantics (A9/A10/I8): a file-source stream drains
+    two files into a parquet sink (availableNow, checkpoint kept), then
+    RESTARTS against the same checkpoint after two more files land. The
+    committed source offsets must skip the already-processed files —
+    every input row appears in the sink exactly once, matching the batch
+    answer over all four files."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from oeem_etl_spark.catalog import load_table
+
+    src = tmp_path / "src"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    src.mkdir()
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_id") < 2000)
+        .select("event_id", "user_id", "value")
+        .toPandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    chunks = [ev.iloc[i::4].reset_index(drop=True) for i in range(4)]
+    for i, chunk in enumerate(chunks[:2]):
+        pq.write_table(pa.Table.from_pandas(chunk), src / f"chunk_{i}.parquet")
+
+    schema = spark.read.parquet(str(src)).schema
+
+    def run_phase():
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+            .withColumn("boosted", F.col("value") * 2)
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    run_phase()
+    n_phase1 = spark.read.parquet(str(sink)).count()
+    assert n_phase1 == len(chunks[0]) + len(chunks[1])
+
+    for i, chunk in enumerate(chunks[2:], start=2):
+        pq.write_table(pa.Table.from_pandas(chunk), src / f"chunk_{i}.parquet")
+    run_phase()
+
+    got = spark.read.parquet(str(sink)).toPandas().sort_values("event_id")
+    assert len(got) == len(ev), f"{len(got)} != {len(ev)} (reprocessed or lost rows)"
+    assert got["event_id"].is_unique
+    assert got["event_id"].tolist() == ev["event_id"].tolist()
+    assert (got["boosted"].to_numpy() == ev["value"].to_numpy() * 2).all()
