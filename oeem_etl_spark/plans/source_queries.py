@@ -445,3 +445,49 @@ def a18_sink_registered_udf(spark, sf_dir):
         FROM a18_docs
         """
     )
+
+
+@query(
+    "a15b_python_stream_source",
+    sql="""
+    SELECT CAST(t AS VARCHAR) AS trace_id,
+           TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * 3600) SECOND AS start,
+           TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ((i + 1) * 3600) SECOND AS "end",
+           CAST(t * 1000 + i * 37 AS DOUBLE) * 0.001 AS value,
+           'kWh' AS unit,
+           (i % 5 = 0) AS estimated
+    FROM range(0, 12) tr(t), range(0, 24) ri(i)
+    """,
+    tier="T3",
+    survey="A9,A4,A11",
+)
+def a15b_python_stream_source(spark, sf_dir):
+    """STREAMING Python DataSource (Spark 4 ``DataSourceStreamReader``):
+    the fetch tier lands 12 synthetic ESPI XML files, then
+    ``spark.readStream.format("espi_dir")`` drains them with availableNow
+    — file-count offsets planned per micro-batch, one InputPartition per
+    newly-landed file, executor-side ElementTree parse
+    (sources/pydatasource.py:EspiDirStreamReader). Same closed-form
+    oracle as a15's batch face; incremental two-phase arrival + offset
+    recovery is pinned in tests/test_streaming.py."""
+    import shutil
+
+    from oeem_etl_spark.sources import fetch as fx
+    from oeem_etl_spark.sources import pydatasource as pds
+    from oeem_etl_spark.streaming import harness
+
+    root = os.path.join(_TMP, "a15b_pyds")
+    shutil.rmtree(root, ignore_errors=True)
+    landing = os.path.join(root, "landing")
+    tasks = spark.createDataFrame(
+        [(f"{t}.xml", f"synthetic://{t}") for t in range(12)],
+        "task_id string, uri string",
+    )
+    statuses = {
+        r["status"]
+        for r in fx.fetch_to_landing(tasks, pds.SyntheticEspiFetcher, landing).collect()
+    }
+    assert statuses <= {"fetched", "skipped"}
+    pds.register(spark)
+    sdf = spark.readStream.format("espi_dir").option("path", landing).load()
+    return harness.run_available_now(sdf, "append")

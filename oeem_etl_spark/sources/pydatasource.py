@@ -28,7 +28,12 @@ from __future__ import annotations
 import os
 from datetime import datetime, timezone
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    DataSourceStreamReader,
+    InputPartition,
+)
 
 #: Canonical record shape — matches espi.CONSUMPTION_COLUMNS.
 ESPI_DIR_SCHEMA = (
@@ -83,6 +88,41 @@ class EspiDirReader(DataSourceReader):
             )
 
 
+class EspiDirStreamReader(DataSourceStreamReader):
+    """Streaming face of the same directory (``spark.readStream.format(
+    "espi_dir")``): the offset is the count of files (sorted listing)
+    already committed, so each micro-batch plans one InputPartition per
+    NEWLY-landed file and parses it executor-side — the fetch tier keeps
+    appending files, the stream keeps draining them, and Spark's
+    checkpoint holds the offset for exactly-once recovery (the same
+    contract the built-in file source provides, through the pure-Python
+    extension surface)."""
+
+    def __init__(self, options: dict):
+        self._batch = EspiDirReader(options)
+
+    def _listing(self) -> list[_EspiFilePartition]:
+        return self._batch.partitions()
+
+    def initialOffset(self) -> dict:
+        return {"index": 0}
+
+    def latestOffset(self) -> dict:
+        return {"index": len(self._listing())}
+
+    def partitions(self, start: dict, end: dict):
+        files = self._listing()[start["index"] : end["index"]]
+        return files if files else [_EspiFilePartition("", "")]
+
+    def read(self, partition: _EspiFilePartition):
+        if not partition.path:  # empty batch placeholder
+            return
+        yield from self._batch.read(partition)
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        pass
+
+
 class EspiDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -93,6 +133,9 @@ class EspiDataSource(DataSource):
 
     def reader(self, schema) -> EspiDirReader:
         return EspiDirReader(self.options)
+
+    def streamReader(self, schema) -> EspiDirStreamReader:
+        return EspiDirStreamReader(self.options)
 
 
 def register(spark) -> None:

@@ -339,3 +339,47 @@ def test_checkpoint_resume_exactly_once(spark, sf_dir, tmp_path):
     assert got["event_id"].is_unique
     assert got["event_id"].tolist() == ev["event_id"].tolist()
     assert (got["boosted"].to_numpy() == ev["value"].to_numpy() * 2).all()
+
+
+def test_python_stream_source_incremental_offsets(spark, tmp_path):
+    """The Python DataSourceStreamReader's file-count offsets must carry
+    across restarts via the checkpoint: phase 1 streams 3 landed XML
+    files into a parquet sink; 2 more files land; phase 2 restarts with
+    the same checkpoint and must append ONLY the new traces — 5 traces
+    total, each exactly once."""
+    from oeem_etl_spark.sources import pydatasource as pds
+
+    landing = tmp_path / "landing"
+    sink = tmp_path / "sink"
+    ckpt = tmp_path / "ckpt"
+    landing.mkdir()
+    pds.register(spark)
+
+    def land(traces):
+        for t in traces:
+            (landing / f"{t}.xml").write_text(pds.synthetic_espi_xml(t))
+
+    def drain():
+        q = (
+            spark.readStream.format("espi_dir")
+            .option("path", str(landing))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", str(sink))
+            .option("checkpointLocation", str(ckpt))
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+
+    land([0, 1, 2])
+    drain()
+    assert spark.read.parquet(str(sink)).count() == 3 * 24
+    land([3, 4])
+    drain()
+    got = spark.read.parquet(str(sink)).toPandas()
+    assert len(got) == 5 * 24, len(got)
+    counts = got.groupby("trace_id").size()
+    assert sorted(counts.index) == ["0", "1", "2", "3", "4"]
+    assert (counts == 24).all(), counts.to_dict()
