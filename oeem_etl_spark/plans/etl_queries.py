@@ -989,3 +989,73 @@ def k27_rated_billing(spark, sf_dir):
             6,
         ).alias("billed"),
     )
+
+
+@query(
+    "k29_interpolate_gaps",
+    sql="""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS v_fp
+      FROM events GROUP BY user_id, bucket
+    ), spans AS (
+      SELECT user_id, min(bucket) AS min_b, max(bucket) AS max_b
+      FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(min_b, max_b, INTERVAL 1 DAY)) AS bucket
+      FROM spans
+    ), j AS (
+      SELECT g.user_id, g.bucket, d.v_fp
+      FROM grid g LEFT JOIN daily d USING (user_id, bucket)
+    ), w AS (
+      SELECT user_id, bucket, v_fp,
+        last_value(v_fp IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN v_fp IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER wb AS pb,
+        first_value(v_fp IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN v_fp IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER wf AS nb
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT user_id, CAST(bucket AS TIMESTAMP) AS day,
+      ROUND(CAST(CASE
+          WHEN v_fp IS NOT NULL THEN v_fp
+          WHEN pv IS NULL THEN nv
+          WHEN nv IS NULL THEN pv
+          ELSE pv + CAST(
+            (((nv - pv) * date_diff('day', pb, bucket))
+             - ((nv - pv) * date_diff('day', pb, bucket))
+               % date_diff('day', pb, nb))
+            / date_diff('day', pb, nb) AS BIGINT)
+        END AS BIGINT) / 1000000.0, 6) AS interp_total,
+      CAST(v_fp IS NULL AS BOOLEAN) AS was_gap
+    FROM w
+    """,
+    tier="T2",
+    survey="K4,E4,H9",
+)
+def k29_interpolate_gaps(spark, sf_dir):
+    """Dense daily grid per user with LINEARLY interpolated totals — the
+    meter-read estimation rule (allocate the change across missing days)
+    next to k4's forward-fill. Exact fixed-point interpolation, so the
+    oracle matches bit-for-bit (see operators/timeseries.interpolate_gaps).
+    """
+    from oeem_etl_spark.operators.timeseries import interpolate_gaps
+
+    ev = T(spark, sf_dir, "events")
+    daily = resample_interval(
+        ev, keys=["user_id"], ts="ts", freq="day", aggs=[dsum("value", "day_total")]
+    )
+    out = interpolate_gaps(
+        daily, keys=["user_id"], bucket="bucket", value="day_total", freq="day"
+    )
+    return out.select(
+        "user_id",
+        F.col("bucket").cast("timestamp_ntz").alias("day"),
+        F.col("day_total").alias("interp_total"),
+        "was_gap",
+    )

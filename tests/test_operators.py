@@ -524,3 +524,39 @@ def test_hard_negatives_excludes_same_label(spark):
     got = [(r["vec_id"], r["neg_label"], r["rnk"]) for r in sorted(out, key=lambda r: r["rnk"])]
     assert [v for v, _, _ in got] == [3, 5]
     assert all(l != 0 for _, l, _ in got)
+
+
+# ---------------------------------------------------------------------------
+# timeseries.interpolate_gaps
+# ---------------------------------------------------------------------------
+
+
+def test_interpolate_gaps_linear_exact(spark):
+    from oeem_etl_spark.operators.timeseries import interpolate_gaps
+
+    df = spark.createDataFrame(
+        [
+            ("a", "2024-01-01", 10.0),
+            ("a", "2024-01-04", 40.0),   # gap of 2 days: expect 20, 30
+            ("a", "2024-01-05", 4.0),
+            ("a", "2024-01-08", 1.0),    # negative slope: expect 3, 2
+            ("b", "2024-01-01", 0.0),
+            ("b", "2024-01-04", 1.0),    # trunc: 1e6/3 -> 0.333333, 0.666666
+        ],
+        "k string, d string, v double",
+    ).select("k", F.col("d").cast("timestamp").alias("bucket"), "v")
+    out = {
+        (r["k"], str(r["bucket"].date())): (r["v"], r["was_gap"])
+        for r in interpolate_gaps(df, ["k"], "bucket", "v", freq="day").collect()
+    }
+    assert out[("a", "2024-01-02")] == (20.0, True)
+    assert out[("a", "2024-01-03")] == (30.0, True)
+    assert out[("a", "2024-01-06")] == (3.0, True)
+    assert out[("a", "2024-01-07")] == (2.0, True)
+    assert out[("b", "2024-01-02")] == (0.333333, True)
+    assert out[("b", "2024-01-03")] == (0.666666, True)
+    # observed rows pass through unchanged, flagged not-gap
+    assert out[("a", "2024-01-01")] == (10.0, False)
+    assert out[("a", "2024-01-04")] == (40.0, False)
+    assert out[("b", "2024-01-04")] == (1.0, False)
+    assert len(out) == 12
