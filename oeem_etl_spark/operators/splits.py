@@ -151,3 +151,30 @@ def weighted_sample_without_replacement(
         .limit(k)
         .drop("__score")
     )
+
+
+def stratified_sample(
+    df: DataFrame,
+    key: str,
+    strata: Column | str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    seed: int = 0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (B8's stratified face, the
+    engine-portable twin of ``DataFrame.sampleBy``): keep a row iff
+    ``hash_uniform(key, seed) < fraction(stratum)``.
+
+    Pure per-row expression — no shuffle, no state, and (unlike
+    ``sampleBy``'s Bernoulli RNG) the kept set is identical across reruns,
+    engines and partitionings, and stable under corpus growth: adding rows
+    never flips an existing row's keep decision. Strata absent from
+    ``fractions`` fall back to ``default``.
+    """
+    s = F.col(strata) if isinstance(strata, str) else strata
+    frac = None
+    for label, f_ in fractions.items():
+        cond = s == F.lit(label)
+        frac = F.when(cond, F.lit(f_)) if frac is None else frac.when(cond, F.lit(f_))
+    frac = F.lit(default) if frac is None else frac.otherwise(F.lit(default))
+    return df.where(hash_uniform(key, seed) < frac)

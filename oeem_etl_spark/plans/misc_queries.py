@@ -10,8 +10,9 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from oeem_etl_spark.operators.splits import sql_hash_uniform
 from oeem_etl_spark.plans.registry import query
-from oeem_etl_spark.plans.util import T
+from oeem_etl_spark.plans.util import T, dsum
 
 
 @query("b8_sample", sql=None, tier="T3", survey="B8")
@@ -248,3 +249,83 @@ def d15_hll_mergeable_rollup(spark, sf_dir):
         F.lit("ALL").alias("lang"), F.hll_sketch_estimate("sk").alias("approx_docs")
     )
     return per_lang.unionAll(total)
+
+
+@query(
+    "b9_stratified_sample",
+    sql=f"""
+    SELECT c_custkey, c_mktsegment FROM customer
+    WHERE {sql_hash_uniform('c_custkey')} < CASE c_mktsegment
+        WHEN 'BUILDING' THEN 0.2
+        WHEN 'MACHINERY' THEN 0.05
+        ELSE 0.01 END
+    """,
+    tier="T3",
+    survey="B8,B4",
+)
+def b9_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample of customers by market segment:
+    20% of BUILDING, 5% of MACHINERY, 1% of everything else — the
+    engine-portable ``sampleBy`` (md5-threshold per stratum, so the DuckDB
+    oracle reproduces the exact kept set; see operators/splits.py)."""
+    from oeem_etl_spark.operators.splits import stratified_sample
+
+    cust = T(spark, sf_dir, "customer")
+    out = stratified_sample(
+        cust,
+        key="c_custkey",
+        strata="c_mktsegment",
+        fractions={"BUILDING": 0.2, "MACHINERY": 0.05},
+        default=0.01,
+    )
+    return out.select("c_custkey", "c_mktsegment")
+
+
+@query(
+    "d19_histogram",
+    sql="""
+    WITH b AS (
+      SELECT LEAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) // 500000, 19)
+               AS bucket_id,
+             l_extendedprice
+      FROM lineitem
+    )
+    SELECT CAST(bucket_id AS INTEGER) AS bucket_id,
+           CAST(bucket_id * 5000 AS DOUBLE) AS lo_edge,
+           CAST((bucket_id + 1) * 5000 AS DOUBLE) AS hi_edge,
+           COUNT(*) AS n_items,
+           ROUND(SUM(CAST(ROUND(l_extendedprice * 1000000) AS BIGINT))
+                 / 1000000.0, 6) AS sum_price
+    FROM b GROUP BY bucket_id ORDER BY bucket_id
+    """,
+    tier="T2",
+    survey="D1,H5,F1",
+)
+def d19_histogram(spark, sf_dir):
+    """Equi-width price histogram (20 × $5000 buckets, last open-ended):
+    bucketing in integer cents with `div`, so bucket edges are exact and
+    engine-identical (a double floor((x-lo)/w) flips on representation
+    boundaries). Map-side combinable single aggregate — the 100 TB shape
+    for any profile/histogram pass."""
+    li = T(spark, sf_dir, "lineitem").select(
+        F.round(F.col("l_extendedprice") * 100).cast("long").alias("__cents"),
+        "l_extendedprice",
+    )
+    li = li.withColumn(
+        "bucket_id", F.least(F.expr("__cents div 500000"), F.lit(19)).cast("int")
+    )
+    return (
+        li.groupBy("bucket_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum("l_extendedprice", "sum_price"),
+        )
+        .select(
+            "bucket_id",
+            (F.col("bucket_id") * 5000).cast("double").alias("lo_edge"),
+            ((F.col("bucket_id") + 1) * 5000).cast("double").alias("hi_edge"),
+            "n_items",
+            "sum_price",
+        )
+        .orderBy("bucket_id")
+    )

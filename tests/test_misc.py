@@ -220,3 +220,28 @@ def test_mode_tie_breaks_to_smallest_value(spark):
     row = m.select("k", (-FF.col("m.negv")).alias("mode_v"), FF.col("m.n")).collect()[0]
     # 5.0 and 2.0 both appear twice; the tie must resolve to 2.0
     assert row["mode_v"] == 2.0 and row["n"] == 2
+
+
+def test_stratified_sample_partition_invariant(spark):
+    """The kept set is a pure function of (key, stratum) — repartitioning
+    must not change it (the property sampleBy's RNG loses)."""
+    from oeem_etl_spark.operators.splits import stratified_sample
+
+    df = spark.range(0, 2000).select(
+        F.col("id"), (F.col("id") % 3).cast("string").alias("s")
+    )
+    kept = lambda d: sorted(  # noqa: E731
+        r["id"]
+        for r in stratified_sample(
+            d, "id", "s", {"0": 0.5, "1": 0.1}, default=0.02
+        ).collect()
+    )
+    a = kept(df)
+    b = kept(df.repartition(13, "s"))
+    assert a == b and len(a) > 0
+    # per-stratum rates land near their targets (md5 ~ uniform)
+    from collections import Counter
+
+    c = Counter(i % 3 for i in a)
+    assert 0.4 < c[0] / 667 < 0.6
+    assert 0.03 < c[1] / 667 < 0.2
