@@ -200,3 +200,49 @@ def unigram_logprob_score(df: DataFrame, key: str, text_col: str) -> DataFrame:
         ),
         F.count("__lp").cast("long").alias("n_tokens"),
     )
+
+
+def deletion_variants(col: Column | str) -> Column:
+    """The string itself plus every single-character-deletion variant,
+    de-duplicated (deleting any char of an equal-char run yields the same
+    variant). The SymSpell candidate key for edit-distance-1 matching."""
+    c = F.col(col) if isinstance(col, str) else col
+    dels = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.concat(
+            c.substr(F.lit(1), i - F.lit(1)), c.substr(i + F.lit(1), F.length(c))
+        ),
+    )
+    variants = F.array_distinct(F.concat(F.array(c), dels))
+    # empty string: sequence(1, 0) is DESCENDING in Spark — guard it out
+    return F.when(F.length(c) > 0, variants).otherwise(F.array(c))
+
+
+def fuzzy_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_col: str,
+    right_col: str,
+) -> DataFrame:
+    """Edit-distance-≤1 join WITHOUT a cross product (H3 at corpus scale).
+
+    Candidate generation is the SymSpell deletion-neighborhood trick: two
+    strings are within edit distance 1 (substitution, insertion, deletion,
+    or equality) only if they share a member of
+    ``{s} ∪ {s minus one char}`` — so explode both sides' variant sets
+    (fan-out ≤ len+1 per row), hash-equi-join on the variant, then verify
+    the survivors with one exact ``levenshtein`` call. The join is
+    bucketed by variant hash — shuffle carries candidates, never the
+    all-pairs square; the exact filter runs on candidates only (same
+    generate→bucket→verify shape as the MinHash/LSH dedup pipeline).
+
+    Column names must not collide between the two inputs (alias upstream);
+    output has both sides' columns plus ``dist``. Returns distinct
+    candidate rows (a pair can share several variants).
+    """
+    lv = left.withColumn("__v", F.explode(deletion_variants(left_col)))
+    rv = right.withColumn("__v", F.explode(deletion_variants(right_col)))
+    cand = lv.join(rv, "__v").drop("__v").distinct()
+    return cand.withColumn(
+        "dist", F.levenshtein(F.col(left_col), F.col(right_col))
+    ).where(F.col("dist") <= 1)

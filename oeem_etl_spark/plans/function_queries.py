@@ -599,3 +599,38 @@ def h16_props_wrangle(spark, sf_dir):
         F.sum("k").alias("sum_k"),
         F.sum("is_high").alias("n_high"),
     ).select("event_type", "cnt", "sum_k", "n_high", "type_weight")
+
+
+@query(
+    "h17_fuzzy_join",
+    sql="""
+    WITH c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 1500
+    )
+    SELECT a.c_custkey AS a_id, b.c_custkey AS b_id,
+           a.c_name AS a_name, b.c_name AS b_name,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+    FROM c a, c b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+    tier="T2",
+    survey="H3,C6,H9",
+)
+def h17_fuzzy_join(spark, sf_dir):
+    """Edit-distance-≤1 self-join on customer names WITHOUT a cross
+    product: SymSpell deletion-neighborhood candidates, hash-equi-joined
+    and levenshtein-verified (operators/text.fuzzy_join). The oracle is
+    the brute-force quadratic — identical result set, different plan
+    (the whole point: at corpus scale only the bucketed plan survives;
+    keyspace capped at 1500 so the oracle's square stays sf-independent).
+    """
+    from oeem_etl_spark.operators.text import fuzzy_join
+
+    c = T(spark, sf_dir, "customer").where(F.col("c_custkey") <= 1500)
+    left = c.select(F.col("c_custkey").alias("a_id"), F.col("c_name").alias("a_name"))
+    right = c.select(F.col("c_custkey").alias("b_id"), F.col("c_name").alias("b_name"))
+    out = fuzzy_join(left, right, "a_name", "b_name")
+    return out.where(F.col("a_id") < F.col("b_id")).select(
+        "a_id", "b_id", "a_name", "b_name", "dist"
+    )

@@ -560,3 +560,41 @@ def test_interpolate_gaps_linear_exact(spark):
     assert out[("a", "2024-01-04")] == (40.0, False)
     assert out[("b", "2024-01-04")] == (1.0, False)
     assert len(out) == 12
+
+
+# ---------------------------------------------------------------------------
+# text.fuzzy_join
+# ---------------------------------------------------------------------------
+
+
+def test_fuzzy_join_edit_kinds_and_exclusions(spark):
+    from oeem_etl_spark.operators.text import fuzzy_join
+
+    left = spark.createDataFrame(
+        [(1, "cat"), (2, "flame"), (3, "x"), (4, "")],
+        "a_id long, a_s string",
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "cat"),    # equal -> dist 0
+            (11, "cut"),    # substitution
+            (12, "cart"),   # insertion
+            (13, "at"),     # deletion
+            (14, "dog"),    # dist 3: excluded
+            (15, "lame"),   # deletion vs flame
+            (16, "blame"),  # substitution vs flame
+            (17, ""),       # equal-empty vs (4,"")
+            (18, "y"),      # substitution vs "x"
+        ],
+        "b_id long, b_s string",
+    )
+    out = {
+        (r["a_id"], r["b_id"]): r["dist"]
+        for r in fuzzy_join(left, right, "a_s", "b_s").collect()
+    }
+    assert out == {
+        (1, 10): 0, (1, 11): 1, (1, 12): 1, (1, 13): 1,
+        (2, 15): 1, (2, 16): 1,
+        (3, 18): 1, (3, 17): 1, (4, 18): 1,
+        (4, 17): 0,
+    }
