@@ -491,3 +491,55 @@ def a15b_python_stream_source(spark, sf_dir):
     pds.register(spark)
     sdf = spark.readStream.format("espi_dir").option("path", landing).load()
     return harness.run_available_now(sdf, "append")
+
+
+def _snapshot_table(spark, sf_dir):
+    """Build (fresh each call) a two-commit snapshot table from events:
+    v1 = events with event_id <= 3000, v2 = append of the rest."""
+    import shutil
+
+    from oeem_etl_spark.sources.snapshots import SnapshotTable
+
+    root = os.path.join(_TMP, f"snap_{os.path.basename(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(root)
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t.commit(ev.where(F.col("event_id") <= 3000), mode="append")
+    t.commit(ev.where(F.col("event_id") > 3000), mode="append")
+    return t
+
+
+@query(
+    "a19_snapshot_time_travel",
+    sql="""
+    SELECT event_id, user_id, value FROM events WHERE event_id <= 3000
+    """,
+    tier="T2",
+    survey="A6,A8,K10",
+)
+def a19_snapshot_time_travel(spark, sf_dir):
+    """Versioned-manifest table (sources/snapshots.py): two commits, then a
+    time-travel read of version 1 — the snapshot must see exactly the
+    first commit's membership even though later files exist on disk."""
+    t = _snapshot_table(spark, sf_dir)
+    return t.read(spark, version=1)
+
+
+@query(
+    "a20_snapshot_pruned_read",
+    sql="""
+    SELECT event_id, user_id, value FROM events
+    WHERE event_id <= 3000 AND user_id BETWEEN 100 AND 120
+    """,
+    tier="T2",
+    survey="A6,A1,B3",
+)
+def a20_snapshot_pruned_read(spark, sf_dir):
+    """Manifest-stats file skipping: the read consults per-file footer
+    min/max for user_id and hands Spark only files that can intersect
+    [100, 120]; the exact filter still applies, so pruning is invisible
+    to results (the oracle proves it) while cutting opened files — the
+    manifest-level analogue of row-group pruning."""
+    t = _snapshot_table(spark, sf_dir)
+    pruned = t.read(spark, version=1, prune=("user_id", 100, 120))
+    return pruned.where(F.col("user_id").between(100, 120))

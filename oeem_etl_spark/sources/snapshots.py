@@ -1,0 +1,252 @@
+"""Snapshot table format: versioned manifests over immutable parquet
+(SURVEY.md §2.A6/A8-adjacent — the transactional layer the raw
+directory sinks lack; the Delta/Iceberg core mechanics in ~200 stdlib
+lines, no external table-format dependency).
+
+Mechanics:
+
+- **Immutable data files.** Every commit writes NEW parquet files under
+  ``<root>/data/<uuid>/``; nothing is ever rewritten in place.
+- **Full manifests.** ``<root>/_manifests/v{N}.json`` lists the table's
+  member files at version N, with per-file row counts and per-column
+  min/max stats (read from parquet footers via pyarrow — metadata only,
+  no data scan).
+- **Atomic publish + optimistic concurrency.** A manifest is written to a
+  temp name, fsynced, then ``os.link``-ed to its final name — link is
+  atomic and FAILS with EEXIST if another writer won the version race, so
+  a reader never observes a half-written manifest and two concurrent
+  commits can't both claim version N (the loser retries on the next
+  version). This is exactly the Delta log protocol's put-if-absent
+  primitive; on S3/GCS substitute the store's conditional-put.
+- **Readers pin a version.** ``read()`` resolves the latest manifest (or
+  an explicit ``version=`` / ``as_of=`` timestamp) and hands Spark the
+  explicit file list — so long-running jobs are snapshot-isolated from
+  concurrent commits, and time travel is just "read an old manifest".
+- **File skipping.** ``read(..., prune=(col, lo, hi))`` drops files whose
+  footer min/max range cannot intersect the predicate before Spark ever
+  opens them — the manifest-level analogue of row-group pruning, and the
+  mechanism that makes a 100 TB table usable for selective queries
+  (Spark still applies the exact filter; pruning only shrinks the list).
+- **Transactional compaction.** ``compact()`` rewrites the current file
+  set into ~target-size files and publishes the result as a normal
+  commit — readers see either the old files or the new, never a mix
+  (the safe replacement for writers.compact_parquet's two-rename swap).
+
+Single-filesystem scope: atomicity relies on same-volume ``os.link``;
+the manifest JSON is small (one entry per file) and never routed through
+Spark. Stats collection reads footers only, driver-side, O(files) — at
+real scale run it in the executor that wrote the file and attach stats
+to the commit message instead (documented seam: ``_file_entry``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class CommitConflict(Exception):
+    version: int
+
+    def __str__(self) -> str:  # pragma: no cover - message only
+        return f"version {self.version} was committed concurrently; re-read and retry"
+
+
+def _file_entry(path: str) -> dict:
+    """Manifest entry for one parquet file: rows + per-column min/max from
+    the footer (metadata-only read; no row decode)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    stats: dict[str, list] = {}
+    for rg in range(md.num_row_groups):
+        g = md.row_group(rg)
+        for ci in range(g.num_columns):
+            col = g.column(ci)
+            s = col.statistics
+            if s is None or not s.has_min_max:
+                continue
+            name = col.path_in_schema
+            mn, mx = s.min, s.max
+            if isinstance(mn, bytes):
+                try:
+                    mn, mx = mn.decode(), mx.decode()
+                except UnicodeDecodeError:
+                    continue
+            if not isinstance(mn, (int, float, str, bool)):
+                continue  # timestamps/decimals: JSON-unfriendly, skip stats
+            cur = stats.get(name)
+            stats[name] = (
+                [mn, mx] if cur is None else [min(cur[0], mn), max(cur[1], mx)]
+            )
+    return {
+        "path": path,
+        "rows": md.num_rows,
+        "bytes": os.path.getsize(path),
+        "stats": stats,
+    }
+
+
+class SnapshotTable:
+    def __init__(self, root: str):
+        self.root = root
+        self.data_dir = os.path.join(root, "data")
+        self.manifest_dir = os.path.join(root, "_manifests")
+        os.makedirs(self.data_dir, exist_ok=True)
+        os.makedirs(self.manifest_dir, exist_ok=True)
+
+    # -- manifest plumbing ---------------------------------------------------
+
+    def versions(self) -> list[int]:
+        out = []
+        for f in os.listdir(self.manifest_dir):
+            if f.startswith("v") and f.endswith(".json"):
+                out.append(int(f[1:-5]))
+        return sorted(out)
+
+    def _manifest(self, version: int) -> dict:
+        with open(os.path.join(self.manifest_dir, f"v{version}.json")) as fh:
+            return json.load(fh)
+
+    def latest_version(self) -> int | None:
+        vs = self.versions()
+        return vs[-1] if vs else None
+
+    def _publish(self, manifest: dict, version: int) -> int:
+        """Atomic put-if-absent of v{version}.json (os.link raises EEXIST
+        on a lost race — the optimistic-concurrency check)."""
+        tmp = os.path.join(self.manifest_dir, f".tmp-{uuid.uuid4().hex}.json")
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        final = os.path.join(self.manifest_dir, f"v{version}.json")
+        try:
+            os.link(tmp, final)
+        except FileExistsError:
+            raise CommitConflict(version) from None
+        finally:
+            os.unlink(tmp)
+        return version
+
+    # -- write path ----------------------------------------------------------
+
+    def commit(
+        self,
+        df: DataFrame,
+        mode: str = "append",
+        expected_version: int | None = None,
+    ) -> int:
+        """Write ``df`` as new immutable files and publish the next
+        manifest. ``mode='append'`` keeps prior files; ``'overwrite'``
+        replaces the membership (old files stay on disk for time travel
+        until vacuumed). ``expected_version`` (optional) asserts the
+        read-snapshot this commit was derived from — the
+        serializable-upsert guard: if another writer committed since,
+        raise instead of publishing a lost update."""
+        assert mode in ("append", "overwrite"), mode
+        base = self.latest_version()
+        if expected_version is not None and base != expected_version:
+            raise CommitConflict((base or 0) + 1)
+        out_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
+        df.write.mode("error").parquet(out_dir)
+        files = sorted(
+            os.path.join(out_dir, f)
+            for f in os.listdir(out_dir)
+            if f.endswith(".parquet")
+        )
+        entries = [_file_entry(f) for f in files]
+        if mode == "append" and base is not None:
+            entries = self._manifest(base)["files"] + entries
+        manifest = {
+            "version": (base or 0) + 1 if base is not None else 1,
+            "committed_at": time.time(),
+            "mode": mode,
+            "files": entries,
+        }
+        return self._publish(manifest, manifest["version"])
+
+    def rollback(self, to_version: int) -> int:
+        """Publish a NEW version whose membership equals ``to_version`` —
+        history is append-only (the audit trail survives), matching
+        Delta's RESTORE semantics."""
+        m = self._manifest(to_version)
+        latest = self.latest_version()
+        assert latest is not None
+        new = {
+            "version": latest + 1,
+            "committed_at": time.time(),
+            "mode": f"rollback:{to_version}",
+            "files": m["files"],
+        }
+        return self._publish(new, latest + 1)
+
+    def compact(self, spark: SparkSession, target_file_mb: int = 128) -> int:
+        """Transactional small-file compaction: rewrite the CURRENT file
+        set into ~target-size files, publish as overwrite. Readers pin
+        manifests, so they see old or new membership, never a mix; a
+        concurrent append loses the version race and retries (its data
+        files are unaffected)."""
+        import math
+
+        base = self.latest_version()
+        assert base is not None, "empty table"
+        m = self._manifest(base)
+        total = sum(e["bytes"] for e in m["files"])
+        n = max(1, math.ceil(total / (target_file_mb * 1024 * 1024)))
+        df = self.read(spark, version=base).repartition(n)
+        return self.commit(df, mode="overwrite", expected_version=base)
+
+    # -- read path -----------------------------------------------------------
+
+    def _resolve(self, version: int | None, as_of: float | None) -> dict:
+        if version is not None:
+            return self._manifest(version)
+        vs = self.versions()
+        assert vs, "empty table"
+        if as_of is None:
+            return self._manifest(vs[-1])
+        best = None
+        for v in vs:
+            m = self._manifest(v)
+            if m["committed_at"] <= as_of:
+                best = m
+        assert best is not None, f"no snapshot at or before {as_of}"
+        return best
+
+    def read(
+        self,
+        spark: SparkSession,
+        version: int | None = None,
+        as_of: float | None = None,
+        prune: tuple[str, object, object] | None = None,
+    ) -> DataFrame:
+        """Snapshot read: explicit file list from the pinned manifest.
+        ``prune=(col, lo, hi)`` skips files whose footer [min, max] for
+        ``col`` cannot intersect [lo, hi] (conservative: files without
+        stats for the column are kept). The caller still applies the
+        exact predicate — pruning changes I/O, never results."""
+        m = self._resolve(version, as_of)
+        files = [e["path"] for e in m["files"]]
+        if prune is not None:
+            col, lo, hi = prune
+            kept = []
+            for e in m["files"]:
+                s = e["stats"].get(col)
+                if s is None or (s[0] <= hi and s[1] >= lo):
+                    kept.append(e["path"])
+            files = kept
+        if not files:
+            # preserve schema for empty snapshots by reading zero rows of any
+            # known file; an entirely fileless table has no schema to offer
+            raise ValueError("snapshot has no files (empty commit?)")
+        return spark.read.parquet(*files)
+
+    def file_count(self, version: int | None = None) -> int:
+        return len(self._resolve(version, None)["files"])

@@ -1,0 +1,109 @@
+"""Snapshot table format (sources/snapshots.py): versioned manifests,
+time travel, rollback, optimistic concurrency, stats pruning, and
+transactional compaction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.sources.snapshots import CommitConflict, SnapshotTable
+
+
+def _ids(df) -> list[int]:
+    return sorted(r["id"] for r in df.collect())
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    return SnapshotTable(str(tmp_path / "tbl"))
+
+
+def test_append_overwrite_and_time_travel(spark, table):
+    d1 = spark.range(0, 10)
+    d2 = spark.range(10, 15)
+    v1 = table.commit(d1)
+    v2 = table.commit(d2)  # append
+    assert (v1, v2) == (1, 2)
+    assert _ids(table.read(spark)) == list(range(15))
+    assert _ids(table.read(spark, version=1)) == list(range(10))
+    v3 = table.commit(spark.range(100, 103), mode="overwrite")
+    assert _ids(table.read(spark)) == [100, 101, 102]
+    # old versions still readable after the overwrite
+    assert _ids(table.read(spark, version=2)) == list(range(15))
+    assert table.versions() == [1, 2, 3] and v3 == 3
+
+
+def test_as_of_timestamp_resolution(spark, table):
+    table.commit(spark.range(0, 3))
+    t1 = table._manifest(1)["committed_at"]
+    table.commit(spark.range(3, 6))
+    assert _ids(table.read(spark, as_of=t1)) == [0, 1, 2]
+    with pytest.raises(AssertionError):
+        table.read(spark, as_of=t1 - 1000)
+
+
+def test_rollback_appends_history(spark, table):
+    table.commit(spark.range(0, 5))
+    table.commit(spark.range(5, 9))
+    v = table.rollback(1)
+    assert v == 3
+    assert _ids(table.read(spark)) == list(range(5))
+    # the rolled-back-over version is still in history
+    assert _ids(table.read(spark, version=2)) == list(range(9))
+
+
+def test_concurrent_commit_conflict(spark, table):
+    table.commit(spark.range(0, 5))
+    # writer A reads snapshot v1, writer B commits v2 first
+    table.commit(spark.range(5, 10))
+    with pytest.raises(CommitConflict):
+        table.commit(spark.range(99, 100), expected_version=1)
+    # un-guarded append just takes the next version
+    assert table.commit(spark.range(10, 12)) == 3
+
+
+def test_publish_put_if_absent(spark, table):
+    table.commit(spark.range(0, 2))
+    m = table._manifest(1)
+    with pytest.raises(CommitConflict):
+        table._publish(m, 1)
+
+
+def test_stats_pruning_skips_files_not_rows(spark, table):
+    # two commits with disjoint id ranges -> disjoint per-file stats
+    table.commit(spark.range(0, 1000).repartition(1))
+    table.commit(spark.range(5000, 6000).repartition(1))
+    full = table.read(spark)
+    pruned = table.read(spark, prune=("id", 5500, 5600))
+    # pruning dropped the low file entirely...
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    # ...but never drops qualifying rows
+    exact = pruned.where(F.col("id").between(5500, 5600))
+    assert _ids(exact) == list(range(5500, 5601))
+    # conservative: a column with no stats keeps every file
+    keep_all = table.read(spark, prune=("no_such_col", 0, 1))
+    assert len(keep_all.inputFiles()) == len(full.inputFiles())
+
+
+def test_compaction_is_transactional_and_lossless(spark, table):
+    table.commit(spark.range(0, 2000).repartition(16))
+    assert table.file_count() == 16
+    v = table.compact(spark, target_file_mb=128)
+    assert v == 2
+    assert table.file_count() < 16
+    assert _ids(table.read(spark)) == list(range(2000))
+    # the pre-compaction snapshot still reads its original 16 files
+    assert table.file_count(version=1) == 16
+    assert _ids(table.read(spark, version=1)) == list(range(2000))
+
+
+def test_manifest_files_survive_partial_writer_crash(spark, table, tmp_path):
+    """A writer that dies after writing data files but before publishing
+    leaves no visible change: the orphan directory is not in any manifest."""
+    table.commit(spark.range(0, 4))
+    orphan = os.path.join(table.data_dir, "orphan")
+    spark.range(100, 104).write.parquet(orphan)
+    assert _ids(table.read(spark)) == [0, 1, 2, 3]
