@@ -329,3 +329,63 @@ def d19_histogram(spark, sf_dir):
         )
         .orderBy("bucket_id")
     )
+
+
+@query("d20_kll_quantile_rollup", sql=None, tier="T3", survey="D7,D8")
+def d20_kll_quantile_rollup(spark, sf_dir):
+    """Mergeable quantile sketches (Datasketches KLL, Spark 4 native —
+    the quantile member of the sketch family next to d15's HLL and the
+    count-min queries): one KLL per event_type, quantiles read per group,
+    then the per-group sketches MERGE into an ALL row without touching
+    the raw data again — the two-level rollup shape that lets a 100 TB
+    pipeline keep per-partition sketches and aggregate them upward.
+    Rows-only by nature (approximate); error bounds asserted against
+    exact percentiles in tests/test_misc.py."""
+    ev = T(spark, sf_dir, "events")
+    per = ev.groupBy("event_type").agg(
+        F.kll_sketch_agg_double("value").alias("sk")
+    )
+    quantiles = per.select(
+        "event_type",
+        F.kll_sketch_get_n_double("sk").alias("n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+    total = per.agg(F.kll_merge_agg_double("sk").alias("sk")).select(
+        F.lit("ALL").alias("event_type"),
+        F.kll_sketch_get_n_double("sk").alias("n"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.5)).alias("p50"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.95)).alias("p95"),
+        F.kll_sketch_get_quantile_double("sk", F.lit(0.99)).alias("p99"),
+    )
+    return quantiles.unionAll(total)
+
+
+@query("g7_theta_distinct_algebra", sql=None, tier="T3", survey="D8,G3,G4")
+def g7_theta_distinct_algebra(spark, sf_dir):
+    """Set algebra over DISTINCT counts without a distinct shuffle
+    (Datasketches theta, Spark 4 native): users who clicked vs users who
+    purchased — union / intersection / difference cardinalities from two
+    mergeable sketches built in ONE scan. HLL can only union; theta's
+    intersection/difference is what audience-overlap questions need at
+    corpus scale. Rows-only (approximate); exactness bounds asserted in
+    tests/test_misc.py."""
+    ev = T(spark, sf_dir, "events")
+    sk = ev.agg(
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "click", F.col("user_id"))
+        ).alias("a"),
+        F.theta_sketch_agg(
+            F.when(F.col("event_type") == "purchase", F.col("user_id"))
+        ).alias("b"),
+    )
+    return sk.select(
+        F.theta_sketch_estimate("a").alias("n_click_users"),
+        F.theta_sketch_estimate("b").alias("n_purchase_users"),
+        F.theta_sketch_estimate(F.theta_union("a", "b")).alias("n_either"),
+        F.theta_sketch_estimate(F.theta_intersection("a", "b")).alias("n_both"),
+        F.theta_sketch_estimate(F.theta_difference("a", "b")).alias(
+            "n_click_only"
+        ),
+    )

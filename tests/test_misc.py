@@ -245,3 +245,43 @@ def test_stratified_sample_partition_invariant(spark):
     c = Counter(i % 3 for i in a)
     assert 0.4 < c[0] / 667 < 0.6
     assert 0.03 < c[1] / 667 < 0.2
+
+
+def test_kll_rollup_brackets_exact_percentiles(spark):
+    from oeem_etl_spark.plans.misc_queries import d20_kll_quantile_rollup
+
+    sf = "/root/testdata/sf0.01"
+    got = {r["event_type"]: r for r in d20_kll_quantile_rollup(spark, sf).collect()}
+    ev = load_table(spark, sf, "events")
+    exact = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.95)").alias("p95"),
+        F.count("value").alias("n"),
+    )
+    for r in exact.collect():
+        g = got[r["event_type"]]
+        assert g["n"] == r["n"]
+        # KLL default k: normalized rank error < 1.7%; allow value slack
+        # proportional to the local quantile spread via rank tolerance
+        assert abs(g["p50"] - r["p50"]) / max(abs(r["p50"]), 1e-9) < 0.15
+        assert abs(g["p95"] - r["p95"]) / max(abs(r["p95"]), 1e-9) < 0.15
+    assert got["ALL"]["n"] == sum(r["n"] for r in exact.collect())
+
+
+def test_theta_algebra_matches_exact_sets(spark):
+    from oeem_etl_spark.plans.misc_queries import g7_theta_distinct_algebra
+
+    sf = "/root/testdata/sf0.01"
+    row = g7_theta_distinct_algebra(spark, sf).collect()[0]
+    ev = load_table(spark, sf, "events")
+    clicks = {r["user_id"] for r in ev.where("event_type = 'click'").select("user_id").distinct().collect()}
+    buys = {r["user_id"] for r in ev.where("event_type = 'purchase'").select("user_id").distinct().collect()}
+
+    def close(est, exact):
+        return abs(est - exact) <= max(3, 0.05 * exact)
+
+    assert close(row["n_click_users"], len(clicks))
+    assert close(row["n_purchase_users"], len(buys))
+    assert close(row["n_either"], len(clicks | buys))
+    assert close(row["n_both"], len(clicks & buys))
+    assert close(row["n_click_only"], len(clicks - buys))
