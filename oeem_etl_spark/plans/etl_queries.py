@@ -17,7 +17,7 @@ from oeem_etl_spark.operators.timeseries import (
     standardize_schema,
 )
 from oeem_etl_spark.plans.registry import query
-from oeem_etl_spark.plans.util import T, dsum, sql_dsum
+from oeem_etl_spark.plans.util import T, davg, dsum, sql_davg, sql_dsum
 
 
 @query(
@@ -1058,4 +1058,85 @@ def k29_interpolate_gaps(spark, sf_dir):
         F.col("bucket").cast("timestamp_ntz").alias("day"),
         F.col("day_total").alias("interp_total"),
         "was_gap",
+    )
+
+
+@query(
+    "k30_rolling_median",
+    sql="""
+    SELECT event_id, user_id,
+           ROUND(median(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 4) AS med7
+    FROM events WHERE user_id <= 200
+    """,
+    tier="T2",
+    survey="E3,D6",
+)
+def k30_rolling_median(spark, sf_dir):
+    """Rolling 7-reading median per meter — the robust smoother for spiky
+    telemetry (a single bad read moves a mean but not a median). Spark
+    forbids median() over a moving frame, so the frame is materialized
+    with collect_list (bounded: ≤7 elements) and the interpolated median
+    is read off the sorted array — exact, and identical to DuckDB's
+    windowed median. event_id tie-break for deterministic frames."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 200)
+        .select(
+            "event_id",
+            "user_id",
+            F.round((lo + hi) / 2, 4).alias("med7"),
+        )
+    )
+
+
+@query(
+    "k31_winsorize",
+    sql=f"""
+    WITH cuts AS (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.05), 4) AS lo,
+             ROUND(quantile_cont(value, 0.95), 4) AS hi
+      FROM events GROUP BY event_type
+    ), clamped AS (
+      SELECT e.event_type, LEAST(GREATEST(e.value, c.lo), c.hi) AS cv
+      FROM events e JOIN cuts c USING (event_type)
+    )
+    SELECT event_type, COUNT(*) AS n,
+           {sql_davg('cv', 'wins_mean')}
+    FROM clamped GROUP BY event_type
+    """,
+    tier="T2",
+    survey="K8,D6,C9",
+)
+def k31_winsorize(spark, sf_dir):
+    """Winsorized (tail-clamped) mean per event type: exact p05/p95
+    cutoffs (rounded to 4dp so the clamp boundary is engine-stable), a
+    broadcast join of the tiny cutoff table back onto the stream, clamp,
+    micros-exact mean. The standard robust-scaling pass before feeding
+    meter features to a model — two aggregations, one broadcast, no
+    sort of the raw data."""
+    ev = T(spark, sf_dir, "events")
+    cuts = ev.groupBy("event_type").agg(
+        F.round(F.percentile("value", 0.05), 4).alias("lo"),
+        F.round(F.percentile("value", 0.95), 4).alias("hi"),
+    )
+    clamped = ev.join(F.broadcast(cuts), "event_type").select(
+        "event_type",
+        F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi")).alias("cv"),
+    )
+    return clamped.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), davg("cv", "wins_mean")
     )

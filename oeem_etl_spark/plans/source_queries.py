@@ -543,3 +543,34 @@ def a20_snapshot_pruned_read(spark, sf_dir):
     t = _snapshot_table(spark, sf_dir)
     pruned = t.read(spark, version=1, prune=("user_id", 100, 120))
     return pruned.where(F.col("user_id").between(100, 120))
+
+
+@query(
+    "a21_snapshot_merge",
+    sql="""
+    SELECT event_id, user_id,
+           CASE WHEN event_id <= 1000 THEN value + 1000 ELSE value END AS value
+    FROM events
+    """,
+    tier="T2",
+    survey="A6,K6,K10",
+)
+def a21_snapshot_merge(spark, sf_dir):
+    """Serializable MERGE into the snapshot table: read a pinned version,
+    upsert corrected readings (merge_upsert), commit the result as an
+    overwrite guarded by ``expected_version`` — a concurrent commit since
+    the read snapshot would raise instead of publishing a lost update
+    (the Delta MERGE transaction shape on the manifest layer)."""
+    from oeem_etl_spark.operators.relational import merge_upsert
+
+    t = _snapshot_table(spark, sf_dir)
+    base_version = t.latest_version()
+    base = t.read(spark, version=base_version)
+    corrections = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 1000)
+        .select("event_id", "user_id", (F.col("value") + 1000).alias("value"))
+    )
+    merged = merge_upsert(base, corrections, keys=["event_id"], broadcast_delta=True)
+    t.commit(merged, mode="overwrite", expected_version=base_version)
+    return t.read(spark)
