@@ -1419,3 +1419,24 @@ def l8g_gif_frames(spark, sf_dir):
         F.pmod("asset_id", F.lit(1000)).cast("int").alias("frame_idx"),
         "width", "height", "mean_r",
     )
+
+
+@query("l43_pca_project", sql=None, tier="T3", survey="L3,J4,H8")
+def l43_pca_project(spark, sf_dir):
+    """Distributed PCA (operators/decomp.py): one mapInPandas moment pass
+    reduces the corpus to (n, Σx, XᵀX) partials, driver eigh on the d×d
+    covariance, then a pure-JVM projection (nested-literal component
+    matrix, k dot products per row). Rows-only: eigensolvers aren't
+    SQL-expressible; orthonormality / variance-capture / reconstruction
+    properties are asserted in tests/test_clustering.py."""
+    from oeem_etl_spark.operators.decomp import pca_fit, pca_transform
+
+    emb = T(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=8)
+    out = pca_transform(emb, "embedding", model)
+    return out.select(
+        "vec_id",
+        F.round(F.element_at("proj", 1), 4).alias("p1"),
+        F.round(F.element_at("proj", 2), 4).alias("p2"),
+        F.round(F.element_at("proj", 3), 4).alias("p3"),
+    )

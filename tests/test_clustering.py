@@ -374,3 +374,67 @@ def test_csv_quarantine_splits_bad_rows(spark, tmp_path):
     quarantined = [r["_corrupt"] for r in bad.collect()]
     assert len(quarantined) == 2
     assert any("not_a_number" in q for q in quarantined)
+
+
+# ---------------------------------------------------------------------------
+# decomp.pca_fit / pca_transform
+# ---------------------------------------------------------------------------
+
+
+def test_pca_components_orthonormal_and_variance_ordered(spark):
+    import numpy as np
+
+    from oeem_etl_spark.operators.decomp import pca_fit
+
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(400, 16)) * np.linspace(5, 0.1, 16)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "id long, embedding array<float>",
+    )
+    m = pca_fit(df, "embedding", k=5)
+    G = m.components @ m.components.T
+    assert np.allclose(G, np.eye(5), atol=1e-8)
+    assert all(a >= b - 1e-12 for a, b in zip(m.explained_variance, m.explained_variance[1:]))
+    assert 0 < m.explained_ratio.sum() <= 1 + 1e-12
+
+
+def test_pca_recovers_planted_subspace_and_projects_jvm_side(spark):
+    import numpy as np
+
+    from oeem_etl_spark.operators.decomp import pca_fit, pca_transform
+
+    rng = np.random.default_rng(11)
+    # rank-2 data + tiny noise: two components must capture ~all variance
+    basis = rng.normal(size=(2, 12))
+    coords = rng.normal(size=(300, 2)) * [8.0, 3.0]
+    X = coords @ basis + rng.normal(size=(300, 12)) * 0.01 + 5.0
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "id long, embedding array<float>",
+    )
+    m = pca_fit(df, "embedding", k=2)
+    assert m.explained_ratio.sum() > 0.999
+    out = pca_transform(df, "embedding", m).select("id", "proj").collect()
+    P = np.array([r["proj"] for r in sorted(out, key=lambda r: r["id"])])
+    # projected variance per component ~ its eigenvalue (float32 storage
+    # of the inputs costs ~1e-3 relative)
+    pv = P.var(axis=0)
+    assert np.allclose(pv, m.explained_variance, rtol=1e-2)
+    # projections are mean-centered
+    assert np.allclose(P.mean(axis=0), 0, atol=1e-6)
+
+
+def test_pca_partition_invariant_within_tolerance(spark):
+    import numpy as np
+
+    from oeem_etl_spark.operators.decomp import pca_fit
+
+    rng = np.random.default_rng(3)
+    X = rng.normal(size=(500, 8))
+    rows = [(i, [float(v) for v in r]) for i, r in enumerate(X)]
+    df1 = spark.createDataFrame(rows, "id long, embedding array<float>")
+    m1 = pca_fit(df1, "embedding", k=3)
+    m2 = pca_fit(df1.repartition(17), "embedding", k=3)
+    assert np.allclose(m1.explained_variance, m2.explained_variance, rtol=1e-9)
+    assert np.allclose(np.abs(m1.components @ m2.components.T), np.eye(3), atol=1e-6)
