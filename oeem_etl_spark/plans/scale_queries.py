@@ -268,7 +268,7 @@ def m6_bloom_rebased_rollup(spark, sf_dir):
     ORDER BY source, doc_id
     """,
     tier="T3",
-    survey="J6,L11",
+    survey="J6,L11,B8",
 )
 def l42_udtf_weighted_sample(spark, sf_dir):
     """Fused corpus-sampling pipeline: J6 Python UDTF tokenization (the
