@@ -246,3 +246,39 @@ def fuzzy_join(
     return cand.withColumn(
         "dist", F.levenshtein(F.col(left_col), F.col(right_col))
     ).where(F.col("dist") <= 1)
+
+
+def repetition_signals(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """Intra-document repetition signals (the Gopher/MassiveText quality
+    rules' repetition family, token-level): per document,
+
+    - ``dup_token_frac`` — fraction of tokens whose token TYPE occurs
+      more than once (a high value marks boilerplate/spam);
+    - ``top_bigram_frac`` — fraction of all bigrams taken by the single
+      most frequent bigram (NULL for sub-2-token docs).
+
+    Both are exact integer-count ratios (long/long → identical IEEE
+    division in any engine, rounded 6dp). Shape: two explode→count
+    aggregations per signal family, all map-combinable on (doc, term) —
+    no windows over the token stream, no UDFs; at corpus scale the
+    shuffle carries (doc, term, count), never raw token instances.
+    """
+    k = F.col(key)
+    toks = df.select(k, F.explode(tokenize(text_col)).alias("tok"))
+    tc = toks.groupBy(key, "tok").agg(F.count(F.lit(1)).alias("c"))
+    dup = tc.groupBy(key).agg(
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0))).alias(
+            "dup_toks"
+        ),
+        F.sum("c").alias("n_toks"),
+    )
+    bg = df.select(k, F.explode(ngrams(text_col, 2)).alias("bigram"))
+    bc = bg.groupBy(key, "bigram").agg(F.count(F.lit(1)).alias("c"))
+    bstat = bc.groupBy(key).agg(
+        F.max("c").alias("max_c"), F.sum("c").alias("n_bg")
+    )
+    return dup.join(bstat, [key], "left").select(
+        key,
+        F.round(F.col("dup_toks") / F.col("n_toks"), 6).alias("dup_token_frac"),
+        F.round(F.col("max_c") / F.col("n_bg"), 6).alias("top_bigram_frac"),
+    )

@@ -1440,3 +1440,42 @@ def l43_pca_project(spark, sf_dir):
         F.round(F.element_at("proj", 2), 4).alias("p2"),
         F.round(F.element_at("proj", 3), 4).alias("p3"),
     )
+
+
+@query(
+    "l44_repetition_signals",
+    sql="""
+    WITH d AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(t) AS tok FROM d
+    ), tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY doc_id, tok
+    ), dup AS (
+      SELECT doc_id,
+             CAST(COALESCE(SUM(c) FILTER (WHERE c > 1), 0) AS BIGINT) AS dup_toks,
+             SUM(c) AS n_toks
+      FROM tc GROUP BY doc_id
+    ), bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+      WHERE len(t) >= 2
+    ), bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY doc_id, bigram
+    ), bstat AS (
+      SELECT doc_id, MAX(c) AS max_c, SUM(c) AS n_bg FROM bc GROUP BY doc_id
+    )
+    SELECT dup.doc_id,
+           ROUND(dup.dup_toks / dup.n_toks, 6) AS dup_token_frac,
+           ROUND(bstat.max_c / bstat.n_bg, 6) AS top_bigram_frac
+    FROM dup LEFT JOIN bstat USING (doc_id)
+    """,
+    tier="T2",
+    survey="L7,L5,H9",
+)
+def l44_repetition_signals(spark, sf_dir):
+    """Token-repetition quality signals per document (the Gopher rules'
+    repetition family): duplicate-token-type fraction and top-bigram
+    dominance — operators/text.repetition_signals, exact count ratios."""
+    docs = T(spark, sf_dir, "documents")
+    return text.repetition_signals(docs, "doc_id", "text")

@@ -598,3 +598,21 @@ def test_fuzzy_join_edit_kinds_and_exclusions(spark):
         (3, 18): 1, (3, 17): 1, (4, 18): 1,
         (4, 17): 0,
     }
+
+
+def test_repetition_signals_exact(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a a a b"),        # dup: 3/4; bigrams: [a a, a a, a b] -> 2/3
+            (2, "w x y z"),        # no repeats: 0; all bigrams unique: 1/3
+            (3, "solo"),           # 1 token: no bigrams -> NULL
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["dup_token_frac"], r["top_bigram_frac"])
+        for r in text.repetition_signals(df, "doc_id", "text").collect()
+    }
+    assert out[1] == (0.75, round(2 / 3, 6))
+    assert out[2] == (0.0, round(1 / 3, 6))
+    assert out[3] == (0.0, None)
