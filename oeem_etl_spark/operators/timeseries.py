@@ -474,3 +474,56 @@ def calendarize(
         total.cast("int").alias("total_days"),
         (alloc_e4 / F.lit(10_000.0)).alias(f"{value_col}_alloc"),
     )
+
+
+def ewma_half(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts: str,
+    value: str,
+    window_rows: int = 20,
+    tiebreak: str | None = None,
+    scale: int = 4,
+) -> DataFrame:
+    """Exponentially weighted moving average with decay 1/2 (K-ext: the
+    exponential smoother next to the rolling mean/median/z-score family).
+
+    α is FIXED at 1/2 so every weight is a power of two and the whole
+    computation stays in exact integer fixed-point: values quantize to
+    ``scale`` decimals, the frame's weighted sum is
+    ``Σ vᵢ·2^(pos-1)`` (newest weight 2^n⁻¹ … oldest 1, all exact), the
+    normalizer is ``2ⁿ−1``, and the quotient truncates via ``x - x % n``
+    — bit-identical across engines and partition orders, like
+    :func:`interpolate_gaps`. A general-α EWMA needs float powers whose
+    last-ulp behavior is engine-specific; 1/2 is the canonical "half-life
+    = one step" smoother and the oracle-exact choice. The window bound
+    (default 20 back-rows) truncates weights below 2⁻²⁰ — under the
+    quantization noise floor, so the bounded form ≈ the infinite one.
+
+    Exactness bound: |value|·10^scale · 2^window_rows · window_rows must
+    stay < 2^63 (and < 2^53 for the oracle's double dot product) — at
+    scale 4, window 20: |value| < ~4·10⁴. One window pass, no UDFs.
+
+    Output: input + ``ewma`` (rounded ``scale`` decimals).
+    """
+    m = 10**scale
+    order = [F.col(ts).asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(*order)
+        .rowsBetween(-window_rows, Window.currentRow)
+    )
+    v_fp = F.round(F.col(value) * m).cast("long")
+    arr = F.collect_list(v_fp).over(w)  # frame order: oldest -> newest
+    n = F.size(arr)
+    weights = F.transform(
+        F.sequence(F.lit(1), n), lambda p: F.pow(F.lit(2.0), p - 1).cast("long")
+    )
+    numer = F.aggregate(
+        F.zip_with(arr, weights, lambda x, wt: x * wt),
+        F.lit(0).cast("long"),
+        lambda a, b: a + b,
+    )
+    denom = (F.pow(F.lit(2.0), n).cast("long") - 1).cast("long")
+    ewma_fp = ((numer - numer % denom) / denom).cast("long")
+    return df.withColumn("ewma", F.round(ewma_fp / F.lit(float(m)), scale))

@@ -1140,3 +1140,39 @@ def k31_winsorize(spark, sf_dir):
     return clamped.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"), davg("cv", "wins_mean")
     )
+
+
+@query(
+    "k32_ewma",
+    sql="""
+    WITH w AS (
+      SELECT event_id, user_id,
+             list(CAST(ROUND(value * 10000) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS arr
+      FROM events WHERE user_id <= 200
+    ), s AS (
+      SELECT event_id, user_id,
+             CAST(list_dot_product(CAST(arr AS DOUBLE[]),
+               list_transform(generate_series(1, len(arr)),
+                              p -> power(2, p - 1))) AS BIGINT) AS numer,
+             CAST(power(2, len(arr)) AS BIGINT) - 1 AS denom
+      FROM w
+    )
+    SELECT event_id, user_id,
+           ROUND(CAST((numer - numer % denom) / denom AS BIGINT)
+                 / 10000.0, 4) AS ewma
+    FROM s
+    """,
+    tier="T2",
+    survey="E3,E2,H8",
+)
+def k32_ewma(spark, sf_dir):
+    """Exact half-decay EWMA per meter (operators/timeseries.ewma_half):
+    power-of-two weights in integer fixed-point, so the smoother is
+    bit-identical to the DuckDB oracle's windowed dot product."""
+    from oeem_etl_spark.operators.timeseries import ewma_half
+
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") <= 200)
+    out = ewma_half(ev, keys=["user_id"], ts="ts", value="value", tiebreak="event_id")
+    return out.select("event_id", "user_id", "ewma")

@@ -616,3 +616,20 @@ def test_repetition_signals_exact(spark):
     assert out[1] == (0.75, round(2 / 3, 6))
     assert out[2] == (0.0, round(1 / 3, 6))
     assert out[3] == (0.0, None)
+
+
+def test_ewma_half_exact_weights(spark):
+    from oeem_etl_spark.operators.timeseries import ewma_half
+
+    df = spark.createDataFrame(
+        [("a", "2024-01-01", 1.0), ("a", "2024-01-02", 2.0), ("a", "2024-01-03", 4.0)],
+        "k string, d string, v double",
+    ).select("k", F.col("d").cast("timestamp").alias("ts"), "v")
+    out = {
+        str(r["ts"].date()): r["ewma"]
+        for r in ewma_half(df, ["k"], "ts", "v").collect()
+    }
+    # weights oldest->newest are 1,2,4,... normalizer 2^n - 1
+    assert out["2024-01-01"] == 1.0
+    assert out["2024-01-02"] == round(16666 / 10000, 4)  # trunc(50000/3)
+    assert out["2024-01-03"] == 3.0  # 210000/7 exactly
