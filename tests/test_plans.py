@@ -248,15 +248,19 @@ def test_t20_nested_semi_chain_broadcasts(spark, sf_dir):
     assert "partial_sum" in plan
 
 
-def test_t21_semi_anti_pair_and_topk(spark, sf_dir):
-    """Q21 shape: the 'another supplier exists' test must be a LEFT-SEMI
-    join and the 'no other late supplier' test a LEFT-ANTI join (never a
-    count-based rewrite), and the final top-20 must be a TakeOrdered, not a
-    global sort materialization."""
+def test_t21_decorrelated_window_single_fact_exchange(spark, sf_dir):
+    """Q21 shape after decorrelation: the EXISTS / NOT EXISTS pair is ONE
+    window over l_orderkey (no self-joins of the fact table — LeftSemi/
+    LeftAnti would mean the rewrite regressed), the window reuses the
+    orderkey exchange the lineitem⋈orders join produced (exactly one
+    hashpartitioning of the fact side), the supplier attach broadcasts,
+    and the top-20 is a TakeOrdered, not a global sort."""
     q = registry.queries()["t21_waiting_supplier"]
     plan = plan_of(q(spark, sf_dir))
-    assert "LeftSemi" in plan, plan
-    assert "LeftAnti" in plan, plan
+    assert "Window" in plan, plan
+    assert "LeftSemi" not in plan and "LeftAnti" not in plan, plan
+    assert plan.count("hashpartitioning(l_orderkey") <= 1, plan
+    assert "BroadcastHashJoin" in plan, plan
     assert "TakeOrderedAndProject" in plan, plan
 
 
@@ -366,3 +370,67 @@ def test_g6_set_ops_share_key_partitioning(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir))
     assert "CartesianProduct" not in plan, plan
     assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_h17_fuzzy_join_no_cartesian(spark, sf_dir):
+    """The deletion-neighborhood fuzzy join must plan as a hash equi-join
+    on the variant key — a BroadcastNestedLoopJoin / CartesianProduct
+    would mean candidate generation silently fell back to all-pairs."""
+    q = registry.queries()["h17_fuzzy_join"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert ") Generate" in plan and "explode" in plan, plan
+
+
+def test_k29_interpolate_same_shape_as_fill_gaps(spark, sf_dir):
+    """Interpolation adds window passes but no extra exchange family:
+    grid generate + one join + windows, no UDFs (no BatchEvalPython /
+    ArrowEvalPython nodes)."""
+    q = registry.queries()["k29_interpolate_gaps"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "Window" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_k31_winsorize_broadcasts_cutoffs(spark, sf_dir):
+    """The p05/p95 cutoff table is per-group tiny — it must broadcast
+    back onto the stream, never shuffle the raw events for the clamp."""
+    q = registry.queries()["k31_winsorize"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_b9_stratified_sample_is_pure_filter(spark, sf_dir):
+    """Deterministic stratified sampling is a per-row expression: the
+    plan must contain no Exchange at all (scan → filter → project)."""
+    q = registry.queries()["b9_stratified_sample"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "Exchange" not in plan, plan
+
+
+def test_d19_histogram_partial_aggregates(spark, sf_dir):
+    """The histogram is one map-combinable aggregate: partial_* before
+    the exchange, and the bucket arithmetic is integer (no UDFs)."""
+    q = registry.queries()["d19_histogram"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "partial_count" in plan, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_k32_ewma_single_window_no_python(spark, sf_dir):
+    q = registry.queries()["k32_ewma"]
+    plan = plan_of(q(spark, sf_dir))
+    # formatted plans print each node twice (tree + details): 2 hits = 1 node
+    assert len(re.findall(r"\) Window\b", plan)) == 1, plan
+    assert "EvalPython" not in plan, plan
+
+
+def test_l44_repetition_counts_shuffle_terms_not_tokens(spark, sf_dir):
+    """Both signal families aggregate (doc, term) BEFORE their per-doc
+    rollup: the plan must show partial aggregation under each explode so
+    the exchanges carry counts, not raw token instances."""
+    q = registry.queries()["l44_repetition_signals"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "partial_count" in plan or "partial_sum" in plan, plan
+    assert ") Generate" in plan and "explode" in plan, plan
