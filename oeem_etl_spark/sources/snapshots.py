@@ -203,6 +203,36 @@ class SnapshotTable:
         df = self.read(spark, version=base).repartition(n)
         return self.commit(df, mode="overwrite", expected_version=base)
 
+    def vacuum(self, retain_last: int = 2) -> tuple[int, int]:
+        """Garbage-collect history: keep the newest ``retain_last``
+        manifests, delete every data file referenced by NO kept manifest,
+        then drop the old manifests. Returns (files_deleted,
+        manifests_deleted). Irreversible — time travel past the horizon
+        is gone, matching VACUUM semantics on real table formats. Safe
+        ordering: files first, manifests last, so a crash mid-vacuum
+        leaves only still-listed (kept) or already-unlisted state, never
+        a manifest pointing at a deleted file."""
+        assert retain_last >= 1, retain_last
+        vs = self.versions()
+        keep, drop = vs[-retain_last:], vs[:-retain_last]
+        if not drop:
+            return (0, 0)
+        live = {e["path"] for v in keep for e in self._manifest(v)["files"]}
+        dead = {
+            e["path"]
+            for v in drop
+            for e in self._manifest(v)["files"]
+            if e["path"] not in live
+        }
+        for p in dead:
+            try:
+                os.unlink(p)
+            except FileNotFoundError:
+                pass
+        for v in drop:
+            os.unlink(os.path.join(self.manifest_dir, f"v{v}.json"))
+        return (len(dead), len(drop))
+
     # -- read path -----------------------------------------------------------
 
     def _resolve(self, version: int | None, as_of: float | None) -> dict:

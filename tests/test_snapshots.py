@@ -107,3 +107,26 @@ def test_manifest_files_survive_partial_writer_crash(spark, table, tmp_path):
     orphan = os.path.join(table.data_dir, "orphan")
     spark.range(100, 104).write.parquet(orphan)
     assert _ids(table.read(spark)) == [0, 1, 2, 3]
+
+
+def test_vacuum_reclaims_unreferenced_files_only(spark, table):
+    table.commit(spark.range(0, 10))          # v1
+    table.commit(spark.range(10, 20))         # v2 (append: shares v1 files)
+    table.commit(spark.range(50, 55), mode="overwrite")  # v3: fresh files
+    files_v2 = {e["path"] for e in table._manifest(2)["files"]}
+    deleted, dropped = table.vacuum(retain_last=1)
+    # both early manifests dropped; every v2 file was unreferenced by v3
+    assert dropped == 2 and deleted == len(files_v2)
+    assert table.versions() == [3]
+    assert _ids(table.read(spark)) == [50, 51, 52, 53, 54]
+    assert all(not os.path.exists(p) for p in files_v2)
+    # vacuum with nothing to drop is a no-op
+    assert table.vacuum(retain_last=1) == (0, 0)
+
+
+def test_vacuum_keeps_files_shared_with_retained_versions(spark, table):
+    table.commit(spark.range(0, 10))   # v1
+    table.commit(spark.range(10, 20))  # v2 appends -> v2 references v1 files
+    deleted, dropped = table.vacuum(retain_last=1)
+    assert dropped == 1 and deleted == 0  # v1's files live on in v2
+    assert _ids(table.read(spark)) == list(range(20))
