@@ -564,3 +564,52 @@ def i14_bounded_dedup_window(spark, sf_dir):
     )
     out = ops.tumbling_agg(deduped, "6 hours", [], [F.count(F.lit(1)).alias("cnt")])
     return harness.run_available_now(out, "append")
+
+
+@query(
+    "a22_snapshot_stream_commits",
+    sql="""
+    SELECT event_id, user_id, value FROM events
+    """,
+    tier="T3",
+    survey="A10,A6,I8",
+)
+def a22_snapshot_stream_commits(spark, sf_dir):
+    """Streaming sink onto the snapshot table format (A10 × A6): each
+    micro-batch commits as one manifest version carrying its batch_id,
+    which makes replayed batches no-ops — foreachBatch exactly-once on
+    the table-format layer instead of ad-hoc directory swaps. The stream
+    is the events table replayed file-by-file; the final snapshot must
+    equal the batch table exactly (the oracle), and every intermediate
+    version stays time-travel-readable (asserted in
+    tests/test_snapshots.py along with the replay no-op)."""
+    import shutil
+
+    from oeem_etl_spark.sources.snapshots import SnapshotTable
+
+    src = os.path.join(_TMP, f"a22_src_{os.path.basename(sf_dir)}")
+    root = os.path.join(_TMP, f"a22_tbl_{os.path.basename(sf_dir)}")
+    ckpt = os.path.join(_TMP, f"a22_ckpt_{os.path.basename(sf_dir)}")
+    shutil.rmtree(src, ignore_errors=True)
+    shutil.rmtree(root, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    ev.repartition(3).write.parquet(src)
+
+    table = SnapshotTable(root)
+    sdf = (
+        spark.readStream.schema(spark.read.parquet(src).schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src, "*.parquet"))
+    )
+    q = (
+        sdf.writeStream.foreachBatch(
+            lambda bdf, bid: table.commit(bdf, mode="append", batch_id=bid) and None
+        )
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return table.read(spark)

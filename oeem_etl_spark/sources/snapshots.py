@@ -142,6 +142,7 @@ class SnapshotTable:
         df: DataFrame,
         mode: str = "append",
         expected_version: int | None = None,
+        batch_id: int | None = None,
     ) -> int:
         """Write ``df`` as new immutable files and publish the next
         manifest. ``mode='append'`` keeps prior files; ``'overwrite'``
@@ -149,9 +150,20 @@ class SnapshotTable:
         until vacuumed). ``expected_version`` (optional) asserts the
         read-snapshot this commit was derived from — the
         serializable-upsert guard: if another writer committed since,
-        raise instead of publishing a lost update."""
+        raise instead of publishing a lost update.
+
+        ``batch_id`` (optional) makes the commit IDEMPOTENT per id: a
+        commit whose batch_id is ≤ the last recorded one is a replay
+        (Structured Streaming re-delivers the in-flight batch after a
+        crash) and becomes a no-op returning the current version — the
+        foreachBatch exactly-once recipe, transactional because the id
+        rides inside the atomically-published manifest itself."""
         assert mode in ("append", "overwrite"), mode
         base = self.latest_version()
+        if batch_id is not None and base is not None:
+            last = self._manifest(base).get("batch_id")
+            if last is not None and batch_id <= last:
+                return base  # replayed micro-batch: already committed
         if expected_version is not None and base != expected_version:
             raise CommitConflict((base or 0) + 1)
         out_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
@@ -170,6 +182,8 @@ class SnapshotTable:
             "mode": mode,
             "files": entries,
         }
+        if batch_id is not None:
+            manifest["batch_id"] = batch_id
         return self._publish(manifest, manifest["version"])
 
     def rollback(self, to_version: int) -> int:

@@ -130,3 +130,47 @@ def test_vacuum_keeps_files_shared_with_retained_versions(spark, table):
     deleted, dropped = table.vacuum(retain_last=1)
     assert dropped == 1 and deleted == 0  # v1's files live on in v2
     assert _ids(table.read(spark)) == list(range(20))
+
+
+def test_batch_id_commit_is_replay_idempotent(spark, table):
+    v1 = table.commit(spark.range(0, 5), batch_id=0)
+    v2 = table.commit(spark.range(5, 10), batch_id=1)
+    # crash-replay of batch 1: no new version, no duplicate rows
+    v_replay = table.commit(spark.range(5, 10), batch_id=1)
+    assert (v1, v2, v_replay) == (1, 2, 2)
+    assert _ids(table.read(spark)) == list(range(10))
+    # the next real batch proceeds normally
+    assert table.commit(spark.range(10, 12), batch_id=2) == 3
+
+
+def test_streaming_restart_does_not_double_commit(spark, tmp_path):
+    """availableNow run, then a second run over the same checkpoint: the
+    second run has nothing new and the table must be unchanged."""
+    import os
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    table = SnapshotTable(str(tmp_path / "tbl"))
+    spark.range(0, 100).repartition(2).write.parquet(src)
+
+    def run():
+        sdf = (
+            spark.readStream.schema(spark.read.parquet(src).schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(src, "*.parquet"))
+        )
+        q = (
+            sdf.writeStream.foreachBatch(
+                lambda bdf, bid: table.commit(bdf, batch_id=bid) and None
+            )
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run()
+    v_after_first = table.latest_version()
+    run()  # restart: checkpoint says everything is processed
+    assert table.latest_version() == v_after_first
+    assert _ids(table.read(spark)) == list(range(100))
