@@ -93,6 +93,23 @@ def _file_entry(path: str) -> dict:
     }
 
 
+def _may_intersect(entry: dict, col: str, lo, hi) -> bool:
+    """Conservative file-level predicate check: exact partition value if
+    the file is hive-partitioned on ``col``, else footer min/max stats,
+    else keep. Partition values arrive as path strings — compare
+    numerically when both sides parse, else lexicographically (ISO dates
+    order correctly either way)."""
+    part = entry.get("partition", {})
+    if col in part:
+        v = part[col]
+        try:
+            return float(lo) <= float(v) <= float(hi)
+        except (TypeError, ValueError):
+            return str(lo) <= v <= str(hi)
+    s = entry["stats"].get(col)
+    return s is None or (s[0] <= hi and s[1] >= lo)
+
+
 class SnapshotTable:
     def __init__(self, root: str):
         self.root = root
@@ -143,6 +160,7 @@ class SnapshotTable:
         mode: str = "append",
         expected_version: int | None = None,
         batch_id: int | None = None,
+        partition_by: list[str] | None = None,
     ) -> int:
         """Write ``df`` as new immutable files and publish the next
         manifest. ``mode='append'`` keeps prior files; ``'overwrite'``
@@ -167,13 +185,27 @@ class SnapshotTable:
         if expected_version is not None and base != expected_version:
             raise CommitConflict((base or 0) + 1)
         out_dir = os.path.join(self.data_dir, uuid.uuid4().hex)
-        df.write.mode("error").parquet(out_dir)
+        w = df.write.mode("error")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(out_dir)
         files = sorted(
-            os.path.join(out_dir, f)
-            for f in os.listdir(out_dir)
+            os.path.join(root, f)
+            for root, _dirs, fs in os.walk(out_dir)
+            for f in fs
             if f.endswith(".parquet")
         )
         entries = [_file_entry(f) for f in files]
+        if partition_by:
+            # hive layout: .../col=value/... — record EXACT partition
+            # values in the manifest so reads prune by equality, not
+            # min/max approximation
+            for e in entries:
+                vals = {}
+                for seg in e["path"][len(out_dir) + 1 :].split(os.sep)[:-1]:
+                    col, _, val = seg.partition("=")
+                    vals[col] = val
+                e["partition"] = vals
         if mode == "append" and base is not None:
             entries = self._manifest(base)["files"] + entries
         manifest = {
@@ -277,20 +309,33 @@ class SnapshotTable:
         stats for the column are kept). The caller still applies the
         exact predicate — pruning changes I/O, never results."""
         m = self._resolve(version, as_of)
-        files = [e["path"] for e in m["files"]]
+        entries = m["files"]
         if prune is not None:
             col, lo, hi = prune
-            kept = []
-            for e in m["files"]:
-                s = e["stats"].get(col)
-                if s is None or (s[0] <= hi and s[1] >= lo):
-                    kept.append(e["path"])
-            files = kept
-        if not files:
+            entries = [e for e in entries if _may_intersect(e, col, lo, hi)]
+        if not entries:
             # preserve schema for empty snapshots by reading zero rows of any
             # known file; an entirely fileless table has no schema to offer
             raise ValueError("snapshot has no files (empty commit?)")
-        return spark.read.parquet(*files)
+        if not any("partition" in e for e in entries):
+            return spark.read.parquet(*[e["path"] for e in entries])
+        # hive-partitioned files: partition columns live in the directory
+        # names UNDER each commit's uuid dir, so group by commit dir and
+        # read each group with its own basePath (restores the partition
+        # columns), then union — group count = retained commits, bounded
+        groups: dict[str, list[str]] = {}
+        for e in entries:
+            rel = os.path.relpath(e["path"], self.data_dir)
+            base = os.path.join(self.data_dir, rel.split(os.sep)[0])
+            groups.setdefault(base, []).append(e["path"])
+        dfs = [
+            spark.read.option("basePath", base).parquet(*paths)
+            for base, paths in sorted(groups.items())
+        ]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d)
+        return out
 
     def file_count(self, version: int | None = None) -> int:
         return len(self._resolve(version, None)["files"])

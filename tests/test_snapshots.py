@@ -174,3 +174,37 @@ def test_streaming_restart_does_not_double_commit(spark, tmp_path):
     run()  # restart: checkpoint says everything is processed
     assert table.latest_version() == v_after_first
     assert _ids(table.read(spark)) == list(range(100))
+
+
+def test_partitioned_commit_prunes_by_exact_partition_value(spark, table):
+    from pyspark.sql import functions as SF
+
+    df = spark.range(0, 300).select(
+        "id", (SF.col("id") % 3).cast("string").alias("dt")
+    )
+    table.commit(df, partition_by=["dt"])
+    full = table.read(spark)
+    # partition column restored through the basePath read
+    assert set(full.columns) == {"id", "dt"}
+    assert _ids(full) == list(range(300))
+    pruned = table.read(spark, prune=("dt", 1, 1))
+    assert len(pruned.inputFiles()) < len(full.inputFiles())
+    got = pruned.where(SF.col("dt") == "1")
+    assert sorted(r["id"] for r in got.collect()) == [
+        i for i in range(300) if i % 3 == 1
+    ]
+
+
+def test_partitioned_append_across_commits_unions_cleanly(spark, table):
+    from pyspark.sql import functions as SF
+
+    mk = lambda lo, hi: spark.range(lo, hi).select(  # noqa: E731
+        "id", (SF.col("id") % 2).cast("string").alias("dt")
+    )
+    table.commit(mk(0, 50), partition_by=["dt"])
+    table.commit(mk(50, 80), partition_by=["dt"])
+    assert _ids(table.read(spark)) == list(range(80))
+    # pruning applies across both commits' file sets
+    pruned = table.read(spark, prune=("dt", 0, 0))
+    # (Spark's partition-type inference reads dt back as int)
+    assert {str(r["dt"]) for r in pruned.select("dt").distinct().collect()} == {"0"}

@@ -116,7 +116,45 @@ def shapes(spark, sf_dir):
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
         return minhash_signatures(docs, "doc_id", "text")
 
-    return {"q01_agg": q01, "q02_bjoin": q02, "exact_dedup": dedup, "minhash_sigs": minhash}
+    def fuzzy():
+        # distinct orderkey strings fuzzy-self-joined: candidate fan-out
+        # (len+1 variants/row) and bucket-join growth are the scale risks
+        from oeem_etl_spark.operators.text import fuzzy_join
+
+        ks = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(F.col("o_orderkey").cast("string").alias("s"))
+            .distinct()
+        )
+        left = ks.select(F.col("s").alias("a_s"))
+        right = ks.select(F.col("s").alias("b_s"))
+        return fuzzy_join(left, right, "a_s", "b_s").where(
+            F.col("a_s") < F.col("b_s")
+        )
+
+    def interp():
+        # dense-grid + two window passes per key: grid fan-out is bounded
+        # by span, so cost must track keys, not raw rows
+        from oeem_etl_spark.operators.timeseries import interpolate_gaps
+
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        daily = (
+            o.groupBy(
+                "o_custkey",
+                F.date_trunc("day", F.col("o_orderdate")).alias("bucket"),
+            )
+            .agg(dsum("o_totalprice", "v"))
+        )
+        return interpolate_gaps(daily, ["o_custkey"], "bucket", "v", freq="day")
+
+    return {
+        "q01_agg": q01,
+        "q02_bjoin": q02,
+        "exact_dedup": dedup,
+        "minhash_sigs": minhash,
+        "fuzzy_join": fuzzy,
+        "interpolate": interp,
+    }
 
 
 def main() -> None:
