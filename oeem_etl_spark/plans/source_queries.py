@@ -574,3 +574,21 @@ def a21_snapshot_merge(spark, sf_dir):
     merged = merge_upsert(base, corrections, keys=["event_id"], broadcast_delta=True)
     t.commit(merged, mode="overwrite", expected_version=base_version)
     return t.read(spark)
+
+
+@query(
+    "a23_snapshot_incremental_feed",
+    sql="""
+    SELECT event_id, user_id, value FROM events WHERE event_id > 3000
+    """,
+    tier="T2",
+    survey="A8,K10,A6",
+)
+def a23_snapshot_incremental_feed(spark, sf_dir):
+    """Manifest-cursor change feed: a downstream consumer that processed
+    up to version 1 reads exactly the rows commit 2 appended — the
+    file-set diff between manifests, no re-scan of old data and no
+    anti-join (the incremental-load idiom on the table-format layer;
+    complements the a8 file-manifest approach)."""
+    t = _snapshot_table(spark, sf_dir)
+    return t.read_incremental(spark, since_version=1)

@@ -339,3 +339,34 @@ class SnapshotTable:
 
     def file_count(self, version: int | None = None) -> int:
         return len(self._resolve(version, None)["files"])
+
+    def read_incremental(
+        self, spark: SparkSession, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change feed for APPEND-ONLY history: the rows added strictly
+        after ``since_version`` up to ``to_version`` (default latest) —
+        i.e. the files present in the newer manifest but not the older
+        one. This is how a downstream job consumes the table
+        incrementally (the manifest is the cursor; no re-scan of old
+        data, no dedup join). Raises if any commit in the range rewrote
+        membership (overwrite/rollback/compaction) — file-set diffs
+        don't describe row-level changes across rewrites, so refusing is
+        the correct behavior, not an approximation."""
+        to_version = to_version if to_version is not None else self.latest_version()
+        assert to_version is not None and since_version <= to_version
+        for v in range(since_version + 1, to_version + 1):
+            m = self._manifest(v)
+            if m["mode"] != "append":
+                raise ValueError(
+                    f"version {v} is '{m['mode']}', not append — the file-diff "
+                    "change feed is only valid across pure appends"
+                )
+        old = {e["path"] for e in self._manifest(since_version)["files"]}
+        new = [
+            e["path"]
+            for e in self._manifest(to_version)["files"]
+            if e["path"] not in old
+        ]
+        if not new:
+            raise ValueError("no files added in range (empty increment)")
+        return spark.read.parquet(*new)

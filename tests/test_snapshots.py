@@ -208,3 +208,19 @@ def test_partitioned_append_across_commits_unions_cleanly(spark, table):
     pruned = table.read(spark, prune=("dt", 0, 0))
     # (Spark's partition-type inference reads dt back as int)
     assert {str(r["dt"]) for r in pruned.select("dt").distinct().collect()} == {"0"}
+
+
+def test_incremental_feed_appends_only(spark, table):
+    import pytest as _pytest
+
+    table.commit(spark.range(0, 10))
+    table.commit(spark.range(10, 20))
+    table.commit(spark.range(20, 30))
+    assert _ids(table.read_incremental(spark, 1)) == list(range(10, 30))
+    assert _ids(table.read_incremental(spark, 1, 2)) == list(range(10, 20))
+    # an overwrite in range invalidates the file-diff semantics: refuse
+    table.commit(spark.range(0, 5), mode="overwrite")
+    with _pytest.raises(ValueError, match="not append"):
+        table.read_incremental(spark, 2)
+    # ranges entirely before the rewrite still work
+    assert _ids(table.read_incremental(spark, 2, 3)) == list(range(20, 30))
