@@ -527,3 +527,57 @@ def ewma_half(
     denom = (F.pow(F.lit(2.0), n).cast("long") - 1).cast("long")
     ewma_fp = ((numer - numer % denom) / denom).cast("long")
     return df.withColumn("ewma", F.round(ewma_fp / F.lit(float(m)), scale))
+
+
+def per_key_ols(
+    df: DataFrame,
+    keys: Sequence[str],
+    x: Column,
+    y: Column,
+    x_scale: int = 2,
+    y_scale: int = 6,
+) -> DataFrame:
+    """Per-key ordinary-least-squares fit y = intercept + slope·x as ONE
+    aggregation — the eemeter-style weather-normalization model (usage
+    vs degree days) reduced to its closed form:
+
+        slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)
+
+    All five sufficient statistics are exact fixed-point long sums
+    (x at ``x_scale`` decimals, y at ``y_scale``), so the slope/intercept
+    doubles are bit-identical across engines and partition orders; only
+    the final division is float. No grouped-map UDF, no per-key fit loop
+    — a million meters fit in one map-combinable groupBy (the shuffle
+    carries 5 longs per key). Keys whose x is constant (zero variance)
+    report NULL slope/intercept.
+
+    Overflow bound: |Σx·Σy| < 2^63 must hold, i.e. roughly
+    n·x̄·10^x_scale · n·ȳ·10^y_scale < 9.2e18 — comfortable for
+    per-meter daily series (n ≤ tens of thousands); beyond that, rescale
+    or switch the sums to DECIMAL.
+
+    Output: keys..., n, slope, intercept (rounded 6dp).
+    """
+    mx, my = 10**x_scale, 10**y_scale
+    xf = F.round(x * mx).cast("long")
+    yf = F.round(y * my).cast("long")
+    agg = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xf).alias("__sx"),
+        F.sum(yf).alias("__sy"),
+        F.sum(xf * yf).alias("__sxy"),
+        F.sum(xf * xf).alias("__sxx"),
+    )
+    n = F.col("n")
+    det = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope_scaled = (n * F.col("__sxy") - F.col("__sx") * F.col("__sy")) / det
+    # slope in data units: (y_units/x_units) = scaled · mx/my
+    slope = slope_scaled * F.lit(float(mx) / my)
+    intercept = (F.col("__sy") / n / my) - slope * (F.col("__sx") / n / mx)
+    nz = det != 0
+    return agg.select(
+        *keys,
+        "n",
+        F.when(nz, F.round(slope, 6)).alias("slope"),
+        F.when(nz, F.round(intercept, 6)).alias("intercept"),
+    )

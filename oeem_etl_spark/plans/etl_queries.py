@@ -1176,3 +1176,66 @@ def k32_ewma(spark, sf_dir):
     ev = T(spark, sf_dir, "events").where(F.col("user_id") <= 200)
     out = ewma_half(ev, keys=["user_id"], ts="ts", value="value", tiebreak="event_id")
     return out.select("event_id", "user_id", "ewma")
+
+
+@query(
+    "k33_per_meter_ols",
+    sql="""
+    WITH temps AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS vm,
+             ROUND(((ascii(substring(md5(CAST(CAST(date_trunc('day', ts) AS DATE)
+                                              AS VARCHAR)), 1, 1)) * 256
+                     + ascii(substring(md5(CAST(CAST(date_trunc('day', ts) AS DATE)
+                                                AS VARCHAR)), 2, 1))) % 3500)
+                   / 100.0 - 5.0, 2) AS temp
+      FROM events
+    ), daily AS (
+      SELECT user_id, day,
+             ROUND(CAST(SUM(vm) AS BIGINT) / 1000000.0, 6) AS y,
+             ROUND(GREATEST(0.0, ROUND(18.0 - temp, 2)), 2) AS hdd
+      FROM temps GROUP BY user_id, day, temp
+    ), s AS (
+      SELECT user_id, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(hdd * 100) AS BIGINT)) AS BIGINT) AS sx,
+             CAST(SUM(CAST(ROUND(y * 1000000) AS BIGINT)) AS BIGINT) AS sy,
+             CAST(SUM(CAST(ROUND(hdd * 100) AS BIGINT)
+                      * CAST(ROUND(y * 1000000) AS BIGINT)) AS BIGINT) AS sxy,
+             CAST(SUM(CAST(ROUND(hdd * 100) AS BIGINT)
+                      * CAST(ROUND(hdd * 100) AS BIGINT)) AS BIGINT) AS sxx
+      FROM daily GROUP BY user_id
+    )
+    SELECT user_id, n,
+           CASE WHEN (n * sxx - sx * sx) != 0 THEN
+             ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 0.0001, 6)
+           END AS slope,
+           CASE WHEN (n * sxx - sx * sx) != 0 THEN
+             ROUND((sy / n / 1000000.0)
+                   - (((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 0.0001)
+                     * (sx / n / 100.0), 6)
+           END AS intercept
+    FROM s
+    """,
+    tier="T2",
+    survey="K9,D3,D1",
+)
+def k33_per_meter_ols(spark, sf_dir):
+    """Per-meter weather-normalization fit (the eemeter core reduced to
+    relational form): daily usage regressed on heating degree days, one
+    closed-form OLS per key via exact fixed-point sufficient statistics
+    (operators/timeseries.per_key_ols) — a million meters fit in one
+    map-combinable groupBy, no grouped-map UDF."""
+    from oeem_etl_spark.operators.timeseries import (
+        per_key_ols,
+        synthetic_daily_temperature,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    daily = resample_interval(
+        ev, keys=["user_id"], ts="ts", freq="day", aggs=[dsum("value", "y")]
+    )
+    temp = synthetic_daily_temperature(F.col("bucket"))
+    hdd = F.round(F.greatest(F.lit(0.0), F.round(F.lit(18.0) - temp, 2)), 2)
+    return per_key_ols(
+        daily, keys=["user_id"], x=hdd, y=F.col("y"), x_scale=2, y_scale=6
+    )

@@ -633,3 +633,23 @@ def test_ewma_half_exact_weights(spark):
     assert out["2024-01-01"] == 1.0
     assert out["2024-01-02"] == round(16666 / 10000, 4)  # trunc(50000/3)
     assert out["2024-01-03"] == 3.0  # 210000/7 exactly
+
+
+def test_per_key_ols_closed_form(spark):
+    from oeem_etl_spark.operators.timeseries import per_key_ols
+
+    df = spark.createDataFrame(
+        [
+            ("a", 0.0, 1.0), ("a", 1.0, 3.0), ("a", 2.0, 5.0),   # y = 1 + 2x
+            ("b", 1.0, 10.0), ("b", 2.0, 9.5), ("b", 3.0, 9.0),  # y = 10.5 - 0.5x
+            ("c", 4.0, 7.0), ("c", 4.0, 9.0),                    # constant x
+        ],
+        "k string, x double, y double",
+    )
+    out = {
+        r["k"]: (r["n"], r["slope"], r["intercept"])
+        for r in per_key_ols(df, ["k"], F.col("x"), F.col("y")).collect()
+    }
+    assert out["a"] == (3, 2.0, 1.0)
+    assert out["b"] == (3, -0.5, 10.5)
+    assert out["c"] == (2, None, None)
