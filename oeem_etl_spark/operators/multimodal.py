@@ -408,3 +408,53 @@ def frame_sample_plan(df: DataFrame, every_n: int = 10) -> DataFrame:
             "frame_idx"
         ),
     ).withColumn("byte_offset", F.col("frame_idx") * every_n)
+
+
+def phash64(pixels: np.ndarray) -> tuple[int, int]:
+    """Perceptual DCT hash of an (h, w, 3) uint8 image — the image-domain
+    member of the near-dup signature family (SimHash:text :: pHash:image).
+
+    Classic pHash recipe: grayscale → 32×32 resample (floor-index grid:
+    deterministic for any source size) → 2-D DCT-II via the explicit
+    cosine basis (numpy only) → keep the 8×8 low-frequency block →
+    threshold each coefficient against the median of the 63 non-DC
+    coefficients. Small photometric/geometric perturbations flip few
+    bits, so Hamming distance measures visual similarity. Returns the 64
+    bits as two 32-bit halves matching the SimHash column convention, so
+    ``dedup.simhash_near_pairs`` banding works unchanged on images.
+    """
+    g = pixels.astype(np.float64).mean(axis=2)
+    h, w = g.shape
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    s = g[np.ix_(yi, xi)]
+    n = 32
+    j = np.arange(n)
+    basis = np.cos(np.pi * (2 * j[None, :] + 1) * j[:, None] / (2 * n))
+    d = basis @ s @ basis.T
+    coefs = d[:8, :8].ravel()
+    med = float(np.median(coefs[1:]))
+    bits = 0
+    for i, v in enumerate(coefs):
+        if v > med:
+            bits |= 1 << i
+    return bits & 0xFFFFFFFF, (bits >> 32) & 0xFFFFFFFF
+
+
+def image_phash(df: DataFrame, key: str = "asset_id") -> DataFrame:
+    """Decode each image payload (any supported codec via magic sniffing)
+    and emit its perceptual hash in SimHash two-half layout:
+    (key, simhash_lo, simhash_hi). mapInPandas — bytes stay executor-side;
+    the shuffle-facing output is 16 bytes per image."""
+    import pandas as pd
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for k, payload in zip(pdf[key], pdf["content"]):
+                _w, _h, px = decode_image(bytes(payload))
+                lo, hi = phash64(px)
+                rows.append((int(k), lo, hi))
+            yield pd.DataFrame(rows, columns=[key, "simhash_lo", "simhash_hi"])
+
+    return df.mapInPandas(run, f"{key} long, simhash_lo long, simhash_hi long")

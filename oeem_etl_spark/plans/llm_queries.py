@@ -1479,3 +1479,54 @@ def l44_repetition_signals(spark, sf_dir):
     dominance — operators/text.repetition_signals, exact count ratios."""
     docs = T(spark, sf_dir, "documents")
     return text.repetition_signals(docs, "doc_id", "text")
+
+
+@query("l45_image_phash_dedup", sql=None, tier="T3", survey="L8,L2,J4")
+def l45_image_phash_dedup(spark, sf_dir):
+    """Image near-dup detection: decode → perceptual DCT hash
+    (multimodal.phash64, SimHash two-half layout) → the SAME 16-bit-band
+    candidate join text SimHash uses — one signature family across
+    modalities. Planted-twin corpus (doc i and i+1000 share a gradient,
+    the twin carries a one-pixel perturbation); the pipeline reports the
+    twin pairs with their Hamming distances. Rows-only (DCT floats are
+    not SQL-expressible); the planted-recovery property is asserted in
+    tests/test_multimodal.py."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators import dedup
+
+    base = T(spark, sf_dir, "documents").where(F.col("doc_id") < 16).select("doc_id")
+    twins = base.select((F.col("doc_id") + 1000).alias("doc_id"))
+    ids = base.unionAll(twins)
+
+    def encode(batches):
+        def gradient(seed, h=48, w=48):
+            y = np.arange(h)[:, None]
+            x = np.arange(w)[None, :]
+            g = ((seed * 37) % 200 + (y * 255) // h + (x * 128) // w) % 256
+            return np.stack([g, (g * 2) % 256, (g * 3) % 256], axis=2).astype(
+                np.uint8
+            )
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = gradient(d % 1000)
+                if d >= 1000:
+                    px = px.copy()
+                    px[3, 3, 0] = (int(px[3, 3, 0]) + 16) % 256
+                rows.append((d, multimodal.encode_ppm(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = ids.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(
+        encoded, "doc_id", "payload", "image/x-portable-pixmap"
+    )
+    hashed = multimodal.image_phash(
+        assets.withColumnRenamed("asset_id", "doc_id"), key="doc_id"
+    )
+    return dedup.simhash_near_pairs(hashed, "doc_id", max_hamming=6).orderBy(
+        "key_a", "key_b"
+    )

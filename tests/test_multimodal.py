@@ -496,3 +496,79 @@ def test_wav_g711_alaw_anchors():
 def test_wav_unknown_format_raises():
     with pytest.raises(ValueError, match="format=2"):
         mm.decode_wav(_wav_with_format(2, b"\x00\x01"))
+
+
+# ---------------------------------------------------------------------------
+# perceptual hash
+# ---------------------------------------------------------------------------
+
+
+def _gradient_image(seed: int, h: int = 48, w: int = 48):
+    import numpy as np
+
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    base = ((seed * 37) % 200 + (y * 255) // h + (x * 128) // w) % 256
+    px = np.stack([base, (base * 2) % 256, (base * 3) % 256], axis=2)
+    return px.astype(np.uint8)
+
+
+def test_phash_identical_and_perturbed_and_distinct():
+    import numpy as np
+
+    from oeem_etl_spark.operators.multimodal import phash64
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    a = _gradient_image(1)
+    assert phash64(a) == phash64(a.copy())
+    # a few flipped pixels: visually near-identical -> small distance
+    b = a.copy()
+    b[5, 5] = 255 - b[5, 5]
+    b[20, 33] = 0
+    assert ham(phash64(a), phash64(b)) <= 6
+    # a structurally different pattern -> far
+    c = _gradient_image(9).transpose(1, 0, 2).copy()
+    c[::2] = 255 - c[::2]
+    assert ham(phash64(a), phash64(c)) > 10
+
+
+def test_image_phash_pipeline_groups_near_dups(spark):
+    """Planted near-dup groups: docs i and i+100 share a pattern (i+100
+    carries a tiny perturbation); cross-group images differ. The decode →
+    phash → simhash banding pipeline must pair exactly the planted twins."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators import dedup
+    from oeem_etl_spark.operators.multimodal import encode_ppm, image_phash, to_multimodal
+
+    def encode(batches):
+        # self-contained: executors cannot import the test module
+        def gradient(seed, h=48, w=48):
+            y = np.arange(h)[:, None]
+            x = np.arange(w)[None, :]
+            base = ((seed * 37) % 200 + (y * 255) // h + (x * 128) // w) % 256
+            return np.stack(
+                [base, (base * 2) % 256, (base * 3) % 256], axis=2
+            ).astype(np.uint8)
+
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                px = gradient(d % 100)
+                if d >= 100:  # the near-dup twin: tiny perturbation
+                    px = px.copy()
+                    px[3, 3, 0] = (int(px[3, 3, 0]) + 16) % 256
+                rows.append((d, encode_ppm(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    ids = spark.createDataFrame([(i,) for i in [*range(8), *range(100, 108)]], "doc_id long")
+    encoded = ids.mapInPandas(encode, "doc_id long, payload binary")
+    assets = to_multimodal(encoded, "doc_id", "payload", "image/x-portable-pixmap")
+    hashed = image_phash(assets.withColumnRenamed("asset_id", "doc_id"), key="doc_id")
+    pairs = dedup.simhash_near_pairs(hashed, "doc_id", max_hamming=6)
+    got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
+    assert got == {(i, i + 100) for i in range(8)}
