@@ -94,13 +94,22 @@ def pca_fit(df: DataFrame, vec_col: str, k: int) -> PCAModel:
 
 
 def pca_transform(
-    df: DataFrame, vec_col: str, model: PCAModel, out_col: str = "proj"
+    df: DataFrame,
+    vec_col: str,
+    model: PCAModel,
+    out_col: str = "proj",
+    center: bool = True,
 ) -> DataFrame:
-    """Project ``vec_col`` onto the model's components — JVM-side only."""
+    """Project ``vec_col`` onto the model's components — JVM-side only.
+
+    ``center=False`` projects without subtracting the mean: the right
+    mode for cosine-similarity pipelines, where uncentered projection
+    approximately preserves dot products (orthonormal basis) while
+    centering would change every angle."""
     vec = F.col(vec_col)
     m: Column = F.lit([[float(v) for v in comp] for comp in model.components])
     consts: Column = F.lit(
-        [float(model.mean @ comp) for comp in model.components]
+        [float(model.mean @ comp) if center else 0.0 for comp in model.components]
     )
     dots = F.transform(
         m,

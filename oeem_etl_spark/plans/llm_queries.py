@@ -1530,3 +1530,53 @@ def l45_image_phash_dedup(spark, sf_dir):
     return dedup.simhash_near_pairs(hashed, "doc_id", max_hamming=6).orderBy(
         "key_a", "key_b"
     )
+
+
+@query("l46_pca_rerank_topk", sql=None, tier="T3", survey="L3,J4,E5")
+def l46_pca_rerank_topk(spark, sf_dir):
+    """Two-stage retrieval (the production ANN recipe): PCA-reduce the
+    corpus (operators/decomp, uncentered projection — preserves dot
+    products), run cheap top-25 candidate search in the reduced space,
+    then re-rank ONLY the candidates with exact full-dimension cosine.
+    The reduction ratio is spectrum-dependent: the fixture embeddings
+    are near-isotropic (16 dims hold only 38% of variance), so 64→32
+    is the honest setting here; real text/image embeddings decay much
+    faster and take 4-8× reductions at the same recall. Rows-only
+    (eigensolver); recall vs exact top-k asserted ≥0.9 in
+    tests/test_clustering.py."""
+    from oeem_etl_spark.operators import similarity
+    from oeem_etl_spark.operators.decomp import pca_fit, pca_transform
+
+    emb = T(spark, sf_dir, "embeddings")
+    model = pca_fit(emb, "embedding", k=32)
+    red = pca_transform(emb, "embedding", model, out_col="proj", center=False).select(
+        "vec_id", F.col("proj").cast("array<float>").alias("embedding")
+    )
+    queries_red = red.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    # stage 1: top-25 candidates in the reduced space
+    cand = similarity.cosine_topk(red, queries_red, k=25).select(
+        "q_id", "vec_id"
+    )
+    # stage 2: exact re-rank of candidates in the original 64-dim space
+    full = emb.select("vec_id", "embedding")
+    cand_vecs = cand.join(full, "vec_id")
+    queries_full = full.where(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("embedding").alias("q_vec")
+    )
+    from oeem_etl_spark.functions.vector import cosine
+
+    from pyspark.sql import Window
+
+    scored = cand_vecs.join(queries_full, "q_id").select(
+        "q_id",
+        "vec_id",
+        F.round(cosine("embedding", "q_vec"), 6).alias("score"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .select("q_id", "vec_id", "score", "rnk")
+    )

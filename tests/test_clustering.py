@@ -438,3 +438,29 @@ def test_pca_partition_invariant_within_tolerance(spark):
     m2 = pca_fit(df1.repartition(17), "embedding", k=3)
     assert np.allclose(m1.explained_variance, m2.explained_variance, rtol=1e-9)
     assert np.allclose(np.abs(m1.components @ m2.components.T), np.eye(3), atol=1e-6)
+
+
+def test_pca_rerank_recall_vs_exact(spark):
+    from oeem_etl_spark.operators import similarity
+    from oeem_etl_spark.plans.llm_queries import l46_pca_rerank_topk
+
+    sf = "/root/testdata/sf0.01"
+    got = l46_pca_rerank_topk(spark, sf).collect()
+    approx = {}
+    for r in got:
+        approx.setdefault(r["q_id"], set()).add(r["vec_id"])
+
+    from oeem_etl_spark.catalog import load_table
+    from pyspark.sql import functions as SF
+
+    emb = load_table(spark, sf, "embeddings")
+    queries = emb.where(SF.col("vec_id") < 20).select(
+        SF.col("vec_id").alias("q_id"), "embedding"
+    )
+    exact_rows = similarity.cosine_topk(emb, queries, k=3).collect()
+    exact = {}
+    for r in exact_rows:
+        exact[r["q_id"]] = exact.get(r["q_id"], set()) | {r["vec_id"]}
+    hits = sum(len(approx[q] & exact[q]) for q in exact)
+    total = sum(len(exact[q]) for q in exact)
+    assert hits / total >= 0.9, (hits, total)
