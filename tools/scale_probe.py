@@ -117,13 +117,19 @@ def shapes(spark, sf_dir):
         return minhash_signatures(docs, "doc_id", "text")
 
     def fuzzy():
-        # distinct orderkey strings fuzzy-self-joined: candidate fan-out
-        # (len+1 variants/row) and bucket-join growth are the scale risks
+        # md5-derived 10-hex tokens fuzzy-self-joined: sparse strings (the
+        # content-like case — distance-1 collisions are rare), so the probe
+        # measures variant fan-out + bucket-join growth, not pair output.
+        # NOTE deliberately NOT sequential integers: a dense numeric
+        # keyspace makes nearly every key a distance-1 neighbor of dozens
+        # of others (the candidate set itself is quadratic-ish in that
+        # degenerate distribution) — that's a data pathology, not a plan
+        # property, and the first probe draft burned 30 min discovering it.
         from oeem_etl_spark.operators.text import fuzzy_join
 
         ks = (
             spark.read.parquet(f"{sf_dir}/orders.parquet")
-            .select(F.col("o_orderkey").cast("string").alias("s"))
+            .select(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 10).alias("s"))
             .distinct()
         )
         left = ks.select(F.col("s").alias("a_s"))
