@@ -238,7 +238,11 @@ class SnapshotTable:
         set into ~target-size files, publish as overwrite. Readers pin
         manifests, so they see old or new membership, never a mix; a
         concurrent append loses the version race and retries (its data
-        files are unaffected)."""
+        files are unaffected). On a hive-partitioned table the partition
+        column survives as a DATA column (reads are unchanged) but the
+        directory layout flattens — pass the original ``partition_by``
+        through ``commit`` yourself if path-level pruning must survive
+        compaction."""
         import math
 
         base = self.latest_version()
