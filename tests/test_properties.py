@@ -531,3 +531,85 @@ def test_decode_image_sniffs_consistently_property(dims, seed):
             assert np.array_equal(got, px)
         else:
             assert got.shape == px.shape
+
+
+@given(
+    words=st.lists(
+        st.text(alphabet="abcX", min_size=0, max_size=5), min_size=1, max_size=12
+    )
+)
+@settings(**SETTINGS)
+def test_fuzzy_join_equals_bruteforce_levenshtein(spark, words):
+    """fuzzy_join is EXACTLY the distance-≤1 relation: same pair set as a
+    brute-force cross levenshtein on arbitrary strings (tiny alphabet
+    maximizes collisions/edge shapes: empties, repeats, equal strings)."""
+    from oeem_etl_spark.operators.text import fuzzy_join
+
+    def lev(a: str, b: str) -> int:
+        if len(a) < len(b):
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = [(i, w) for i, w in enumerate(words)]
+    left = spark.createDataFrame(rows, "a_id long, a_s string")
+    right = spark.createDataFrame(rows, "b_id long, b_s string")
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in fuzzy_join(left, right, "a_s", "b_s").collect()
+    }
+    want = {
+        (i, j)
+        for i, wi in rows
+        for j, wj in rows
+        if lev(wi, wj) <= 1
+    }
+    assert got == want
+
+
+@given(
+    obs=st.dictionaries(
+        st.integers(min_value=0, max_value=12),  # day offsets
+        st.floats(min_value=-100, max_value=100, allow_nan=False, width=16),
+        min_size=1,
+        max_size=6,
+    )
+)
+@settings(**SETTINGS)
+def test_interpolate_gaps_model_equivalence(spark, obs):
+    """interpolate_gaps vs a pure-Python fixed-point model: observed rows
+    pass through exactly; gap rows equal prev + trunc((next-prev)·i/n)
+    at 1e-6 fixed point (covers negative values and negative slopes)."""
+    from oeem_etl_spark.operators.timeseries import interpolate_gaps
+
+    base = dt.datetime(2024, 3, 1)
+    rows = [
+        ("k", base + dt.timedelta(days=d), float(v)) for d, v in sorted(obs.items())
+    ]
+    df = spark.createDataFrame(rows, "k string, bucket timestamp, v double")
+    got = {
+        r["bucket"]: (r["v"], r["was_gap"])
+        for r in interpolate_gaps(df, ["k"], "bucket", "v").collect()
+    }
+    days = sorted(obs)
+    fp = {d: round(obs[d] * 1e6) for d in days}
+    lo, hi = days[0], days[-1]
+    assert len(got) == hi - lo + 1
+    for d in range(lo, hi + 1):
+        ts = base + dt.timedelta(days=d)
+        if d in obs:
+            assert got[ts] == (round(fp[d] / 1e6, 6), False)
+            continue
+        p = max(x for x in days if x < d)
+        nx = min(x for x in days if x > d)
+        numer = (fp[nx] - fp[p]) * (d - p)
+        n = nx - p
+        # trunc-toward-zero division (Spark/DuckDB dividend-signed %)
+        q = abs(numer) // n if numer >= 0 else -(abs(numer) // n)
+        interp = fp[p] + q
+        assert got[ts] == (round(interp / 1e6, 6), True)
