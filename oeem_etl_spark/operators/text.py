@@ -202,20 +202,42 @@ def unigram_logprob_score(df: DataFrame, key: str, text_col: str) -> DataFrame:
     )
 
 
-def deletion_variants(col: Column | str) -> Column:
-    """The string itself plus every single-character-deletion variant,
-    de-duplicated (deleting any char of an equal-char run yields the same
-    variant). The SymSpell candidate key for edit-distance-1 matching."""
+def deletion_variants(col: Column | str, max_deletions: int = 1) -> Column:
+    """The string itself plus every variant with up to ``max_deletions``
+    characters removed, de-duplicated (deleting any char of an equal-char
+    run yields the same variant). The SymSpell candidate key: two strings
+    within edit distance k always share a member of each other's
+    ≤k-deletion neighborhoods. Fan-out is O(len) at 1 and O(len²/2) at 2
+    — keep 2 for short tokens (names, words), not documents."""
+    assert max_deletions in (1, 2), max_deletions
     c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c)
     dels = F.transform(
-        F.sequence(F.lit(1), F.length(c)),
+        F.sequence(F.lit(1), n),
         lambda i: F.concat(
-            c.substr(F.lit(1), i - F.lit(1)), c.substr(i + F.lit(1), F.length(c))
+            c.substr(F.lit(1), i - F.lit(1)), c.substr(i + F.lit(1), n)
         ),
     )
-    variants = F.array_distinct(F.concat(F.array(c), dels))
+    variants = F.concat(F.array(c), dels)
+    if max_deletions == 2:
+        # remove chars at i < j: three splice segments
+        dd = F.flatten(
+            F.transform(
+                F.sequence(F.lit(1), n - F.lit(1)),
+                lambda i: F.transform(
+                    F.sequence(i + F.lit(1), n),
+                    lambda j: F.concat(
+                        c.substr(F.lit(1), i - F.lit(1)),
+                        c.substr(i + F.lit(1), j - i - F.lit(1)),
+                        c.substr(j + F.lit(1), n),
+                    ),
+                ),
+            )
+        )
+        variants = F.concat(variants, F.when(n >= 2, dd).otherwise(F.array()))
+    variants = F.array_distinct(variants)
     # empty string: sequence(1, 0) is DESCENDING in Spark — guard it out
-    return F.when(F.length(c) > 0, variants).otherwise(F.array(c))
+    return F.when(n > 0, variants).otherwise(F.array(c))
 
 
 def fuzzy_join(
@@ -223,6 +245,7 @@ def fuzzy_join(
     right: DataFrame,
     left_col: str,
     right_col: str,
+    max_dist: int = 1,
 ) -> DataFrame:
     """Edit-distance-≤1 join WITHOUT a cross product (H3 at corpus scale).
 
@@ -240,12 +263,16 @@ def fuzzy_join(
     output has both sides' columns plus ``dist``. Returns distinct
     candidate rows (a pair can share several variants).
     """
-    lv = left.withColumn("__v", F.explode(deletion_variants(left_col)))
-    rv = right.withColumn("__v", F.explode(deletion_variants(right_col)))
+    lv = left.withColumn(
+        "__v", F.explode(deletion_variants(left_col, max_dist))
+    )
+    rv = right.withColumn(
+        "__v", F.explode(deletion_variants(right_col, max_dist))
+    )
     cand = lv.join(rv, "__v").drop("__v").distinct()
     return cand.withColumn(
         "dist", F.levenshtein(F.col(left_col), F.col(right_col))
-    ).where(F.col("dist") <= 1)
+    ).where(F.col("dist") <= max_dist)
 
 
 def repetition_signals(df: DataFrame, key: str, text_col: str) -> DataFrame:

@@ -634,3 +634,37 @@ def h17_fuzzy_join(spark, sf_dir):
     return out.where(F.col("a_id") < F.col("b_id")).select(
         "a_id", "b_id", "a_name", "b_name", "dist"
     )
+
+
+@query(
+    "h18_fuzzy_join_dist2",
+    sql="""
+    WITH t AS (
+      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS tok FROM part
+    )
+    SELECT a.tok AS a_tok, b.tok AS b_tok,
+           CAST(levenshtein(a.tok, b.tok) AS INTEGER) AS dist
+    FROM t a, t b
+    WHERE a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 2
+    """,
+    tier="T3",
+    survey="H3,D11,H9",
+)
+def h18_fuzzy_join_dist2(spark, sf_dir):
+    """Edit-distance-≤2 matching on the part-name vocabulary: the
+    two-deletion SymSpell neighborhood (fan-out len²/2 per token — the
+    short-token regime where distance-2 blocking is affordable). Oracle
+    is the brute-force quadratic over the distinct vocabulary."""
+    from oeem_etl_spark.operators.text import fuzzy_join, tokenize
+
+    toks = (
+        T(spark, sf_dir, "part")
+        .select(F.explode(tokenize("p_name")).alias("tok"))
+        .distinct()
+    )
+    left = toks.select(F.col("tok").alias("a_tok"))
+    right = toks.select(F.col("tok").alias("b_tok"))
+    out = fuzzy_join(left, right, "a_tok", "b_tok", max_dist=2)
+    return out.where(F.col("a_tok") < F.col("b_tok")).select(
+        "a_tok", "b_tok", "dist"
+    )

@@ -559,17 +559,18 @@ def test_fuzzy_join_equals_bruteforce_levenshtein(spark, words):
     rows = [(i, w) for i, w in enumerate(words)]
     left = spark.createDataFrame(rows, "a_id long, a_s string")
     right = spark.createDataFrame(rows, "b_id long, b_s string")
-    got = {
-        (r["a_id"], r["b_id"])
-        for r in fuzzy_join(left, right, "a_s", "b_s").collect()
-    }
-    want = {
-        (i, j)
-        for i, wi in rows
-        for j, wj in rows
-        if lev(wi, wj) <= 1
-    }
-    assert got == want
+    for max_dist in (1, 2):
+        got = {
+            (r["a_id"], r["b_id"])
+            for r in fuzzy_join(left, right, "a_s", "b_s", max_dist=max_dist).collect()
+        }
+        want = {
+            (i, j)
+            for i, wi in rows
+            for j, wj in rows
+            if lev(wi, wj) <= max_dist
+        }
+        assert got == want, max_dist
 
 
 @given(
