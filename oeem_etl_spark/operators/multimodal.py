@@ -206,11 +206,12 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image payload by magic sniffing into (width, height,
-    RGB uint8 (H, W, 3)). PPM (P6), PNG, and baseline JPEG all decode
-    for real with zero third-party libraries (see operators/imagecodec.py);
-    PNG grayscale replicates to RGB and alpha is dropped. Formats that
-    genuinely need external codecs (MP3/H.264/WebP) raise — that boundary
-    is honest, the mapInPandas dataflow is identical."""
+    RGB uint8 (H, W, 3)). PPM (P6), PNG, baseline JPEG, BMP, GIF and
+    lossless WebP (VP8L) all decode for real with zero third-party
+    libraries (see operators/imagecodec.py, operators/webpcodec.py);
+    grayscale replicates to RGB and alpha is dropped. Formats that
+    genuinely need external codecs (MP3/H.264/lossy-VP8) raise — that
+    boundary is honest, the mapInPandas dataflow is identical."""
     from . import imagecodec
 
     if content[:2] == b"P6":
@@ -230,9 +231,14 @@ def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
         return imagecodec.decode_bmp(bytes(content))
     if content[:6] in (b"GIF87a", b"GIF89a"):
         return imagecodec.decode_gif(bytes(content))
+    if content[:4] == b"RIFF" and content[8:12] == b"WEBP":
+        from . import webpcodec
+
+        w, h, px = webpcodec.decode_webp(bytes(content))
+        return w, h, px[:, :, :3]
     raise NotImplementedError(
         f"no pure-Python decoder for magic {bytes(content[:4])!r}; "
-        "MP3/H.264/WebP need external codec libraries, not present here"
+        "MP3/H.264 need external codec libraries, not present here"
     )
 
 

@@ -1580,3 +1580,54 @@ def l46_pca_rerank_topk(spark, sf_dir):
         .where(F.col("rnk") <= 3)
         .select("q_id", "vec_id", "score", "rnk")
     )
+
+
+@query(
+    "l8h_webp_decode",
+    sql="""
+    SELECT doc_id,
+           CAST(4 + doc_id % 5 AS INT) AS width,
+           CAST(3 + doc_id % 3 AS INT) AS height,
+           ROUND(CAST(doc_id % 256 AS DOUBLE), 6) AS mean_r,
+           ROUND(CAST((2 * doc_id) % 256 AS DOUBLE), 6) AS mean_g,
+           ROUND(CAST((3 * doc_id) % 256 AS DOUBLE), 6) AS mean_b
+    FROM documents WHERE doc_id < 40
+    """,
+    tier="T3",
+    survey="L8,J4",
+)
+def l8h_webp_decode(spark, sf_dir):
+    """REAL lossless-WebP decode, oracle-checked (the l8b recipe on the
+    VP8L codec): deterministic solid-color WebP per doc_id, encoded and
+    decoded by operators/webpcodec inside mapInPandas, features checked
+    symbolically by the oracle — prefix-code machinery, bit packing and
+    RIFF framing all on the hot path."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators.webpcodec import encode_webp_lossless
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                w, h = 4 + int(d) % 5, 3 + int(d) % 3
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[:, :, 0] = d % 256
+                px[:, :, 1] = (2 * d) % 256
+                px[:, :, 2] = (3 * d) % 256
+                rows.append((int(d), encode_webp_lossless(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = docs.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(encoded, "doc_id", "payload", "image/webp")
+    return multimodal.image_features(assets).select(
+        F.col("asset_id").alias("doc_id"),
+        "width",
+        "height",
+        "mean_r",
+        "mean_g",
+        "mean_b",
+    )

@@ -1,0 +1,297 @@
+"""VP8L (lossless WebP) codec: encoder/decoder round-trips plus
+hand-crafted streams that exercise each decode path the literals-only
+encoder does not emit (color cache, LZ77 extended distances,
+subtract-green / palette / predictor transforms)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from oeem_etl_spark.operators import webpcodec as wc
+
+
+def _rt(img):
+    w, h, dec = wc.decode_webp(wc.encode_webp_lossless(img))
+    return w, h, dec
+
+
+def test_roundtrip_random_rgba():
+    rng = np.random.default_rng(11)
+    img = rng.integers(0, 256, size=(13, 29, 4), dtype=np.uint8)
+    w, h, dec = _rt(img)
+    assert (w, h) == (29, 13)
+    assert np.array_equal(dec, img)
+
+
+def test_roundtrip_rgb_gets_opaque_alpha():
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(5, 4, 3), dtype=np.uint8)
+    _, _, dec = _rt(img)
+    assert np.array_equal(dec[:, :, :3], img)
+    assert (dec[:, :, 3] == 255).all()
+
+
+def test_two_tone_uses_simple_codes_and_roundtrips():
+    img = np.zeros((6, 10, 3), dtype=np.uint8)
+    img[::2] = (200, 10, 30)
+    enc = wc.encode_webp_lossless(img)
+    assert len(enc) < 120  # simple codes: a few bits per pixel
+    _, _, dec = wc.decode_webp(enc)
+    assert np.array_equal(dec[:, :, :3], img)
+
+
+def test_decode_image_sniffing_integration():
+    from oeem_etl_spark.operators.multimodal import decode_image
+
+    img = np.arange(4 * 6 * 3, dtype=np.uint8).reshape(4, 6, 3)
+    w, h, px = decode_image(wc.encode_webp_lossless(img))
+    assert (w, h) == (6, 4)
+    assert np.array_equal(px, img)
+
+
+def test_lossy_vp8_rejected():
+    fake = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + b"\x00" * 8
+    with pytest.raises(NotImplementedError, match="VP8"):
+        wc.decode_webp(fake)
+
+
+# ---------------------------------------------------------------------------
+# hand-crafted streams for the decoder-only paths
+# ---------------------------------------------------------------------------
+
+
+def _lengths_for(vals, size):
+    lmap = wc._huffman_lengths({int(v): int(c) for v, c in zip(*np.unique(vals, return_counts=True))})
+    out = [0] * size
+    for s, l in lmap.items():
+        out[s] = l
+    return out
+
+
+def _emit_literals(wtr, argb_list, extra_green_space=0):
+    """Emit one entropy-coded literal image (no cache/meta) for the ARGB
+    pixel list — the same shape the encoder writes for the main plane."""
+    g = [(p >> 8) & 0xFF for p in argb_list]
+    r = [(p >> 16) & 0xFF for p in argb_list]
+    b = [p & 0xFF for p in argb_list]
+    a = [(p >> 24) & 0xFF for p in argb_list]
+    wtr.write(0, 1)  # no color cache
+    if extra_green_space is not None:
+        wtr.write(0, 1)  # no meta prefix (only at level 0; pass None to skip)
+    gc = wc._write_prefix_code(wtr, _lengths_for(g, 256 + 24))
+    rc = wc._write_prefix_code(wtr, _lengths_for(r, 256))
+    bc = wc._write_prefix_code(wtr, _lengths_for(b, 256))
+    ac = wc._write_prefix_code(wtr, _lengths_for(a, 256))
+    wc._write_prefix_code(wtr, [1, 1] + [0] * 38)
+
+    def put(codes, sym):
+        code, l = codes[int(sym)]
+        for i in range(l - 1, -1, -1):
+            wtr.write((code >> i) & 1, 1)
+
+    for i in range(len(argb_list)):
+        put(gc, g[i])
+        put(rc, r[i])
+        put(bc, b[i])
+        put(ac, a[i])
+
+
+def _wrap(payload_bits: wc._LsbWriter) -> bytes:
+    import struct
+
+    payload = b"\x2f" + payload_bits.done()
+    pad = b"\x00" if len(payload) & 1 else b""
+    chunk = b"VP8L" + struct.pack("<I", len(payload)) + payload + pad
+    riff = b"WEBP" + chunk
+    return b"RIFF" + struct.pack("<I", len(riff)) + riff
+
+
+def _header(wtr, w, h):
+    wtr.write(w - 1, 14)
+    wtr.write(h - 1, 14)
+    wtr.write(0, 1)
+    wtr.write(0, 3)
+
+
+def test_subtract_green_transform_decodes():
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 256, size=(3, 5, 4), dtype=np.uint8)
+    argb = [
+        (int(p[3]) << 24) | (int(p[0]) << 16) | (int(p[1]) << 8) | int(p[2])
+        for p in img.reshape(-1, 4)
+    ]
+    # forward subtract-green on r/b
+    tr = [
+        (p & 0xFF00FF00)
+        | ((((p >> 16) & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF) << 16
+        | ((p & 0xFF) - ((p >> 8) & 0xFF)) & 0xFF
+        for p in argb
+    ]
+    wtr = wc._LsbWriter()
+    _header(wtr, 5, 3)
+    wtr.write(1, 1)  # a transform
+    wtr.write(2, 2)  # subtract-green
+    wtr.write(0, 1)  # no more transforms
+    _emit_literals(wtr, tr)
+    w, h, dec = wc.decode_webp(_wrap(wtr))
+    assert np.array_equal(dec, img)
+
+
+def test_color_cache_hit_decodes():
+    p1 = 0xFF204060
+    idx = wc._cache_hash(p1, 2)
+    wtr = wc._LsbWriter()
+    _header(wtr, 2, 1)
+    wtr.write(0, 1)  # no transforms
+    wtr.write(1, 1)  # color cache present
+    wtr.write(2, 4)  # cache_bits = 2
+    wtr.write(0, 1)  # no meta
+    cache_size = 4
+    # green alphabet: literal green 0x40 and cache symbol 280+idx
+    glen = [0] * (256 + 24 + cache_size)
+    glen[0x40] = 1
+    glen[256 + 24 + idx] = 1
+    gc = wc._write_prefix_code(wtr, glen)
+    rc = wc._write_prefix_code(wtr, [0] * 0x20 + [1] + [0] * (256 - 0x21))
+    bc = wc._write_prefix_code(wtr, [0] * 0x60 + [1] + [0] * (256 - 0x61))
+    ac = wc._write_prefix_code(wtr, [0] * 255 + [1])
+    wc._write_prefix_code(wtr, [1, 1] + [0] * 38)
+
+    def put(codes, sym):
+        code, l = codes[sym]
+        for i in range(l - 1, -1, -1):
+            wtr.write((code >> i) & 1, 1)
+
+    put(gc, 0x40)  # literal p1 (r/b/a are single-symbol codes: 0 bits)
+    put(gc, 256 + 24 + idx)  # cache hit -> p1 again
+    w, h, dec = wc.decode_webp(_wrap(wtr))
+    assert (w, h) == (2, 1)
+    assert np.array_equal(dec[0, 0], dec[0, 1])
+    assert list(dec[0, 0]) == [0x20, 0x40, 0x60, 0xFF]
+
+
+def test_lz77_extended_distance_decodes():
+    # pixels: A B then backref(length=2, distance=2) -> A B A B
+    A, B = 0xFF010203, 0xFF0A0B0C
+    wtr = wc._LsbWriter()
+    _header(wtr, 4, 1)
+    wtr.write(0, 1)  # no transforms
+    wtr.write(0, 1)  # no cache
+    wtr.write(0, 1)  # no meta
+    # green alphabet: greens of A,B + length-prefix symbol for len 2
+    glen = [0] * (256 + 24)
+    glen[0x02] = 2
+    glen[0x0B] = 2
+    glen[256 + 1] = 2  # length prefix 1 -> value 2 (no extra bits)
+    gc = wc._write_prefix_code(wtr, glen)
+    rlen = [0] * 256
+    rlen[0x01] = 1
+    rlen[0x0A] = 1
+    rc = wc._write_prefix_code(wtr, rlen)
+    blen = [0] * 256
+    blen[0x03] = 1
+    blen[0x0C] = 1
+    bc = wc._write_prefix_code(wtr, blen)
+    ac = wc._write_prefix_code(wtr, [0] * 255 + [1])
+    # distance alphabet: value 122 (= extended distance 2). value->prefix:
+    # prefix 11 covers [114, 241]? compute: we need the prefix whose range
+    # holds 122: offsets (2+(p&1))<<extra, extra=(p-2)>>1.
+    target = 122
+    dp = None
+    for p in range(4, 40):
+        extra = (p - 2) >> 1
+        off = (2 + (p & 1)) << extra
+        if off + 1 <= target <= off + (1 << extra):
+            dp = (p, extra, target - off - 1)
+            break
+    dlen = [0] * 40
+    dlen[dp[0]] = 1
+    dc = wc._write_prefix_code(wtr, dlen)
+
+    def put(codes, sym):
+        code, l = codes[sym]
+        for i in range(l - 1, -1, -1):
+            wtr.write((code >> i) & 1, 1)
+
+    put(gc, 0x02)
+    put(rc, 0x01)
+    put(bc, 0x03)
+    put(gc, 0x0B)
+    put(rc, 0x0A)
+    put(bc, 0x0C)
+    put(gc, 256 + 1)  # length 2
+    put(dc, dp[0])
+    wtr.write(dp[2], dp[1])  # extra distance bits
+    w, h, dec = wc.decode_webp(_wrap(wtr))
+    got = [tuple(int(v) for v in px) for px in dec[0]]
+    assert got == [(1, 2, 3, 255), (10, 11, 12, 255)] * 2
+
+
+def test_palette_transform_with_packed_indices():
+    # 8-wide 2-color image: width_bits=3 -> whole row packs into 1 byte
+    c0, c1 = 0xFF112233, 0xFF445566
+    pattern = [0, 1, 1, 0, 1, 0, 0, 1]
+    wtr = wc._LsbWriter()
+    _header(wtr, 8, 1)
+    wtr.write(1, 1)  # a transform
+    wtr.write(3, 2)  # color indexing
+    wtr.write(1, 8)  # n_colors - 1 = 1
+    # palette image (delta-coded): [c0, c1 - c0 per channel]
+    delta = (
+        (((c1 >> 24 & 0xFF) - (c0 >> 24 & 0xFF)) & 0xFF) << 24
+        | (((c1 >> 16 & 0xFF) - (c0 >> 16 & 0xFF)) & 0xFF) << 16
+        | (((c1 >> 8 & 0xFF) - (c0 >> 8 & 0xFF)) & 0xFF) << 8
+        | ((c1 & 0xFF) - (c0 & 0xFF)) & 0xFF
+    )
+    _emit_literals(wtr, [c0, delta], extra_green_space=None)
+    wtr.write(0, 1)  # no more transforms
+    packed = 0
+    for i, bit in enumerate(pattern):
+        packed |= bit << i
+    # main image: 1 pixel wide (ceil(8/8)), green byte = packed indices
+    _emit_literals(wtr, [0xFF000000 | (packed << 8)])
+    w, h, dec = wc.decode_webp(_wrap(wtr))
+    assert (w, h) == (8, 1)
+    want = [c1 if b else c0 for b in pattern]
+    got = [
+        (int(p[3]) << 24) | (int(p[0]) << 16) | (int(p[1]) << 8) | int(p[2])
+        for p in dec[0]
+    ]
+    assert got == want
+
+
+def test_predictor_transform_mode_top_decodes():
+    rng = np.random.default_rng(13)
+    img = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    argb = np.zeros((4, 4), dtype=np.uint32)
+    for y in range(4):
+        for x in range(4):
+            p = img[y, x]
+            argb[y, x] = (int(p[3]) << 24) | (int(p[0]) << 16) | (int(p[1]) << 8) | int(p[2])
+    # forward predictor with mode 2 (Top) everywhere, spec edge rules
+    res = np.zeros_like(argb)
+    for y in range(4):
+        for x in range(4):
+            if x == 0 and y == 0:
+                pred = 0xFF000000
+            elif y == 0:
+                pred = argb[y, x - 1]
+            elif x == 0:
+                pred = argb[y - 1, x]
+            else:
+                pred = argb[y - 1, x]  # mode 2
+            diff = 0
+            for sh in (24, 16, 8, 0):
+                diff |= (((int(argb[y, x]) >> sh) - (int(pred) >> sh)) & 0xFF) << sh
+            res[y, x] = diff
+    wtr = wc._LsbWriter()
+    _header(wtr, 4, 4)
+    wtr.write(1, 1)  # a transform
+    wtr.write(0, 2)  # predictor
+    wtr.write(0, 3)  # block bits = 2 -> one 4x4 block -> 1x1 transform image
+    _emit_literals(wtr, [0xFF000000 | (2 << 8)], extra_green_space=None)
+    wtr.write(0, 1)  # no more transforms
+    _emit_literals(wtr, [int(v) for v in res.ravel()])
+    w, h, dec = wc.decode_webp(_wrap(wtr))
+    assert np.array_equal(dec, img)
