@@ -137,7 +137,14 @@ def main() -> None:
 
     # Heavy non-headline operators tracked per round without inflating the
     # BASELINE-comparable headline total (BASELINE.md "extra rows").
-    EXTRA = ["l2_minhash_lsh_dedup", "l3e_topk_arrow", "l29_semantic_dedup", "k23_calendarize"]
+    EXTRA = [
+        "l2_minhash_lsh_dedup",
+        "l3e_topk_arrow",
+        "l29_semantic_dedup",
+        "k23_calendarize",
+        "t21_waiting_supplier",  # tracks the decorrelated-window rewrite
+        "h17_fuzzy_join",
+    ]
     extra: dict[str, float] = {}
     for name in (n for n in EXTRA if n in qs):
         qs[name](spark, sf_dir).count()  # warm
