@@ -668,3 +668,24 @@ def h18_fuzzy_join_dist2(spark, sf_dir):
     return out.where(F.col("a_tok") < F.col("b_tok")).select(
         "a_tok", "b_tok", "dist"
     )
+
+
+@query("h19_soundex_blocking", sql=None, tier="T3", survey="H3,D5")
+def h19_soundex_blocking(spark, sf_dir):
+    """Phonetic blocking (H3's third face next to levenshtein and the
+    deletion-neighborhood join): group the part-name vocabulary by
+    soundex code — the classic record-linkage blocking key (same-sounding
+    names land in one bucket, so the pairwise comparison runs inside
+    buckets only). Rows-only: DuckDB ships no soundex; the algorithm's
+    canonical examples are pinned in tests/test_operators.py."""
+    toks = (
+        T(spark, sf_dir, "part")
+        .select(F.explode(F.split(F.col("p_name"), " ")).alias("tok"))
+        .distinct()
+    )
+    return (
+        toks.groupBy(F.soundex(F.upper("tok")).alias("code"))
+        .agg(F.array_sort(F.collect_set("tok")).alias("toks"),
+             F.count(F.lit(1)).alias("n"))
+        .orderBy("code")
+    )

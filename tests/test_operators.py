@@ -653,3 +653,21 @@ def test_per_key_ols_closed_form(spark):
     assert out["a"] == (3, 2.0, 1.0)
     assert out["b"] == (3, -0.5, 10.5)
     assert out["c"] == (2, None, None)
+
+
+def test_soundex_canonical_examples(spark):
+    """Pin Spark's soundex to the published US-census examples (including
+    the H/W separator rule) so the phonetic blocking key is the standard
+    algorithm, not an engine quirk."""
+    cases = {
+        "Robert": "R163",
+        "Rupert": "R163",
+        "Ashcraft": "A261",
+        "Ashcroft": "A261",
+        "Tymczak": "T522",
+        "Pfister": "P236",
+        "Honeyman": "H555",
+    }
+    df = spark.createDataFrame([(k,) for k in cases], "name string")
+    got = {r["name"]: r["code"] for r in df.select("name", F.soundex("name").alias("code")).collect()}
+    assert got == cases
