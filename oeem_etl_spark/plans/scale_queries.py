@@ -303,3 +303,50 @@ def l42_udtf_weighted_sample(spark, sf_dir):
         group_by=["source"], seed=23,
     )
     return picked.select("source", "doc_id", "n_tokens").orderBy("source", "doc_id")
+
+
+@query(
+    "m7_entity_resolution_cc",
+    sql="""
+    WITH RECURSIVE c AS (
+      SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 400
+    ), e0 AS (
+      SELECT a.c_custkey AS a, b.c_custkey AS b
+      FROM c a, c b
+      WHERE a.c_custkey < b.c_custkey
+        AND levenshtein(a.c_name, b.c_name) <= 1
+    ), e AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM e
+    ), r(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node
+    )
+    SELECT node, CAST(MIN(lbl) AS BIGINT) AS label
+    FROM r GROUP BY node
+    """,
+    tier="T3",
+    survey="H3,G1,D1",
+)
+def m7_entity_resolution_cc(spark, sf_dir):
+    """Entity resolution end to end, ORACLE-checked through the iterative
+    part: fuzzy-name candidate pairs (deletion-neighborhood join) feed
+    min-label connected components; the oracle recomputes the SAME
+    component labels with a recursive-CTE reachability fixpoint — so the
+    DataFrame iteration (operators/dedup.connected_components: one job
+    per round, lineage-truncated) is verified against SQL's declarative
+    fixpoint semantics, not just unit fixtures."""
+    from oeem_etl_spark.operators.dedup import connected_components
+    from oeem_etl_spark.operators.text import fuzzy_join
+
+    c = T(spark, sf_dir, "customer").where(F.col("c_custkey") <= 400)
+    left = c.select(F.col("c_custkey").alias("a_id"), F.col("c_name").alias("a_name"))
+    right = c.select(F.col("c_custkey").alias("b_id"), F.col("c_name").alias("b_name"))
+    pairs = (
+        fuzzy_join(left, right, "a_name", "b_name")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(F.col("a_id").alias("key_a"), F.col("b_id").alias("key_b"))
+    )
+    return connected_components(pairs)
