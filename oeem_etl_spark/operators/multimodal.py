@@ -4,15 +4,17 @@ Image/audio/video payloads are opaque ``binary`` columns + a typed
 metadata struct. The Spark-side plumbing — schema, partition-friendly
 layout, Arrow-batched UDF signatures, batch shapes — is real and tested.
 
-Codecs: four public formats are decoded for real, with no third-party
-libraries — binary **PPM (P6)** images, **RIFF/WAV PCM** audio
-(8/16-bit), **PNG** (stdlib zlib inflate + all five filters), and
-**baseline-sequential JPEG** (table-driven Huffman + numpy IDCT; see
-operators/imagecodec.py). ``image_features`` / ``audio_features`` run
-them inside mapInPandas, one Arrow batch per core. Formats that
-genuinely need codec libraries (MP3/H.264/WebP) still raise
-NotImplementedError from ``decode_image`` — honest boundary, the
-dataflow is identical. ``extract_features`` remains the deterministic
+Codecs: seven public formats are decoded for real, with no third-party
+libraries — binary **PPM (P6)**, **PNG** (stdlib zlib inflate + all five
+filters), **baseline-sequential JPEG** (table-driven Huffman + numpy
+IDCT), **BMP**, **animated GIF** (LZW + compositing) — see
+operators/imagecodec.py — **lossless WebP/VP8L**
+(operators/webpcodec.py), and **RIFF/WAV** audio (8/16-bit PCM +
+G.711 µ-law/A-law). ``image_features`` / ``audio_features`` /
+``audio_spectral_features`` run them inside mapInPandas, one Arrow
+batch per core. Formats that genuinely need codec libraries
+(MP3/H.264/lossy-VP8) still raise NotImplementedError from
+``decode_image`` — honest boundary, the dataflow is identical. ``extract_features`` remains the deterministic
 hash-projection embedding stand-in for arbitrary payloads (SURVEY §2.L9
 specifies the stub); the decode paths below are the real L8 surface.
 """
@@ -464,3 +466,50 @@ def image_phash(df: DataFrame, key: str = "asset_id") -> DataFrame:
             yield pd.DataFrame(rows, columns=[key, "simhash_lo", "simhash_hi"])
 
     return df.mapInPandas(run, f"{key} long, simhash_lo long, simhash_hi long")
+
+
+def audio_spectral_features(df: DataFrame) -> DataFrame:
+    """REAL signal processing on decoded audio (the step beyond
+    audio_features' container metadata): per asset, the dominant
+    frequency (argmax of the numpy rFFT magnitude over the first
+    channel, DC excluded) and the spectral centroid — the classic cheap
+    audio descriptors for dedup/bucketing. Deterministic: FFT of fixed
+    input is bit-stable, argmax over it more so; tone fixtures aligned
+    to FFT bins make the result closed-form ORACLE-checkable.
+    Emits (asset_id, sample_rate, n_samples, dominant_hz, centroid_hz).
+    """
+    schema = (
+        "asset_id long, sample_rate int, n_samples long, "
+        "dominant_hz double, centroid_hz double"
+    )
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                sr, _ch, samples = decode_wav(bytes(content))
+                x = samples[:, 0].astype(np.float64)
+                n = len(x)
+                mag = np.abs(np.fft.rfft(x))
+                mag[0] = 0.0  # exclude DC
+                k = int(np.argmax(mag))
+                dom = k * sr / n
+                denom = float(mag.sum())
+                cent = (
+                    float((np.arange(len(mag)) * mag).sum()) / denom * sr / n
+                    if denom > 0
+                    else 0.0
+                )
+                rows.append((int(aid), int(sr), n, round(dom, 6), round(cent, 6)))
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "asset_id",
+                    "sample_rate",
+                    "n_samples",
+                    "dominant_hz",
+                    "centroid_hz",
+                ],
+            )
+
+    return df.select("asset_id", "content").mapInPandas(fn, schema)

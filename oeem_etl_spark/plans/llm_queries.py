@@ -1631,3 +1631,48 @@ def l8h_webp_decode(spark, sf_dir):
         "mean_g",
         "mean_b",
     )
+
+
+@query(
+    "l8i_audio_spectral",
+    sql="""
+    SELECT doc_id,
+           CAST(8000 AS INT) AS sample_rate,
+           CAST(2000 AS BIGINT) AS n_samples,
+           ROUND(CAST(200 + (doc_id % 20) * 100 AS DOUBLE), 6) AS dominant_hz
+    FROM documents WHERE doc_id < 40
+    """,
+    tier="T3",
+    survey="L8,J4",
+)
+def l8i_audio_spectral(spark, sf_dir):
+    """REAL spectral analysis, oracle-checked: synthesize a pure tone per
+    doc_id at 200 + (doc_id%20)·100 Hz (bin-aligned: every tone is a
+    multiple of sr/n = 4 Hz), WAV-encode, decode, rFFT inside
+    mapInPandas — the measured dominant frequency must equal the
+    closed-form tone the oracle computes symbolically. A broken decoder,
+    sample scaling, or FFT indexing all mismatch."""
+    import numpy as np
+    import pandas as pd
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+    sr, n = 8000, 2000
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                f = 200 + (int(d) % 20) * 100
+                t = np.arange(n) / sr
+                x = 0.7 * np.sin(2 * np.pi * f * t)
+                rows.append((int(d), multimodal.encode_wav(x, sr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = docs.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(encoded, "doc_id", "payload", "audio/wav")
+    return multimodal.audio_spectral_features(assets).select(
+        F.col("asset_id").alias("doc_id"),
+        "sample_rate",
+        "n_samples",
+        "dominant_hz",
+    )

@@ -572,3 +572,39 @@ def test_image_phash_pipeline_groups_near_dups(spark):
     pairs = dedup.simhash_near_pairs(hashed, "doc_id", max_hamming=6)
     got = {(r["key_a"], r["key_b"]) for r in pairs.collect()}
     assert got == {(i, i + 100) for i in range(8)}
+
+
+def test_audio_spectral_detects_tone_under_noise(spark):
+    """A 440 Hz tone buried under weaker broadband noise must still win
+    the FFT argmax; centroid sits near the tone for a dominant peak."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators.multimodal import (
+        audio_spectral_features,
+        encode_wav,
+        to_multimodal,
+    )
+
+    sr, n = 8000, 2000  # bin width 4 Hz; 440 is bin-aligned
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                rng = np.random.default_rng(int(d))
+                t = np.arange(n) / sr
+                x = 0.6 * np.sin(2 * np.pi * 440 * t) + 0.05 * rng.standard_normal(n)
+                rows.append((int(d), encode_wav(np.clip(x, -1, 1), sr)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    ids = spark.createDataFrame([(i,) for i in range(4)], "doc_id long")
+    encoded = ids.mapInPandas(encode, "doc_id long, payload binary")
+    assets = to_multimodal(encoded, "doc_id", "payload", "audio/wav")
+    out = audio_spectral_features(assets).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r["dominant_hz"] == 440.0
+        # broadband noise alone would centroid near sr/4 = 2000 Hz; the
+        # tone pulls it well below
+        assert 300 < r["centroid_hz"] < 1900
