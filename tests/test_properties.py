@@ -10,6 +10,7 @@ structure (empty frames, all-duplicate keys, single-row groups, ties).
 from __future__ import annotations
 
 import datetime as dt
+import math
 
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
@@ -598,7 +599,14 @@ def test_interpolate_gaps_model_equivalence(spark, obs):
         for r in interpolate_gaps(df, ["k"], "bucket", "v").collect()
     }
     days = sorted(obs)
-    fp = {d: round(obs[d] * 1e6) for d in days}
+    # Half-AWAY-from-zero quantization, matching Spark/DuckDB ROUND (see
+    # plans/util.py rounding-parity note) — Python's round() is banker's
+    # and diverges on exact .5 ties (e.g. 1.0703125e6), which width-16
+    # floats can hit exactly.
+    fp = {
+        d: int(math.copysign(math.floor(abs(obs[d]) * 1e6 + 0.5), obs[d]))
+        for d in days
+    }
     lo, hi = days[0], days[-1]
     assert len(got) == hi - lo + 1
     for d in range(lo, hi + 1):
