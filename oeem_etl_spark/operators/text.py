@@ -309,3 +309,73 @@ def repetition_signals(df: DataFrame, key: str, text_col: str) -> DataFrame:
         F.round(F.col("dup_toks") / F.col("n_toks"), 6).alias("dup_token_frac"),
         F.round(F.col("max_c") / F.col("n_bg"), 6).alias("top_bigram_frac"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    query_terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 ranked retrieval for a fixed set of ``query_terms``
+    (L-ext: the ranked-search face of L6's tf-idf): per matching document,
+
+        score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+        idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))
+
+    with ``dl`` the document token length and ``avgdl``/``N``/``df``
+    corpus statistics. Returns (key, n_hit_terms, score).
+
+    Determinism: each per-term partial is quantized to integer micro-units
+    (``round(x·1e6)`` — the plans/util.py dsum discipline) before the
+    per-document sum, so the float summation order across terms can never
+    flip a digit; the division/ln sequence is written with one fixed
+    association order mirrored verbatim by the SQL oracle.
+
+    Scale shape: the explode is filtered to the query terms BEFORE any
+    shuffle (map-side prune — the shuffle carries only (doc, hit-term)
+    rows, a tiny fraction of the token stream); df-per-term is a
+    |terms|-row frame joined broadcast; N/avgdl is a 1-row broadcast
+    cross join; dl rides the original row, no second scan. No UDFs.
+    """
+    terms = [str(t) for t in query_terms]
+    k = F.col(key)
+    dl = df.select(k, F.size(tokenize(text_col)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__sum_dl")
+    )
+    hits = (
+        df.select(k, F.explode(tokenize(text_col)).alias("term"))
+        .where(F.col("term").isin(terms))
+        .groupBy(key, "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    docfreq = hits.groupBy("term").agg(F.count_distinct(key).alias("df"))
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("__n") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    avgdl = F.col("__sum_dl") / F.col("__n")
+    partial = (
+        idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * (F.col("dl") / avgdl))
+        )
+    )
+    scored = (
+        hits.join(F.broadcast(docfreq), "term")
+        .join(dl, key)
+        .crossJoin(F.broadcast(stats))
+        .select(
+            k,
+            F.round(partial * F.lit(1e6)).cast("long").alias("__micros"),
+        )
+    )
+    return scored.groupBy(key).agg(
+        F.count(F.lit(1)).alias("n_hit_terms"),
+        F.round(F.sum("__micros") / F.lit(1e6), 6).alias("score"),
+    )

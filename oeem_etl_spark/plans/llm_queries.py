@@ -1676,3 +1676,45 @@ def l8i_audio_spectral(spark, sf_dir):
         "n_samples",
         "dominant_hz",
     )
+
+
+@query(
+    "l47_bm25_retrieval",
+    sql="""
+    WITH dl AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl
+    ), hits AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      ) WHERE tok IN ('hash', 'join', 'vector', 'window', 'stream')
+      GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term
+    )
+    SELECT h.doc_id,
+           COUNT(*) AS n_hit_terms,
+           ROUND(SUM(CAST(ROUND(
+             (ln(1.0 + (n - df + 0.5) / (df + 0.5))
+              * (tf * (1.2 + 1.0))
+              / (tf + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n)))))
+             * 1000000.0) AS BIGINT)) / 1000000.0, 6) AS score
+    FROM hits h JOIN dfreq USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY h.doc_id
+    """,
+    tier="T2",
+    survey="L6,L5,H9,H5,D1",
+)
+def l47_bm25_retrieval(spark, sf_dir):
+    """Okapi BM25 ranked retrieval over the corpus for a 5-term query —
+    the ranked-search face of tf-idf (operators/text.bm25_scores). The
+    oracle mirrors the expression tree association-order-exactly; the
+    per-document sum is integer-micros (dsum discipline), so term order
+    cannot flip a digit. Plan: map-side term prune before the only
+    token-level shuffle; df and corpus stats ride broadcast joins."""
+    docs = T(spark, sf_dir, "documents")
+    return text.bm25_scores(
+        docs, "doc_id", "text", ["hash", "join", "vector", "window", "stream"]
+    )

@@ -671,3 +671,34 @@ def test_soundex_canonical_examples(spark):
     df = spark.createDataFrame([(k,) for k in cases], "name string")
     got = {r["name"]: r["code"] for r in df.select("name", F.soundex("name").alias("code")).collect()}
     assert got == cases
+
+
+def test_bm25_scores_exact_small(spark):
+    """BM25 against a hand-replicated model on a 3-doc corpus. ln() may
+    differ from java.lang.Math.log by 1 ulp, so values get a 2e-6 band;
+    the structural facts (doc set, hit counts, ranking) are exact."""
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c"), (3, "b b b c")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: (r["n_hit_terms"], r["score"])
+        for r in text.bm25_scores(df, "doc_id", "text", ["a", "b"]).collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1][0] == 2 and out[2][0] == 1 and out[3][0] == 1
+
+    def model(pairs, dl, avgdl):
+        tot = 0
+        for tf, dfreq in pairs:
+            idf = math.log(1.0 + (3 - dfreq + 0.5) / (dfreq + 0.5))
+            s = idf * (tf * (1.2 + 1.0)) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl)))
+            tot += math.floor(s * 1e6 + 0.5)
+        return tot / 1e6
+
+    avgdl = 9 / 3
+    assert abs(out[1][1] - model([(2, 2), (1, 2)], 3, avgdl)) < 2e-6
+    assert abs(out[2][1] - model([(1, 2)], 2, avgdl)) < 2e-6
+    assert abs(out[3][1] - model([(3, 2)], 4, avgdl)) < 2e-6
+    # doc 3 (tf=3 of 'b') must outrank doc 2 (tf=1 of 'a', same df)
+    assert out[3][1] > out[2][1]

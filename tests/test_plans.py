@@ -434,3 +434,26 @@ def test_l44_repetition_counts_shuffle_terms_not_tokens(spark, sf_dir):
     plan = plan_of(q(spark, sf_dir))
     assert "partial_count" in plan or "partial_sum" in plan, plan
     assert ") Generate" in plan and "explode" in plan, plan
+
+
+def test_l47_bm25_prunes_terms_map_side(spark, sf_dir):
+    """The token explode is filtered to the 5 query terms BEFORE any
+    exchange (the shuffle carries hit rows only), corpus stats and df
+    ride broadcast joins, and no Python surface appears."""
+    q = registry.queries()["l47_bm25_retrieval"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    assert plan.count("BroadcastExchange") >= 2, plan
+    assert "partial_count" in plan, plan
+    # Every term-IN Filter node must sit DIRECTLY on a Generate (node ids
+    # are child-first, so the explode is node N-1) — i.e. the prune happens
+    # before any aggregate/exchange touches the token stream.
+    import re as _re
+
+    prune_nodes = [
+        int(m.group(1))
+        for m in _re.finditer(r"\((\d+)\) Filter\nInput.*\nCondition : term#\d+ IN", plan)
+    ]
+    assert prune_nodes, plan
+    for n in prune_nodes:
+        assert f"({n - 1}) Generate" in plan, (n, plan)
