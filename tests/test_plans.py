@@ -457,3 +457,18 @@ def test_l47_bm25_prunes_terms_map_side(spark, sf_dir):
     assert prune_nodes, plan
     for n in prune_nodes:
         assert f"({n - 1}) Generate" in plan, (n, plan)
+
+
+def test_k34_spatial_candidates_are_equi_join(spark, sf_dir):
+    """The candidate stage must be a hash EQUI-join on the cell key (the
+    scale path), never a cartesian; the single BroadcastNestedLoopJoin
+    allowed is the exact fallback fed by the thin unresolved tail."""
+    q = registry.queries()["k34_nearest_station"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "EvalPython" not in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert plan.count("CartesianProduct") == 0, plan
+    # formatted plans print each node twice (tree + detail header): count
+    # the detail headers only
+    bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
+    assert len(bnlj) <= 1, plan
