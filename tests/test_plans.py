@@ -472,3 +472,15 @@ def test_k34_spatial_candidates_are_equi_join(spark, sf_dir):
     # the detail headers only
     bnlj = re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan)
     assert len(bnlj) <= 1, plan
+
+
+def test_k35_dst_day_has_23_local_hours(spark, sf_dir):
+    """The +69-day shift must actually cross the 2024-03-10 spring-forward:
+    that civil day shows 23 distinct local hours, neighbors show 24 — if
+    tz conversion silently degraded to a fixed offset, this pins it."""
+    import datetime as _dt
+
+    q = registry.queries()["k35_dst_local_rollup"]
+    rows = {r["local_day"]: r["n_local_hours"] for r in q(spark, sf_dir).collect()}
+    assert rows[_dt.datetime(2024, 3, 10)] == 23, rows
+    assert rows[_dt.datetime(2024, 3, 11)] == 24, rows
