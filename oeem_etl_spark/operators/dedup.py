@@ -404,3 +404,88 @@ def simhash_near_pairs(
         .where(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def prefix_filter_jaccard_join(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    threshold: float,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard-threshold self-join via prefix filtering (the
+    AllPairs/PPJoin family) — the exact counterpart to MinHash-LSH: same
+    shingle-set similarity, but candidate generation is LOSSLESS, so the
+    output equals the brute-force quadratic join row-for-row with no
+    recall gap to tune.
+
+    The filter: order every document's shingle set by ascending corpus
+    frequency (rarest first; ties on the shingle string — any fixed total
+    order works, contiguous global ranks are NOT needed, which is what
+    keeps this window-free at the vocabulary level). For a set of size s
+    and threshold t, any partner with Jaccard ≥ t must hit one of the
+    first p = s − ⌈t·s⌉ + 1 shingles: a qualifying pair shares
+    |A∩B| ≥ t·|A∪B| ≥ ⌈t·s⌉ members, which cannot fit in the s − p =
+    ⌈t·s⌉ − 1 non-prefix slots. Joining PREFIX shingles against the full
+    posting index therefore catches every qualifying pair; rarest-first
+    ordering makes those postings the shortest in the corpus.
+
+    Scale shape: one shuffle on the shingle for frequencies, one per-doc
+    window (partitioned by document — no global window), one equi-join
+    on the shingle key (bucketed by construction; the frequent shingles
+    that would skew it are exactly the ones prefix ordering excludes),
+    then the bounded verify join on the deduped candidate pairs. No
+    cartesian anywhere; every qualifying pair is found, none invented.
+
+    Returns ordered pairs (key_a < key_b) with exact ``jaccard`` ≥
+    ``threshold``, rounded 6dp.
+    """
+    if not 0.0 < threshold <= 1.0:
+        raise ValueError(f"threshold must be in (0, 1], got {threshold}")
+    from pyspark.sql import Window
+
+    k = F.col(key)
+    sets = df.select(
+        k.alias("__k"),
+        F.array_distinct(
+            shingles_from_tokens(F.split(F.col(text_col), " "), shingle_k)
+        ).alias("__set"),
+    )
+    toks = sets.select("__k", F.explode("__set").alias("__tok"))
+    freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
+    ranked = toks.join(freq, "__tok")
+    w = Window.partitionBy("__k").orderBy("__df", "__tok")
+    wcnt = Window.partitionBy("__k")
+    prefix = (
+        ranked.select(
+            "__k",
+            "__tok",
+            F.row_number().over(w).alias("__rn"),
+            F.count(F.lit(1)).over(wcnt).alias("__s"),
+        )
+        .where(
+            F.col("__rn")
+            <= F.col("__s") - F.ceil(F.lit(threshold) * F.col("__s")) + 1
+        )
+        .select("__k", "__tok")
+    )
+    cand = (
+        prefix.withColumnRenamed("__k", "__ka")
+        .join(toks.withColumnRenamed("__k", "__kb"), "__tok")
+        .where(F.col("__ka") != F.col("__kb"))
+        .select(
+            F.least("__ka", "__kb").alias("key_a"),
+            F.greatest("__ka", "__kb").alias("key_b"),
+        )
+        .distinct()
+    )
+    sa = sets.select(F.col("__k").alias("key_a"), F.col("__set").alias("__sa"))
+    sb = sets.select(F.col("__k").alias("key_b"), F.col("__set").alias("__sb"))
+    inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
+    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    return (
+        cand.join(sa, "key_a")
+        .join(sb, "key_b")
+        .where(inter / union >= F.lit(threshold))
+        .select("key_a", "key_b", F.round(inter / union, 6).alias("jaccard"))
+    )

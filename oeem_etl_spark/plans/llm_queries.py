@@ -1718,3 +1718,44 @@ def l47_bm25_retrieval(spark, sf_dir):
     return text.bm25_scores(
         docs, "doc_id", "text", ["hash", "join", "vector", "window", "stream"]
     )
+
+
+@query(
+    "l48_jaccard_prefix_join",
+    sql="""
+    WITH sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+        i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+             || ' ' || str_split(text,' ')[i+2])) AS s
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
+    ), cand AS (
+      -- Jaccard >= t > 0 requires >= 1 shared shingle, so the postings
+      -- equi-join is a LOSSLESS candidate set (and, unlike the engine's
+      -- prefix filter, does not depend on the prefix-length lemma under
+      -- test); the quadratic cross-join form is equivalent but takes
+      -- minutes at sf0.1
+      SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+    )
+    SELECT c.ka AS key_a, c.kb AS key_b,
+           ROUND(CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+                 / len(list_distinct(a.s || b.s)), 6) AS jaccard
+    FROM cand c JOIN sh a ON a.doc_id = c.ka JOIN sh b ON b.doc_id = c.kb
+    WHERE CAST(len(list_intersect(a.s, b.s)) AS DOUBLE)
+          / len(list_distinct(a.s || b.s)) >= 0.5
+    """,
+    tier="T2",
+    survey="L2,H7,H8,E1",
+)
+def l48_jaccard_prefix_join(spark, sf_dir):
+    """Exact Jaccard-threshold similar-pair join over the FULL corpus via
+    prefix filtering (dedup.prefix_filter_jaccard_join) — lossless
+    candidate generation, so the oracle is the brute-force quadratic join
+    and must match row-for-row (where l14 brute-forces a bounded subset,
+    this scales: candidates come from rarest-first prefix postings, not
+    all pairs)."""
+    docs = T(spark, sf_dir, "documents")
+    return dedup.prefix_filter_jaccard_join(docs, "doc_id", "text", 0.5)

@@ -766,3 +766,41 @@ def test_grid_nn_equals_bruteforce_dense(spark):
     for i, x, y in points:
         want = min(((x - sx) ** 2 + (y - sy) ** 2, sk) for sk, sx, sy in sites)
         assert out[i] == (want[1], want[0]), i
+
+
+def test_prefix_filter_jaccard_equals_bruteforce(spark):
+    """Lossless-candidate claim: output equals the quadratic brute force
+    on a planted corpus with near-threshold pairs, exact-duplicate pairs,
+    and sub-shingle-length docs."""
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    docs = [
+        (1, base),
+        (2, base),                                # exact dup of 1
+        (3, base.replace("dog", "cat")),          # near dup
+        (4, "completely different words here now thanks"),
+        (5, "short doc"),                         # < k tokens: 1 shingle
+        (6, "short doc"),                         # its dup
+        (7, "the quick brown fox jumps over the lazy dog"),  # prefix of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.9):
+        got = {
+            (r["key_a"], r["key_b"]): r["jaccard"]
+            for r in dedup.prefix_filter_jaccard_join(df, "doc_id", "text", t).collect()
+        }
+
+        def sh(s, k=3):
+            toks = s.split(" ")
+            if len(toks) < k:
+                return {" ".join(toks)}
+            return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+        want = {}
+        for i, ti in docs:
+            for j, tj in docs:
+                if i < j:
+                    a, b = sh(ti), sh(tj)
+                    jac = len(a & b) / len(a | b)
+                    if jac >= t:
+                        want[(i, j)] = round(jac, 6)
+        assert got == want, (t, got, want)

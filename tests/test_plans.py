@@ -484,3 +484,15 @@ def test_k35_dst_day_has_23_local_hours(spark, sf_dir):
     rows = {r["local_day"]: r["n_local_hours"] for r in q(spark, sf_dir).collect()}
     assert rows[_dt.datetime(2024, 3, 10)] == 23, rows
     assert rows[_dt.datetime(2024, 3, 11)] == 24, rows
+
+
+def test_l48_prefix_join_no_cartesian(spark, sf_dir):
+    """Prefix filtering must plan as equi-joins on the shingle key plus a
+    per-document window — never a cartesian/nested-loop pair stage."""
+    q = registry.queries()["l48_jaccard_prefix_join"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan
+    assert not re.findall(r"\(\d+\) BroadcastNestedLoopJoin", plan), plan
+    assert "EvalPython" not in plan, plan
+    # the candidate join shuffles on the shingle token key
+    assert re.search(r"hashpartitioning\(__tok", plan), plan
