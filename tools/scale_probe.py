@@ -153,6 +153,59 @@ def shapes(spark, sf_dir):
         )
         return interpolate_gaps(daily, ["o_custkey"], "bucket", "v", freq="day")
 
+    def spatial():
+        # points from the SCALED orders table (md5-derived coords), sites
+        # from the fixed customer table (the station side stays 1×, like
+        # real weather stations): cost must track the point count
+        from oeem_etl_spark.operators.spatial import grid_nn_join
+
+        def coord(prefix, key, p):
+            h = F.md5(F.concat(F.lit(prefix), F.col(key).cast("string")))
+            v = (
+                F.ascii(F.substring(h, p, 1)) * 65536
+                + F.ascii(F.substring(h, p + 1, 1)) * 256
+                + F.ascii(F.substring(h, p + 2, 1))
+            )
+            return (F.pmod(v, F.lit(2000001)) - F.lit(1000000)).cast("long")
+
+        pts = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey",
+            coord("p:", "o_orderkey", 1).alias("x"),
+            coord("p:", "o_orderkey", 4).alias("y"),
+        )
+        sites = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+            "c_custkey",
+            coord("s:", "c_custkey", 1).alias("x"),
+            coord("s:", "c_custkey", 4).alias("y"),
+        )
+        # ~15k sites over the ±1e6 square → ~16k typical spacing; 20k
+        # cells keep the 3×3 candidate list ~a dozen and resolve almost
+        # every point on the grid path
+        return grid_nn_join(pts, sites, "o_orderkey", "c_custkey", cell=20_000)
+
+    def jacc_prefix():
+        # Copies are token-renamed per copy block (c<copy><tok>): shingle
+        # structure WITHIN a copy is preserved (the planted near-dups stay
+        # similar), cross-copy similarity drops to zero — so qualifying
+        # pairs scale LINEARLY and the probe measures the plan, not the
+        # all-copies-are-duplicates data pathology (same lesson as the
+        # fuzzy probe's dense-keyspace note above).
+        from oeem_etl_spark.operators.dedup import prefix_filter_jaccard_join
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        copy = F.floor(F.col("doc_id") / F.lit(5000)).cast("string")
+        renamed = docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(F.lit("c"), copy, F.lit("_"), t),
+                ),
+                " ",
+            ).alias("text"),
+        )
+        return prefix_filter_jaccard_join(renamed, "doc_id", "text", 0.5)
+
     return {
         "q01_agg": q01,
         "q02_bjoin": q02,
@@ -160,6 +213,8 @@ def shapes(spark, sf_dir):
         "minhash_sigs": minhash,
         "fuzzy_join": fuzzy,
         "interpolate": interp,
+        "spatial_nn": spatial,
+        "jaccard_prefix": jacc_prefix,
     }
 
 
@@ -176,8 +231,11 @@ def main() -> None:
     for regime, confs in regimes.items():
         for k, v in confs.items():
             spark.conf.set(k, v)
+        only = [s for s in os.environ.get("SPARK_SCALE_ONLY", "").split(",") if s]
         for scale, sf_dir in (("1x", SF_DIR), (f"{COPIES}x", SCALE_DIR)):
             for name, fn in shapes(spark, sf_dir).items():
+                if only and not any(p in name for p in only):
+                    continue
                 fn().count()  # warm
                 best = float("inf")
                 for _ in range(3):
