@@ -1508,3 +1508,33 @@ def g6_snapshot_reconcile(spark, sf_dir):
             second.subtract(first).select(F.lit("only_second").alias("status"), "user_id")
         )
     )
+
+
+@query(
+    "g8_bag_set_ops",
+    sql="""
+    WITH a AS (SELECT l_suppkey AS k FROM lineitem WHERE l_quantity > 25),
+         b AS (SELECT l_suppkey AS k FROM lineitem WHERE l_returnflag = 'R'),
+         ex AS (SELECT k FROM a EXCEPT ALL SELECT k FROM b),
+         ia AS (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+    SELECT 'except_all' AS op, k, COUNT(*) AS n FROM ex GROUP BY k
+    UNION ALL
+    SELECT 'intersect_all' AS op, k, COUNT(*) AS n FROM ia GROUP BY k
+    """,
+    tier="T2",
+    survey="G3,G4,G1,D1",
+)
+def g8_bag_set_ops(spark, sf_dir):
+    """MULTISET set operations (exceptAll / intersectAll) — the bag
+    semantics G3/G4's set forms silently drop: per-key multiplicities
+    subtract / min rather than collapsing to membership. Output is the
+    per-key multiplicity of each result bag so the comparison is
+    deterministic."""
+    li = T(spark, sf_dir, "lineitem")
+    a = li.where(F.col("l_quantity") > 25).select(F.col("l_suppkey").alias("k"))
+    b = li.where(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("k"))
+    ex = a.exceptAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    ia = a.intersectAll(b).groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+    return ex.select(F.lit("except_all").alias("op"), "k", "n").unionByName(
+        ia.select(F.lit("intersect_all").alias("op"), "k", "n")
+    )

@@ -592,3 +592,91 @@ def a23_snapshot_incremental_feed(spark, sf_dir):
     complements the a8 file-manifest approach)."""
     t = _snapshot_table(spark, sf_dir)
     return t.read_incremental(spark, since_version=1)
+
+
+@query(
+    "a24_incremental_agg_maintenance",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    tier="T2",
+    survey="A8,K10,D1,G1",
+)
+def a24_incremental_agg_maintenance(spark, sf_dir):
+    """Incremental VIEW MAINTENANCE on the snapshot table: a per-user
+    aggregate materialized at version 1 is advanced to version 2 by
+    merging PARTIAL aggregates computed from the change feed alone
+    (read_incremental — the commit-2 files only, no re-scan of v1 data).
+    The merge is exact because the partials carry integer-micros sums and
+    counts (the dsum discipline distributes over union); the oracle is
+    the full recompute over ALL events, which the maintained state must
+    equal exactly — the algebraic-rollup property that makes aggregate
+    maintenance at 100 TB a delta-sized job instead of a table-sized
+    one."""
+    t = _snapshot_table(spark, sf_dir)
+
+    def partial(df):
+        return df.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "__micros"
+            ),
+        )
+
+    base = partial(t.read(spark, version=1))
+    delta = partial(t.read_incremental(spark, since_version=1))
+    return (
+        base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(F.sum("__n").alias("n_events"), F.sum("__micros").alias("__m"))
+        .select(
+            "user_id",
+            "n_events",
+            F.round(F.col("__m") / F.lit(1e6), 6).alias("sum_value"),
+        )
+    )
+
+
+@query(
+    "a25_file_provenance_audit",
+    sql="""
+    SELECT 'events.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           MIN(event_id) AS min_key, MAX(event_id) AS max_key
+    FROM events
+    UNION ALL
+    SELECT 'orders.parquet' AS file_name,
+           COUNT(*) AS n_rows,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders
+    """,
+    tier="T2",
+    survey="A1,B2,D1,G1",
+)
+def a25_file_provenance_audit(spark, sf_dir):
+    """Row-level provenance via the hidden ``_metadata`` columns: every
+    scanned row knows its source file, so per-file audit rollups (row
+    counts, key ranges) need no manifest — the lineage primitive behind
+    quarantine triage and selective re-ingestion. The oracle pins the
+    audit using the fixture's known one-file-per-table layout (verified
+    equal to DuckDB's filename=true reading); the Spark side assumes
+    nothing — ``_metadata.file_name`` is genuinely per-row, and the
+    multi-file case is covered in tests/test_operators.py."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    od = spark.read.parquet(f"{sf_dir}/orders.parquet")
+
+    def audit(df, key):
+        return (
+            df.select(F.col("_metadata.file_name").alias("file_name"), F.col(key))
+            .groupBy("file_name")
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.min(key).alias("min_key"),
+                F.max(key).alias("max_key"),
+            )
+        )
+
+    return audit(ev, "event_id").unionByName(audit(od, "o_orderkey"))

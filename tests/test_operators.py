@@ -804,3 +804,28 @@ def test_prefix_filter_jaccard_equals_bruteforce(spark):
                     if jac >= t:
                         want[(i, j)] = round(jac, 6)
         assert got == want, (t, got, want)
+
+
+def test_file_metadata_audit_multi_file(spark, sf_dir, tmp_path):
+    """_metadata.file_name is per-row across a multi-file table: a 3-file
+    write audits back as 3 distinct files whose row counts sum to the
+    total and whose key ranges partition the data."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select("event_id")
+    out = str(tmp_path / "multi")
+    ev.repartitionByRange(3, "event_id").write.parquet(out)
+    audit = (
+        spark.read.parquet(out)
+        .select(F.col("_metadata.file_name").alias("f"), "event_id")
+        .groupBy("f")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("event_id").alias("lo"),
+            F.max("event_id").alias("hi"),
+        )
+        .collect()
+    )
+    assert len(audit) == 3
+    assert sum(r["n"] for r in audit) == ev.count()
+    spans = sorted((r["lo"], r["hi"]) for r in audit)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 < l2  # range-partitioned: files hold disjoint key spans
