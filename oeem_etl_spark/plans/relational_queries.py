@@ -1538,3 +1538,66 @@ def g8_bag_set_ops(spark, sf_dir):
     return ex.select(F.lit("except_all").alias("op"), "k", "n").unionByName(
         ia.select(F.lit("intersect_all").alias("op"), "k", "n")
     )
+
+
+@query(
+    "d21_chi_square_independence",
+    sql="""
+    WITH obs AS (
+      SELECT l_returnflag AS r, l_linestatus AS c, COUNT(*) AS o
+      FROM lineitem GROUP BY r, c
+    ), rt AS (SELECT r, SUM(o) AS row_n FROM obs GROUP BY r),
+       ct AS (SELECT c, SUM(o) AS col_n FROM obs GROUP BY c),
+       n AS (SELECT SUM(o) AS total FROM obs),
+       cells AS (
+         SELECT obs.r, obs.c, obs.o,
+                (CAST(rt.row_n AS DOUBLE) * ct.col_n) / n.total AS e
+         FROM obs JOIN rt USING (r) JOIN ct USING (c) CROSS JOIN n
+       )
+    SELECT (SELECT COUNT(DISTINCT r) FROM obs) AS n_rows,
+           (SELECT COUNT(DISTINCT c) FROM obs) AS n_cols,
+           ROUND(SUM(CAST(ROUND(((o - e) * (o - e) / e) * 1000000) AS BIGINT))
+                 / 1000000.0, 6) AS chi2
+    FROM cells
+    """,
+    tier="T2",
+    survey="D1,D3,H5,C5",
+)
+def d21_chi_square_independence(spark, sf_dir):
+    """Chi-square independence audit over a contingency table
+    (returnflag × linestatus): expected cell counts from the marginal
+    products, per-cell contributions quantized to integer micros before
+    the sum (dsum discipline — cell order cannot flip a digit). The
+    whole statistic is three map-combinable aggregations over one scan
+    plus broadcast-sized marginal joins."""
+    li = T(spark, sf_dir, "lineitem")
+    obs = (
+        li.groupBy(F.col("l_returnflag").alias("r"), F.col("l_linestatus").alias("c"))
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    rt = obs.groupBy("r").agg(F.sum("o").alias("row_n"))
+    ct = obs.groupBy("c").agg(F.sum("o").alias("col_n"))
+    n = obs.agg(F.sum("o").alias("total"))
+    e = (F.col("row_n").cast("double") * F.col("col_n")) / F.col("total")
+    cells = (
+        obs.join(F.broadcast(rt), "r")
+        .join(F.broadcast(ct), "c")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "r",
+            "c",
+            F.round(
+                ((F.col("o") - e) * (F.col("o") - e) / e) * F.lit(1_000_000)
+            )
+            .cast("long")
+            .alias("__m"),
+        )
+    )
+    nr = obs.agg(F.count_distinct("r").alias("n_rows"))
+    nc = obs.agg(F.count_distinct("c").alias("n_cols"))
+    return (
+        cells.agg(F.round(F.sum("__m") / F.lit(1e6), 6).alias("chi2"))
+        .crossJoin(F.broadcast(nr))
+        .crossJoin(F.broadcast(nc))
+        .select("n_rows", "n_cols", "chi2")
+    )

@@ -350,3 +350,71 @@ def m7_entity_resolution_cc(spark, sf_dir):
         .select(F.col("a_id").alias("key_a"), F.col("b_id").alias("key_b"))
     )
     return connected_components(pairs)
+
+
+@query(
+    "m8_copurchase_lift",
+    sql="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), n AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM lineitem),
+    pc AS (SELECT l_partkey, COUNT(*) AS n_p FROM op GROUP BY l_partkey),
+    pairs AS (
+      SELECT a.l_partkey AS pk_a, b.l_partkey AS pk_b, COUNT(*) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY pk_a, pk_b
+    )
+    SELECT pk_a, pk_b, n_ab,
+           ROUND(CAST(n_ab AS DOUBLE) * n_orders / (ca.n_p * cb.n_p), 6)
+             AS lift
+    FROM pairs JOIN pc ca ON ca.l_partkey = pk_a
+               JOIN pc cb ON cb.l_partkey = pk_b
+               CROSS JOIN n
+    WHERE n_ab >= 2
+    ORDER BY lift DESC, pk_a, pk_b LIMIT 100
+    """,
+    tier="T2",
+    survey="C10,C5,D1,F3",
+)
+def m8_copurchase_lift(spark, sf_dir):
+    """Market-basket co-occurrence with lift scoring: parts co-ordered in
+    the same order, lift = P(a,b)/(P(a)P(b)). The pair stage is the
+    order-key self-join — bounded fan-out (≤7 lines/order in TPC-H shape;
+    a real catalog would cap basket size the same way), so pair volume is
+    linear in orders, not quadratic in parts. Per-part totals attach by
+    broadcast; the top-100 is fully tie-broken (lift, pk_a, pk_b) so
+    LIMIT is deterministic across engines."""
+    li = T(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    n = op.select(F.count_distinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk_a"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk_b"))
+    pairs = (
+        a.join(b, "ok")
+        .where(F.col("pk_a") < F.col("pk_b"))
+        .groupBy("pk_a", "pk_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= 2)
+    )
+    ca = F.broadcast(pc.select(F.col("l_partkey").alias("pk_a"), F.col("n_p").alias("n_a")))
+    cb = F.broadcast(pc.select(F.col("l_partkey").alias("pk_b"), F.col("n_p").alias("n_b")))
+    return (
+        pairs.join(ca, "pk_a")
+        .join(cb, "pk_b")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "pk_a",
+            "pk_b",
+            "n_ab",
+            F.round(
+                F.col("n_ab").cast("double")
+                * F.col("n_orders")
+                / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+        .orderBy(F.col("lift").desc(), "pk_a", "pk_b")
+        .limit(100)
+    )
