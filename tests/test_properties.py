@@ -495,16 +495,19 @@ def test_jpeg_roundtrip_bounded_error_property(dims, seed, quality, rst, sub):
     rng = np.random.default_rng(seed)
     # Smooth content (low-frequency): block-DC-dominated, so error stays
     # small at any quality; pure noise is the known worst case for DCT.
+    # CLIP, don't wrap: a % 256 gradient can put a 255->0 seam mid-image —
+    # maximal high-frequency content, which on a tiny image dominates the
+    # mean (hypothesis found 5x3/q50/4:2:0 at 32.6) and tests the content
+    # pathology, not the codec.
     base = rng.integers(0, 256, size=3)
     yy, xx = np.mgrid[0:h, 0:w]
     px = np.stack(
-        [(base[c] + 2 * xx + 3 * yy) % 256 for c in range(3)], axis=2
+        [np.clip(base[c] + 2 * xx + 3 * yy, 0, 255) for c in range(3)], axis=2
     ).astype(np.uint8)
     data = ic.encode_jpeg(px, quality=quality, restart_interval=rst, subsample=sub)
     got_w, got_h, got = ic.decode_jpeg(data)
     assert (got_w, got_h) == (w, h)
-    # Wrap-around rows (255->0 seams) are high-frequency; allow a loose
-    # mean bound that still catches structural bugs (channel swap ~85).
+    # Loose mean bound that still catches structural bugs (channel swap ~85).
     assert np.abs(got.astype(int) - px.astype(int)).mean() < 30.0
     if rst:
         _, _, plain = ic.decode_jpeg(
