@@ -1356,3 +1356,47 @@ def k35_dst_local_rollup(spark, sf_dir):
             dsum(F.col("value"), "sum_value"),
         )
     )
+
+
+@query(
+    "k36_benford_audit",
+    sql="""
+    WITH d AS (
+      SELECT substr(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1)
+               AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), c AS (
+      SELECT digit, COUNT(*) AS n FROM d GROUP BY digit
+    ), t AS (SELECT SUM(n) AS total FROM c)
+    SELECT CAST(digit AS BIGINT) AS digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS observed,
+           ROUND(log10(1.0 + 1.0 / CAST(digit AS BIGINT)), 6) AS benford
+    FROM c CROSS JOIN t
+    """,
+    tier="T2",
+    survey="K9,H1,H5,D1",
+)
+def k36_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit on money amounts — the
+    fabricated-data screen auditors run on billing exports. The digit is
+    taken from the INTEGER-CENTS string (double formatting differs
+    between engines; a bigint's decimal string does not), observed
+    frequencies are exact count ratios, and the Benford expectation
+    log10(1 + 1/d) is computed identically in both engines."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+    )
+    c = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            F.col("digit").cast("long").alias("digit"),
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("observed"),
+            F.round(
+                F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit").cast("long")), 6
+            ).alias("benford"),
+        )
+    )

@@ -1601,3 +1601,98 @@ def d21_chi_square_independence(spark, sf_dir):
         .crossJoin(F.broadcast(nc))
         .select("n_rows", "n_cols", "chi2")
     )
+
+
+@query(
+    "m9_event_transition_matrix",
+    sql="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS next_type
+      FROM events
+    ), cnt AS (
+      SELECT event_type, next_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL
+      GROUP BY event_type, next_type
+    ), tot AS (
+      SELECT event_type, SUM(n) AS n_from FROM cnt GROUP BY event_type
+    )
+    SELECT cnt.event_type, cnt.next_type, cnt.n,
+           ROUND(CAST(cnt.n AS DOUBLE) / tot.n_from, 6) AS prob
+    FROM cnt JOIN tot USING (event_type)
+    """,
+    tier="T2",
+    survey="E2,D1,C1",
+)
+def m9_event_transition_matrix(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event streams:
+    lead() pairs within one user-partitioned window (single shuffle on
+    user_id), bigram counts, and row-normalized probabilities — exact
+    integer-count ratios, so the 6dp rounding is engine-stable. The
+    from-state totals attach by broadcast (|event types|² rows)."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    cnt = (
+        ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("next_type"))
+        .where(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = cnt.groupBy("event_type").agg(F.sum("n").alias("n_from"))
+    return (
+        cnt.join(F.broadcast(tot), "event_type")
+        .select(
+            "event_type",
+            "next_type",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("n_from"), 6).alias("prob"),
+        )
+    )
+
+
+@query(
+    "d22_equi_depth_histogram",
+    sql="""
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice,
+               [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS bnds
+      FROM orders
+    )
+    SELECT CAST(1 + len(list_filter(b.bnds, x -> o_totalprice > x)) AS BIGINT)
+             AS bucket,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders CROSS JOIN b
+    GROUP BY bucket
+    """,
+    tier="T2",
+    survey="D6,D1,H8,B2",
+)
+def d22_equi_depth_histogram(spark, sf_dir):
+    """Exact equi-DEPTH histogram (complements d19's equi-width): interior
+    boundaries from one exact-percentile aggregation (a 7-double frame —
+    broadcast, never a global sort/window), bucket assignment as a
+    map-side lambda count of exceeded boundaries. Interpolated boundaries
+    are either exactly a data value (d=0 — bit-identical in both engines)
+    or strictly between two adjacent money values, so 1-ulp interpolation
+    differences cannot flip any v>b comparison."""
+    o = T(spark, sf_dir, "orders")
+    qs = [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]
+    b = o.agg(
+        F.percentile("o_totalprice", F.array(*[F.lit(q) for q in qs])).alias("bnds")
+    )
+    v = F.col("o_totalprice")
+    bucket = (
+        F.lit(1) + F.size(F.filter(F.col("bnds"), lambda x: v > x))
+    ).cast("long")
+    return (
+        o.crossJoin(F.broadcast(b))
+        .groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min(v), 2).alias("lo"),
+            F.round(F.max(v), 2).alias("hi"),
+        )
+    )
