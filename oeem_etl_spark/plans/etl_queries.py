@@ -1400,3 +1400,108 @@ def k36_benford_audit(spark, sf_dir):
             ).alias("benford"),
         )
     )
+
+
+@query(
+    "k37_meter_pipeline",
+    sql="""
+    WITH raw AS (
+      SELECT event_id, user_id, ts, value FROM events
+      UNION ALL
+      SELECT event_id + 10000000, user_id, ts, value + 1.0
+      FROM events WHERE event_id <= 500
+    ), dedup AS (
+      SELECT user_id, ts, arg_max(value, event_id) AS value
+      FROM raw GROUP BY user_id, ts
+    ), daily AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS bucket,
+             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS v_fp
+      FROM dedup GROUP BY user_id, bucket
+    ), spans AS (
+      SELECT user_id, min(bucket) AS min_b, max(bucket) AS max_b
+      FROM daily GROUP BY user_id
+    ), grid AS (
+      SELECT user_id, unnest(generate_series(min_b, max_b, INTERVAL 1 DAY)) AS bucket
+      FROM spans
+    ), j AS (
+      SELECT g.user_id, g.bucket, d.v_fp
+      FROM grid g LEFT JOIN daily d USING (user_id, bucket)
+    ), w AS (
+      SELECT user_id, bucket, v_fp,
+        last_value(v_fp IGNORE NULLS) OVER wb AS pv,
+        last_value(CASE WHEN v_fp IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER wb AS pb,
+        first_value(v_fp IGNORE NULLS) OVER wf AS nv,
+        first_value(CASE WHEN v_fp IS NOT NULL THEN bucket END IGNORE NULLS)
+          OVER wf AS nb
+      FROM j
+      WINDOW wb AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (PARTITION BY user_id ORDER BY bucket
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    ), interp AS (
+      SELECT user_id, bucket,
+        CAST(CASE
+            WHEN v_fp IS NOT NULL THEN v_fp
+            WHEN pv IS NULL THEN nv
+            WHEN nv IS NULL THEN pv
+            ELSE pv + CAST(
+              (((nv - pv) * date_diff('day', pb, bucket))
+               - ((nv - pv) * date_diff('day', pb, bucket))
+                 % date_diff('day', pb, nb))
+              / date_diff('day', pb, nb) AS BIGINT)
+          END AS BIGINT) AS fp,
+        CAST(v_fp IS NULL AS BOOLEAN) AS was_gap
+      FROM w
+    )
+    SELECT user_id, CAST(date_trunc('month', bucket) AS TIMESTAMP) AS month,
+           COUNT(*) AS n_days,
+           CAST(COALESCE(SUM(CASE WHEN was_gap THEN 1 END), 0) AS BIGINT)
+             AS n_gap_days,
+           ROUND(SUM(fp) / 1000000.0, 6) AS month_total
+    FROM interp GROUP BY user_id, month
+    """,
+    tier="T2",
+    survey="K5,K3,K4,K-ext,D12,D1",
+)
+def k37_meter_pipeline(spark, sf_dir):
+    """The reference's meter job fused END TO END in one declarative plan
+    (the K-family counterpart of the corpus funnel l27): late-arriving
+    corrections (a doctored +1.0 re-issue of the first 500 reads with
+    higher event_ids) → keep-latest dedup (max_by, map-combinable — no
+    window) → daily fixed-point rollup → exact linear interpolation over
+    the dense day grid → monthly totals with gap-day accounting. Every
+    stage reuses an independently-oracled operator; the composite oracle
+    chains their SQL forms, so a drift in ANY stage breaks the match."""
+    from oeem_etl_spark.operators.relational import dedupe_keep_latest_by
+    from oeem_etl_spark.operators.timeseries import interpolate_gaps
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "ts", "value")
+    corrections = ev.where(F.col("event_id") <= 500).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "user_id",
+        "ts",
+        (F.col("value") + F.lit(1.0)).alias("value"),
+    )
+    raw = ev.unionByName(corrections)
+    latest = dedupe_keep_latest_by(raw, ["user_id", "ts"], ["event_id"])
+    daily = resample_interval(
+        latest, keys=["user_id"], ts="ts", freq="day", aggs=[dsum("value", "day_total")]
+    )
+    interp = interpolate_gaps(
+        daily, keys=["user_id"], bucket="bucket", value="day_total", freq="day"
+    )
+    micros = F.round(F.col("day_total") * F.lit(1_000_000)).cast("long")
+    return (
+        interp.groupBy(
+            "user_id",
+            F.date_trunc("month", F.col("bucket"))
+            .cast("timestamp_ntz")
+            .alias("month"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum(F.when(F.col("was_gap"), 1).otherwise(0)).alias("n_gap_days"),
+            F.round(F.sum(micros) / F.lit(1e6), 6).alias("month_total"),
+        )
+    )
