@@ -313,14 +313,29 @@ class SnapshotTable:
         stats for the column are kept). The caller still applies the
         exact predicate — pruning changes I/O, never results."""
         m = self._resolve(version, as_of)
-        entries = m["files"]
+        all_entries = m["files"]
+        if not all_entries:
+            # an entirely fileless table has no schema to offer
+            raise ValueError("snapshot has no files (empty commit?)")
+        entries = all_entries
         if prune is not None:
             col, lo, hi = prune
             entries = [e for e in entries if _may_intersect(e, col, lo, hi)]
         if not entries:
-            # preserve schema for empty snapshots by reading zero rows of any
-            # known file; an entirely fileless table has no schema to offer
-            raise ValueError("snapshot has no files (empty commit?)")
+            # every file pruned: pruning must change I/O, NEVER results —
+            # return an empty frame with the table schema (zero rows of one
+            # known file; only its footer is read). Partitioned entries go
+            # through basePath so partition columns stay in the schema.
+            e0 = all_entries[0]
+            if "partition" in e0:
+                rel = os.path.relpath(e0["path"], self.data_dir)
+                base = os.path.join(self.data_dir, rel.split(os.sep)[0])
+                return (
+                    spark.read.option("basePath", base)
+                    .parquet(e0["path"])
+                    .limit(0)
+                )
+            return spark.read.parquet(e0["path"]).limit(0)
         if not any("partition" in e for e in entries):
             return spark.read.parquet(*[e["path"] for e in entries])
         # hive-partitioned files: partition columns live in the directory

@@ -224,3 +224,23 @@ def test_incremental_feed_appends_only(spark, table):
         table.read_incremental(spark, 2)
     # ranges entirely before the rewrite still work
     assert _ids(table.read_incremental(spark, 2, 3)) == list(range(20, 30))
+
+
+def test_prune_to_empty_returns_empty_frame_not_error(spark, tmp_path):
+    """Pruning changes I/O, never results: a range intersecting NO file's
+    stats must yield an empty frame with the table schema (this bit the
+    sf0.001 sweep, where the a20 prune range matches no user ids)."""
+    from oeem_etl_spark.sources.snapshots import SnapshotTable
+
+    t = SnapshotTable(str(tmp_path / "t"))
+    df = (
+        spark.range(10)
+        .select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+        .coalesce(1)  # one file, so the stats range is [0, 9] exactly
+    )
+    t.commit(df, mode="append")
+    out = t.read(spark, version=1, prune=("k", 1000, 2000))
+    assert out.columns == ["k", "v"]
+    assert out.count() == 0
+    # an intersecting prune keeps the file (caller applies the exact filter)
+    assert t.read(spark, version=1, prune=("k", 0, 3)).count() == 10
