@@ -144,6 +144,8 @@ def main() -> None:
         "k23_calendarize",
         "t21_waiting_supplier",  # tracks the decorrelated-window rewrite
         "h17_fuzzy_join",
+        "k34_nearest_station",  # grid-blocked spatial NN (flat 1x->10x)
+        "k37_meter_pipeline",  # fused dedup->interp->monthly composite
     ]
     extra: dict[str, float] = {}
     for name in (n for n in EXTRA if n in qs):
