@@ -625,3 +625,38 @@ def test_interpolate_gaps_model_equivalence(spark, obs):
         q = abs(numer) // n if numer >= 0 else -(abs(numer) // n)
         interp = fp[p] + q
         assert got[ts] == (round(interp / 1e6, 6), True)
+
+
+@given(
+    cell=st.sampled_from([50, 100, 300, 1000]),
+    seed=st.integers(0, 2**31),
+    n_pts=st.integers(5, 40),
+    n_sites=st.integers(1, 10),
+)
+@settings(**SETTINGS)
+def test_grid_nn_matches_bruteforce_property(spark, cell, seed, n_pts, n_sites):
+    """grid_nn_join equals brute force for ANY geometry and cell size —
+    including cells far smaller than typical nearest distances (mostly
+    fallback) and far larger (single-cell, all-candidate)."""
+    import numpy as np
+
+    from oeem_etl_spark.operators.spatial import grid_nn_join
+
+    rng = np.random.default_rng(seed)
+    pts = [
+        (i, int(rng.integers(-1500, 1500)), int(rng.integers(-1500, 1500)))
+        for i in range(n_pts)
+    ]
+    sites = [
+        (j, int(rng.integers(-1500, 1500)), int(rng.integers(-1500, 1500)))
+        for j in range(n_sites)
+    ]
+    p = spark.createDataFrame(pts, "pk long, x long, y long")
+    s = spark.createDataFrame(sites, "sk long, x long, y long")
+    got = {
+        r["pk"]: (r["nearest_site"], r["d2"])
+        for r in grid_nn_join(p, s, "pk", "sk", cell=cell).collect()
+    }
+    for i, x, y in pts:
+        want = min(((x - sx) ** 2 + (y - sy) ** 2, sk) for sk, sx, sy in sites)
+        assert got[i] == (want[1], want[0]), (i, cell)
