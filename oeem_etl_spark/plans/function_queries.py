@@ -689,3 +689,63 @@ def h19_soundex_blocking(spark, sf_dir):
              F.count(F.lit(1)).alias("n"))
         .orderBy("code")
     )
+
+
+@query(
+    "j8_arrow_grouped_map",
+    sql="""
+    WITH m AS (
+      SELECT user_id, CAST(ROUND(value * 1000000) AS BIGINT) AS v_m
+      FROM events WHERE value IS NOT NULL
+    ), s AS (
+      SELECT user_id, COUNT(*) AS n, SUM(v_m) AS sum_m FROM m GROUP BY user_id
+    )
+    SELECT m.user_id, s.n,
+           ROUND(s.sum_m / 1000000.0, 6) AS sum_value,
+           CAST(MAX(ABS(m.v_m - (s.sum_m // s.n))) AS BIGINT) AS max_dev_micros
+    FROM m JOIN s USING (user_id)
+    GROUP BY m.user_id, s.n, s.sum_m
+    """,
+    tier="T2",
+    survey="J3,J4,D1",
+)
+def j8_arrow_grouped_map(spark, sf_dir):
+    """Spark 4's ARROW-native grouped map (``applyInArrow`` — the
+    zero-pandas sibling of J3's applyInPandas): per-user integer-micros
+    sum and max absolute deviation from the floor-divided integer mean,
+    computed on the raw ``pyarrow.Table`` batch with arrow compute
+    kernels (round mode half_towards_infinity = Spark/DuckDB ROUND).
+    Exact integer arithmetic end to end, so the oracle matches the
+    Python-side group computation digit-for-digit."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def group_stats(table: "pa.Table") -> "pa.Table":
+        v = pc.cast(
+            pc.round(
+                pc.multiply(table.column("value"), pa.scalar(1e6)),
+                ndigits=0,
+                round_mode="half_towards_infinity",
+            ),
+            pa.int64(),
+        )
+        n = len(table)
+        sum_m = pc.sum(v).as_py()
+        mean_m = sum_m // n  # Python floor division == DuckDB //
+        max_dev = pc.max(pc.abs(pc.subtract(v, pa.scalar(mean_m)))).as_py()
+        return pa.table(
+            {
+                "user_id": pa.array([table.column("user_id")[0].as_py()], pa.int64()),
+                "n": pa.array([n], pa.int64()),
+                "sum_value": pa.array([round(sum_m / 1e6, 6)], pa.float64()),
+                "max_dev_micros": pa.array([max_dev], pa.int64()),
+            }
+        )
+
+    ev = T(spark, sf_dir, "events").where(F.col("value").isNotNull()).select(
+        "user_id", "value"
+    )
+    return ev.groupBy("user_id").applyInArrow(
+        group_stats,
+        schema="user_id long, n long, sum_value double, max_dev_micros long",
+    )
