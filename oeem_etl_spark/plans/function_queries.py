@@ -749,3 +749,39 @@ def j8_arrow_grouped_map(spark, sf_dir):
         group_stats,
         schema="user_id long, n long, sum_value double, max_dev_micros long",
     )
+
+
+@query(
+    "j9_parameterized_sql",
+    sql="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           ROUND(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                 / 1000000.0, 6) AS total
+    FROM orders
+    WHERE o_totalprice > 1000.0 AND o_orderdate < TIMESTAMP '1997-01-01'
+    GROUP BY o_orderpriority
+    """,
+    tier="T2",
+    survey="J7,B3,D1",
+)
+def j9_parameterized_sql(spark, sf_dir):
+    """Spark 4 PARAMETERIZED SQL: named ``:param`` binding (the
+    injection-safe way to template a query — values bind as literals in
+    the plan, never string-spliced) plus ``{df}`` DataFrame
+    interpolation, so the statement runs against an unregistered frame
+    with no temp-view bookkeeping."""
+    import datetime
+
+    o = T(spark, sf_dir, "orders")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, COUNT(*) AS n,
+               ROUND(SUM(CAST(ROUND(o_totalprice * 1000000) AS BIGINT))
+                     / CAST(1000000 AS DOUBLE), 6) AS total
+        FROM {orders}
+        WHERE o_totalprice > :lo AND o_orderdate < :cutoff
+        GROUP BY o_orderpriority
+        """,
+        args={"lo": 1000.0, "cutoff": datetime.datetime(1997, 1, 1)},
+        orders=o,
+    )
