@@ -261,6 +261,12 @@ def semantic_dedup_pairs(
         F.col(vec_col),
         vector.norm(vec_col).alias("__n"),
     )
+    # both pair sides read this frame: persist it or the k-means
+    # assignment + norm pass runs twice (MEMORY_AND_DISK, released by
+    # the ContextCleaner; one row per vector, linear in the corpus)
+    from pyspark.storagelevel import StorageLevel
+
+    side = side.persist(StorageLevel.MEMORY_AND_DISK)
     x = side.select(
         F.col("cluster"),
         F.col(key).alias("keep_id"),
