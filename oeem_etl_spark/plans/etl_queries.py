@@ -1505,3 +1505,61 @@ def k37_meter_pipeline(spark, sf_dir):
             F.round(F.sum(micros) / F.lit(1e6), 6).alias("month_total"),
         )
     )
+
+
+@query(
+    "k38_conversion_latency",
+    sql="""
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), p AS (
+      SELECT e.user_id, MIN(e.ts) AS t_conv
+      FROM events e JOIN v USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > v.t_view
+      GROUP BY e.user_id
+    ), lat AS (
+      SELECT p.user_id,
+             epoch_us(p.t_conv) - epoch_us(v.t_view) AS latency_us
+      FROM p JOIN v USING (user_id)
+    )
+    SELECT COUNT(*) AS n_converted,
+           CAST(MIN(latency_us) AS BIGINT) AS min_us,
+           ROUND(median(latency_us), 1) AS p50_us,
+           ROUND(quantile_cont(latency_us, 0.9), 1) AS p90_us,
+           CAST(MAX(latency_us) AS BIGINT) AS max_us
+    FROM lat
+    """,
+    tier="T2",
+    survey="K-ext,D6,E2,C1,D1",
+)
+def k38_conversion_latency(spark, sf_dir):
+    """Funnel latency distribution — the timing face of k21's stage
+    counts: per user, first 'view' to first subsequent 'purchase', then
+    exact percentiles over the latency population (both engines
+    interpolate quantiles identically, the d6-established parity). Two
+    aggregations share the user_id partitioning; the percentile rollup
+    is a single 1-row reduce."""
+    ev = T(spark, sf_dir, "events")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_conv"))
+    )
+    lat = p.join(v, "user_id").select(
+        (F.unix_micros("t_conv") - F.unix_micros("t_view")).alias("latency_us")
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.min("latency_us").alias("min_us"),
+        F.round(F.median("latency_us"), 1).alias("p50_us"),
+        F.round(F.percentile("latency_us", 0.9), 1).alias("p90_us"),
+        F.max("latency_us").alias("max_us"),
+    )
