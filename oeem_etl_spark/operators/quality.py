@@ -105,3 +105,43 @@ def observe_load(
             F.count(F.when(F.col(c).isNull(), F.lit(1))).alias(f"null_{c}")
         )
     return df.observe(observation if observation is not None else name, *metrics)
+
+
+def k_anonymity_audit(
+    df: DataFrame,
+    quasi_cols: Sequence[str | Column],
+    k: int,
+    report_by: Sequence[str] | None = None,
+) -> DataFrame:
+    """Privacy-release audit: k-anonymity over the quasi-identifier tuple.
+
+    An equivalence class is one distinct value of ``quasi_cols``; a class
+    with fewer than ``k`` rows re-identifies its members and must be
+    suppressed or generalized before release. The audit reports, per
+    ``report_by`` group (default: one global row): class count, unsafe
+    class count, rows in unsafe classes, total rows, and the suppression
+    rate a k-threshold release would pay.
+
+    Two grouped aggregations, both map-side combinable: the class-size
+    count shuffles one row per distinct quasi tuple (bounded by the
+    generalization grain, not the data), the audit rollup one row per
+    report group. No windows, no self-joins — the same shape at 100 TB.
+    """
+    cols = [F.col(c) if isinstance(c, str) else c for c in quasi_cols]
+    names = [f"__q{i}" for i in range(len(cols))]
+    by = list(report_by or [])
+    cls = df.groupBy(
+        *by, *[c.alias(n) for c, n in zip(cols, names)]
+    ).agg(F.count(F.lit(1)).alias("__n"))
+    unsafe = F.col("__n") < k
+    return cls.groupBy(*by).agg(
+        F.count(F.lit(1)).alias("n_classes"),
+        F.sum(unsafe.cast("bigint")).alias("n_unsafe_classes"),
+        F.sum(F.when(unsafe, F.col("__n")).otherwise(0)).alias("n_suppressed"),
+        F.sum("__n").alias("n_rows"),
+        F.round(
+            F.sum(F.when(unsafe, F.col("__n")).otherwise(0))
+            / F.sum("__n"),
+            6,
+        ).alias("suppression_rate"),
+    )

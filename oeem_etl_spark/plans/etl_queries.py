@@ -1563,3 +1563,111 @@ def k38_conversion_latency(spark, sf_dir):
         F.round(F.percentile("latency_us", 0.9), 1).alias("p90_us"),
         F.max("latency_us").alias("max_us"),
     )
+
+
+@query(
+    "k39_peak_demand",
+    sql="""
+    WITH hourly AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             date_trunc('hour', ts) AS hour,
+             ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+               AS sys_total
+      FROM events GROUP BY 1, 2
+    ),
+    peak AS (
+      SELECT month, hour AS peak_hour, sys_total AS system_peak
+      FROM (SELECT *, row_number() OVER (
+              PARTITION BY month ORDER BY sys_total DESC, hour ASC) AS rn
+            FROM hourly)
+      WHERE rn = 1
+    ),
+    uh AS (
+      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+             date_trunc('hour', ts) AS hour, user_id,
+             ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+               AS user_total
+      FROM events GROUP BY 1, 2, 3
+    ),
+    own AS (
+      SELECT month, user_id, MAX(user_total) AS own_peak
+      FROM uh GROUP BY 1, 2
+    ),
+    coin AS (
+      SELECT uh.month, p.peak_hour, p.system_peak, uh.user_id,
+             uh.user_total AS coincident,
+             row_number() OVER (PARTITION BY uh.month
+               ORDER BY uh.user_total DESC, uh.user_id ASC) AS rnk
+      FROM uh JOIN peak p ON uh.month = p.month AND uh.hour = p.peak_hour
+    )
+    SELECT c.month, c.peak_hour, c.system_peak, c.rnk, c.user_id,
+           c.coincident, o.own_peak,
+           ROUND(c.coincident / c.system_peak, 6) AS peak_share
+    FROM coin c JOIN own o ON c.month = o.month AND c.user_id = o.user_id
+    WHERE c.rnk <= 3
+    ORDER BY c.month, c.rnk
+    """,
+    tier="T2",
+    survey="K-ext,D1,E1,C1,H4",
+)
+def k39_peak_demand(spark, sf_dir):
+    """Demand-charge analytics: per month, the system peak hour (max
+    hourly total, ties to the earlier hour) and the top-3 coincident
+    contributors — each with its own non-coincident monthly peak and its
+    share of the system peak. The per-(hour, user) rollup is computed
+    once and reused for both the coincident lookup and the own-peak
+    rollup (shared partitioning, no second scan); the peak-hour frame is
+    one row per month, broadcast into the contributor join. Hourly sums
+    are integer-micros so both engines agree to the last digit."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select(
+        F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+        F.date_trunc("hour", F.col("ts")).alias("hour"),
+        "user_id",
+        "value",
+    )
+    uh = ev.groupBy("month", "hour", "user_id").agg(
+        dsum("value", "user_total")
+    )
+    hourly = uh.groupBy("month", "hour").agg(
+        F.round(F.sum("user_total"), 6).alias("sys_total")
+    )
+    w = Window.partitionBy("month").orderBy(
+        F.col("sys_total").desc(), F.col("hour").asc()
+    )
+    peak = (
+        hourly.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            F.col("month").alias("__pmonth"),
+            F.col("hour").alias("peak_hour"),
+            F.col("sys_total").alias("system_peak"),
+        )
+    )
+    own = uh.groupBy("month", "user_id").agg(F.max("user_total").alias("own_peak"))
+    wc = Window.partitionBy("month").orderBy(
+        F.col("coincident").desc(), F.col("user_id").asc()
+    )
+    coin = (
+        uh.join(
+            F.broadcast(peak),
+            (F.col("month") == F.col("__pmonth"))
+            & (F.col("hour") == F.col("peak_hour")),
+        )
+        .select("month", "peak_hour", "system_peak", "user_id",
+                F.col("user_total").alias("coincident"))
+        .withColumn("rnk", F.row_number().over(wc))
+        .where(F.col("rnk") <= 3)
+    )
+    return (
+        coin.join(own, ["month", "user_id"])
+        .select(
+            "month", "peak_hour", "system_peak", "rnk", "user_id",
+            "coincident", "own_peak",
+            F.round(F.col("coincident") / F.col("system_peak"), 6).alias(
+                "peak_share"
+            ),
+        )
+        .orderBy("month", "rnk")
+    )

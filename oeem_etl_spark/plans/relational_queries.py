@@ -20,6 +20,7 @@ from oeem_etl_spark.operators.relational import (
     merge_upsert,
     topk_per_group,
 )
+from oeem_etl_spark.operators import quality as quality_ops
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, davg, dsum, sql_davg, sql_dsum
 
@@ -1696,3 +1697,43 @@ def d22_equi_depth_histogram(spark, sf_dir):
             F.round(F.max(v), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "d23_k_anonymity",
+    sql="""
+    WITH cls AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(FLOOR(value / 100) AS INT) AS vb, COUNT(*) AS n
+      FROM events GROUP BY 1, 2, 3
+    )
+    SELECT event_type,
+           COUNT(*) AS n_classes,
+           SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS n_unsafe_classes,
+           SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS n_suppressed,
+           SUM(n) AS n_rows,
+           ROUND(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
+             AS suppression_rate
+    FROM cls GROUP BY event_type ORDER BY event_type
+    """,
+    tier="T2",
+    survey="D1,D10,B4,H4",
+)
+def d23_k_anonymity(spark, sf_dir):
+    """k-anonymity audit (operators/quality.k_anonymity_audit) before a
+    data release: quasi-identifier = (event day, value band); classes with
+    <5 rows re-identify members, and the audit prices the suppression a
+    k=5 release would pay, per event_type. Two map-side-combinable
+    aggregations — one row per class, then one per report group; the
+    class count is bounded by the generalization grain, so the shuffle
+    stays O(classes) at any corpus size."""
+    ev = T(spark, sf_dir, "events")
+    return quality_ops.k_anonymity_audit(
+        ev,
+        quasi_cols=[
+            F.col("ts").cast("date"),
+            F.floor(F.col("value") / 100).cast("int"),
+        ],
+        k=5,
+        report_by=["event_type"],
+    ).orderBy("event_type")
