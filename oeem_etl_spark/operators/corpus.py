@@ -462,3 +462,56 @@ def token_budget_select(
         .withColumn("cum_tokens", F.sum("n_tokens").over(w).cast("long"))
         .where(F.col("cum_tokens") <= budget)
     )
+
+
+def importance_weights(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    is_target: Column,
+) -> DataFrame:
+    """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
+    for Language Models via Importance Resampling"): score every document
+    by how much its unigrams look like a small TARGET slice of the corpus
+    versus the corpus as a whole, so raw data matching the target
+    distribution can be up-sampled.
+
+    Per token ``t``: ``w(t) = ln p_target(t) - ln p_raw(t)`` with add-1
+    smoothing over the raw vocabulary; per document: the mean of ``w``
+    over its tokens, quantized to integer micros per token before the sum
+    (order-independent across engines/parallelism — the l24/dsum
+    discipline).
+
+    Scale shape: two grouped token counts (map-side combined, one row per
+    distinct token — vocabulary-bounded, not corpus-bounded), one
+    broadcastable 3-number totals frame, and one join of the exploded
+    token stream against the vocabulary frequencies. The document text
+    itself never shuffles; at 100 TB the vocabulary join is the only
+    exchange and it moves O(tokens) narrow rows.
+    """
+    toks = df.select(
+        F.col(key), is_target.alias("__tgt"), F.explode(tokenize(text_col)).alias("__t")
+    )
+    freq = toks.groupBy("__t").agg(
+        F.count(F.lit(1)).alias("__tf_raw"),
+        F.sum(F.col("__tgt").cast("long")).alias("__tf_tgt"),
+    )
+    totals = freq.agg(
+        F.sum("__tf_raw").alias("__n_raw"),
+        F.sum("__tf_tgt").alias("__n_tgt"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    w = F.log(
+        (F.col("__tf_tgt") + F.lit(1.0)) / (F.col("__n_tgt") + F.col("__v"))
+    ) - F.log((F.col("__tf_raw") + F.lit(1.0)) / (F.col("__n_raw") + F.col("__v")))
+    scored = (
+        toks.join(freq, "__t")
+        .crossJoin(F.broadcast(totals))
+        .select(F.col(key), F.round(w * 1_000_000).cast("long").alias("__w"))
+    )
+    return scored.groupBy(key).agg(
+        F.round(F.sum("__w") / F.count("__w") / F.lit(1_000_000.0), 6).alias(
+            "importance"
+        ),
+        F.count("__w").cast("long").alias("n_tokens"),
+    )

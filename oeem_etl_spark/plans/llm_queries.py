@@ -1759,3 +1759,63 @@ def l48_jaccard_prefix_join(spark, sf_dir):
     all pairs)."""
     docs = T(spark, sf_dir, "documents")
     return dedup.prefix_filter_jaccard_join(docs, "doc_id", "text", 0.5)
+
+
+@query(
+    "l49_importance_weights",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id, source IN ('src1', 'src2', 'src3') AS tgt,
+             unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    freq AS (
+      SELECT t, COUNT(*) AS tf_raw,
+             SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tf_tgt
+      FROM toks GROUP BY t
+    ),
+    tot AS (
+      SELECT SUM(tf_raw) AS n_raw, SUM(tf_tgt) AS n_tgt, COUNT(*) AS v
+      FROM freq
+    ),
+    sc AS (
+      SELECT doc_id,
+             CAST(ROUND((ln((tf_tgt + 1.0) / (n_tgt + v))
+                         - ln((tf_raw + 1.0) / (n_raw + v))) * 1000000)
+                  AS BIGINT) AS w
+      FROM toks JOIN freq USING (t), tot
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(SUM(w) / COUNT(*) / 1000000.0, 6) AS importance,
+             COUNT(*) AS n_tokens
+      FROM sc GROUP BY doc_id
+    )
+    SELECT s.doc_id, s.importance, s.n_tokens
+    FROM scored s JOIN documents d USING (doc_id)
+    WHERE d.source NOT IN ('src1', 'src2', 'src3')
+    ORDER BY s.importance DESC, s.doc_id ASC
+    LIMIT 20
+    """,
+    tier="T3",
+    survey="L7,L5,H5,C1,F3",
+)
+def l49_importance_weights(spark, sf_dir):
+    """DSIR-style data selection (operators/corpus.importance_weights):
+    three curated sources act as the target distribution; every other
+    document is scored by its smoothed unigram log-likelihood ratio
+    target-vs-raw, and the 20 best-matching candidates are selected for
+    up-sampling. The vocabulary frequency table is the only exchange
+    (O(distinct tokens) rows); totals are a broadcast 3-number frame; the
+    final top-k is a global-limit sort over one row per document."""
+    docs = T(spark, sf_dir, "documents")
+    tgt_sources = ("src1", "src2", "src3")
+    scored = corpus_ops.importance_weights(
+        docs, "doc_id", "text", F.col("source").isin(*tgt_sources)
+    )
+    cand = docs.where(~F.col("source").isin(*tgt_sources)).select("doc_id")
+    return (
+        scored.join(cand, "doc_id")
+        .orderBy(F.col("importance").desc(), F.col("doc_id").asc())
+        .limit(20)
+    )

@@ -680,3 +680,65 @@ def a25_file_provenance_audit(spark, sf_dir):
         )
 
     return audit(ev, "event_id").unionByName(audit(od, "o_orderkey"))
+
+
+@query(
+    "a26_incremental_join_maintenance",
+    sql="""
+    SELECT c.c_nationkey AS nationkey, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(e.value * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS sum_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_nationkey
+    """,
+    tier="T2",
+    survey="A8,K10,C1,C9,G1,D1",
+)
+def a26_incremental_join_maintenance(spark, sf_dir):
+    """Delta-join view maintenance with BOTH sides changing: a per-nation
+    rollup of events⋈customer is materialized from the old snapshots
+    (A_old⋈B_old), then advanced by the three delta joins the IVM algebra
+    prescribes — ΔA⋈B_old, A_old⋈ΔB, ΔA⋈ΔB — and a partial-aggregate
+    merge. No delta term re-joins the two OLD sides, so the maintenance
+    cost is delta-sized while the result must equal the full recompute
+    (the oracle) exactly: integer-micros partials make the merge
+    algebraic. A_old/ΔA come from the snapshot table's commit feed
+    (read_incremental — the commit-2 files only); the dim side is
+    broadcast in every term, so no fact shuffle occurs at any step."""
+    t = _snapshot_table(spark, sf_dir)
+    cust = T(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    b_old = cust.where(F.col("c_custkey") <= 99)
+    b_delta = cust.where(F.col("c_custkey") > 99)
+    a_old = t.read(spark, version=1)
+    a_delta = t.read_incremental(spark, since_version=1)
+
+    def partial(ev, dim):
+        return (
+            ev.join(F.broadcast(dim), ev["user_id"] == dim["c_custkey"])
+            .groupBy("c_nationkey")
+            .agg(
+                F.count(F.lit(1)).alias("__n"),
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                    "__micros"
+                ),
+            )
+        )
+
+    terms = [
+        partial(a_old, b_old),       # the materialized base
+        partial(a_delta, b_old),     # ΔA ⋈ B_old
+        partial(a_old, b_delta),     # A_old ⋈ ΔB
+        partial(a_delta, b_delta),   # ΔA ⋈ ΔB
+    ]
+    merged = terms[0]
+    for t_ in terms[1:]:
+        merged = merged.unionByName(t_)
+    return (
+        merged.groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.sum("__n").alias("n_events"), F.sum("__micros").alias("__m"))
+        .select(
+            "nationkey",
+            "n_events",
+            F.round(F.col("__m") / F.lit(1e6), 6).alias("sum_value"),
+        )
+    )

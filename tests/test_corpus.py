@@ -245,3 +245,52 @@ def test_token_budget_select_prefix_rule(spark):
         .collect()
     ]
     assert sorted(r["doc_id"] for r in out) == sorted(expected)
+
+
+def test_importance_weights_pulls_target_like_docs(spark):
+    # target docs speak "aa bb"; candidate 10 repeats target tokens,
+    # candidate 11 shares none — 10 must outscore 11, and every token
+    # count is small enough to hand-check the smoothed ratio sign.
+    docs = spark.createDataFrame(
+        [
+            (1, "aa bb aa", True),
+            (2, "aa bb", True),
+            (10, "aa bb bb", False),
+            (11, "zz yy zz", False),
+        ],
+        "doc_id long, text string, tgt boolean",
+    )
+    got = {
+        r["doc_id"]: r["importance"]
+        for r in corpus.importance_weights(docs, "doc_id", "text", F.col("tgt")).collect()
+    }
+    assert got[10] > 0 > got[11]
+    assert got[1] > 0  # target docs score like the target by construction
+    # n_tokens sanity
+    n = {
+        r["doc_id"]: r["n_tokens"]
+        for r in corpus.importance_weights(docs, "doc_id", "text", F.col("tgt")).collect()
+    }
+    assert n == {1: 3, 2: 2, 10: 3, 11: 3}
+
+
+def test_k_anonymity_audit_counts(spark):
+    from oeem_etl_spark.operators.quality import k_anonymity_audit
+
+    rows = [("a", 1)] * 5 + [("a", 2)] * 2 + [("b", 1)] * 1
+    df = spark.createDataFrame(rows, "grp string, quasi int")
+    got = {
+        r["grp"]: (
+            r["n_classes"],
+            r["n_unsafe_classes"],
+            r["n_suppressed"],
+            r["n_rows"],
+            r["suppression_rate"],
+        )
+        for r in k_anonymity_audit(
+            df, ["quasi"], k=3, report_by=["grp"]
+        ).collect()
+    }
+    # grp a: classes {1:5, 2:2} -> one unsafe (2 rows); grp b: {1:1} unsafe
+    assert got["a"] == (2, 1, 2, 7, round(2 / 7, 6))
+    assert got["b"] == (1, 1, 1, 1, 1.0)
