@@ -496,3 +496,42 @@ def test_l48_prefix_join_no_cartesian(spark, sf_dir):
     assert "EvalPython" not in plan, plan
     # the candidate join shuffles on the shingle token key
     assert re.search(r"hashpartitioning\(__tok", plan), plan
+
+
+def test_a26_ivm_joins_broadcast_no_fact_shuffle_before_merge(spark, sf_dir):
+    q = registry.queries()["a26_incremental_join_maintenance"]
+    plan = plan_of(q(spark, sf_dir))
+    # all four IVM terms broadcast the dim side; the only exchanges are
+    # the partial-aggregate merges (one row per nation per term)
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan
+    assert "partial_sum" in plan
+
+
+def test_d23_k_anonymity_two_hash_aggregates(spark, sf_dir):
+    q = registry.queries()["d23_k_anonymity"]
+    plan = plan_of(q(spark, sf_dir))
+    # class-size count then audit rollup, both map-side combined; no
+    # window, no join — O(classes) shuffle rows
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert "Window" not in plan and "Join" not in plan.replace("Joined", "")
+
+
+def test_k39_peak_join_is_broadcast(spark, sf_dir):
+    q = registry.queries()["k39_peak_demand"]
+    plan = plan_of(q(spark, sf_dir))
+    # one-row-per-month peak frame broadcast into the contributor join;
+    # the own-peak join is month×user sized and may hash either way, but
+    # nothing sort-merges the raw event stream
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_l49_importance_vocab_join_no_text_shuffle(spark, sf_dir):
+    q = registry.queries()["l49_importance_weights"]
+    plan = plan_of(q(spark, sf_dir))
+    # totals ride a broadcast nested loop (3 numbers); the text column
+    # never appears in any exchange — only doc_id/token/weight rows move
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange" in line and "text" in line:
+            raise AssertionError(f"text column in exchange: {line}")
