@@ -1819,3 +1819,85 @@ def l49_importance_weights(spark, sf_dir):
         .orderBy(F.col("importance").desc(), F.col("doc_id").asc())
         .limit(20)
     )
+
+
+@query(
+    "l50_neardup_canonical",
+    sql="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+        i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+             || ' ' || str_split(text,' ')[i+2])) AS s
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+    ), e0 AS (
+      SELECT c.ka AS a, c.kb AS b
+      FROM cand c JOIN sh sa ON sa.doc_id = c.ka JOIN sh sb ON sb.doc_id = c.kb
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / len(list_distinct(sa.s || sb.s)) >= 0.5
+    ), e AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), nodes AS (
+      SELECT DISTINCT a AS node FROM e
+    ), r(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node
+    ), lab AS (
+      SELECT node, CAST(MIN(lbl) AS BIGINT) AS label FROM r GROUP BY node
+    ), ranked AS (
+      SELECT lab.label, lab.node, d.n_chars,
+             row_number() OVER (PARTITION BY lab.label
+               ORDER BY d.n_chars DESC, lab.node ASC) AS rn
+      FROM lab JOIN documents d ON d.doc_id = lab.node
+    )
+    SELECT label, COUNT(*) AS n_docs,
+           MAX(CASE WHEN rn = 1 THEN node END) AS canonical_id,
+           MAX(CASE WHEN rn = 1 THEN n_chars END) AS canonical_chars,
+           COUNT(*) - 1 AS n_dropped
+    FROM ranked GROUP BY label
+    """,
+    tier="T3",
+    survey="L2,L1,E1,D1,H3",
+)
+def l50_neardup_canonical(spark, sf_dir):
+    """The keep-the-best half of near-dup dedup, at the production shape:
+    exact Jaccard-threshold pairs over the FULL corpus via prefix
+    filtering (dedup.prefix_filter_jaccard_join — lossless candidates
+    from rarest-first postings, never all-pairs), min-label connected
+    components, then each duplicate cluster elects a CANONICAL document
+    by quality (longest text, doc_id tie-break) instead of the naive
+    min-id — the rule when duplicates differ in truncation or
+    boilerplate. The oracle recomputes the whole chain declaratively
+    (postings candidates + recursive-CTE fixpoint + window election), so
+    the iterative CC and the election are value-checked end to end."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    edges = dedup.prefix_filter_jaccard_join(docs, "doc_id", "text", 0.5).select(
+        "key_a", "key_b"
+    )
+    lab = dedup.connected_components(edges)
+    ranked = lab.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    ).withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("label").orderBy(
+                F.col("n_chars").desc(), F.col("node").asc()
+            )
+        ),
+    )
+    return ranked.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("canonical_id"),
+        F.max(F.when(F.col("rn") == 1, F.col("n_chars"))).alias(
+            "canonical_chars"
+        ),
+        (F.count(F.lit(1)) - 1).alias("n_dropped"),
+    )

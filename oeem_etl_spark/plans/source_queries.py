@@ -742,3 +742,39 @@ def a26_incremental_join_maintenance(spark, sf_dir):
             F.round(F.col("__m") / F.lit(1e6), 6).alias("sum_value"),
         )
     )
+
+
+@query(
+    "a27_snapshot_compaction",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS sum_value
+    FROM events GROUP BY user_id
+    """,
+    tier="T2",
+    survey="A6,A8,K10,D1",
+)
+def a27_snapshot_compaction(spark, sf_dir):
+    """Transactional small-file compaction surfaced through the driver
+    contract: the two-commit snapshot table is compacted (rewrite into
+    ~target-size files, published as a normal commit — readers see old
+    files or new, never a mix), then the post-compaction snapshot is
+    aggregated. The oracle is the full-events rollup: compaction must be
+    invisible to every result row. File-count reduction and pinned-
+    version isolation are asserted in tests/test_snapshots.py — this
+    query pins the read to the compacted version explicitly."""
+    t = _snapshot_table(spark, sf_dir)
+    v = t.compact(spark, target_file_mb=128)
+    return (
+        t.read(spark, version=v)
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.round(F.col("value") * 1_000_000).cast("long"))
+                / F.lit(1e6),
+                6,
+            ).alias("sum_value"),
+        )
+    )
