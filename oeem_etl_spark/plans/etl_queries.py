@@ -1671,3 +1671,94 @@ def k39_peak_demand(spark, sf_dir):
         )
         .orderBy("month", "rnk")
     )
+
+
+@query(
+    "k40_tiered_billing",
+    sql="""
+    WITH m AS (
+      SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS um,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
+               PARTITION BY user_id, date_trunc('month', ts)
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS cum_after
+      FROM events
+    ),
+    alloc AS (
+      SELECT user_id, month, um,
+             LEAST(cum_after, 1500000000) - LEAST(cum_after - um, 1500000000)
+               AS t1,
+             LEAST(cum_after, 3500000000) - LEAST(cum_after - um, 3500000000)
+               - (LEAST(cum_after, 1500000000)
+                  - LEAST(cum_after - um, 1500000000)) AS t2,
+             GREATEST(cum_after - 3500000000, 0)
+               - GREATEST(cum_after - um - 3500000000, 0) AS t3
+      FROM m
+    )
+    SELECT user_id, month, COUNT(*) AS n_events,
+           ROUND(CAST(SUM(um) AS BIGINT) / 1000000.0, 6) AS total_units,
+           ROUND(CAST(SUM(t1) AS BIGINT) / 1000000.0, 6) AS t1_units,
+           ROUND(CAST(SUM(t2) AS BIGINT) / 1000000.0, 6) AS t2_units,
+           ROUND(CAST(SUM(t3) AS BIGINT) / 1000000.0, 6) AS t3_units,
+           ROUND(CAST(SUM(t1 * 2 + t2 * 3 + t3 * 5) AS BIGINT) / 1000000.0, 6)
+             AS billed
+    FROM alloc GROUP BY user_id, month
+    """,
+    tier="T2",
+    survey="K-ext,E3,D1,H4,H5",
+)
+def k40_tiered_billing(spark, sf_dir):
+    """Progressive block (tiered) billing — the other half of utility
+    rating that k27's rate-switch as-of join does not cover: each event's
+    units split across cumulative monthly tiers (first 1500 @ 2, next
+    2000 @ 3, above 3500 @ 5) by clamping the per-user running total at
+    the tier boundaries. Everything is integer micros — the running sum,
+    the clamp arithmetic, and the per-tier rollups are exact longs, so
+    both engines agree bit-for-bit regardless of partitioning. One
+    window (user_id+month partition, ts order) and one grouped rollup
+    sharing the same key: a single shuffle at any scale."""
+    from pyspark.sql import Window
+
+    b1 = 1_500_000_000  # 1500 units in micros
+    b2 = 3_500_000_000
+    ev = T(spark, sf_dir, "events").select(
+        "user_id",
+        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 1_000_000).cast("long").alias("um"),
+    )
+    w = (
+        Window.partitionBy("user_id", "month")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = ev.withColumn("cum_after", F.sum("um").over(w))
+    cb = F.col("cum_after") - F.col("um")
+    t1 = F.least(F.col("cum_after"), F.lit(b1)) - F.least(cb, F.lit(b1))
+    t2 = (
+        F.least(F.col("cum_after"), F.lit(b2))
+        - F.least(cb, F.lit(b2))
+        - t1
+    )
+    t3 = F.greatest(F.col("cum_after") - b2, F.lit(0)) - F.greatest(
+        cb - b2, F.lit(0)
+    )
+    alloc = m.select(
+        "user_id", "month", "um",
+        t1.alias("t1"), t2.alias("t2"), t3.alias("t3"),
+    )
+    return alloc.groupBy("user_id", "month").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("um") / F.lit(1e6), 6).alias("total_units"),
+        F.round(F.sum("t1") / F.lit(1e6), 6).alias("t1_units"),
+        F.round(F.sum("t2") / F.lit(1e6), 6).alias("t2_units"),
+        F.round(F.sum("t3") / F.lit(1e6), 6).alias("t3_units"),
+        F.round(
+            F.sum(F.col("t1") * 2 + F.col("t2") * 3 + F.col("t3") * 5)
+            / F.lit(1e6),
+            6,
+        ).alias("billed"),
+    )

@@ -418,3 +418,99 @@ def m8_copurchase_lift(spark, sf_dir):
         .orderBy(F.col("lift").desc(), "pk_a", "pk_b")
         .limit(100)
     )
+
+
+@query(
+    "m10_touch_attribution",
+    sql="""
+    WITH conv AS (
+      SELECT event_id AS p_id, user_id, ts AS p_ts, value AS p_value
+      FROM events WHERE event_type = 'purchase'
+    ), touch AS (
+      SELECT event_id AS t_id, user_id, ts AS t_ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ), joined AS (
+      SELECT c.p_id, c.p_ts, c.p_value, t.t_id, t.t_ts, t.event_type,
+             row_number() OVER (PARTITION BY c.p_id
+               ORDER BY t.t_ts, t.t_id) AS rn,
+             COUNT(*) OVER (PARTITION BY c.p_id) AS n
+      FROM conv c JOIN touch t
+        ON c.user_id = t.user_id
+       AND t.t_ts < c.p_ts
+       AND t.t_ts >= c.p_ts - INTERVAL 7 DAY
+    ), credited AS (
+      SELECT p_id, p_ts, event_type,
+             CAST(ROUND((CASE WHEN n = 1 THEN 1.0
+                              WHEN n = 2 THEN 0.5
+                              WHEN rn = 1 OR rn = n THEN 0.4
+                              ELSE 0.2 / (n - 2) END)
+                        * p_value * 1000000) AS BIGINT) AS cm
+      FROM joined
+    )
+    SELECT CAST(date_trunc('month', p_ts) AS DATE) AS month,
+           event_type,
+           COUNT(*) AS n_touches,
+           COUNT(DISTINCT p_id) AS n_conversions,
+           ROUND(CAST(SUM(cm) AS BIGINT) / 1000000.0, 6) AS credited_value
+    FROM credited GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+    tier="T2",
+    survey="C6,E1,E3,D1,D2",
+)
+def m10_touch_attribution(spark, sf_dir):
+    """Position-based (U-shaped) multi-touch attribution: every purchase
+    distributes its value over the user's view/click touches in the
+    preceding 7 days — 40/20/40 first/middle/last (100% single-touch,
+    50/50 two-touch) — rolled up to credited value per month and touch
+    channel. The conversion-touch pairing is a per-user range join
+    (user-key equi-join + time predicate: fan-out bounded by per-user
+    touch rate, never cross-user), positions come from one window over
+    the pair frame, and credits are micros-quantized per touch so the
+    rollup is order-independent in both engines."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events")
+    conv = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.col("value").alias("p_value"),
+    )
+    touch = ev.where(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("t_id"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    joined = conv.join(touch, "user_id").where(
+        (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAY"))
+    )
+    wp = Window.partitionBy("p_id")
+    joined = joined.withColumn(
+        "rn", F.row_number().over(wp.orderBy("t_ts", "t_id"))
+    ).withColumn("n", F.count(F.lit(1)).over(wp))
+    weight = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), F.lit(0.4))
+        .otherwise(F.lit(0.2) / (F.col("n") - 2))
+    )
+    credited = joined.select(
+        "p_id",
+        "p_ts",
+        "event_type",
+        F.round(weight * F.col("p_value") * 1_000_000).cast("long").alias("cm"),
+    )
+    return (
+        credited.groupBy(
+            F.date_trunc("month", F.col("p_ts")).cast("date").alias("month"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.count_distinct("p_id").alias("n_conversions"),
+            F.round(F.sum("cm") / F.lit(1e6), 6).alias("credited_value"),
+        )
+        .orderBy("month", "event_type")
+    )

@@ -778,3 +778,41 @@ def a27_snapshot_compaction(spark, sf_dir):
             ).alias("sum_value"),
         )
     )
+
+
+@query(
+    "a28_schema_evolution_read",
+    sql="""
+    SELECT event_id, user_id, value,
+           CASE WHEN event_id > 3000 THEN 'batch2' ELSE NULL END AS batch_tag
+    FROM events
+    """,
+    tier="T2",
+    survey="A6,A8,B5,B6,K10",
+)
+def a28_schema_evolution_read(spark, sf_dir):
+    """Column-add schema evolution on the snapshot table: commit 1
+    writes (event_id, user_id, value), commit 2 appends the SAME columns
+    plus a new ``batch_tag`` — and a ``merge_schema`` read reconciles
+    both vintages into the union schema, old files yielding NULL for the
+    new column (Delta/Iceberg column-add semantics via parquet
+    mergeSchema; no rewrite of historical data). The oracle derives the
+    expected NULL pattern from the commit split."""
+    import shutil
+
+    from oeem_etl_spark.sources.snapshots import SnapshotTable
+
+    root = os.path.join(_TMP, f"snap_evo_{os.path.basename(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(root)
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    t.commit(ev.where(F.col("event_id") <= 3000), mode="append")
+    t.commit(
+        ev.where(F.col("event_id") > 3000).withColumn(
+            "batch_tag", F.lit("batch2")
+        ),
+        mode="append",
+    )
+    return t.read(spark, merge_schema=True).select(
+        "event_id", "user_id", "value", "batch_tag"
+    )

@@ -306,12 +306,19 @@ class SnapshotTable:
         version: int | None = None,
         as_of: float | None = None,
         prune: tuple[str, object, object] | None = None,
+        merge_schema: bool = False,
     ) -> DataFrame:
         """Snapshot read: explicit file list from the pinned manifest.
         ``prune=(col, lo, hi)`` skips files whose footer [min, max] for
         ``col`` cannot intersect [lo, hi] (conservative: files without
         stats for the column are kept). The caller still applies the
-        exact predicate — pruning changes I/O, never results."""
+        exact predicate — pruning changes I/O, never results.
+
+        ``merge_schema=True`` reconciles commits written with EVOLVED
+        schemas (column adds): the read schema is the union of all file
+        schemas and files missing a column yield NULLs — Delta/Iceberg
+        column-add semantics via parquet's own mergeSchema. Off by
+        default because schema reconciliation reads every file footer."""
         m = self._resolve(version, as_of)
         all_entries = m["files"]
         if not all_entries:
@@ -337,7 +344,10 @@ class SnapshotTable:
                 )
             return spark.read.parquet(e0["path"]).limit(0)
         if not any("partition" in e for e in entries):
-            return spark.read.parquet(*[e["path"] for e in entries])
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            return reader.parquet(*[e["path"] for e in entries])
         # hive-partitioned files: partition columns live in the directory
         # names UNDER each commit's uuid dir, so group by commit dir and
         # read each group with its own basePath (restores the partition
@@ -348,12 +358,14 @@ class SnapshotTable:
             base = os.path.join(self.data_dir, rel.split(os.sep)[0])
             groups.setdefault(base, []).append(e["path"])
         dfs = [
-            spark.read.option("basePath", base).parquet(*paths)
+            spark.read.option("basePath", base)
+            .option("mergeSchema", str(merge_schema).lower())
+            .parquet(*paths)
             for base, paths in sorted(groups.items())
         ]
         out = dfs[0]
         for d in dfs[1:]:
-            out = out.unionByName(d)
+            out = out.unionByName(d, allowMissingColumns=merge_schema)
         return out
 
     def file_count(self, version: int | None = None) -> int:

@@ -244,3 +244,15 @@ def test_prune_to_empty_returns_empty_frame_not_error(spark, tmp_path):
     assert out.count() == 0
     # an intersecting prune keeps the file (caller applies the exact filter)
     assert t.read(spark, version=1, prune=("k", 0, 3)).count() == 10
+
+
+def test_schema_evolution_merge_read(spark, table):
+    table.commit(spark.range(0, 5))  # (id)
+    table.commit(spark.range(5, 8).withColumn("tag", F.lit("new")))
+    # merged read: union schema, old files NULL-filled
+    got = {
+        r["id"]: r["tag"] for r in table.read(spark, merge_schema=True).collect()
+    }
+    assert got == {i: None for i in range(5)} | {i: "new" for i in range(5, 8)}
+    # pinned pre-evolution version keeps the narrow schema
+    assert table.read(spark, version=1).columns == ["id"]
