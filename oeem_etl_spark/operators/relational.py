@@ -214,3 +214,137 @@ def merge_upsert(
         delta_keys = F.broadcast(delta_keys)
     survivors = target.join(delta_keys, list(keys), "left_anti")
     return survivors.unionByName(delta)
+
+
+def weighted_quantile(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+) -> DataFrame:
+    """Exact lower weighted quantile per group: the smallest value whose
+    cumulative weight reaches ``q_num/q_den`` of the group's total weight
+    (q_num=1, q_den=2 -> weighted median). Weights must be integral (cast
+    to long); the reach test is pure integer arithmetic
+    (``q_den * cum >= q_num * total``), so every engine and every
+    partitioning agrees bit-for-bit — no float quantile interpolation.
+
+    Shape: one grouped pre-aggregation collapses duplicate values (the
+    cumulative scan then runs over distinct values, not rows), one
+    window for the running weight, one min-reduce for the answer. All
+    three share the group key's partitioning — a single shuffle, and the
+    window is bounded by value cardinality within each group."""
+    g = list(group_by)
+    v, w = F.col(value_col), F.col(weight_col).cast("long")
+    per_value = df.groupBy(*g, v.alias("__v")).agg(F.sum(w).alias("__w"))
+    win = (
+        Window.partitionBy(*g)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*g)
+    cum = (
+        per_value.withColumn("__cum", F.sum("__w").over(win))
+        .withColumn("__tot", F.sum("__w").over(tot))
+    )
+    reached = cum.where(
+        F.col("__cum") * q_den >= F.col("__tot") * q_num
+    )
+    return reached.groupBy(*g).agg(F.min("__v").alias(value_col))
+
+
+def weighted_quantile_bucketed(
+    df: DataFrame,
+    group_by: Sequence[str],
+    value_col: str,
+    weight_col: str,
+    q_num: int = 1,
+    q_den: int = 2,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Exact lower weighted quantile via two-phase bucket refinement —
+    the 100 TB shape of :func:`weighted_quantile`, which scans each
+    group's ordered values under ONE window partition (parallelism =
+    group count). Here no per-group ordered scan ever sees the full
+    data:
+
+    1. range-bucket every value (min/max from a broadcast 2-number
+       aggregate), aggregate weight per (group, bucket) — a frame of at
+       most ``groups x n_buckets`` rows; a driver-free cumulative window
+       over it finds each group's TARGET bucket and the weight still
+       needed when entering it;
+    2. re-scan only rows in each group's target bucket (one equi-join
+       filter), order within that bucket alone — 1/n_buckets of the
+       data under the second window.
+
+    Integer reach arithmetic throughout (weights cast long), so the
+    result is bit-identical to the one-pass operator and to a SQL
+    oracle. Two scans instead of one is the explicit trade: each
+    exchange is small and every stage is wide-parallel."""
+    g = list(group_by)
+    v, w = F.col(value_col), F.col(weight_col).cast("long")
+    rng = df.agg(
+        F.min(v).alias("__lo"), F.max(v).alias("__hi")
+    )
+    bucketed = df.crossJoin(F.broadcast(rng)).select(
+        *g,
+        v.alias("__v"),
+        w.alias("__w"),
+        F.when(
+            F.col("__hi") == F.col("__lo"), F.lit(0)
+        ).otherwise(
+            F.least(
+                F.floor(
+                    (v - F.col("__lo"))
+                    / ((F.col("__hi") - F.col("__lo")) / n_buckets)
+                ).cast("int"),
+                F.lit(n_buckets - 1),
+            )
+        ).alias("__b"),
+    )
+    hist = bucketed.groupBy(*g, "__b").agg(F.sum("__w").alias("__bw"))
+    win = (
+        Window.partitionBy(*g)
+        .orderBy("__b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    tot = Window.partitionBy(*g)
+    cum = hist.withColumn("__cum", F.sum("__bw").over(win)).withColumn(
+        "__tot", F.sum("__bw").over(tot)
+    )
+    # first bucket whose cumulative weight reaches the target; the rank
+    # still needed inside it is target - (cum before this bucket)
+    target = cum.where(F.col("__cum") * q_den >= F.col("__tot") * q_num)
+    target = (
+        target.groupBy(*g)
+        .agg(
+            F.min("__b").alias("__tb"),
+        )
+        .join(cum.select(*g, F.col("__b").alias("__tb"), "__cum", "__bw", "__tot"), [*g, "__tb"])
+        .select(
+            *g,
+            "__tb",
+            (F.col("__cum") - F.col("__bw")).alias("__before"),
+            "__tot",
+        )
+    )
+    inb = bucketed.join(
+        F.broadcast(target),
+        [*g]
+    ).where(F.col("__b") == F.col("__tb"))
+    win2 = (
+        Window.partitionBy(*g)
+        .orderBy("__v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        inb.withColumn("__cum2", F.sum("__w").over(win2))
+        .where(
+            (F.col("__before") + F.col("__cum2")) * q_den
+            >= F.col("__tot") * q_num
+        )
+        .groupBy(*g)
+        .agg(F.min("__v").alias(value_col))
+    )

@@ -1737,3 +1737,89 @@ def d23_k_anonymity(spark, sf_dir):
         k=5,
         report_by=["event_type"],
     ).orderBy("event_type")
+
+
+@query(
+    "d24_weighted_median",
+    sql="""
+    WITH pv AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM pv
+    )
+    SELECT m.l_returnflag, m.wmedian, p.wp90
+    FROM (SELECT l_returnflag, MIN(v) AS wmedian FROM c
+          WHERE cum * 2 >= tot GROUP BY l_returnflag) m
+    JOIN (SELECT l_returnflag, MIN(v) AS wp90 FROM c
+          WHERE cum * 10 >= tot * 9 GROUP BY l_returnflag) p
+      USING (l_returnflag)
+    ORDER BY l_returnflag
+    """,
+    tier="T2",
+    survey="D6,E3,D1,C1",
+)
+def d24_weighted_median(spark, sf_dir):
+    """Exact WEIGHTED quantiles (operators/relational.weighted_quantile)
+    — the operator d6's unweighted percentile can't express: each price
+    counts by its quantity, and the quantile is the smallest value whose
+    cumulative weight reaches the target fraction. Integer reach test
+    (den*cum >= num*tot) instead of float interpolation, so partitioning
+    can never flip a comparison; the duplicate-value pre-aggregation
+    bounds the window by value cardinality, not row count."""
+    from oeem_etl_spark.operators.relational import weighted_quantile
+
+    li = T(spark, sf_dir, "lineitem")
+    med = weighted_quantile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", 1, 2
+    ).withColumnRenamed("l_extendedprice", "wmedian")
+    p90 = weighted_quantile(
+        li, ["l_returnflag"], "l_extendedprice", "l_quantity", 9, 10
+    ).withColumnRenamed("l_extendedprice", "wp90")
+    return med.join(p90, "l_returnflag").orderBy("l_returnflag")
+
+
+@query(
+    "d24b_weighted_median_bucketed",
+    sql="""
+    WITH pv AS (
+      SELECT l_returnflag, l_extendedprice AS v,
+             SUM(CAST(l_quantity AS BIGINT)) AS w
+      FROM lineitem GROUP BY 1, 2
+    ), c AS (
+      SELECT l_returnflag, v,
+             SUM(w) OVER (PARTITION BY l_returnflag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY l_returnflag) AS tot
+      FROM pv
+    )
+    SELECT l_returnflag, MIN(v) AS wmedian FROM c
+    WHERE cum * 2 >= tot GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    tier="T2",
+    survey="D6,E3,D1,C9",
+)
+def d24b_weighted_median_bucketed(spark, sf_dir):
+    """The 100 TB path for d24: two-phase bucket refinement
+    (operators/relational.weighted_quantile_bucketed) — a groups x 1024
+    weight histogram locates each group's target bucket, then only that
+    bucket's rows (~1/1024 of the data) see an ordered scan. Same
+    integer reach arithmetic, same oracle as the one-pass operator; the
+    equality of the two implementations is property-tested in
+    tests/test_operators.py."""
+    from oeem_etl_spark.operators.relational import weighted_quantile_bucketed
+
+    li = T(spark, sf_dir, "lineitem")
+    return (
+        weighted_quantile_bucketed(
+            li, ["l_returnflag"], "l_extendedprice", "l_quantity", 1, 2
+        )
+        .withColumnRenamed("l_extendedprice", "wmedian")
+        .orderBy("l_returnflag")
+    )

@@ -829,3 +829,47 @@ def test_file_metadata_audit_multi_file(spark, sf_dir, tmp_path):
     spans = sorted((r["lo"], r["hi"]) for r in audit)
     for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
         assert h1 < l2  # range-partitioned: files hold disjoint key spans
+
+
+def test_weighted_quantile_exact(spark):
+    from oeem_etl_spark.operators.relational import weighted_quantile
+
+    # values 1..4 with weights 1,1,6,2 (total 10): median reach at cum>=5
+    # -> value 3; p90 reach at cum>=9 -> value 4
+    df = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 3, 6), ("g", 4, 2)],
+        "grp string, v int, w int",
+    )
+    med = weighted_quantile(df, ["grp"], "v", "w", 1, 2).collect()
+    p90 = weighted_quantile(df, ["grp"], "v", "w", 9, 10).collect()
+    assert [(r["grp"], r["v"]) for r in med] == [("g", 3)]
+    assert [(r["grp"], r["v"]) for r in p90] == [("g", 4)]
+
+
+def test_weighted_quantile_bucketed_equals_one_pass(spark):
+    import random
+
+    from oeem_etl_spark.operators.relational import (
+        weighted_quantile,
+        weighted_quantile_bucketed,
+    )
+
+    rnd = random.Random(7)
+    rows = [
+        (f"g{i % 3}", round(rnd.uniform(0, 1000), 2), rnd.randint(1, 9))
+        for i in range(2000)
+    ] + [("g0", 500.0, 50), ("g1", 500.0, 50)]  # heavy duplicate value
+    df = spark.createDataFrame(rows, "grp string, v double, w int")
+    for num, den in [(1, 2), (9, 10), (1, 4)]:
+        a = {
+            (r["grp"]): r["v"]
+            for r in weighted_quantile(df, ["grp"], "v", "w", num, den).collect()
+        }
+        for nb in (8, 1024):
+            b = {
+                (r["grp"]): r["v"]
+                for r in weighted_quantile_bucketed(
+                    df, ["grp"], "v", "w", num, den, n_buckets=nb
+                ).collect()
+            }
+            assert a == b, (num, den, nb)
