@@ -146,6 +146,10 @@ def main() -> None:
         "h17_fuzzy_join",
         "k34_nearest_station",  # grid-blocked spatial NN (flat 1x->10x)
         "k37_meter_pipeline",  # fused dedup->interp->monthly composite
+        "l50_neardup_canonical",  # prefix-filter pairs -> CC -> election
+        "k40_tiered_billing",  # integer-micros clamped running totals
+        "d24b_weighted_median_bucketed",  # two-phase bucket refinement
+        "m10_touch_attribution",  # per-user range join + position window
     ]
     extra: dict[str, float] = {}
     for name in (n for n in EXTRA if n in qs):

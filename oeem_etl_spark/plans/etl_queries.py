@@ -1569,7 +1569,7 @@ def k38_conversion_latency(spark, sf_dir):
     "k39_peak_demand",
     sql="""
     WITH hourly AS (
-      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
              date_trunc('hour', ts) AS hour,
              ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
                AS sys_total
@@ -1583,7 +1583,7 @@ def k38_conversion_latency(spark, sf_dir):
       WHERE rn = 1
     ),
     uh AS (
-      SELECT CAST(date_trunc('month', ts) AS DATE) AS month,
+      SELECT CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
              date_trunc('hour', ts) AS hour, user_id,
              ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
                AS user_total
@@ -1622,7 +1622,7 @@ def k39_peak_demand(spark, sf_dir):
     from pyspark.sql import Window
 
     ev = T(spark, sf_dir, "events").select(
-        F.trunc(F.col("ts").cast("date"), "month").alias("month"),
+        F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("month"),
         F.date_trunc("hour", F.col("ts")).alias("hour"),
         "user_id",
         "value",
@@ -1677,7 +1677,7 @@ def k39_peak_demand(spark, sf_dir):
     "k40_tiered_billing",
     sql="""
     WITH m AS (
-      SELECT user_id, CAST(date_trunc('month', ts) AS DATE) AS month,
+      SELECT user_id, CAST(date_trunc('month', ts) AS TIMESTAMP) AS month,
              CAST(ROUND(value * 1000000) AS BIGINT) AS um,
              CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) OVER (
                PARTITION BY user_id, date_trunc('month', ts)
@@ -1725,7 +1725,7 @@ def k40_tiered_billing(spark, sf_dir):
     b2 = 3_500_000_000
     ev = T(spark, sf_dir, "events").select(
         "user_id",
-        F.date_trunc("month", F.col("ts")).cast("date").alias("month"),
+        F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("month"),
         "ts",
         "event_id",
         F.round(F.col("value") * 1_000_000).cast("long").alias("um"),

@@ -1709,9 +1709,11 @@ def d22_equi_depth_histogram(spark, sf_dir):
     )
     SELECT event_type,
            COUNT(*) AS n_classes,
-           SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS n_unsafe_classes,
-           SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS n_suppressed,
-           SUM(n) AS n_rows,
+           CAST(SUM(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unsafe_classes,
+           CAST(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+             AS n_suppressed,
+           CAST(SUM(n) AS BIGINT) AS n_rows,
            ROUND(SUM(CASE WHEN n < 5 THEN n ELSE 0 END) * 1.0 / SUM(n), 6)
              AS suppression_rate
     FROM cls GROUP BY event_type ORDER BY event_type

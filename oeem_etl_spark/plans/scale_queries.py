@@ -447,7 +447,7 @@ def m8_copurchase_lift(spark, sf_dir):
                         * p_value * 1000000) AS BIGINT) AS cm
       FROM joined
     )
-    SELECT CAST(date_trunc('month', p_ts) AS DATE) AS month,
+    SELECT CAST(date_trunc('month', p_ts) AS TIMESTAMP) AS month,
            event_type,
            COUNT(*) AS n_touches,
            COUNT(DISTINCT p_id) AS n_conversions,
@@ -504,7 +504,7 @@ def m10_touch_attribution(spark, sf_dir):
     )
     return (
         credited.groupBy(
-            F.date_trunc("month", F.col("p_ts")).cast("date").alias("month"),
+            F.date_trunc("month", F.col("p_ts")).cast("timestamp_ntz").alias("month"),
             "event_type",
         )
         .agg(
