@@ -581,3 +581,90 @@ def per_key_ols(
         F.when(nz, F.round(slope, 6)).alias("slope"),
         F.when(nz, F.round(intercept, 6)).alias("intercept"),
     )
+
+
+def changepoint_balance_fit(
+    df: DataFrame,
+    keys: Sequence[str],
+    temp: Column,
+    y: Column,
+    candidates: Sequence[int],
+    x_scale: int = 2,
+    y_scale: int = 6,
+) -> DataFrame:
+    """Per-key change-point weather model: grid-search the heating
+    balance point (the CalTRACK/eemeter daily-model core) instead of
+    assuming one. For every candidate base temperature B, fit
+    y = a + b·max(0, B − temp) by the same exact fixed-point sufficient
+    statistics as :func:`per_key_ols`, and keep the B minimizing SSE —
+    equivalently maximizing D = (n·Σxy − Σx·Σy)² / (n·Σx² − (Σx)²),
+    since the y-variance term is constant across candidates.
+
+    Determinism: the five stats are exact longs; D is computed in double
+    with ONE fixed association (cast(A)·cast(A)/cast(det)) so every
+    engine derives the identical double from identical integers, and the
+    argmax tie-breaks on the lower candidate. Zero-variance candidates
+    (det = 0) are excluded; a key survives if any candidate has signal.
+
+    Scale shape: the candidate grid is a literal |B|-row fan-out BEFORE
+    the one grouped aggregation — the shuffle carries |B| stat rows of
+    six longs per key (a million meters × 9 candidates is still tiny),
+    then one window over |B| rows per key picks the winner. No grouped-
+    map UDF, no per-key iteration.
+    """
+    mx, my = 10**x_scale, 10**y_scale
+    cand = F.explode(
+        F.array(*[F.lit(int(b)) for b in candidates])
+    ).alias("__bp")
+    rows = df.select(*keys, temp.alias("__t"), y.alias("__y"), cand)
+    hdd = F.round(
+        F.greatest(F.lit(0.0), F.round(F.col("__bp") - F.col("__t"), x_scale)),
+        x_scale,
+    )
+    xf = F.round(hdd * mx).cast("long")
+    yf = F.round(F.col("__y") * my).cast("long")
+    s = rows.groupBy(*keys, "__bp").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xf).alias("__sx"),
+        F.sum(yf).alias("__sy"),
+        F.sum(xf * yf).alias("__sxy"),
+        F.sum(xf * xf).alias("__sxx"),
+        F.sum(yf * yf).alias("__syy"),
+    )
+    n = F.col("n")
+    a_ = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    det = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    nsyy = n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    d_ = a_.cast("double") * a_.cast("double") / det.cast("double")
+    scored = s.where(det != 0).select(
+        *keys,
+        F.col("__bp"),
+        n,
+        a_.alias("__a"),
+        det.alias("__det"),
+        nsyy.alias("__nsyy"),
+        d_.alias("__d"),
+        F.col("__sx"),
+        F.col("__sy"),
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.col("__d").desc(), F.col("__bp").asc()
+    )
+    best = scored.withColumn("__rn", F.row_number().over(w)).where(
+        F.col("__rn") == 1
+    )
+    slope = (F.col("__a") / F.col("__det")) * F.lit(float(mx) / my)
+    intercept = (
+        F.col("__sy") / n / my - slope * (F.col("__sx") / n / mx)
+    )
+    rsq = F.when(
+        F.col("__nsyy") != 0, F.col("__d") / F.col("__nsyy").cast("double")
+    )
+    return best.select(
+        *keys,
+        F.col("__bp").alias("balance_point"),
+        n,
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(rsq, 6).alias("rsq"),
+    )

@@ -1762,3 +1762,132 @@ def k40_tiered_billing(spark, sf_dir):
             6,
         ).alias("billed"),
     )
+
+
+@query(
+    "k41_changepoint_balance",
+    sql="""
+    WITH temps AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS vm,
+             ROUND(((ascii(substring(md5(CAST(CAST(date_trunc('day', ts) AS DATE)
+                                              AS VARCHAR)), 1, 1)) * 256
+                     + ascii(substring(md5(CAST(CAST(date_trunc('day', ts) AS DATE)
+                                                AS VARCHAR)), 2, 1))) % 3500)
+                   / 100.0 - 5.0, 2) AS temp
+      FROM events
+    ), daily AS (
+      SELECT user_id, day, temp,
+             CAST(ROUND(CAST(SUM(vm) AS BIGINT) / 1000.0) AS BIGINT) AS ym
+      FROM temps GROUP BY user_id, day, temp
+    ), dh AS (
+      SELECT user_id, c.bp,
+             CAST(ROUND(ROUND(GREATEST(0.0, ROUND(c.bp - temp, 2)), 2) * 100)
+                  AS BIGINT) AS xf,
+             ym AS yf
+      FROM daily CROSS JOIN (VALUES (14), (15), (16), (17), (18), (19),
+                                    (20), (21), (22)) AS c(bp)
+    ), s AS (
+      SELECT user_id, bp, COUNT(*) AS n,
+             CAST(SUM(xf) AS BIGINT) AS sx,
+             CAST(SUM(yf) AS BIGINT) AS sy,
+             CAST(SUM(xf * yf) AS BIGINT) AS sxy,
+             CAST(SUM(xf * xf) AS BIGINT) AS sxx,
+             CAST(SUM(yf * yf) AS BIGINT) AS syy
+      FROM dh GROUP BY user_id, bp
+    ), scored AS (
+      SELECT user_id, bp, n,
+             n * sxy - sx * sy AS a,
+             n * sxx - sx * sx AS det,
+             n * syy - sy * sy AS nsyy,
+             sx, sy,
+             CAST(n * sxy - sx * sy AS DOUBLE)
+               * CAST(n * sxy - sx * sy AS DOUBLE)
+               / CAST(n * sxx - sx * sx AS DOUBLE) AS d
+      FROM s WHERE n * sxx - sx * sx != 0
+    ), best AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                ORDER BY d DESC, bp ASC) AS rn
+      FROM scored
+    )
+    SELECT user_id, bp AS balance_point, n,
+           ROUND((a / det) * 0.1, 6) AS slope,
+           ROUND(sy / n / 1000.0
+                 - ((a / det) * 0.1) * (sx / n / 100.0), 6) AS intercept,
+           CASE WHEN nsyy != 0 THEN ROUND(d / CAST(nsyy AS DOUBLE), 6)
+           END AS rsq
+    FROM best WHERE rn = 1
+    """,
+    tier="T2",
+    survey="K9,D3,E1,D1",
+)
+def k41_changepoint_balance(spark, sf_dir):
+    """CalTRACK-style change-point weather model (operators/timeseries.
+    changepoint_balance_fit): instead of k33's fixed 18 °C base, each
+    meter grid-searches its heating balance point over 14–22 °C and
+    keeps the SSE-minimizing fit (exact integer sufficient statistics;
+    the SSE comparison reduces to one fixed-association double per
+    candidate, tie-broken on the lower base). The 9-candidate fan-out
+    happens map-side before the single stats aggregation — the shuffle
+    carries 9 six-long rows per meter; a window over those 9 rows picks
+    the winner."""
+    from oeem_etl_spark.operators.timeseries import (
+        changepoint_balance_fit,
+        synthetic_daily_temperature,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    daily = resample_interval(
+        ev, keys=["user_id"], ts="ts", freq="day", aggs=[dsum("value", "y")]
+    )
+    return changepoint_balance_fit(
+        daily,
+        keys=["user_id"],
+        temp=synthetic_daily_temperature(F.col("bucket")),
+        y=F.col("y"),
+        candidates=range(14, 23),
+        y_scale=3,
+    )
+
+
+@query(
+    "k11b_sessionize_native",
+    sql="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(min(epoch_us(ts)) AS BIGINT) AS session_start_us,
+           CAST(max(epoch_us(ts)) + 1800000000 AS BIGINT) AS session_end_us
+    FROM (
+      SELECT user_id, ts,
+             CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, ts,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+        FROM events
+      )
+    ) GROUP BY user_id, session_id
+    """,
+    tier="T2",
+    survey="K-ext,I3,D1,H4",
+)
+def k11b_sessionize_native(spark, sf_dir):
+    """Engine-NATIVE batch sessionization: ``F.session_window`` in a
+    plain groupBy (the same merging machinery Structured Streaming's I3
+    uses, run as a batch aggregate) — verified equivalent to the
+    gaps-and-islands formulation (k11) by sharing its oracle: session
+    start = min ts, end = max ts + gap, identical boundary rule (a gap
+    of exactly 30:00 closes the session in both: session_window's end is
+    exclusive). One shuffle on user_id; the session merge is
+    aggregate-internal, no window scan over the whole partition."""
+    ev = T(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+        )
+    )

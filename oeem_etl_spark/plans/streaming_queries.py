@@ -613,3 +613,42 @@ def a22_snapshot_stream_commits(spark, sf_dir):
     )
     q.awaitTermination(120)
     return table.read(spark)
+
+
+@query(
+    "i13_streaming_tiered_totals",
+    sql="""
+    WITH t AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS m
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id, n_events,
+           ROUND(m / 1000000.0, 6) AS total_units,
+           ROUND(LEAST(m, 1500000000) / 1000000.0, 6) AS t1_units,
+           ROUND((LEAST(m, 3500000000) - LEAST(m, 1500000000)) / 1000000.0, 6)
+             AS t2_units,
+           ROUND(GREATEST(m - 3500000000, 0) / 1000000.0, 6) AS t3_units
+    FROM t
+    """,
+    tier="T3",
+    survey="I6,J5,K-ext",
+)
+def i13_streaming_tiered_totals(spark, sf_dir):
+    """Streaming progressive-tier accumulation (streaming/ops.
+    tiered_totals_state): one long of per-key state, tier split
+    re-derived from the clamped running total each micro-batch — the
+    final emission per key equals the batch LEAST/GREATEST allocation
+    exactly because block allocation is a function of the final total
+    alone. Update mode; last emission per key selected by max n_events."""
+    from pyspark.sql import Window
+
+    sdf = events_stream(spark, sf_dir)
+    updates = ops.tiered_totals_state(sdf)
+    drained = harness.run_available_now(updates, "update")
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        drained.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

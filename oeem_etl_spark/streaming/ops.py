@@ -239,3 +239,54 @@ def interval_join_stream(
         & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
     return l.join(r, cond, how)
+
+
+def tiered_totals_state(
+    df: DataFrame,
+    key: str = "user_id",
+    value_col: str = "value",
+    b1_micros: int = 1_500_000_000,
+    b2_micros: int = 3_500_000_000,
+):
+    """I6/K-ext: streaming progressive-tier accumulation — the stateful
+    twin of the batch tiered-billing operator. Per-key state is ONE long
+    (the exact micros running total); each micro-batch emission re-derives
+    the tier split by clamping that total at the block boundaries, which
+    is order-independent: the final allocation depends only on the final
+    cumulative total, never on arrival order — exactly why the last
+    emission per key is oracle-checkable against the batch LEAST/GREATEST
+    split, bit-for-bit."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key} bigint, n_events bigint, total_units double, "
+        "t1_units double, t2_units double, t3_units double"
+    )
+    state_schema = "n bigint, total_micros bigint"
+
+    def fn(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        n, micros = state.get if state.exists else (0, 0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            micros += int(pdf[value_col].mul(1e6).round(0).astype("int64").sum())
+        state.update((int(n), int(micros)))
+        t1 = min(micros, b1_micros)
+        t2 = min(micros, b2_micros) - t1
+        t3 = max(0, micros - b2_micros)
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_events": [n],
+                "total_units": [round(micros / 1e6, 6)],
+                "t1_units": [round(t1 / 1e6, 6)],
+                "t2_units": [round(t2 / 1e6, 6)],
+                "t3_units": [round(t3 / 1e6, 6)],
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

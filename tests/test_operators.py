@@ -873,3 +873,26 @@ def test_weighted_quantile_bucketed_equals_one_pass(spark):
                 ).collect()
             }
             assert a == b, (num, den, nb)
+
+
+def test_changepoint_recovers_true_balance_point(spark):
+    from oeem_etl_spark.operators.timeseries import changepoint_balance_fit
+    from pyspark.sql import functions as F
+
+    # y = 10 + 2*max(0, 19 - temp) exactly: the grid must pick bp=19 with
+    # slope 2, intercept 10, rsq 1 (candidates straddle the truth)
+    temps = [5.0, 8.0, 12.0, 15.0, 17.0, 18.5, 20.0, 25.0, 30.0, 10.0]
+    rows = [
+        ("m1", t, 10.0 + 2.0 * max(0.0, 19.0 - t)) for t in temps
+    ]
+    df = spark.createDataFrame(rows, "meter string, temp double, y double")
+    got = changepoint_balance_fit(
+        df, ["meter"], F.col("temp"), F.col("y"),
+        candidates=range(14, 23), y_scale=3,
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r["balance_point"] == 19
+    assert abs(r["slope"] - 2.0) < 1e-6
+    assert abs(r["intercept"] - 10.0) < 1e-6
+    assert abs(r["rsq"] - 1.0) < 1e-6
