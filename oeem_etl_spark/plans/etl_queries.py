@@ -1891,3 +1891,109 @@ def k11b_sessionize_native(spark, sf_dir):
             F.unix_micros("session_window.end").alias("session_end_us"),
         )
     )
+
+
+@query(
+    "k42_avoided_energy",
+    sql="""
+    WITH temps AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(ROUND(value * 1000000) AS BIGINT) AS vm,
+             ROUND(((ascii(substring(md5(CAST(CAST(date_trunc('day', ts) AS DATE)
+                                              AS VARCHAR)), 1, 1)) * 256
+                     + ascii(substring(md5(CAST(CAST(date_trunc('day', ts) AS DATE)
+                                                AS VARCHAR)), 2, 1))) % 3500)
+                   / 100.0 - 5.0, 2) AS temp
+      FROM events
+    ), daily AS (
+      SELECT user_id, day,
+             CAST(ROUND(GREATEST(0.0, ROUND(18.0 - temp, 2)) * 100) AS BIGINT)
+               AS xf,
+             CAST(SUM(vm) AS BIGINT) AS ym
+      FROM temps GROUP BY user_id, day, temp
+    ), fit AS (
+      SELECT user_id, COUNT(*) AS n_base_days,
+             ROUND(((COUNT(*) * CAST(SUM(xf * ym) AS BIGINT)
+                     - CAST(SUM(xf) AS BIGINT) * CAST(SUM(ym) AS BIGINT))
+                    / (COUNT(*) * CAST(SUM(xf * xf) AS BIGINT)
+                       - CAST(SUM(xf) AS BIGINT) * CAST(SUM(xf) AS BIGINT)))
+                   * 0.0001, 6) AS slope,
+             ROUND(CAST(SUM(ym) AS BIGINT) / COUNT(*) / 1000000.0
+                   - (((COUNT(*) * CAST(SUM(xf * ym) AS BIGINT)
+                        - CAST(SUM(xf) AS BIGINT) * CAST(SUM(ym) AS BIGINT))
+                       / (COUNT(*) * CAST(SUM(xf * xf) AS BIGINT)
+                          - CAST(SUM(xf) AS BIGINT) * CAST(SUM(xf) AS BIGINT)))
+                      * 0.0001)
+                     * (CAST(SUM(xf) AS BIGINT) / COUNT(*) / 100.0), 6)
+               AS intercept
+      FROM daily WHERE day < TIMESTAMP '2024-01-15'
+      GROUP BY user_id
+      HAVING COUNT(*) * CAST(SUM(xf * xf) AS BIGINT)
+             - CAST(SUM(xf) AS BIGINT) * CAST(SUM(xf) AS BIGINT) != 0
+    ), rep AS (
+      SELECT d.user_id, d.day,
+             CAST(ROUND((f.intercept + f.slope * (d.xf / 100.0)) * 1000000)
+                  AS BIGINT) AS pm,
+             d.ym
+      FROM daily d JOIN fit f USING (user_id)
+      WHERE d.day >= TIMESTAMP '2024-01-15'
+    )
+    SELECT r.user_id, f.n_base_days, COUNT(*) AS n_rep_days,
+           ROUND(CAST(SUM(r.ym) AS BIGINT) / 1000000.0, 6) AS actual,
+           ROUND(CAST(SUM(r.pm) AS BIGINT) / 1000000.0, 6) AS predicted,
+           ROUND(CAST(SUM(r.pm - r.ym) AS BIGINT) / 1000000.0, 6) AS avoided
+    FROM rep r JOIN fit f USING (user_id)
+    GROUP BY r.user_id, f.n_base_days
+    """,
+    tier="T2",
+    survey="K9,K-ext,D3,C1,D1",
+)
+def k42_avoided_energy(spark, sf_dir):
+    """The OEEM deliverable end to end: fit each meter's weather model on
+    the BASELINE period (daily usage vs HDD, exact-fixed-point OLS),
+    predict counterfactual usage through the REPORTING period, and report
+    avoided energy = predicted − actual. Per-day predictions are
+    quantized to integer micros before the rollup so the savings number
+    is partition-order-independent; the per-meter fit frame (one row per
+    meter) broadcasts into the reporting join. The oracle replays the
+    whole chain — fit arithmetic association-order-identical to
+    operators/timeseries.per_key_ols."""
+    from oeem_etl_spark.operators.timeseries import (
+        per_key_ols,
+        synthetic_daily_temperature,
+    )
+
+    cutoff = F.lit("2024-01-15").cast("timestamp")
+    ev = T(spark, sf_dir, "events")
+    daily = resample_interval(
+        ev, keys=["user_id"], ts="ts", freq="day", aggs=[dsum("value", "y")]
+    )
+    temp = synthetic_daily_temperature(F.col("bucket"))
+    hdd = F.round(F.greatest(F.lit(0.0), F.round(F.lit(18.0) - temp, 2)), 2)
+    daily = daily.withColumn("hdd", hdd)
+    base = daily.where(F.col("bucket") < cutoff)
+    fit = per_key_ols(
+        base, keys=["user_id"], x=F.col("hdd"), y=F.col("y"),
+        x_scale=2, y_scale=6,
+    ).where(F.col("slope").isNotNull()).select(
+        "user_id", F.col("n").alias("n_base_days"), "slope", "intercept"
+    )
+    rep = daily.where(F.col("bucket") >= cutoff).join(
+        F.broadcast(fit), "user_id"
+    )
+    pm = F.round(
+        (F.col("intercept") + F.col("slope") * F.col("hdd")) * 1_000_000
+    ).cast("long")
+    ym = F.round(F.col("y") * 1_000_000).cast("long")
+    return (
+        rep.select("user_id", "n_base_days", pm.alias("pm"), ym.alias("ym"))
+        .groupBy("user_id", "n_base_days")
+        .agg(
+            F.count(F.lit(1)).alias("n_rep_days"),
+            F.round(F.sum("ym") / F.lit(1e6), 6).alias("actual"),
+            F.round(F.sum("pm") / F.lit(1e6), 6).alias("predicted"),
+            F.round(F.sum(F.col("pm") - F.col("ym")) / F.lit(1e6), 6).alias(
+                "avoided"
+            ),
+        )
+    )

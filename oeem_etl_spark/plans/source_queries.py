@@ -816,3 +816,38 @@ def a28_schema_evolution_read(spark, sf_dir):
     return t.read(spark, merge_schema=True).select(
         "event_id", "user_id", "value", "batch_tag"
     )
+
+
+@query(
+    "a29_partition_evolution_read",
+    sql="""
+    SELECT event_id, user_id, event_type, value FROM events
+    """,
+    tier="T2",
+    survey="A6,A8,A1,K10",
+)
+def a29_partition_evolution_read(spark, sf_dir):
+    """Partition-layout evolution on the snapshot table: commit 1 writes
+    hive-partitioned by event_type (the column lives in directory names),
+    commit 2 writes the same schema UNPARTITIONED (the column lives in
+    the data files) — the manifest read reconciles both layouts in one
+    frame, restoring partition columns via per-commit basePath and
+    unioning by name. This is the Iceberg partition-evolution promise:
+    changing the layout must never change a row. The oracle is the plain
+    full table."""
+    import shutil
+
+    from oeem_etl_spark.sources.snapshots import SnapshotTable
+
+    root = os.path.join(_TMP, f"snap_pevo_{os.path.basename(sf_dir)}")
+    shutil.rmtree(root, ignore_errors=True)
+    t = SnapshotTable(root)
+    ev = T(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    t.commit(
+        ev.where(F.col("event_id") <= 3000), partition_by=["event_type"]
+    )
+    t.commit(ev.where(F.col("event_id") > 3000))
+    out = t.read(spark)
+    return out.select("event_id", "user_id", "event_type", "value")
