@@ -348,3 +348,37 @@ def weighted_quantile_bucketed(
         .groupBy(*g)
         .agg(F.min("__v").alias(value_col))
     )
+
+
+def apply_cdc(
+    target: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    op_col: str = "op",
+    seq_col: str = "seq",
+    broadcast_changes: bool = False,
+) -> DataFrame:
+    """Apply a CDC change feed (I/U/D rows with a per-key sequence) to a
+    keyed target — :func:`merge_upsert` extended with DELETE semantics,
+    the Debezium/Delta `MERGE ... WHEN MATCHED THEN DELETE` shape:
+
+    1. collapse the feed to each key's LATEST change (max ``seq_col``,
+       one hash aggregate — no window);
+    2. anti-join the target against ALL touched keys (delete + replace
+       in one pass);
+    3. union the surviving latest non-delete rows back in.
+
+    ``op_col`` values: 'I'/'U' rows carry the new image (both become the
+    key's row), 'D' removes the key. The usual 100 TB shape is
+    huge-target × small-feed: ``broadcast_changes=True`` ships only the
+    touched keys to executors and the target never shuffles."""
+    data_cols = [
+        c for c in changes.columns if c not in (op_col, seq_col)
+    ]
+    latest = dedupe_keep_latest(changes, keys, [F.col(seq_col).desc()])
+    touched = latest.select(*keys)
+    if broadcast_changes:
+        touched = F.broadcast(touched)
+    survivors = target.join(touched, list(keys), "left_anti")
+    upserts = latest.where(F.col(op_col) != "D").select(*data_cols)
+    return survivors.unionByName(upserts)

@@ -851,3 +851,55 @@ def a29_partition_evolution_read(spark, sf_dir):
     t.commit(ev.where(F.col("event_id") > 3000))
     out = t.read(spark)
     return out.select("event_id", "user_id", "event_type", "value")
+
+
+@query(
+    "a30_cdc_apply_deletes",
+    sql="""
+    SELECT event_id, user_id, value FROM events WHERE event_id % 7 <> 0
+    UNION ALL
+    SELECT event_id, user_id, ROUND(value + 1000, 2) AS value FROM events
+    WHERE event_id % 7 = 0 AND event_id % 21 <> 0
+    UNION ALL
+    SELECT event_id + 10000000 AS event_id, user_id, value FROM events
+    WHERE event_id % 35 = 0
+    """,
+    tier="T2",
+    survey="K6,D12,C4,G1",
+)
+def a30_cdc_apply_deletes(spark, sf_dir):
+    """Full CDC apply (operators/relational.apply_cdc) — merge_upsert
+    extended with DELETE semantics and per-key sequencing: the feed
+    carries updates (+1000 on every 7th key), deletes (every 21st key),
+    inserts (new keys for every 35th), plus a STALE earlier update for
+    every 14th key that the max-seq collapse must discard. One hash
+    aggregate collapses the feed, one anti join removes touched keys
+    (delete and replace in the same pass), one union restores the
+    winners. The oracle derives the expected final state arithmetically."""
+    from oeem_etl_spark.operators.relational import apply_cdc
+
+    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    sev = ev.where(F.col("event_id") % 7 == 0)
+    updates = sev.where(F.col("event_id") % 21 != 0).select(
+        "event_id", "user_id",
+        F.round(F.col("value") + 1000, 2).alias("value"),
+        F.lit("U").alias("op"), F.lit(2).alias("seq"),
+    )
+    stale = sev.where(F.col("event_id") % 14 == 0).select(
+        "event_id", "user_id",
+        F.round(F.col("value") + 500, 2).alias("value"),
+        F.lit("U").alias("op"), F.lit(1).alias("seq"),
+    )
+    deletes = sev.where(F.col("event_id") % 21 == 0).select(
+        "event_id", "user_id", "value",
+        F.lit("D").alias("op"), F.lit(2).alias("seq"),
+    )
+    inserts = ev.where(F.col("event_id") % 35 == 0).select(
+        (F.col("event_id") + 10_000_000).alias("event_id"),
+        "user_id", "value",
+        F.lit("I").alias("op"), F.lit(2).alias("seq"),
+    )
+    feed = updates.unionByName(stale).unionByName(deletes).unionByName(inserts)
+    return apply_cdc(
+        ev, feed, keys=["event_id"], broadcast_changes=True
+    )

@@ -896,3 +896,23 @@ def test_changepoint_recovers_true_balance_point(spark):
     assert abs(r["slope"] - 2.0) < 1e-6
     assert abs(r["intercept"] - 10.0) < 1e-6
     assert abs(r["rsq"] - 1.0) < 1e-6
+
+
+def test_apply_cdc_delete_update_insert_seq(spark):
+    from oeem_etl_spark.operators.relational import apply_cdc
+
+    target = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id long, v string"
+    )
+    feed = spark.createDataFrame(
+        [
+            (2, "b1", "U", 1), (2, "b2", "U", 2),  # latest wins
+            (3, "c", "D", 1),                        # delete
+            (4, "d", "I", 1),                        # insert
+        ],
+        "id long, v string, op string, seq int",
+    )
+    got = sorted(
+        (r["id"], r["v"]) for r in apply_cdc(target, feed, ["id"]).collect()
+    )
+    assert got == [(1, "a"), (2, "b2"), (4, "d")]

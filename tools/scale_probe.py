@@ -206,6 +206,43 @@ def shapes(spark, sf_dir):
         )
         return prefix_filter_jaccard_join(renamed, "doc_id", "text", 0.5)
 
+
+    def weighted_q():
+        # d24b shape: two-phase bucket refinement — the histogram stage
+        # must stay O(groups x buckets) and the second window must only
+        # see the target bucket's rows, so wall time tracks the SCAN,
+        # not a per-group ordered scan of everything.
+        from oeem_etl_spark.operators.relational import weighted_quantile_bucketed
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        return weighted_quantile_bucketed(
+            li, ["l_returnflag"], "l_extendedprice", "l_quantity", 1, 2
+        )
+
+    def tiered():
+        # k40 shape: per-key clamped running total (one window) + rollup
+        # sharing the key — supplier-keyed on lineitem so partition count
+        # scales with data (10x rows, same ~100-row window per key x 10).
+        from pyspark.sql import Window
+
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        um = F.round(F.col("l_extendedprice") * 100).cast("long")
+        w = (
+            Window.partitionBy("l_suppkey")
+            .orderBy("l_shipdate", "l_orderkey")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        b1 = 50_000_000
+        m = li.select("l_suppkey", "l_shipdate", "l_orderkey", um.alias("um"))
+        m = m.withColumn("cum", F.sum("um").over(w))
+        t1 = F.least(F.col("cum"), F.lit(b1)) - F.least(
+            F.col("cum") - F.col("um"), F.lit(b1)
+        )
+        return (
+            m.groupBy("l_suppkey")
+            .agg(F.sum(t1).alias("t1"), F.sum("um").alias("tot"))
+        )
+
     return {
         "q01_agg": q01,
         "q02_bjoin": q02,
@@ -215,6 +252,8 @@ def shapes(spark, sf_dir):
         "interpolate": interp,
         "spatial_nn": spatial,
         "jaccard_prefix": jacc_prefix,
+        "weighted_quantile": weighted_q,
+        "tiered_window": tiered,
     }
 
 
