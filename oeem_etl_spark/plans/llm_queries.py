@@ -1901,3 +1901,118 @@ def l50_neardup_canonical(spark, sf_dir):
         ),
         (F.count(F.lit(1)) - 1).alias("n_dropped"),
     )
+
+
+@query(
+    "l51_group_split",
+    sql="""
+    WITH assigned AS (
+      SELECT doc_id, source,
+             CASE WHEN (ascii(substr(md5(source),1,1)) * 256
+                        + ascii(substr(md5(source),2,1))) % 100 < 80 THEN 'train'
+                  WHEN (ascii(substr(md5(source),1,1)) * 256
+                        + ascii(substr(md5(source),2,1))) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT split, COUNT(DISTINCT source) AS n_sources, COUNT(*) AS n_docs
+    FROM assigned GROUP BY split
+    """,
+    tier="T3",
+    survey="L-ext,B8,H6,D2",
+)
+def l51_group_split(spark, sf_dir):
+    """GROUP-aware train/val/test split — the leakage-safe variant of
+    l17: the md5 range is taken over the GROUP key (source), so every
+    document of a source lands in the same split and no near-identical
+    sibling can leak from train into test. Pure per-row expression (no
+    shuffle to assign); by construction Σ per-split n_sources equals the
+    distinct source count — the audit the oracle also checks."""
+    from oeem_etl_spark.operators.splits import deterministic_split
+
+    docs = T(spark, sf_dir, "documents")
+    out = deterministic_split(docs, "source")
+    return out.groupBy("split").agg(
+        F.count_distinct("source").alias("n_sources"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@query(
+    "l52_dedup_aware_split",
+    sql="""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(str_split(text,' ')) - 2, 1)),
+        i -> str_split(text,' ')[i] || ' ' || str_split(text,' ')[i+1]
+             || ' ' || str_split(text,' ')[i+2])) AS s
+      FROM documents
+    ), tok AS (
+      SELECT doc_id, unnest(s) AS t FROM sh
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+      FROM tok a JOIN tok b ON a.t = b.t AND a.doc_id < b.doc_id
+    ), e0 AS (
+      SELECT c.ka AS a, c.kb AS b
+      FROM cand c JOIN sh sa ON sa.doc_id = c.ka JOIN sh sb ON sb.doc_id = c.kb
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / len(list_distinct(sa.s || sb.s)) >= 0.5
+    ), e AS (
+      SELECT a, b FROM e0 UNION SELECT b, a FROM e0
+    ), nodes AS (SELECT DISTINCT a AS node FROM e),
+    r(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node
+    ), lab AS (
+      SELECT node, CAST(MIN(lbl) AS BIGINT) AS label FROM r GROUP BY node
+    ), keyed AS (
+      SELECT d.doc_id,
+             CAST(COALESCE(lab.label, d.doc_id) AS VARCHAR) AS split_key,
+             CASE WHEN lab.node IS NOT NULL THEN 1 ELSE 0 END AS clustered
+      FROM documents d LEFT JOIN lab ON lab.node = d.doc_id
+    ), assigned AS (
+      SELECT doc_id, clustered,
+             CASE WHEN (ascii(substr(md5(split_key),1,1)) * 256
+                        + ascii(substr(md5(split_key),2,1))) % 100 < 80 THEN 'train'
+                  WHEN (ascii(substr(md5(split_key),1,1)) * 256
+                        + ascii(substr(md5(split_key),2,1))) % 100 < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM keyed
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(clustered) AS BIGINT) AS n_clustered_docs
+    FROM assigned GROUP BY split
+    """,
+    tier="T3",
+    survey="L-ext,L2,L1,H6,C2",
+)
+def l52_dedup_aware_split(spark, sf_dir):
+    """Near-dup-AWARE train/val/test split — the corpus-hygiene step
+    published eval protocols demand: documents in the same near-dup
+    cluster (prefix-filter Jaccard ≥ 0.5 → connected components, the l50
+    chain) share one split key (the cluster label), so a test document
+    can never have a near-duplicate sibling in train. Singletons hash by
+    their own id. The oracle replays candidates + recursive-CTE CC +
+    the same md5 range arithmetic end to end."""
+    from oeem_etl_spark.operators.splits import deterministic_split
+
+    docs = T(spark, sf_dir, "documents")
+    edges = dedup.prefix_filter_jaccard_join(docs, "doc_id", "text", 0.5).select(
+        "key_a", "key_b"
+    )
+    lab = dedup.connected_components(edges)
+    keyed = docs.join(
+        lab.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
+    ).select(
+        "doc_id",
+        F.coalesce(F.col("label"), F.col("doc_id")).cast("string").alias(
+            "split_key"
+        ),
+        F.when(F.col("label").isNotNull(), 1).otherwise(0).alias("clustered"),
+    )
+    out = deterministic_split(keyed, "split_key")
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("clustered").cast("long").alias("n_clustered_docs"),
+    )
