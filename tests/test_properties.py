@@ -660,3 +660,128 @@ def test_grid_nn_matches_bruteforce_property(spark, cell, seed, n_pts, n_sites):
     for i, x, y in pts:
         want = min(((x - sx) ** 2 + (y - sy) ** 2, sk) for sk, sx, sy in sites)
         assert got[i] == (want[1], want[0]), (i, cell)
+
+
+@given(
+    target=kv_rows,
+    feed=st.lists(
+        st.tuples(
+            st.integers(0, 5),      # key
+            st.integers(-1000, 1000),  # value
+            st.sampled_from(["I", "U", "D"]),
+            st.integers(0, 10),     # seq
+        ),
+        min_size=0,
+        max_size=25,
+    ),
+)
+@settings(**SETTINGS)
+def test_apply_cdc_matches_python_replay(spark, target, feed):
+    """apply_cdc == a naive per-key replay: latest seq wins (ties broken
+    by Spark's window arbitrary order — so restrict the model check to
+    keys whose max seq is unique), D removes, I/U upsert."""
+    from oeem_etl_spark.operators.relational import apply_cdc
+
+    # dedupe target to one row per key (apply_cdc presumes keyed target)
+    tgt = {}
+    for k, _s, v in target:
+        tgt[k] = v
+    tdf = (
+        spark.createDataFrame([(k, v) for k, v in tgt.items()], "id long, v long")
+        if tgt
+        else spark.createDataFrame([], "id long, v long")
+    )
+    fdf = (
+        spark.createDataFrame(feed, "id long, v long, op string, seq int")
+        if feed
+        else spark.createDataFrame([], "id long, v long, op string, seq int")
+    )
+    got = {r["id"]: r["v"] for r in apply_cdc(tdf, fdf, ["id"]).collect()}
+
+    # python model
+    latest: dict[int, tuple[int, int, str]] = {}
+    ambiguous = set()
+    for k, v, op, seq in feed:
+        cur = latest.get(k)
+        if cur is None or seq > cur[0]:
+            latest[k] = (seq, v, op)
+        elif seq == cur[0]:
+            ambiguous.add(k)  # tie at max seq: winner unspecified
+    expect = dict(tgt)
+    for k, (_s, v, op) in latest.items():
+        if op == "D":
+            expect.pop(k, None)
+        else:
+            expect[k] = v
+    for k in set(expect) | set(got):
+        if k in ambiguous:
+            assert (k in got) == (k in expect) or latest[k][2] != "D"
+            continue
+        assert got.get(k) == expect.get(k), (k, got.get(k), expect.get(k))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),          # group
+            st.integers(0, 50),         # value
+            st.integers(1, 9),          # weight
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    q=st.sampled_from([(1, 2), (1, 4), (9, 10)]),
+)
+@settings(**SETTINGS)
+def test_weighted_quantile_matches_python_model(spark, rows, q):
+    from oeem_etl_spark.operators.relational import weighted_quantile
+
+    num, den = q
+    df = spark.createDataFrame(rows, "g int, v int, w int")
+    got = {r["g"]: r["v"] for r in weighted_quantile(df, ["g"], "v", "w", num, den).collect()}
+    groups: dict[int, list[tuple[int, int]]] = {}
+    for g, v, w in rows:
+        groups.setdefault(g, []).append((v, w))
+    for g, vw in groups.items():
+        tot = sum(w for _v, w in vw)
+        cum = 0
+        expect = None
+        for v, w in sorted(vw):
+            cum += w
+            if cum * den >= tot * num:
+                expect = v
+                break
+        assert got[g] == expect, (g, got[g], expect)
+
+
+@given(
+    totals=st.lists(st.integers(0, 6_000), min_size=1, max_size=12),
+)
+@settings(**SETTINGS)
+def test_tier_allocation_conserves_and_bounds(spark, totals):
+    """k40's clamp algebra: per-row tier allocations are non-negative,
+    sum to the row amount, and cumulative tier-1/2 totals never exceed
+    their block widths."""
+    from pyspark.sql import Window
+
+    rows = [(1, i, float(t)) for i, t in enumerate(totals)]
+    df = spark.createDataFrame(rows, "k int, seq int, amt double")
+    b1, b2 = 1_500_000_000, 3_500_000_000
+    um = F.round(F.col("amt") * 1_000_000).cast("long")
+    w = (
+        Window.partitionBy("k").orderBy("seq")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    m = df.select("k", "seq", um.alias("um")).withColumn(
+        "cum", F.sum("um").over(w)
+    )
+    cb = F.col("cum") - F.col("um")
+    t1 = F.least(F.col("cum"), F.lit(b1)) - F.least(cb, F.lit(b1))
+    t2 = F.least(F.col("cum"), F.lit(b2)) - F.least(cb, F.lit(b2)) - t1
+    t3 = F.greatest(F.col("cum") - b2, F.lit(0)) - F.greatest(cb - b2, F.lit(0))
+    out = m.select("um", t1.alias("t1"), t2.alias("t2"), t3.alias("t3")).collect()
+    for r in out:
+        assert r["t1"] >= 0 and r["t2"] >= 0 and r["t3"] >= 0
+        assert r["t1"] + r["t2"] + r["t3"] == r["um"]
+    assert sum(r["t1"] for r in out) <= b1
+    assert sum(r["t2"] for r in out) <= b2 - b1
