@@ -1997,3 +1997,63 @@ def k42_avoided_energy(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "k43_expanding_cv_folds",
+    sql="""
+    WITH d AS (
+      SELECT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT) AS ym
+      FROM events GROUP BY 1, 2
+    ), folds AS (
+      SELECT * FROM (VALUES
+        (1, TIMESTAMP '2024-01-10'), (2, TIMESTAMP '2024-01-15'),
+        (3, TIMESTAMP '2024-01-20')) AS f(fold, cutoff)
+    )
+    SELECT f.fold, d.user_id,
+           COUNT(CASE WHEN d.day < f.cutoff THEN 1 END) AS n_train_days,
+           COUNT(CASE WHEN d.day >= f.cutoff
+                       AND d.day < f.cutoff + INTERVAL 5 DAY THEN 1 END)
+             AS n_val_days,
+           ROUND(CAST(SUM(CASE WHEN d.day < f.cutoff THEN d.ym END)
+                 AS BIGINT) / 1000000.0, 6) AS train_total,
+           ROUND(CAST(SUM(CASE WHEN d.day >= f.cutoff
+                       AND d.day < f.cutoff + INTERVAL 5 DAY THEN d.ym END)
+                 AS BIGINT) / 1000000.0, 6) AS val_total
+    FROM d CROSS JOIN folds f
+    GROUP BY f.fold, d.user_id
+    """,
+    tier="T2",
+    survey="K-ext,B4,D1,C5",
+)
+def k43_expanding_cv_folds(spark, sf_dir):
+    """Expanding-window time-series cross-validation folds — the
+    leakage-safe model-selection split for meter models (each fold
+    trains strictly BEFORE its cutoff, validates on the next 5 days;
+    never a random shuffle, which leaks seasonality). The 3-row fold
+    table broadcasts into the daily rollup and the fold×meter summary
+    is one conditional aggregation — no per-fold scans."""
+    cutoffs = [(1, "2024-01-10"), (2, "2024-01-15"), (3, "2024-01-20")]
+    ev = T(spark, sf_dir, "events")
+    d = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("ym"))
+    folds = spark.createDataFrame(cutoffs, "fold int, cutoff_s string").select(
+        "fold", F.col("cutoff_s").cast("timestamp").alias("cutoff")
+    )
+    j = d.crossJoin(F.broadcast(folds))
+    in_train = F.col("day") < F.col("cutoff")
+    in_val = (F.col("day") >= F.col("cutoff")) & (
+        F.col("day") < F.col("cutoff") + F.expr("INTERVAL 5 DAY")
+    )
+    return j.groupBy("fold", "user_id").agg(
+        F.count(F.when(in_train, 1)).alias("n_train_days"),
+        F.count(F.when(in_val, 1)).alias("n_val_days"),
+        F.round(F.sum(F.when(in_train, F.col("ym"))) / F.lit(1e6), 6).alias(
+            "train_total"
+        ),
+        F.round(F.sum(F.when(in_val, F.col("ym"))) / F.lit(1e6), 6).alias(
+            "val_total"
+        ),
+    )

@@ -514,3 +514,72 @@ def m10_touch_attribution(spark, sf_dir):
         )
         .orderBy("month", "event_type")
     )
+
+
+@query(
+    "m13_top_session_paths",
+    sql="""
+    WITH g AS (
+      SELECT user_id, ts, event_id, event_type,
+             CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, ts, event_id, event_type,
+               epoch_us(ts) - lag(epoch_us(ts))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        FROM events
+      )
+    ), paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, 5),
+               '>') AS path
+      FROM g GROUP BY user_id, session_id
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC
+    LIMIT 20
+    """,
+    tier="T2",
+    survey="K-ext,E2,H7,D5,F3",
+)
+def m13_top_session_paths(spark, sf_dir):
+    """Top navigation paths: sessionize (30-min gap), render each
+    session's first five event types as an ordered path string, count
+    and rank. The in-session ordering is materialized with
+    sort_array-of-structs (no order-sensitive collect_list contract
+    needed — the sort is explicit and total on (ts, event_id)), so both
+    engines produce identical paths under any partitioning; top-20 is
+    fully tie-broken."""
+    from oeem_etl_spark.operators.timeseries import sessionize
+
+    ev = T(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    sess = sessionize(ev, keys=["user_id"], ts="ts", gap_minutes=30)
+    paths = (
+        sess.groupBy("user_id", "session_id")
+        .agg(
+            F.sort_array(
+                F.collect_list(F.struct("ts", "event_id", "event_type"))
+            ).alias("evs")
+        )
+        .select(
+            F.concat_ws(
+                ">",
+                F.slice(
+                    F.transform(F.col("evs"), lambda e: e["event_type"]), 1, 5
+                ),
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(20)
+    )
