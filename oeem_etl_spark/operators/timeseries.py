@@ -165,6 +165,7 @@ def sessionize(
     keys: Sequence[str],
     ts: str,
     gap_minutes: int,
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Gaps-and-islands sessionization (batch twin of §2.I3 session_window):
     a new session starts when the gap from the previous event exceeds the
@@ -172,8 +173,14 @@ def sessionize(
 
     Same shuffle shape as streaming ``session_window`` state: partition by
     key, order by time, two window passes (lag + running sum).
+
+    ``tiebreak``: extra order columns after ``ts``. Session MEMBERSHIP is
+    tie-insensitive (equal timestamps always share a session — their gap
+    is 0), but downstream per-session orderings (e.g. path strings) need
+    a total order; pass a unique column when the data can carry duplicate
+    timestamps per key.
     """
-    w = Window.partitionBy(*keys).orderBy(ts)
+    w = Window.partitionBy(*keys).orderBy(ts, *tiebreak)
     gap_us = gap_minutes * 60_000_000
     # cast tolerates TIMESTAMP_NTZ inputs (unix_micros requires TIMESTAMP;
     # no-op on TIMESTAMP; session tz pinned UTC makes NTZ→LTZ exact)

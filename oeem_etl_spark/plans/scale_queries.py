@@ -560,7 +560,9 @@ def m13_top_session_paths(spark, sf_dir):
     ev = T(spark, sf_dir, "events").select(
         "user_id", "ts", "event_id", "event_type"
     )
-    sess = sessionize(ev, keys=["user_id"], ts="ts", gap_minutes=30)
+    sess = sessionize(
+        ev, keys=["user_id"], ts="ts", gap_minutes=30, tiebreak=["event_id"]
+    )
     paths = (
         sess.groupBy("user_id", "session_id")
         .agg(
