@@ -616,7 +616,7 @@ def a22_snapshot_stream_commits(spark, sf_dir):
 
 
 @query(
-    "i13_streaming_tiered_totals",
+    "i15_streaming_tiered_totals",
     sql="""
     WITH t AS (
       SELECT user_id, COUNT(*) AS n_events,
@@ -634,7 +634,7 @@ def a22_snapshot_stream_commits(spark, sf_dir):
     tier="T3",
     survey="I6,J5,K-ext",
 )
-def i13_streaming_tiered_totals(spark, sf_dir):
+def i15_streaming_tiered_totals(spark, sf_dir):
     """Streaming progressive-tier accumulation (streaming/ops.
     tiered_totals_state): one long of per-key state, tier split
     re-derived from the clamped running total each micro-batch — the
