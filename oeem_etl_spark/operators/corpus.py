@@ -469,6 +469,7 @@ def importance_weights(
     key: str,
     text_col: str,
     is_target: Column,
+    persist_tokens: bool = True,
 ) -> DataFrame:
     """DSIR-style importance scoring (Xie et al. 2023, "Data Selection
     for Language Models via Importance Resampling"): score every document
@@ -488,10 +489,21 @@ def importance_weights(
     token stream against the vocabulary frequencies. The document text
     itself never shuffles; at 100 TB the vocabulary join is the only
     exchange and it moves O(tokens) narrow rows.
+
+    ``persist_tokens`` (default True) caches the exploded token stream:
+    it feeds both the frequency aggregation and the scoring join probe
+    side, and without the cache the scan+split+explode of every
+    document runs twice (the same multi-branch-recompute fix as
+    prefix_filter_jaccard_join's persist_postings). Cache released by
+    the ContextCleaner with the frame.
     """
+    from pyspark import StorageLevel
+
     toks = df.select(
         F.col(key), is_target.alias("__tgt"), F.explode(tokenize(text_col)).alias("__t")
     )
+    if persist_tokens:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     freq = toks.groupBy("__t").agg(
         F.count(F.lit(1)).alias("__tf_raw"),
         F.sum(F.col("__tgt").cast("long")).alias("__tf_tgt"),

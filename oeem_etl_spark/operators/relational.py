@@ -231,6 +231,11 @@ def weighted_quantile(
     (``q_den * cum >= q_num * total``), so every engine and every
     partitioning agrees bit-for-bit — no float quantile interpolation.
 
+    NULL values carry no rank: rows with a NULL ``value_col`` are
+    excluded from the distribution (engines disagree on where NULLs sort
+    in a cumulative window — Spark NULLS FIRST vs DuckDB NULLS LAST —
+    so any other contract is engine-dependent).
+
     Shape: one grouped pre-aggregation collapses duplicate values (the
     cumulative scan then runs over distinct values, not rows), one
     window for the running weight, one min-reduce for the answer. All
@@ -238,6 +243,7 @@ def weighted_quantile(
     window is bounded by value cardinality within each group."""
     g = list(group_by)
     v, w = F.col(value_col), F.col(weight_col).cast("long")
+    df = df.where(v.isNotNull())
     per_value = df.groupBy(*g, v.alias("__v")).agg(F.sum(w).alias("__w"))
     win = (
         Window.partitionBy(*g)
@@ -282,9 +288,12 @@ def weighted_quantile_bucketed(
     Integer reach arithmetic throughout (weights cast long), so the
     result is bit-identical to the one-pass operator and to a SQL
     oracle. Two scans instead of one is the explicit trade: each
-    exchange is small and every stage is wide-parallel."""
+    exchange is small and every stage is wide-parallel.
+
+    NULL values are excluded, matching :func:`weighted_quantile`."""
     g = list(group_by)
     v, w = F.col(value_col), F.col(weight_col).cast("long")
+    df = df.where(v.isNotNull())
     rng = df.agg(
         F.min(v).alias("__lo"), F.max(v).alias("__hi")
     )
@@ -362,20 +371,25 @@ def apply_cdc(
     keyed target — :func:`merge_upsert` extended with DELETE semantics,
     the Debezium/Delta `MERGE ... WHEN MATCHED THEN DELETE` shape:
 
-    1. collapse the feed to each key's LATEST change (max ``seq_col``,
-       one hash aggregate — no window);
+    1. collapse the feed to each key's LATEST change (max ``seq_col``
+       via :func:`dedupe_keep_latest_by` — a map-side-combinable hash
+       aggregate, no window sort: the collapse shuffle is bounded by
+       #keys × #input partitions, not feed rows);
     2. anti-join the target against ALL touched keys (delete + replace
        in one pass);
     3. union the surviving latest non-delete rows back in.
 
     ``op_col`` values: 'I'/'U' rows carry the new image (both become the
-    key's row), 'D' removes the key. The usual 100 TB shape is
-    huge-target × small-feed: ``broadcast_changes=True`` ships only the
-    touched keys to executors and the target never shuffles."""
+    key's row), 'D' removes the key. ``seq_col`` must be unique per key
+    for a deterministic result — two feed rows tied at a key's max seq
+    pick an unspecified winner (emit a monotonic per-key sequence, as
+    CDC sources do). The usual 100 TB shape is huge-target ×
+    small-feed: ``broadcast_changes=True`` ships only the touched keys
+    to executors and the target never shuffles."""
     data_cols = [
         c for c in changes.columns if c not in (op_col, seq_col)
     ]
-    latest = dedupe_keep_latest(changes, keys, [F.col(seq_col).desc()])
+    latest = dedupe_keep_latest_by(changes, keys, [seq_col], keep="max")
     touched = latest.select(*keys)
     if broadcast_changes:
         touched = F.broadcast(touched)

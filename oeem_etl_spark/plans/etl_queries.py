@@ -1631,7 +1631,11 @@ def k39_peak_demand(spark, sf_dir):
         dsum("value", "user_total")
     )
     hourly = uh.groupBy("month", "hour").agg(
-        F.round(F.sum("user_total"), 6).alias("sys_total")
+        # dsum, not a bare double sum: user_total is exact at 6 dp, so the
+        # re-quantization is lossless and the hourly total stays integer
+        # micros — a float sum's partition-order error could flip the
+        # ORDER BY sys_total peak pick between near-tied hours at scale
+        dsum("user_total", "sys_total")
     )
     w = Window.partitionBy("month").orderBy(
         F.col("sys_total").desc(), F.col("hour").asc()
@@ -1876,10 +1880,13 @@ def k11b_sessionize_native(spark, sf_dir):
     plain groupBy (the same merging machinery Structured Streaming's I3
     uses, run as a batch aggregate) — verified equivalent to the
     gaps-and-islands formulation (k11) by sharing its oracle: session
-    start = min ts, end = max ts + gap, identical boundary rule (a gap
-    of exactly 30:00 closes the session in both: session_window's end is
-    exclusive). One shuffle on user_id; the session merge is
-    aggregate-internal, no window scan over the whole partition."""
+    start = min ts, end = max ts + gap, identical boundary rule (an
+    event arriving EXACTLY 30:00 after the previous one stays in the
+    SAME session in both: the oracle's strict `gap_us > threshold` does
+    not open a new session, and session_window merges an event landing
+    on the previous window's end — verified empirically on Spark). One
+    shuffle on user_id; the session merge is aggregate-internal, no
+    window scan over the whole partition."""
     ev = T(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))

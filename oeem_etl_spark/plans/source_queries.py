@@ -493,19 +493,39 @@ def a15b_python_stream_source(spark, sf_dir):
     return harness.run_available_now(sdf, "append")
 
 
-def _snapshot_table(spark, sf_dir):
+def _snapshot_table(
+    spark,
+    sf_dir,
+    suffix="",
+    cols=("event_id", "user_id", "value"),
+    v1_partition_by=None,
+    v2_transform=None,
+):
     """Build (fresh each call) a two-commit snapshot table from events:
-    v1 = events with event_id <= 3000, v2 = append of the rest."""
+    v1 = events with event_id <= 3000, v2 = append of the rest.
+
+    One scaffold for every snapshot-table query: ``suffix`` isolates the
+    tmp root per query, ``v1_partition_by`` writes the first commit
+    hive-partitioned (a29's layout evolution), ``v2_transform`` mutates
+    the second commit's frame (a28's column-add evolution)."""
     import shutil
 
     from oeem_etl_spark.sources.snapshots import SnapshotTable
 
-    root = os.path.join(_TMP, f"snap_{os.path.basename(sf_dir)}")
+    root = os.path.join(_TMP, f"snap{suffix}_{os.path.basename(sf_dir)}")
     shutil.rmtree(root, ignore_errors=True)
     t = SnapshotTable(root)
-    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    t.commit(ev.where(F.col("event_id") <= 3000), mode="append")
-    t.commit(ev.where(F.col("event_id") > 3000), mode="append")
+    ev = T(spark, sf_dir, "events").select(*cols)
+    v1 = ev.where(F.col("event_id") <= 3000)
+    v2 = ev.where(F.col("event_id") > 3000)
+    if v2_transform is not None:
+        v2 = v2_transform(v2)
+    t.commit(
+        v1,
+        mode="append",
+        partition_by=list(v1_partition_by) if v1_partition_by else None,
+    )
+    t.commit(v2, mode="append")
     return t
 
 
@@ -798,20 +818,11 @@ def a28_schema_evolution_read(spark, sf_dir):
     new column (Delta/Iceberg column-add semantics via parquet
     mergeSchema; no rewrite of historical data). The oracle derives the
     expected NULL pattern from the commit split."""
-    import shutil
-
-    from oeem_etl_spark.sources.snapshots import SnapshotTable
-
-    root = os.path.join(_TMP, f"snap_evo_{os.path.basename(sf_dir)}")
-    shutil.rmtree(root, ignore_errors=True)
-    t = SnapshotTable(root)
-    ev = T(spark, sf_dir, "events").select("event_id", "user_id", "value")
-    t.commit(ev.where(F.col("event_id") <= 3000), mode="append")
-    t.commit(
-        ev.where(F.col("event_id") > 3000).withColumn(
-            "batch_tag", F.lit("batch2")
-        ),
-        mode="append",
+    t = _snapshot_table(
+        spark,
+        sf_dir,
+        suffix="_evo",
+        v2_transform=lambda df: df.withColumn("batch_tag", F.lit("batch2")),
     )
     return t.read(spark, merge_schema=True).select(
         "event_id", "user_id", "value", "batch_tag"
@@ -835,22 +846,14 @@ def a29_partition_evolution_read(spark, sf_dir):
     unioning by name. This is the Iceberg partition-evolution promise:
     changing the layout must never change a row. The oracle is the plain
     full table."""
-    import shutil
-
-    from oeem_etl_spark.sources.snapshots import SnapshotTable
-
-    root = os.path.join(_TMP, f"snap_pevo_{os.path.basename(sf_dir)}")
-    shutil.rmtree(root, ignore_errors=True)
-    t = SnapshotTable(root)
-    ev = T(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
+    t = _snapshot_table(
+        spark,
+        sf_dir,
+        suffix="_pevo",
+        cols=("event_id", "user_id", "event_type", "value"),
+        v1_partition_by=["event_type"],
     )
-    t.commit(
-        ev.where(F.col("event_id") <= 3000), partition_by=["event_type"]
-    )
-    t.commit(ev.where(F.col("event_id") > 3000))
-    out = t.read(spark)
-    return out.select("event_id", "user_id", "event_type", "value")
+    return t.read(spark).select("event_id", "user_id", "event_type", "value")
 
 
 @query(

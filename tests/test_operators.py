@@ -916,3 +916,21 @@ def test_apply_cdc_delete_update_insert_seq(spark):
         (r["id"], r["v"]) for r in apply_cdc(target, feed, ["id"]).collect()
     )
     assert got == [(1, "a"), (2, "b2"), (4, "d")]
+
+
+def test_weighted_quantile_excludes_null_values(spark):
+    from oeem_etl_spark.operators.relational import (
+        weighted_quantile,
+        weighted_quantile_bucketed,
+    )
+
+    # NULL value carries weight 10 — it must NOT shift the median (engines
+    # disagree on where NULLs sort in a cumulative window, so the contract
+    # is exclusion)
+    df = spark.createDataFrame(
+        [("g", None, 10), ("g", 1.0, 1), ("g", 2.0, 1)],
+        "grp string, v double, w int",
+    )
+    for fn in (weighted_quantile, weighted_quantile_bucketed):
+        got = fn(df, ["grp"], "v", "w", 1, 2).collect()
+        assert [(r["grp"], r["v"]) for r in got] == [("g", 1.0)], fn.__name__
