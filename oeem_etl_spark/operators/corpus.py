@@ -527,3 +527,58 @@ def importance_weights(
         ),
         F.count("__w").cast("long").alias("n_tokens"),
     )
+
+
+def unigram_drift(
+    df: DataFrame,
+    text_col: str,
+    is_reference: Column,
+    top_k: int = 15,
+    persist_tokens: bool = True,
+) -> DataFrame:
+    """Distribution-drift detection between two corpus slices: per-token
+    contribution to KL(incoming ‖ reference) over add-1-smoothed unigram
+    distributions — the monitoring primitive that catches a crawl batch
+    whose language/domain mix shifted before it trains anything.
+
+    Per shared-vocabulary token: ``contrib = p_inc · ln(p_inc / p_ref)``
+    (positive where the incoming slice over-represents the token),
+    quantized to integer NANOS (contributions are tiny) with ONE fixed
+    association so both engines derive identical longs; output is the
+    ``top_k`` drift tokens, fully tie-broken.
+
+    Scale shape: one token-level grouped count (vocabulary-bounded
+    shuffle), one broadcast 3-number totals frame, one global top-k
+    (TakeOrderedAndProject). The token stream is cached across its two
+    consumers (same discipline as :func:`importance_weights`).
+    """
+    from pyspark import StorageLevel
+
+    toks = df.select(
+        is_reference.alias("__ref"), F.explode(tokenize(text_col)).alias("__t")
+    )
+    if persist_tokens:
+        toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
+    freq = toks.groupBy("__t").agg(
+        F.sum(F.col("__ref").cast("long")).alias("__tf_ref"),
+        F.sum((~F.col("__ref")).cast("long")).alias("__tf_inc"),
+    )
+    totals = freq.agg(
+        F.sum("__tf_ref").alias("__n_ref"),
+        F.sum("__tf_inc").alias("__n_inc"),
+        F.count(F.lit(1)).alias("__v"),
+    )
+    p_inc = (F.col("__tf_inc") + F.lit(1.0)) / (F.col("__n_inc") + F.col("__v"))
+    p_ref = (F.col("__tf_ref") + F.lit(1.0)) / (F.col("__n_ref") + F.col("__v"))
+    contrib = F.round(p_inc * F.log(p_inc / p_ref) * 1_000_000_000).cast("long")
+    return (
+        freq.crossJoin(F.broadcast(totals))
+        .select(
+            F.col("__t").alias("token"),
+            F.col("__tf_ref").alias("tf_ref"),
+            F.col("__tf_inc").alias("tf_inc"),
+            contrib.alias("kl_nanos"),
+        )
+        .orderBy(F.col("kl_nanos").desc(), F.col("token").asc())
+        .limit(top_k)
+    )

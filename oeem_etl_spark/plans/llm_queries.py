@@ -2016,3 +2016,46 @@ def l52_dedup_aware_split(spark, sf_dir):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("clustered").cast("long").alias("n_clustered_docs"),
     )
+
+
+@query(
+    "l53_unigram_drift",
+    sql="""
+    WITH toks AS (
+      SELECT doc_id % 2 = 0 AS ref, unnest(string_split(text, ' ')) AS t
+      FROM documents
+    ),
+    freq AS (
+      SELECT t, SUM(CASE WHEN ref THEN 1 ELSE 0 END) AS tf_ref,
+             SUM(CASE WHEN ref THEN 0 ELSE 1 END) AS tf_inc
+      FROM toks GROUP BY t
+    ),
+    tot AS (
+      SELECT SUM(tf_ref) AS n_ref, SUM(tf_inc) AS n_inc, COUNT(*) AS v
+      FROM freq
+    )
+    SELECT t AS token,
+           CAST(tf_ref AS BIGINT) AS tf_ref,
+           CAST(tf_inc AS BIGINT) AS tf_inc,
+           CAST(ROUND(((tf_inc + 1.0) / (n_inc + v))
+                      * ln(((tf_inc + 1.0) / (n_inc + v))
+                           / ((tf_ref + 1.0) / (n_ref + v)))
+                      * 1000000000) AS BIGINT) AS kl_nanos
+    FROM freq, tot
+    ORDER BY kl_nanos DESC, token ASC
+    LIMIT 15
+    """,
+    tier="T3",
+    survey="L7,L5,H5,F3",
+)
+def l53_unigram_drift(spark, sf_dir):
+    """Corpus distribution-drift monitor (operators/corpus.unigram_drift):
+    even-id docs act as the reference slice, odd-id as the incoming
+    batch; the top-15 tokens by contribution to KL(incoming ‖ reference)
+    surface what shifted. Vocabulary-bounded shuffle, broadcast totals,
+    TakeOrderedAndProject top-k — and nano-quantized contributions with
+    one fixed association, so the ranking is bit-stable across engines."""
+    docs = T(spark, sf_dir, "documents")
+    return corpus_ops.unigram_drift(
+        docs, "text", (F.col("doc_id") % 2 == 0), top_k=15
+    )
