@@ -1825,3 +1825,87 @@ def d24b_weighted_median_bucketed(spark, sf_dir):
         .withColumnRenamed("l_extendedprice", "wmedian")
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "d27_welch_ttest",
+    sql="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS sv,
+             CAST(SUM(CAST(ROUND(value * 1000) AS BIGINT)
+                      * CAST(ROUND(value * 1000) AS BIGINT)) AS BIGINT) AS svv
+      FROM events GROUP BY event_type
+    ), m AS (
+      SELECT event_type, n, sv, svv,
+             sv / n / 1000.0 AS mean,
+             ((n * svv - sv * sv) / (n * (n - 1.0))) / 1000000.0 AS var
+      FROM s
+    )
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           a.n AS n_a, b.n AS n_b,
+           ROUND(a.mean - b.mean, 6) AS mean_diff,
+           ROUND((a.mean - b.mean)
+                 / sqrt(a.var / a.n + b.var / b.n), 6) AS t_stat,
+           ROUND(pow(a.var / a.n + b.var / b.n, 2)
+                 / (pow(a.var / a.n, 2) / (a.n - 1.0)
+                    + pow(b.var / b.n, 2) / (b.n - 1.0)), 6) AS welch_df
+    FROM m a JOIN m b ON a.event_type < b.event_type
+    ORDER BY type_a, type_b
+    """,
+    tier="T2",
+    survey="D3,C10,H5,D1",
+)
+def d27_welch_ttest(spark, sf_dir):
+    """Welch's two-sample t-statistic for every event-type pair — the
+    unequal-variance experiment readout (A/B value comparisons) that
+    complements d21's chi-square independence: exact fixed-point moment
+    sums per group (millis scale keeps Σv² in long range), then mean /
+    variance / t / Welch–Satterthwaite df derived with one fixed
+    association so both engines produce identical doubles. One grouped
+    aggregation over the data; the 5-row stats frame self-joins
+    broadcast-side for the 10 pairs."""
+    ev = T(spark, sf_dir, "events")
+    vm = F.round(F.col("value") * 1_000).cast("long")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(vm).alias("sv"),
+        F.sum(vm * vm).alias("svv"),
+    )
+    n, sv, svv = F.col("n"), F.col("sv"), F.col("svv")
+    m = s.select(
+        "event_type", "n", 
+        (sv / n / F.lit(1000.0)).alias("mean"),
+        ((n * svv - sv * sv) / (n * (n - F.lit(1.0))) / F.lit(1_000_000.0)).alias(
+            "var"
+        ),
+    )
+    a = m.select(
+        F.col("event_type").alias("type_a"), F.col("n").alias("n_a"),
+        F.col("mean").alias("mean_a"), F.col("var").alias("var_a"),
+    )
+    b = m.select(
+        F.col("event_type").alias("type_b"), F.col("n").alias("n_b"),
+        F.col("mean").alias("mean_b"), F.col("var").alias("var_b"),
+    )
+    va_n = F.col("var_a") / F.col("n_a")
+    vb_n = F.col("var_b") / F.col("n_b")
+    return (
+        a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+        .select(
+            "type_a", "type_b", "n_a", "n_b",
+            F.round(F.col("mean_a") - F.col("mean_b"), 6).alias("mean_diff"),
+            F.round(
+                (F.col("mean_a") - F.col("mean_b")) / F.sqrt(va_n + vb_n), 6
+            ).alias("t_stat"),
+            F.round(
+                F.pow(va_n + vb_n, 2)
+                / (
+                    F.pow(va_n, 2) / (F.col("n_a") - F.lit(1.0))
+                    + F.pow(vb_n, 2) / (F.col("n_b") - F.lit(1.0))
+                ),
+                6,
+            ).alias("welch_df"),
+        )
+        .orderBy("type_a", "type_b")
+    )
