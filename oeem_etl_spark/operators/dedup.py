@@ -110,7 +110,12 @@ _PERM_B = [((p + 1) * 0xC2B2AE3D27D4EB4F) % _MERSENNE_P for p in range(256)]
 
 
 def minhash_signatures(
-    df: DataFrame, key: str, text_col: str, num_perm: int = 64, shingle_k: int = 3
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    num_perm: int = 64,
+    shingle_k: int = 3,
+    hash_fn=None,
 ) -> DataFrame:
     """Per-document MinHash signature: array<bigint> of length ``num_perm``.
 
@@ -128,16 +133,20 @@ def minhash_signatures(
     universal hashes of those values (two integer ops each). The values
     are identical to the former aggregate formulation — min over the same
     multiset — so LSH banding and all downstream results are unchanged.
+    ``hash_fn`` (shingle string Column -> int Column in [0, P)) defaults to
+    xxhash64 mod the Mersenne prime — fastest JVM-side. Pass an
+    oracle-expressible family (e.g. md5-hex-prefix; plans/llm_queries l2b)
+    when the signatures must be reproducible by an external SQL engine.
     """
+    if hash_fn is None:
+        hash_fn = lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))  # noqa: E731
     toks = df.select(F.col(key), F.split(F.col(text_col), " ").alias("__toks"))
     sh = toks.select(
         F.col(key), shingles_from_tokens(F.col("__toks"), shingle_k).alias("__sh")
     )
     hs = sh.select(
         F.col(key),
-        F.transform(
-            "__sh", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))
-        ).alias("__hs"),
+        F.transform("__sh", hash_fn).alias("__hs"),
     )
     return hs.select(
         F.col(key),
@@ -159,7 +168,8 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sigs: DataFrame, key: str, bands: int = 16, num_perm: int = 64
+    sigs: DataFrame, key: str, bands: int = 16, num_perm: int = 64,
+    hash_buckets: bool = True,
 ) -> DataFrame:
     """LSH banding: docs sharing any band bucket become candidate pairs.
 
@@ -167,23 +177,29 @@ def lsh_candidate_pairs(
     ``bands`` rows per doc; the self-join is bucket-local (equi-join on
     (band, bucket_hash)), which Catalyst executes as a shuffled hash join —
     no cartesian anywhere.
+
+    ``hash_buckets=False`` keeps the raw comma-joined band values as the
+    bucket key instead of xxhash64-ing them: lossless (no bucket
+    collisions, so candidates = exact band-equality pairs) and
+    reproducible by an external SQL engine; the string keys are wider on
+    the wire, so the default stays hashed.
     """
     rows_per_band = num_perm // bands
+
+    def _bucket(b):
+        s = F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
+                lambda v: v.cast("string"),
+            ),
+        )
+        return F.xxhash64(s) if hash_buckets else s
+
     banded = sigs.select(
         F.col(key),
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(F.col("minhash"), b * rows_per_band + 1, rows_per_band),
-                            lambda v: v.cast("string"),
-                        ),
-                    )
-                ),
-            )
+            F.transform(F.sequence(F.lit(0), F.lit(bands - 1)), _bucket)
         ).alias("band", "bucket"),
     )
     a = banded.select(F.col(key).alias("key_a"), "band", "bucket")
@@ -343,15 +359,22 @@ def connected_components(pairs: DataFrame, max_rounds: int = 50) -> DataFrame:
     return labels
 
 
-def simhash(df: DataFrame, key: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash per document: sign-sum of token-hash bits (L2 family).
+def simhash(
+    df: DataFrame, key: str, text_col: str, bits: int = 64, hash_fn=None
+) -> DataFrame:
+    """SimHash per document: sign-sum of token-hash bits (L2 family).
 
     One explode + one groupBy with ``bits`` conditional sums; the signature
     is reassembled arithmetically (shift-add below 2^62, ANSI-overflow safe
-    via 32-bit halves).
+    via 32-bit halves; for ``bits`` <= 32 the high half is 0).
+
+    ``hash_fn`` (token Column -> non-negative int Column with >= ``bits``
+    usable bits) defaults to xxhash64; pass an oracle-expressible hash
+    (md5-hex-prefix, plans/llm_queries l2c) for cross-engine-checkable
+    signatures.
     """
     ex = df.select(F.col(key), F.explode(F.split(F.col(text_col), " ")).alias("__t"))
-    h = F.xxhash64("__t")
+    h = hash_fn(F.col("__t")) if hash_fn is not None else F.xxhash64("__t")
     sums = ex.groupBy(key).agg(
         *[
             F.sum(
@@ -360,11 +383,10 @@ def simhash(df: DataFrame, key: str, text_col: str, bits: int = 64) -> DataFrame
             for i in range(bits)
         ]
     )
-    lo = sum_bits = None
     # assemble two 32-bit halves to stay far from BIGINT overflow (ANSI mode)
     lo = F.lit(0).cast("bigint")
     hi = F.lit(0).cast("bigint")
-    for i in range(32):
+    for i in range(min(bits, 32)):
         bit_lo = F.when(F.col(f"__b{i}") > 0, 1).otherwise(0).cast("bigint")
         lo = lo + bit_lo * F.lit(1 << i).cast("bigint")
     for i in range(32, bits):
@@ -376,23 +398,26 @@ def simhash(df: DataFrame, key: str, text_col: str, bits: int = 64) -> DataFrame
 
 
 def simhash_near_pairs(
-    sim: DataFrame, key: str, max_hamming: int = 3
+    sim: DataFrame, key: str, max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash: bucket on each 16-bit quarter
-    (pigeonhole: ≤3 differing bits ⇒ at least one of 4 quarters equal),
-    then verify Hamming distance ≤ max_hamming within buckets."""
+    """Candidate near-dup pairs by SimHash: bucket on each quarter of the
+    signature (pigeonhole: ≤3 differing bits ⇒ at least one of 4 quarters
+    equal), then verify Hamming distance ≤ max_hamming within buckets.
+    ``bits`` must match the signature width (quarter width = bits // 4)."""
+    w = bits // 4
+    mask = (1 << w) - 1
+
+    def _quarter(q: int):
+        start = q * w
+        if start + w <= 32:
+            return F.shiftright("simhash_lo", start).bitwiseAND(F.lit(mask))
+        return F.shiftright("simhash_hi", start - 32).bitwiseAND(F.lit(mask))
+
     quarters = sim.select(
         F.col(key),
         "simhash_lo",
         "simhash_hi",
-        F.posexplode(
-            F.array(
-                F.col("simhash_lo").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftright("simhash_lo", 16).bitwiseAND(F.lit(0xFFFF)),
-                F.col("simhash_hi").bitwiseAND(F.lit(0xFFFF)),
-                F.shiftright("simhash_hi", 16).bitwiseAND(F.lit(0xFFFF)),
-            )
-        ).alias("q", "qval"),
+        F.posexplode(F.array(*[_quarter(q) for q in range(4)])).alias("q", "qval"),
     )
     a = quarters.select(
         F.col(key).alias("key_a"),

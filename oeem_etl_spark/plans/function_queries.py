@@ -670,14 +670,61 @@ def h18_fuzzy_join_dist2(spark, sf_dir):
     )
 
 
-@query("h19_soundex_blocking", sql=None, tier="T3", survey="H3,D5")
+@query(
+    "h19_soundex_blocking",
+    # DuckDB ships no soundex, so the oracle IMPLEMENTS it: translate maps
+    # letters to digit codes (H/W -> '7' = skip-keep-lastCode, vowels+Y ->
+    # '0' = reset — Spark's exact automaton, probed empirically incl. the
+    # SWS/SHS/BWB discriminating cases), then a list_reduce fold carries
+    # (lastCode, emitted digits) as a string state: acc[0] is lastCode,
+    # acc[1:] the digits emitted so far.
+    sql="""
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(p_name, ' ')) AS tok FROM part
+    ),
+    enc AS (
+      SELECT tok, upper(tok) AS u,
+             translate(upper(tok), 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+                       '01230127022455012623017202') AS m
+      FROM toks
+    ),
+    folded AS (
+      SELECT tok, u,
+        substr(
+          list_reduce(
+            list_concat([substr(m,1,1)],
+                        list_filter(regexp_split_to_array(substr(m,2), ''),
+                                    x -> x != '')),
+            (acc, x) -> CASE
+              WHEN x = '7' THEN acc
+              WHEN x != '0' AND x != substr(acc,1,1)
+                THEN x || substr(acc,2) || x
+              ELSE x || substr(acc,2)
+            END
+          ), 2
+        ) AS digits
+      FROM enc
+    ),
+    coded AS (
+      SELECT tok, substr(u,1,1) || substr(digits || '000', 1, 3) AS code
+      FROM folded
+    )
+    SELECT code,
+           array_agg(tok ORDER BY tok) AS toks,
+           COUNT(*) AS n
+    FROM coded GROUP BY code ORDER BY code
+    """,
+    tier="T3",
+    survey="H3,D5",
+)
 def h19_soundex_blocking(spark, sf_dir):
     """Phonetic blocking (H3's third face next to levenshtein and the
     deletion-neighborhood join): group the part-name vocabulary by
     soundex code — the classic record-linkage blocking key (same-sounding
     names land in one bucket, so the pairwise comparison runs inside
-    buckets only). Rows-only: DuckDB ships no soundex; the algorithm's
-    canonical examples are pinned in tests/test_operators.py."""
+    buckets only). Oracle-checked: the DuckDB SQL implements the soundex
+    automaton itself (translate + list_reduce fold); canonical examples
+    stay pinned in tests/test_operators.py."""
     toks = (
         T(spark, sf_dir, "part")
         .select(F.explode(F.split(F.col("p_name"), " ")).alias("tok"))

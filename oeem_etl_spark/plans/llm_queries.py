@@ -56,33 +56,145 @@ def l2_minhash_lsh_dedup(spark, sf_dir):
     return kept.select("doc_id", "lang", "source")
 
 
+def _md5_int32(c):
+    """Oracle-expressible 32-bit hash: first 8 md5 hex chars as an int.
+    Same value as DuckDB's CAST(concat('0x', substr(md5(x),1,8)) AS
+    UBIGINT) — the hash_uniform idiom (operators/splits.py)."""
+    return F.conv(F.substring(F.md5(c), 1, 8), 16, 10).cast("long")
+
+
+_SQL_MD5_INT32 = "CAST(CAST(concat('0x', substr(md5({x}),1,8)) AS UBIGINT) AS BIGINT)"
+
+_L2B_PERMS = 8
+_L2B_BANDS = 4
+_L2B_MINS = ",\n      ".join(
+    f"list_min(list_transform(hv, h -> (h * {dedup._PERM_A[p]} + "
+    f"{dedup._PERM_B[p]}) % {dedup._MERSENNE_P})) AS m{p}"
+    for p in range(_L2B_PERMS)
+)
+_L2B_BANDS_SQL = "\n      UNION ALL ".join(
+    f"SELECT doc_id, {b} AS band, concat(m{2 * b}, ',', m{2 * b + 1}) AS bucket FROM sig"
+    for b in range(_L2B_BANDS)
+)
+
+
 @query(
     "l2b_minhash_candidates",
-    sql=None,
+    # Full value oracle for the ENTIRE LSH candidate pipeline: md5-derived
+    # shingle hashes -> 8 multiply-add permutation mins -> 4 bands of 2
+    # (lossless string buckets) -> band-equality pairs -> exact Jaccard.
+    sql=f"""
+    WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(1, greatest(len(t) - 2, 1)),
+        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM tk
+    ),
+    hs AS (
+      SELECT doc_id, s, list_transform(s, x ->
+        {_SQL_MD5_INT32.format(x="x")} % {dedup._MERSENNE_P}) AS hv
+      FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+      {_L2B_MINS}
+      FROM hs
+    ),
+    bands AS (
+      {_L2B_BANDS_SQL}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS key_a, b.doc_id AS key_b
+      FROM bands a JOIN bands b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id
+    )
+    SELECT c.key_a, c.key_b,
+           ROUND(CAST(len(list_intersect(x.s, y.s)) AS DOUBLE)
+                 / len(list_distinct(x.s || y.s)), 6) AS jaccard
+    FROM cand c
+    JOIN sh x ON x.doc_id = c.key_a
+    JOIN sh y ON y.doc_id = c.key_b
+    """,
     tier="T3",
-    survey="L2",
+    survey="L2,H6",
 )
 def l2b_minhash_candidates(spark, sf_dir):
-    """LSH candidate pairs with exact-Jaccard verification scores."""
+    """LSH candidate pairs with exact-Jaccard verification scores, built
+    on the md5-derived hash family so the WHOLE pipeline (shingle hash ->
+    permuted mins -> banding -> bucket join -> verify) is reproduced
+    value-for-value by the DuckDB oracle. The production 64-perm xxhash64
+    family stays under l2_minhash_lsh_dedup + tests."""
     docs = T(spark, sf_dir, "documents")
-    sigs = dedup.minhash_signatures(docs, "doc_id", "text")
-    cand = dedup.lsh_candidate_pairs(sigs, "doc_id")
+    sigs = dedup.minhash_signatures(
+        docs,
+        "doc_id",
+        "text",
+        num_perm=_L2B_PERMS,
+        hash_fn=lambda s: F.pmod(_md5_int32(s), F.lit(dedup._MERSENNE_P)),
+    )
+    cand = dedup.lsh_candidate_pairs(
+        sigs, "doc_id", bands=_L2B_BANDS, num_perm=_L2B_PERMS, hash_buckets=False
+    )
     return dedup.jaccard_verify(docs, cand, "doc_id", "text").select(
         "key_a", "key_b", F.round("jaccard", 6).alias("jaccard")
     )
 
 
+_L2C_BITS = 32
+_L2C_SUMS = ",\n      ".join(
+    f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+    for b in range(_L2C_BITS)
+)
+_L2C_SIG = " + ".join(
+    f"(CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END)" for b in range(_L2C_BITS)
+)
+
+
 @query(
     "l2c_simhash_pairs",
-    sql=None,
+    # Full value oracle: 32-bit md5-derived simhash (sign-sums per bit),
+    # 8-bit quarter pigeonhole buckets, Hamming <= 3 verify.
+    sql=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+    ),
+    bits AS (
+      SELECT doc_id, {_SQL_MD5_INT32.format(x="tok")} AS h FROM toks
+    ),
+    sums AS (
+      SELECT doc_id,
+      {_L2C_SUMS}
+      FROM bits GROUP BY doc_id
+    ),
+    sig AS (SELECT doc_id, {_L2C_SIG} AS s FROM sums),
+    q AS (
+      SELECT doc_id, s,
+             s % 256 AS q0, (s // 256) % 256 AS q1,
+             (s // 65536) % 256 AS q2, (s // 16777216) % 256 AS q3
+      FROM sig
+    )
+    SELECT a.doc_id AS key_a, b.doc_id AS key_b,
+           CAST(bit_count(xor(a.s, b.s)) AS INTEGER) AS hamming
+    FROM q a JOIN q b
+      ON a.doc_id < b.doc_id
+     AND (a.q0 = b.q0 OR a.q1 = b.q1 OR a.q2 = b.q2 OR a.q3 = b.q3)
+    WHERE bit_count(xor(a.s, b.s)) <= 3
+    """,
     tier="T3",
-    survey="L2",
+    survey="L2,H6",
 )
 def l2c_simhash_pairs(spark, sf_dir):
-    """SimHash near-dup candidate pairs (Hamming ≤ 3 via quarter-pigeonhole)."""
+    """SimHash near-dup candidate pairs (Hamming ≤ 3 via quarter-pigeonhole)
+    on the md5-derived 32-bit hash family, so signature sums, quarter
+    buckets, and verified pairs are all reproduced by the DuckDB oracle.
+    The production 64-bit xxhash64 simhash stays covered in tests."""
     docs = T(spark, sf_dir, "documents")
-    sim = dedup.simhash(docs, "doc_id", "text")
-    return dedup.simhash_near_pairs(sim, "doc_id", max_hamming=3)
+    sim = dedup.simhash(docs, "doc_id", "text", bits=_L2C_BITS, hash_fn=_md5_int32)
+    pairs = dedup.simhash_near_pairs(sim, "doc_id", max_hamming=3, bits=_L2C_BITS)
+    return pairs.select(
+        "key_a", "key_b", F.col("hamming").cast("int").alias("hamming")
+    )
 
 
 @query(

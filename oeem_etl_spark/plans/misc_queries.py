@@ -10,18 +10,39 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from oeem_etl_spark.operators.splits import sql_hash_uniform
+from oeem_etl_spark.operators.splits import hash_uniform, sql_hash_uniform
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, dsum
 
 
-@query("b8_sample", sql=None, tier="T3", survey="B8")
+@query(
+    "b8_sample",
+    sql=f"""
+    SELECT l_orderkey, l_linenumber
+    FROM lineitem
+    WHERE {sql_hash_uniform("concat(CAST(l_orderkey AS VARCHAR), '|', CAST(l_linenumber AS VARCHAR))", 42)} < 0.1
+    """,
+    tier="T3",
+    survey="B8",
+)
 def b8_sample(spark, sf_dir):
-    """Seeded Bernoulli sample — per-engine RNG, so rows-only. The seed
-    makes reruns on the same partitioning deterministic."""
+    """Deterministic Bernoulli sample via md5-derived uniforms (the L11
+    hash_uniform machinery): keep rows whose per-key uniform < fraction.
+    Unlike ``df.sample(seed=...)`` — whose draw depends on the engine RNG
+    and partitioning, so it can never be oracle-checked — the hash draw is
+    a pure per-row expression, reproducible across engines, partitionings
+    and reruns, which is the property a 100 TB sampling step actually
+    needs (resampling a grown corpus keeps every previously-chosen row).
+    The engine-RNG ``.sample()`` path stays covered in tests/test_misc.py
+    with statistical bounds."""
+    li = T(spark, sf_dir, "lineitem")
+    key = F.concat(
+        F.col("l_orderkey").cast("string"),
+        F.lit("|"),
+        F.col("l_linenumber").cast("string"),
+    )
     return (
-        T(spark, sf_dir, "lineitem")
-        .sample(fraction=0.1, seed=42)
+        li.where(hash_uniform(key, seed=42) < 0.1)
         .select("l_orderkey", "l_linenumber")
     )
 

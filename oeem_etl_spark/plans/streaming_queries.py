@@ -392,10 +392,7 @@ def i11_rocksdb_window(spark, sf_dir):
     the stream fully drains inside run_available_now, then the previous
     value is restored."""
     key = "spark.sql.streaming.stateStore.providerClass"
-    try:
-        prev = spark.conf.get(key)
-    except Exception:
-        prev = None
+    prev = spark.conf.get(key, None)  # None when the provider conf is unset
     spark.conf.set(
         key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",

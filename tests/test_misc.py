@@ -20,6 +20,16 @@ def test_sample_fraction_bounds(spark, sf_dir):
     assert 0.07 * n_total < n < 0.13 * n_total  # Bernoulli(0.1) ± slack
 
 
+def test_engine_rng_sample_bounds(spark, sf_dir):
+    # b8_sample is now the hash-Bernoulli (oracle-checked); the engine-RNG
+    # .sample() path keeps statistical + same-seed coverage here.
+    li = load_table(spark, sf_dir, "lineitem")
+    n_total = li.count()
+    n = li.sample(fraction=0.1, seed=42).count()
+    assert 0.07 * n_total < n < 0.13 * n_total
+    assert li.sample(fraction=0.1, seed=42).count() == n
+
+
 def test_sample_is_seeded_deterministic(spark, sf_dir):
     a = sorted(map(tuple, b8_sample(spark, sf_dir).collect()))
     b = sorted(map(tuple, b8_sample(spark, sf_dir).collect()))
