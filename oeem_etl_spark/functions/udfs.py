@@ -24,6 +24,14 @@ def reverse_text(s: str) -> str:
     return s[::-1] if s is not None else None
 
 
+@F.udf(returnType=Ty.StringType(), useArrow=True)
+def canon_label(s: str) -> str:
+    """Arrow-optimized scalar UDF (J1): canonicalize a free-text label —
+    trim, collapse inner whitespace, uppercase. The record-linkage
+    normalizer applied before key-based dedupe."""
+    return " ".join(s.split()).upper() if s is not None else None
+
+
 @F.pandas_udf(Ty.DoubleType())
 def affine_value(v: pd.Series) -> pd.Series:
     """Vectorized scalar pandas UDF (J2): 2x + 1 over an Arrow batch."""

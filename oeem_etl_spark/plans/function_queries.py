@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from oeem_etl_spark.functions import udfs, vector
+from oeem_etl_spark.operators.relational import dedupe_keep_latest_by
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, dsum, sql_dsum
 
@@ -831,4 +832,90 @@ def j9_parameterized_sql(spark, sf_dir):
         """,
         args={"lo": 1000.0, "cutoff": datetime.datetime(1997, 1, 1)},
         orders=o,
+    )
+
+
+@query(
+    "h21_map_tier_rollup",
+    sql="""
+    SELECT CASE o_orderpriority
+             WHEN '1-URGENT' THEN 'hot' WHEN '2-HIGH' THEN 'hot'
+             WHEN '3-MEDIUM' THEN 'warm' ELSE 'cold' END AS tier,
+           COUNT(*) AS n,
+           CAST(CASE o_orderpriority
+             WHEN '1-URGENT' THEN 100 WHEN '2-HIGH' THEN 80
+             WHEN '3-MEDIUM' THEN 50 ELSE 10 END AS INTEGER) AS score
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY score DESC, tier, n
+    """,
+    tier="T3",
+    survey="H10",
+)
+def h21_map_tier_rollup(spark, sf_dir):
+    """Second MapType surface next to h10, rotated onto the other map
+    builders: map_from_arrays (parallel key/value literals) + map_filter
+    (keep hot/warm scores) + map_contains_key routing — config-as-map
+    column shapes. Output is scalar, so the oracle needs no DuckDB MAP."""
+    prios = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    scores = [100, 80, 50, 10, 10]
+    tiers = ["hot", "hot", "warm", "cold", "cold"]
+    score_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in prios]), F.array(*[F.lit(s) for s in scores])
+    )
+    tier_map = F.map_from_arrays(
+        F.array(*[F.lit(p) for p in prios]), F.array(*[F.lit(t) for t in tiers])
+    )
+    hot_map = F.map_filter(score_map, lambda k, v: v >= 50)
+    return (
+        T(spark, sf_dir, "orders")
+        .select(
+            F.element_at(tier_map, F.col("o_orderpriority")).alias("tier"),
+            F.when(
+                F.map_contains_key(hot_map, F.col("o_orderpriority")),
+                F.element_at(score_map, F.col("o_orderpriority")),
+            ).otherwise(F.lit(10)).alias("score"),
+            "o_orderpriority",
+        )
+        .groupBy("o_orderpriority", "tier", "score")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select("tier", "n", F.col("score").cast("int").alias("score"))
+        .orderBy(F.desc("score"), "tier", "n")
+    )
+
+
+@query(
+    "j10_udf_normalize_dedupe",
+    sql="""
+    SELECT user_id, upper(event_type) AS canon_type,
+           event_id AS latest_event_id, value AS latest_value
+    FROM events WHERE user_id <= 200
+    QUALIFY row_number() OVER (PARTITION BY user_id, upper(event_type)
+                               ORDER BY ts DESC, event_id DESC) = 1
+    """,
+    tier="T2",
+    survey="J1,K5",
+)
+def j10_udf_normalize_dedupe(spark, sf_dir):
+    """Scalar-UDF label canonicalization (J1) feeding keep-latest record
+    dedupe (K5): the record-linkage normalize-then-collapse pipeline. The
+    UDF runs once per row before the hash aggregate; the dedupe is
+    max_by (map-side combinable), not a window sort."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 200)
+        .select(
+            "user_id",
+            udfs.canon_label(F.col("event_type")).alias("canon_type"),
+            "ts", "event_id", "value",
+        )
+    )
+    latest = dedupe_keep_latest_by(
+        ev, keys=["user_id", "canon_type"], order_cols=["ts", "event_id"],
+        keep="max",
+    )
+    return latest.select(
+        "user_id", "canon_type",
+        F.col("event_id").alias("latest_event_id"),
+        F.col("value").alias("latest_value"),
     )

@@ -2171,3 +2171,63 @@ def l53_unigram_drift(spark, sf_dir):
     return corpus_ops.unigram_drift(
         docs, "text", (F.col("doc_id") % 2 == 0), top_k=15
     )
+
+
+@query(
+    "l9b_embed_hash_oracle",
+    # The one L9 shape an external SQL engine CAN reproduce: the embedding
+    # is an md5-projection, so each component is md5-arithmetic. Integer
+    # component sums divide by 1000 once at the end — float-exact on both
+    # engines (no accumulation-order sensitivity).
+    sql="""
+    WITH emb AS (
+      SELECT doc_id,
+             list_transform(generate_series(0, 7), j ->
+               CAST(concat('0x', substr(md5(text || '|' || CAST(j AS VARCHAR)), 1, 8))
+                    AS UBIGINT) % 1000) AS v
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_sum(v) AS DOUBLE) / 1000.0 AS norm1,
+           CAST(v[1] AS DOUBLE) / 1000.0 AS f0
+    FROM emb
+    """,
+    tier="T3",
+    survey="L9,J4,H6",
+)
+def l9b_embed_hash_oracle(spark, sf_dir):
+    """Embed-batch surface (L9) with a value-checkable encoder: the same
+    Arrow-batched mapInPandas plumbing as l9_embed_batch (iterator of
+    batches in/out, declared schema, constant memory — swap the hash
+    projection for a model call and nothing else changes), but the
+    projection is md5-derived so the DuckDB oracle reproduces every
+    component. This pins the batch plumbing itself — batching, schema,
+    null-safety, Arrow transfer — with a full value check, which the
+    stubbed l9 variant can't."""
+    import hashlib
+
+    import pandas as pd
+
+    dim = 8
+
+    def embed(batches):
+        for pdf in batches:
+            vs = [
+                [
+                    int(
+                        hashlib.md5(f"{t}|{j}".encode()).hexdigest()[:8], 16
+                    ) % 1000
+                    for j in range(dim)
+                ]
+                for t in pdf["text"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "norm1": [sum(v) / 1000.0 for v in vs],
+                    "f0": [v[0] / 1000.0 for v in vs],
+                }
+            )
+
+    docs = T(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.mapInPandas(embed, "doc_id long, norm1 double, f0 double")

@@ -1909,3 +1909,127 @@ def d27_welch_ttest(spark, sf_dir):
         )
         .orderBy("type_a", "type_b")
     )
+
+
+@query(
+    "c14_overlap_user_periods",
+    sql="""
+    WITH periods AS (
+      SELECT * FROM (VALUES
+        ('w1', TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-08'),
+        ('w2', TIMESTAMP '2024-01-05', TIMESTAMP '2024-01-12')
+      ) AS p(period, p_start, p_end)
+    ),
+    hits AS (
+      SELECT p.period, e.user_id
+      FROM events e JOIN periods p
+        ON CAST(e.ts AS TIMESTAMP) < p.p_end
+       AND p.p_start < CAST(e.ts AS TIMESTAMP) + INTERVAL '1 hour'
+    )
+    SELECT period, user_id FROM hits WHERE period = 'w1'
+    UNION
+    SELECT period, user_id FROM hits WHERE period = 'w2'
+    """,
+    tier="T2",
+    survey="C7,G2,A5",
+)
+def c14_overlap_user_periods(spark, sf_dir):
+    """Interval-overlap join (C7) feeding a union-DISTINCT (G2): which
+    users have activity overlapping each billing window — the two period
+    branches are computed independently (the per-window incremental-job
+    shape) and merged with duplicate elimination, exactly what re-running
+    an overlapping window against an existing roster needs."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .withColumn("ev_end", F.col("ts") + F.expr("INTERVAL 1 HOUR"))
+        .withColumnRenamed("ts", "ev_start")
+        .select("ev_start", "ev_end", "user_id")
+    )
+    periods = spark.createDataFrame(
+        [("w1", "2024-01-01", "2024-01-08"), ("w2", "2024-01-05", "2024-01-12")],
+        "period STRING, p_start_s STRING, p_end_s STRING",
+    ).select(
+        "period",
+        F.col("p_start_s").cast("timestamp").alias("p_start"),
+        F.col("p_end_s").cast("timestamp").alias("p_end"),
+    )
+    hits = interval_overlap_join(
+        ev, F.broadcast(periods), "ev_start", "ev_end", "p_start", "p_end"
+    ).select("period", "user_id")
+    w1 = hits.where(F.col("period") == "w1")
+    w2 = hits.where(F.col("period") == "w2")
+    return w1.unionByName(w2).distinct()
+
+
+@query(
+    "d28_first_event_pivot",
+    sql="""
+    WITH firsts AS (
+      SELECT user_id, event_type, value
+      FROM events WHERE user_id <= 300
+      QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) = 1
+    )
+    SELECT user_id,
+           ROUND(SUM(CAST(ROUND(CASE WHEN event_type = 'view' THEN value END
+                 * 1000000) AS BIGINT)) / 1000000.0, 6) AS view,
+           ROUND(SUM(CAST(ROUND(CASE WHEN event_type = 'click' THEN value END
+                 * 1000000) AS BIGINT)) / 1000000.0, 6) AS click,
+           ROUND(SUM(CAST(ROUND(CASE WHEN event_type = 'purchase' THEN value END
+                 * 1000000) AS BIGINT)) / 1000000.0, 6) AS purchase
+    FROM firsts GROUP BY user_id
+    """,
+    tier="T2",
+    survey="D4,D13",
+)
+def d28_first_event_pivot(spark, sf_dir):
+    """Ordered first-per-(user, type) (D4 — max_by/min_by hash aggregate,
+    never F.first on an unsorted group) pivoted to one column per event
+    type (D13): each user's first-touch value by channel, the
+    attribution-matrix shape. Both steps are hash aggregates — no sort,
+    no window, map-side combinable at 100 TB."""
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") <= 300).select(
+        "user_id", "event_type", "ts", "event_id", "value"
+    )
+    firsts = dedupe_keep_latest_by(
+        ev, keys=["user_id", "event_type"], order_cols=["ts", "event_id"],
+        keep="min",
+    )
+    return (
+        firsts.groupBy("user_id")
+        .pivot("event_type", ["view", "click", "purchase"])
+        .agg(dsum("value", "v"))
+    )
+
+
+@query(
+    "d29_struct_unpivot",
+    sql="""
+    WITH stats AS (
+      SELECT o_custkey,
+             MIN(o_totalprice) AS price_min,
+             MAX(o_totalprice) AS price_max
+      FROM orders WHERE o_custkey <= 250 GROUP BY o_custkey
+    )
+    SELECT o_custkey, 'price_min' AS metric, price_min AS val FROM stats
+    UNION ALL
+    SELECT o_custkey, 'price_max', price_max FROM stats
+    """,
+    tier="T2",
+    survey="H11,D14,D1",
+)
+def d29_struct_unpivot(spark, sf_dir):
+    """Struct build + star-expansion (H11) feeding an unpivot melt (D14):
+    per-customer price envelope packed as a typed struct (the
+    one-object-per-metric-group idiom), expanded back to columns, then
+    melted to the long (key, metric, val) shape a metrics store ingests.
+    min/max are float-exact, so no quantization is needed."""
+    o = T(spark, sf_dir, "orders").where(F.col("o_custkey") <= 250)
+    stats = o.groupBy("o_custkey").agg(
+        F.struct(
+            F.min("o_totalprice").alias("price_min"),
+            F.max("o_totalprice").alias("price_max"),
+        ).alias("envelope")
+    )
+    wide = stats.select("o_custkey", "envelope.*")
+    return wide.unpivot(["o_custkey"], ["price_min", "price_max"], "metric", "val")

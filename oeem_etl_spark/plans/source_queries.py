@@ -906,3 +906,154 @@ def a30_cdc_apply_deletes(spark, sf_dir):
     return apply_cdc(
         ev, feed, keys=["event_id"], broadcast_changes=True
     )
+
+
+@query(
+    "a16_json_drop_page",
+    sql="""
+    SELECT event_id, event_type, value FROM events WHERE event_id <= 800
+    ORDER BY event_id LIMIT 100 OFFSET 50
+    """,
+    tier="T2",
+    survey="A3,B7,F2",
+)
+def a16_json_drop_page(spark, sf_dir):
+    """ndjson scan feeding a paged export: drop the columns the consumer
+    must not see (B7), then a keyset-ordered OFFSET/LIMIT page (F2) — the
+    REST-pagination shape the reference's upload tier emits. The drop and
+    the page both push into the scan (column pruning + limit pushdown)."""
+    sub = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 800)
+        .select("event_id", "user_id", "event_type", "value")
+    )
+    path = os.path.join(_TMP, "a16_json")
+    sub.write.mode("overwrite").json(path)
+    scanned = readers.scan_json(
+        spark, path, "event_id BIGINT, user_id BIGINT, event_type STRING, value DOUBLE"
+    )
+    return scanned.drop("user_id").orderBy("event_id").offset(50).limit(100)
+
+
+@query(
+    "a17_csv_dim_enrich",
+    sql="""
+    SELECT z.zone, COUNT(*) AS n_nations,
+           MIN(n.n_name) AS first_nation
+    FROM nation n
+    JOIN (VALUES (0, 'africa-mideast'), (1, 'americas'), (2, 'asia'),
+                 (3, 'europe'), (4, 'africa-mideast')) AS z(rk, zone)
+      ON n.n_regionkey = z.rk
+    GROUP BY z.zone ORDER BY z.zone
+    """,
+    tier="T2",
+    survey="A7,A5,C9",
+)
+def a17_csv_dim_enrich(spark, sf_dir):
+    """CSV sink roundtrip (A7) + in-memory literal dim (A5) broadcast-joined
+    (C9): the staged-extract-enriched-by-config shape. The dim is a literal
+    DataFrame, never a shuffle side."""
+    sub = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    path = os.path.join(_TMP, "a17_csv")
+    writers.write_csv(sub, path)
+    nations = readers.scan_csv(
+        spark, path, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"
+    )
+    zones = spark.createDataFrame(
+        [(0, "africa-mideast"), (1, "americas"), (2, "asia"),
+         (3, "europe"), (4, "africa-mideast")],
+        "rk BIGINT, zone STRING",
+    )
+    return (
+        nations.join(F.broadcast(zones), nations.n_regionkey == zones.rk)
+        .groupBy("zone")
+        .agg(
+            F.count(F.lit(1)).alias("n_nations"),
+            F.min("n_name").alias("first_nation"),
+        )
+        .orderBy("zone")
+    )
+
+
+@query(
+    "a18_fetch_upload_stats",
+    sql="""
+    SELECT event_type, COUNT(*) AS n_events,
+           ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
+             AS total_value
+    FROM events WHERE event_id <= 1500
+    GROUP BY 1 ORDER BY 1
+    """,
+    tier="T2",
+    survey="A11,A12",
+)
+def a18_fetch_upload_stats(spark, sf_dir):
+    """Second fetch→upload pipeline next to a14, rotated onto different
+    axes: shards keyed by event TYPE (skewed shard sizes, unlike a14's
+    near-uniform user buckets), two injected failures per shard/chunk
+    instead of one, and chunk size 1 (every row its own idempotent upsert
+    chunk). The returned frame is again the mock datastore's materialized
+    state — the oracle match proves effectively-once through the doubled
+    failure schedule."""
+    import functools
+    import shutil
+
+    from oeem_etl_spark.sources import fetch as fx
+    from oeem_etl_spark.sources import upload as up
+
+    root = os.path.join(_TMP, f"a18_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    remote = os.path.join(root, "remote")
+    fstate = os.path.join(root, "fstate")
+    ustate = os.path.join(root, "ustate")
+    landing = os.path.join(root, "landing")
+    dsroot = os.path.join(root, "ds")
+    for d in (remote, fstate, ustate):
+        os.makedirs(d, exist_ok=True)
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 1500)
+        .select("event_type", "value")
+    )
+    ev.repartition(3, "event_type").write.mode("overwrite").option(
+        "header", True
+    ).csv(remote)
+    shards = sorted(
+        f for f in os.listdir(remote)
+        if f.endswith(".csv") and not f.startswith(("_", "."))
+    )
+
+    tasks = spark.createDataFrame([(s, s) for s in shards], "task_id string, uri string")
+    ffactory = functools.partial(
+        fx.local_flaky_fetcher, remote=remote, fail_times=2, state_dir=fstate
+    )
+    statuses = {r["status"] for r in fx.fetch_to_landing(tasks, ffactory, landing).collect()}
+    assert statuses <= {"fetched", "skipped"}
+
+    raw = spark.read.option("header", True).schema(
+        "event_type string, value double"
+    ).csv(landing)
+    stats = raw.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            F.sum(F.round(F.col("value") * 1000000).cast("long")) / F.lit(1000000.0), 6
+        ).alias("total_value"),
+    )
+
+    ufactory = functools.partial(
+        up.local_flaky_datastore, root=dsroot, fail_times=2, state_dir=ustate
+    )
+    up.bulk_upload(
+        stats.withColumn("seq", F.lit(1)), ufactory, epoch_id=0, batch_size=1,
+        max_attempts=6,
+    )
+
+    state = up.FilesystemDatastore(dsroot).state("event_type", "seq")
+    rows = [
+        (str(v["event_type"]), int(v["n_events"]), float(v["total_value"]))
+        for v in state.values()
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, n_events long, total_value double"
+    ).orderBy("event_type")

@@ -649,3 +649,32 @@ def i15_streaming_tiered_totals(spark, sf_dir):
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@query(
+    "i13_stream_user_buckets",
+    sql=f"""
+    SELECT time_bucket(INTERVAL '6 hours', {_CAST_TS}) AS window_start,
+           user_id % 8 AS ubucket, COUNT(*) AS cnt,
+           {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY window_start, ubucket
+    """,
+    tier="T3",
+    survey="A9,I1,I8",
+)
+def i13_stream_user_buckets(spark, sf_dir):
+    """Second tumbling-window rollup next to i1, rotated onto different
+    axes: 6-hour windows (epoch-aligned, so time_bucket agrees) and a
+    derived bucket key (user_id % 8) instead of a raw column — the
+    pre-aggregated-fan-in shape a 1000-executor streaming job uses to
+    bound per-key state."""
+    sdf = events_stream(spark, sf_dir).withColumn(
+        "ubucket", F.col("user_id") % 8
+    )
+    out = ops.tumbling_agg(
+        sdf,
+        "6 hours",
+        ["ubucket"],
+        [F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")],
+    )
+    return harness.run_available_now(out, "complete")

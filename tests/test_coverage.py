@@ -26,3 +26,49 @@ def test_oracle_share():
     # SQL-expressible rows must keep their oracle entries — a regression
     # that drops oracles weakens the correctness gate silently.
     assert n_sql >= 90, f"oracle-checked query count dropped to {n_sql}"
+
+
+def test_order_prefix_covers_all_tags():
+    # The driver certifies only the first 50 names queries() yields; a
+    # regression that pushes a tag past position 50 silently drops it
+    # from driver certification.
+    from oeem_etl_spark.plans import registry
+
+    qs = registry.all_queries()
+    prefix = list(registry.queries())[:50]
+    prefix_tags = {t for n in prefix for t in qs[n].survey.split(",") if t}
+    all_tags = {t for q in qs.values() for t in q.survey.split(",") if t}
+    assert prefix_tags == all_tags, f"tags past 50: {sorted(all_tags - prefix_tags)}"
+
+
+def test_order_prefix_rotates():
+    # VERDICT r3 task #1: each round's 50-prefix must certify queries the
+    # driver has never checked (ledger: tools/driver_checked.json).
+    import json
+    from pathlib import Path
+
+    from oeem_etl_spark.plans import registry
+
+    ledger = json.loads(
+        (Path(__file__).resolve().parents[1] / "tools" / "driver_checked.json")
+        .read_text()
+    )
+    prefix = list(registry.queries())[:50]
+    never = sum(1 for n in prefix if n not in ledger)
+    assert never >= 30, f"only {never} never-driver-checked queries in the 50-prefix"
+
+
+def test_rows_only_manifest_in_sync():
+    # tools/rows_only_manifest.json is the driver's no_oracle allowlist;
+    # gen_manifest.build() raises if it disagrees with the registry.
+    import json
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "tools"))
+    from gen_manifest import build
+
+    manifest = build()
+    on_disk = json.loads((repo / "tools" / "rows_only_manifest.json").read_text())
+    assert manifest == on_disk, "run: python tools/gen_manifest.py"
