@@ -187,3 +187,111 @@ def test_upload_foreach_batch_stream(spark, tmp_path):
         (r["meter_id"], r["kwh"]) for recs in ds.batches().values() for r in recs
     )
     assert got == [("A", 1.5), ("A", 2.5), ("B", 4.0), ("C", 0.5), ("C", 1.0)]
+
+
+# --- VERDICT r4 task #8: failure injection at 100+ tasks ---------------------
+
+
+def test_fetch_120_tasks_partial_failure_then_replay(spark, tmp_path):
+    """Late-arriving remotes: 10 of 120 task URIs don't exist yet, so the
+    first distributed fetch fails permanently (no retry burned on 404s)
+    after the healthy partitions landed their files; staging the missing
+    remotes and re-running the SAME job completes the landing dir with
+    every file fetched exactly once (skip consumes no attempts)."""
+    remote = tmp_path / "remote"
+    remote.mkdir()
+    state = tmp_path / "state"
+    state.mkdir()
+    landing = str(tmp_path / "landing")
+    names = [f"shard_{i:03d}.csv" for i in range(120)]
+    for n in names[:110]:  # last 10 are late
+        (remote / n).write_text(f"id,val\n{n},1\n")
+
+    tasks = spark.createDataFrame(
+        [(i, n, n) for i, n in enumerate(names)], "idx int, task_id string, uri string"
+    ).repartitionByRange(4, "idx")  # the 10 late tasks share one partition
+    factory = functools.partial(
+        fx.local_flaky_fetcher, remote=str(remote), fail_times=1, state_dir=str(state)
+    )
+
+    with pytest.raises(Exception):  # missing remote -> permanent FetchError
+        fx.fetch_to_landing(tasks.select("task_id", "uri"), factory, landing).collect()
+    # the poisoned partition is range-partition 3 (idx 90..119): its tasks
+    # 90..109 land before idx 110 raises; sibling partitions may be killed
+    # mid-run by the stage abort — whatever landed is atomic and complete
+    landed = set(os.listdir(landing))
+    assert landed <= set(names[:110]) and len(landed) >= 20
+    assert not any(n.startswith(".") for n in landed)  # no tmp debris
+    probe = fx.FlakyFetcher(None, 0, str(state))
+    assert all(probe.attempts(n) == 2 for n in sorted(landed))  # 1 fail + 1 ok
+
+    for n in names[110:]:  # the late remotes arrive
+        (remote / n).write_text(f"id,val\n{n},1\n")
+    spark.sparkContext.cancelAllJobs()  # quiesce any straggler kill-races
+    landed2 = set(os.listdir(landing))  # tasks killed async may land late
+    assert landed <= landed2 <= set(names[:110])
+    status = {
+        r["task_id"]: r["status"]
+        for r in fx.fetch_to_landing(
+            tasks.select("task_id", "uri"), factory, landing
+        ).collect()
+    }
+    assert {s for s in status.values()} == {"skipped", "fetched"}
+    assert sum(s == "skipped" for s in status.values()) >= len(landed2)
+    assert sum(s == "fetched" for s in status.values()) == 120 - sum(
+        s == "skipped" for s in status.values()
+    )
+    assert sorted(os.listdir(landing)) == names
+    assert all(probe.attempts(n) == 2 for n in sorted(landed2))  # skips burn nothing
+
+
+def test_bulk_upload_150_chunks_effectively_once(spark, tmp_path):
+    """150 single-row chunks across 5 partitions, every chunk's first TWO
+    upsert attempts rejected: retries must deliver each chunk exactly once
+    (no duplicate records, no lost records, 3 attempts per key)."""
+    root = str(tmp_path / "ds")
+    state = tmp_path / "state"
+    state.mkdir()
+    df = (
+        spark.range(0, 150)
+        .select(F.col("id").alias("k"), (F.col("id") * 10).alias("v"))
+        .withColumn("seq", F.lit(1))
+        .repartition(5, "k")
+    )
+    factory = functools.partial(
+        up.local_flaky_datastore, root=root, fail_times=2, state_dir=str(state)
+    )
+    up.bulk_upload(df, factory, epoch_id=7, batch_size=1, max_attempts=4)
+
+    ds = up.FilesystemDatastore(root)
+    batches = ds.batches()
+    assert len(batches) == 150  # one chunk per row, all delivered
+    all_records = [r for recs in batches.values() for r in recs]
+    assert len(all_records) == 150  # no duplicates, no losses
+    assert {r["k"] for r in all_records} == set(range(150))
+    flaky = up.FlakyDatastore(ds, 0, str(state))
+    assert all(flaky.attempts(key) == 3 for key in batches)  # 2 fails + 1 ok
+    assert all(key.startswith("7-") for key in batches)  # epoch in the key
+
+
+def test_bulk_upload_full_replay_is_idempotent(spark, tmp_path):
+    """The Spark-retry analogue: re-running the same epoch re-sends every
+    chunk under the same {epoch}-{partition}-{chunk} keys and the
+    datastore drops all of them — state and batch count are unchanged."""
+    root = str(tmp_path / "ds")
+    df = (
+        spark.range(0, 120)
+        .select(F.col("id").alias("k"), (F.col("id") + 1).alias("v"))
+        .withColumn("seq", F.lit(1))
+        .repartition(4, "k")
+    )
+    factory = functools.partial(up.filesystem_datastore, root=root)
+    up.bulk_upload(df, factory, epoch_id=3, batch_size=8)
+    ds = up.FilesystemDatastore(root)
+    before = ds.batches()
+    state_before = ds.state("k", "seq")
+    assert len(state_before) == 120
+
+    up.bulk_upload(df, factory, epoch_id=3, batch_size=8)  # replay
+    assert ds.batches() == before
+    assert ds.state("k", "seq") == state_before
