@@ -12,9 +12,12 @@ operators/imagecodec.py — **lossless WebP/VP8L**
 (operators/webpcodec.py), and **RIFF/WAV** audio (8/16-bit PCM +
 G.711 µ-law/A-law). ``image_features`` / ``audio_features`` /
 ``audio_spectral_features`` run them inside mapInPandas, one Arrow
-batch per core. Formats that genuinely need codec libraries
-(MP3/H.264/lossy-VP8) still raise NotImplementedError from
-``decode_image`` — honest boundary, the dataflow is identical. ``extract_features`` remains the deterministic
+batch per core. Lossy WebP (VP8 keyframes) decodes via
+operators/vp8codec.py — real keyframe machinery, with the empirical
+probability tables as documented stand-ins (its module docstring).
+Formats that genuinely need codec libraries (MP3/H.264) still raise
+NotImplementedError from ``decode_image`` — honest boundary, the
+dataflow is identical. ``extract_features`` remains the deterministic
 hash-projection embedding stand-in for arbitrary payloads (SURVEY §2.L9
 specifies the stub); the decode paths below are the real L8 surface.
 """
@@ -208,12 +211,13 @@ def encode_wav(samples: np.ndarray, sample_rate: int) -> bytes:
 
 def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
     """Decode an image payload by magic sniffing into (width, height,
-    RGB uint8 (H, W, 3)). PPM (P6), PNG, baseline JPEG, BMP, GIF and
-    lossless WebP (VP8L) all decode for real with zero third-party
-    libraries (see operators/imagecodec.py, operators/webpcodec.py);
-    grayscale replicates to RGB and alpha is dropped. Formats that
-    genuinely need external codecs (MP3/H.264/lossy-VP8) raise — that
-    boundary is honest, the mapInPandas dataflow is identical."""
+    RGB uint8 (H, W, 3)). PPM (P6), PNG, baseline JPEG, BMP, GIF,
+    lossless WebP (VP8L) and lossy WebP (VP8 keyframes; stand-in
+    probability tables, see operators/vp8codec.py) all decode with zero
+    third-party libraries (operators/imagecodec.py, webpcodec.py,
+    vp8codec.py); grayscale replicates to RGB and alpha is dropped.
+    Formats that genuinely need external codecs (MP3/H.264) raise —
+    that boundary is honest, the mapInPandas dataflow is identical."""
     from . import imagecodec
 
     if content[:2] == b"P6":

@@ -401,9 +401,13 @@ def _inv_color_transform(px: np.ndarray, cts: np.ndarray, block_bits: int) -> np
 
 
 def decode_webp(content: bytes) -> tuple[int, int, np.ndarray]:
-    """Decode a lossless WebP (VP8L) file → (width, height, (h,w,4) RGBA
-    uint8). Raises NotImplementedError for lossy VP8/VP8X containers and
-    the near-distance shorthand (see module docstring)."""
+    """Decode a WebP file → (width, height, (h,w,4) RGBA uint8).
+
+    Lossless VP8L decodes here; lossy "VP8 " keyframes route to
+    operators/vp8codec.py (keyframe machinery real, empirical probability
+    tables are documented stand-ins — see that module's docstring).
+    Raises NotImplementedError for VP8X (extended) containers and the
+    VP8L near-distance shorthand (see module docstring)."""
     if content[:4] != b"RIFF" or content[8:12] != b"WEBP":
         raise ValueError("not a WebP file")
     off = 12
@@ -414,10 +418,19 @@ def decode_webp(content: bytes) -> tuple[int, int, np.ndarray]:
         if tag == b"VP8L":
             payload = content[off + 8 : off + 8 + size]
             break
-        if tag in (b"VP8 ", b"VP8X"):
+        if tag == b"VP8 ":
+            from oeem_etl_spark.operators import vp8codec
+
+            w, h, rgb = vp8codec.decode_vp8_keyframe(
+                content[off + 8 : off + 8 + size]
+            )
+            rgba = np.concatenate(
+                [rgb, np.full((h, w, 1), 255, np.uint8)], axis=2
+            )
+            return w, h, rgba
+        if tag == b"VP8X":
             raise NotImplementedError(
-                f"{tag.decode().strip()} (lossy / extended) WebP not supported; "
-                "lossless VP8L only"
+                "VP8X (extended) WebP not supported; VP8L or VP8 keyframes only"
             )
         off += 8 + size + (size & 1)
     if payload is None:

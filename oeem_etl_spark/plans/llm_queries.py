@@ -2231,3 +2231,69 @@ def l9b_embed_hash_oracle(spark, sf_dir):
 
     docs = T(spark, sf_dir, "documents").select("doc_id", "text")
     return docs.mapInPandas(embed, "doc_id long, norm1 double, f0 double")
+
+
+@query("l8j_webp_lossy_decode", sql=None, tier="T3", survey="L8,J4")
+def l8j_webp_lossy_decode(spark, sf_dir):
+    """Lossy-WebP (VP8 keyframe) decode — VERDICT r3 task #4: per doc a
+    deterministic gradient image is encoded BOTH lossless (VP8L) and
+    lossy (VP8, quantizer varying by doc), both payloads decode through
+    the same container dispatch (multimodal.decode_image ->
+    webpcodec/vp8codec), and the row reports the lossy-vs-lossless-twin
+    mean-RGB error plus the compression ratio. Rows-only: the
+    reconstruction depends on the codec's quantization arithmetic; the
+    tolerance contract (err_mean bounded, monotone in quantizer) is
+    asserted in tests/test_vp8.py and the row values themselves carry
+    the evidence. Keyframe machinery is real spec structure; empirical
+    probability tables are documented stand-ins (vp8codec docstring)."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators import vp8codec, webpcodec
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 24).select("doc_id")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                yy, xx = np.mgrid[0:32, 0:48]
+                img = (
+                    np.stack(
+                        [xx * 2 + d * 5, yy * 3 + d * 7, 128 + xx // 2 + d],
+                        axis=2,
+                    )
+                    .clip(0, 255)
+                    .astype(np.uint8)
+                )
+                q = 4 + (d % 3) * 24  # 4 / 28 / 52
+                lossy = vp8codec.encode_webp_lossy(img, q_index=q)
+                rgba = np.concatenate(
+                    [img, np.full((32, 48, 1), 255, np.uint8)], axis=2
+                )
+                lossless = webpcodec.encode_webp_lossless(rgba)
+                _, _, dec_lossy = multimodal.decode_image(lossy)
+                _, _, dec_ll = multimodal.decode_image(lossless)
+                err = np.abs(dec_lossy.astype(int) - dec_ll.astype(int))
+                rows.append(
+                    (
+                        d, q, 48, 32,
+                        round(float(err.mean()), 2),
+                        int(err.max()),
+                        len(lossy), len(lossless),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "q_index", "width", "height",
+                    "err_mean", "err_max", "lossy_bytes", "lossless_bytes",
+                ],
+            )
+
+    return docs.mapInPandas(
+        run,
+        "doc_id long, q_index int, width int, height int, "
+        "err_mean double, err_max int, lossy_bytes int, lossless_bytes int",
+    )

@@ -50,10 +50,21 @@ def test_decode_image_sniffing_integration():
     assert np.array_equal(px, img)
 
 
-def test_lossy_vp8_rejected():
-    fake = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + b"\x00" * 8
-    with pytest.raises(NotImplementedError, match="VP8"):
+def test_lossy_vp8_routes_to_keyframe_decoder():
+    # round 4: "VP8 " chunks now decode via operators/vp8codec (keyframes);
+    # a malformed payload must fail loudly, a real one decodes to RGBA
+    import numpy as np
+
+    from oeem_etl_spark.operators import vp8codec
+
+    fake = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8 " + (8).to_bytes(4, "little") + b"\x00" * 8
+    with pytest.raises((ValueError, IndexError, NotImplementedError)):
         wc.decode_webp(fake)
+    img = np.full((16, 32, 3), [10, 200, 60], np.uint8)
+    w, h, rgba = wc.decode_webp(vp8codec.encode_webp_lossy(img, q_index=4))
+    assert (w, h) == (32, 16) and rgba.shape == (16, 32, 4)
+    assert np.abs(rgba[:, :, :3].astype(int) - img.astype(int)).max() <= 5
+    assert (rgba[:, :, 3] == 255).all()
 
 
 # ---------------------------------------------------------------------------

@@ -46,6 +46,7 @@ REASONS = {
     "l8_multimodal_features": "binary-codec",
     "l8d_frame_sample": "binary-codec",
     "l8e_jpeg_decode": "binary-codec",
+    "l8j_webp_lossy_decode": "binary-codec",
     "l9_embed_batch": "model-stub",
     "l29b_semantic_dedup_bounded": "iterative-kmeans",
     "l31b_cms_estimates": "approx-sketch",
