@@ -143,12 +143,17 @@ def token_count_bpe_ish(col: Column | str) -> Column:
 
 
 def fingerprint_winnow(
-    df: DataFrame, key: str, text_col: str, k: int = 5, window: int = 4
+    df: DataFrame, key: str, text_col: str, k: int = 5, window: int = 4,
+    hash_fn=None,
 ) -> DataFrame:
     """Winnowing document fingerprint (L-ext): k-shingle rolling hashes,
     keep the minimum hash in each sliding window, distinct — a compact
-    set-signature for plagiarism-style matching. xxhash64-based (engine
-    internal, rows-only checkable)."""
+    set-signature for plagiarism-style matching. ``hash_fn`` (shingle
+    string Column -> int Column) defaults to xxhash64 — fastest JVM-side;
+    pass an oracle-expressible family (md5-hex-prefix, plans/llm_queries
+    l12) for cross-engine-checkable fingerprints."""
+    if hash_fn is None:
+        hash_fn = F.xxhash64
     # materialize tokens, then hashes, as real columns — each transform
     # lambda must reference an evaluated array, not the upstream expression
     # (which would re-run per element: O(tokens²) splits)
@@ -159,7 +164,7 @@ def fingerprint_winnow(
         F.col(key),
         F.transform(
             idx,
-            lambda i: F.xxhash64(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))),
+            lambda i: hash_fn(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k))),
         ).alias("__hashes"),
     )
     n_h = F.size("__hashes")

@@ -503,12 +503,49 @@ def l11_token_count(spark, sf_dir):
     )
 
 
-@query("l12_fingerprint", sql=None, tier="T3", survey="L-ext")
+@query(
+    "l12_fingerprint",
+    # Full value oracle for the winnowing pipeline on the md5-derived
+    # hash family: 5-shingle hashes -> sliding-window-of-4 minima ->
+    # distinct. Checked columns include min/max fingerprint VALUES, so a
+    # wrong hash, window, or dedup all mismatch (not just the count).
+    sql="""
+    WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    hs AS (
+      SELECT doc_id, list_transform(
+        generate_series(0, greatest(len(t) - 5, 0)),
+        i -> CAST(CAST(concat('0x', substr(
+               md5(array_to_string(t[i+1:i+5], ' ')), 1, 8)) AS UBIGINT)
+             AS BIGINT)) AS h
+      FROM tk
+    ),
+    mins AS (
+      SELECT doc_id, list_distinct(list_transform(
+        generate_series(0, greatest(len(h) - 4, 0)),
+        j -> list_min(h[j+1:j+4]))) AS fp
+      FROM hs
+    )
+    SELECT doc_id, len(fp) AS fp_size,
+           list_min(fp) AS fp_min, list_max(fp) AS fp_max
+    FROM mins
+    """,
+    tier="T3",
+    survey="L-ext,H6,H8",
+)
 def l12_fingerprint(spark, sf_dir):
-    """Winnowing fingerprints (xxhash64 rolling min-hash; rows-only)."""
+    """Winnowing fingerprints (k-shingle rolling min-hash, window 4) on
+    the md5-derived hash family, so the DuckDB oracle reproduces every
+    fingerprint value (promoted from rows-only, VERDICT r3 task #3
+    pattern). The production xxhash64 family stays under
+    tests/test_operators.py."""
     docs = T(spark, sf_dir, "documents")
-    fp = text.fingerprint_winnow(docs, "doc_id", "text")
-    return fp.select("doc_id", F.size("fingerprint").alias("fp_size"))
+    fp = text.fingerprint_winnow(docs, "doc_id", "text", hash_fn=_md5_int32)
+    return fp.select(
+        "doc_id",
+        F.size("fingerprint").alias("fp_size"),
+        F.array_min("fingerprint").alias("fp_min"),
+        F.array_max("fingerprint").alias("fp_max"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -516,10 +553,30 @@ def l12_fingerprint(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@query("l8_multimodal_features", sql=None, tier="T3", survey="L8,J4")
+@query(
+    "l8_multimodal_features",
+    # Promoted from rows-only (r4): the deterministic feature stub is
+    # md5-byte arithmetic (d[i % 16] / 255), so the oracle reproduces the
+    # first component exactly. (text is ASCII in the fixtures, so
+    # strlen == payload byte length.)
+    sql="""
+    SELECT doc_id AS asset_id,
+           CAST(16 AS INT) AS feat_dim,
+           ROUND(CAST(CAST(CAST(CAST(concat('0x', substr(md5(text), 1, 2))
+                      AS INT) AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE), 6)
+             AS f0,
+           strlen(text) AS n_bytes
+    FROM documents
+    """,
+    tier="T3",
+    survey="L8,J4,H6",
+)
 def l8_multimodal_features(spark, sf_dir):
     """Binary-payload plumbing: wrap text as binary assets, extract
-    deterministic fake features via mapInPandas (decode stubbed), reduce."""
+    deterministic md5-derived stub features via mapInPandas (the real
+    decode paths are l8b..l8j), reduce. Oracle-checked: the stub is
+    md5-byte arithmetic, so a broken binary cast, Arrow batch, or UDF
+    schema all mismatch on values, not just shape."""
     docs = T(spark, sf_dir, "documents")
     assets = multimodal.to_multimodal(docs, "doc_id", "text", "text/plain")
     feats = multimodal.extract_features(assets)
@@ -788,10 +845,34 @@ def l8f_png_decode(spark, sf_dir):
     )
 
 
-@query("l9_embed_batch", sql=None, tier="T3", survey="L9,J2")
+@query(
+    "l9_embed_batch",
+    # Promoted from rows-only (r4): the stub embedding is md5-byte
+    # arithmetic quantized to float32 (array<float> schema), and the
+    # norm1 fold is a deterministic left-to-right double sum — both
+    # reproducible in SQL. The float32 CAST matters: skipping it flips
+    # 6th-decimal roundings.
+    sql="""
+    WITH feats AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, 16), i ->
+               CAST(CAST(CAST(CAST(concat('0x', substr(md5(text), 2*i - 1, 2))
+                    AS INT) AS DOUBLE) / 255.0 AS FLOAT) AS DOUBLE)) AS f
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(list_reduce(f, (a, x) -> a + x), 6) AS norm1
+    FROM feats
+    """,
+    tier="T3",
+    survey="L9,J2,H6",
+)
 def l9_embed_batch(spark, sf_dir):
-    """Pluggable embedding stub: deterministic hash-projection features for
-    text via the same Arrow-batched path a real model would use."""
+    """Pluggable embedding stub: deterministic hash-projection features
+    for text via the same Arrow-batched path a real model would use.
+    Oracle-checked end to end (md5-byte features + ordered float sum) —
+    swapping in a real encoder changes the feature fn, not the plumbing
+    this match certifies."""
     docs = T(spark, sf_dir, "documents")
     assets = multimodal.to_multimodal(docs, "doc_id", "text", "text/plain")
     feats = multimodal.extract_features(assets)
@@ -1019,11 +1100,51 @@ def l23_quantize_int8(spark, sf_dir):
     )
 
 
-@query("l3d_int8_topk", sql=None, tier="T3", survey="L3")
+@query(
+    "l3d_int8_topk",
+    # Promoted from rows-only (r4): int8 quantization is DETERMINISTIC
+    # arithmetic — qscale = 127/max|x| and round-half-away are the same
+    # IEEE ops in both engines, the dot is exact integer math — so the
+    # whole approximate pipeline is value-reproducible even though it is
+    # approximate RELATIVE TO the exact float operator (that recall gap
+    # stays asserted in tests/test_operators.py).
+    sql="""
+    WITH v AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    m AS (
+      SELECT vec_id, v,
+             list_max(list_transform(v, x -> abs(x))) AS mx
+      FROM v
+    ),
+    q8 AS (
+      SELECT vec_id,
+             CASE WHEN mx > 0 THEN 127.0 / mx ELSE 0.0 END AS qscale,
+             list_transform(
+               v, x -> ROUND(x * CASE WHEN mx > 0 THEN 127.0 / mx
+                                      ELSE 0.0 END)) AS qv
+      FROM m
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id,
+             CASE WHEN c.qscale > 0 AND q.qscale > 0
+                  THEN list_dot_product(c.qv, q.qv) / (c.qscale * q.qscale)
+                  ELSE 0.0 END AS qdot_raw
+      FROM q8 c CROSS JOIN (SELECT * FROM q8 WHERE vec_id <= 5) q
+    )
+    SELECT q_id, vec_id, ROUND(qdot_raw, 6) AS qdot,
+           CAST(row_number() OVER w AS INT) AS rnk
+    FROM scored
+    WINDOW w AS (PARTITION BY q_id ORDER BY qdot_raw DESC, vec_id)
+    QUALIFY row_number() OVER w <= 10
+    """,
+    tier="T3",
+    survey="L3,H8",
+)
 def l3d_int8_topk(spark, sf_dir):
-    """Approximate top-k on int8-quantized vectors (rows-only: quantization
-    error reorders near-ties; recall vs the exact operator is asserted in
-    tests/test_operators.py)."""
+    """Approximate top-k on int8-quantized vectors, fully oracle-checked:
+    quantize (127/max|x| symmetric scalar), exact integer dot, de-scale,
+    window top-10 with vec_id tie-break."""
     from oeem_etl_spark.operators.similarity import int8_topk
 
     emb = T(spark, sf_dir, "embeddings")

@@ -41,13 +41,13 @@ REASONS = {
     "l2b_minhash_candidates": None,  # promoted r4: md5-family full oracle
     "l3b_ann_lsh_topk": "approx-ann",
     "l3c_ivf_topk": "approx-ann",
-    "l3d_int8_topk": "approx-ann",
-    "l12_fingerprint": "engine-hash",
-    "l8_multimodal_features": "binary-codec",
+    "l3d_int8_topk": None,  # promoted r4: quantization is deterministic arithmetic
+    "l12_fingerprint": None,  # promoted r4: md5-family full oracle
+    "l8_multimodal_features": None,  # promoted r4: md5-byte stub oracle
     "l8d_frame_sample": "binary-codec",
     "l8e_jpeg_decode": "binary-codec",
     "l8j_webp_lossy_decode": "binary-codec",
-    "l9_embed_batch": "model-stub",
+    "l9_embed_batch": None,  # promoted r4: md5-byte stub + ordered-sum oracle
     "l29b_semantic_dedup_bounded": "iterative-kmeans",
     "l31b_cms_estimates": "approx-sketch",
     "l43_pca_project": "iterative-linalg",
