@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from oeem_etl_spark.operators import corpus as corpus_ops
 from oeem_etl_spark.operators import dedup, multimodal, similarity, text
 from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.operators.splits import sql_hash_uniform
 from oeem_etl_spark.plans.util import T
 
 # ---------------------------------------------------------------------------
@@ -2417,4 +2418,247 @@ def l8j_webp_lossy_decode(spark, sf_dir):
         run,
         "doc_id long, q_index int, width int, height int, "
         "err_mean double, err_max int, lossy_bytes int, lossless_bytes int",
+    )
+
+
+@query(
+    "l54_chunk_documents",
+    # chunking is pure array arithmetic: token windows of size 32, stride
+    # 24 (8-token overlap), last partial window kept iff >= 8 tokens
+    # (except a doc shorter than one window yields its whole text).
+    sql="""
+    WITH tk AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, len(t) AS n,
+             generate_series(0, greatest((len(t) - 9) // 24, 0)) AS starts
+      FROM tk
+    ),
+    chunks AS (
+      SELECT doc_id, n, unnest(starts) * 24 AS s FROM idx
+    )
+    SELECT doc_id, CAST(s // 24 AS INT) AS chunk_idx,
+           CAST(least(n - s, 32) AS INT) AS n_tokens,
+           CAST(CAST(concat('0x', substr(md5(
+             CAST(doc_id AS VARCHAR) || ':' || CAST(s // 24 AS VARCHAR)), 1, 8))
+             AS UBIGINT) AS BIGINT) AS chunk_id
+    FROM chunks
+    """,
+    tier="T3",
+    survey="L5,H8,H9,H6",
+)
+def l54_chunk_documents(spark, sf_dir):
+    """RAG-style document chunking: overlapping token windows (size 32,
+    stride 24) as one generator expression — sequence of window starts,
+    posexplode, slice. No UDF, no shuffle: chunking is a map-side
+    operation whose output count is len/stride per doc, which is what
+    lets a 100 TB corpus chunk in a single scan. Chunk ids are
+    md5-derived (stable across reruns/partitionings); the last partial
+    window is kept iff it has ≥ 8 fresh tokens."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    n = F.size("t")
+    starts = F.sequence(
+        F.lit(0), F.greatest((n - 9) / F.lit(24), F.lit(0)).cast("int")
+    )
+    ex = toks.select(
+        "doc_id", n.alias("n"),
+        F.posexplode(starts).alias("chunk_idx", "w"),
+    ).select("doc_id", "n", "chunk_idx", (F.col("w") * 24).alias("s"))
+    chunk_key = F.concat(
+        F.col("doc_id").cast("string"), F.lit(":"),
+        F.col("chunk_idx").cast("string"),
+    )
+    return ex.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.least(F.col("n") - F.col("s"), F.lit(32)).cast("int").alias("n_tokens"),
+        F.conv(F.substring(F.md5(chunk_key), 1, 8), 16, 10)
+        .cast("long")
+        .alias("chunk_id"),
+    )
+
+
+@query(
+    "l55_bigram_logprob",
+    # Laplace-smoothed bigram LM scored by the corpus's own counts:
+    # P(b|a) = (c(a,b) + 1) / (c(a) + V). Per-doc mean of ln P over the
+    # doc's bigrams, integer-micros quantized per term (order-free).
+    sql="""
+    WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS a, t[i+1] AS b
+      FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS nab FROM bg GROUP BY a, b),
+    ca AS (SELECT a, SUM(nab) AS na FROM cab GROUP BY a),
+    v AS (SELECT COUNT(DISTINCT b) AS vs FROM bg)
+    SELECT doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(SUM(CAST(ROUND(ln((nab + 1.0) / (na + vs)) * 1000000)
+                 AS BIGINT)) / COUNT(*) / 1000000.0, 6) AS mean_logprob
+    FROM bg JOIN cab USING (a, b) JOIN ca USING (a), v
+    GROUP BY doc_id
+    """,
+    tier="T3",
+    survey="L7,L5,D1,C1,H8",
+)
+def l55_bigram_logprob(spark, sf_dir):
+    """Bigram-LM fluency scoring — the step up from l24's unigram
+    perplexity stand-in: per-doc mean log P(token | prev) under the
+    corpus's own Laplace-smoothed bigram model. Two hash aggregations
+    over the exploded bigram stream + one join back on the bigram key;
+    the vocabulary size is a broadcast scalar subquery. Every ln term is
+    quantized to integer micros before the mean, so the result is exact
+    integer arithmetic — engine- and order-independent."""
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i", "a"),
+            F.col("t").alias("t"),
+        )
+        .select(
+            "doc_id", "a",
+            F.element_at("t", F.col("i") + 2).alias("b"),
+        )
+    )
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    ca = cab.groupBy("a").agg(F.sum("nab").alias("na"))
+    vocab = bg.agg(F.count_distinct("b").alias("vs"))
+    lp_micros = F.round(
+        F.log((F.col("nab") + 1.0) / (F.col("na") + F.col("vs"))) * 1_000_000
+    ).cast("long")
+    return (
+        bg.join(cab, ["a", "b"])
+        .join(ca, ["a"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(lp_micros) / F.count(F.lit(1)) / 1_000_000.0, 6).alias(
+                "mean_logprob"
+            ),
+        )
+    )
+
+
+@query(
+    "l56_source_remix",
+    # Deterministic corpus remixing toward a uniform per-source target:
+    # keep-fraction = min(1, (N / n_sources) / n_s); membership by
+    # md5-uniform — the same engine-portable draw as b8/l17, so the
+    # remixed corpus is reproducible at any parallelism.
+    sql=f"""
+    WITH n AS (SELECT COUNT(*) AS total, COUNT(DISTINCT source) AS k
+               FROM documents),
+    per AS (SELECT source, COUNT(*) AS ns FROM documents GROUP BY source),
+    frac AS (
+      SELECT source, ns,
+             least(1.0, (total * 1.0 / k) / ns) AS keep_frac
+      FROM per, n
+    )
+    SELECT d.source, f.ns AS n_before,
+           COUNT(*) FILTER (WHERE
+             {{u}} < f.keep_frac) AS n_after,
+           ROUND(f.keep_frac, 6) AS keep_frac
+    FROM documents d JOIN frac f USING (source)
+    GROUP BY d.source, f.ns, f.keep_frac
+    ORDER BY d.source
+    """.format(u=sql_hash_uniform("d.doc_id", 7)),
+    tier="T3",
+    survey="L-ext,B8,H6,D1,C9",
+)
+def l56_source_remix(spark, sf_dir):
+    """Corpus remixing to a target source distribution (the data-mixing
+    step every pretraining pipeline runs): compute per-source keep
+    fractions toward a uniform mix, then keep rows whose md5-uniform
+    draw falls under the fraction. Two tiny aggregates broadcast back
+    onto the scan — the remix itself is one map-side filter, so at
+    100 TB it costs one pass with no shuffle of the data rows."""
+    from oeem_etl_spark.operators.splits import hash_uniform
+
+    docs = T(spark, sf_dir, "documents")
+    n = docs.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count_distinct("source").alias("k"),
+    )
+    per = docs.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    frac = per.crossJoin(F.broadcast(n)).select(
+        "source", "ns",
+        F.least(
+            F.lit(1.0), (F.col("total") / F.col("k")) / F.col("ns")
+        ).alias("keep_frac"),
+    )
+    kept = F.when(hash_uniform("doc_id", seed=7) < F.col("keep_frac"), 1)
+    return (
+        docs.join(F.broadcast(frac), "source")
+        .groupBy("source", "ns", "keep_frac")
+        .agg(F.count(kept).alias("n_after"))
+        .select(
+            "source",
+            F.col("ns").alias("n_before"),
+            "n_after",
+            F.round("keep_frac", 6).alias("keep_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "l57_curriculum_shards",
+    # Curriculum sharding: order docs by a quality score (distinct-token
+    # ratio here), split into 8 equal-size shards with ntile, report each
+    # shard's score envelope — the ordered-training-data layout step.
+    sql="""
+    WITH scored AS (
+      SELECT doc_id,
+             ROUND(CAST(len(list_distinct(str_split(text, ' '))) AS DOUBLE)
+                   / len(str_split(text, ' ')), 6) AS score
+      FROM documents
+    ),
+    sharded AS (
+      SELECT doc_id, score,
+             ntile(8) OVER (ORDER BY score, doc_id) AS shard
+      FROM scored
+    )
+    SELECT CAST(shard AS INT) AS shard, COUNT(*) AS n_docs,
+           MIN(score) AS min_score, MAX(score) AS max_score,
+           MIN(doc_id) AS min_doc
+    FROM sharded GROUP BY shard ORDER BY shard
+    """,
+    tier="T3",
+    survey="L7,E1,D1,F1",
+)
+def l57_curriculum_shards(spark, sf_dir):
+    """Curriculum ordering: score every document (distinct-token ratio —
+    any L7 quality metric plugs in), ntile into 8 equal shards by
+    (score, doc_id), and report each shard's envelope. The global ntile
+    is the one total-order sort in the pipeline; at 100 TB you'd replace
+    it with rangepartition + per-partition ntile over sampled quantile
+    bounds — the SAME logical result, which is why the ntile contract
+    (equal shard sizes, deterministic tie-break) is what's pinned here."""
+    docs = T(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    scored = docs.select(
+        "doc_id",
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("score"),
+    )
+    w = Window.orderBy("score", "doc_id")
+    sharded = scored.withColumn("shard", F.ntile(8).over(w))
+    return (
+        sharded.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("score").alias("min_score"),
+            F.max("score").alias("max_score"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .select(F.col("shard").cast("int").alias("shard"), "n_docs",
+                "min_score", "max_score", "min_doc")
+        .orderBy("shard")
     )
