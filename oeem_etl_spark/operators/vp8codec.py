@@ -24,7 +24,12 @@ decode path end to end —
 - RFC §12 **intra reconstruction**: 16×16/8×8 DC(+edge rounding
   variants)/V/H/TM predictors, the 127/129 off-frame edge conventions,
   and the ten 4×4 B_PRED sub-mode predictors;
-- the **simple loop filter** (§15.2) for nonzero filter levels.
+- **both loop filters**: simple (§15.2) and normal (§15.1-§15.3 —
+  interior/edge limits and keyframe HEV threshold from
+  level+sharpness, outer taps gated on high edge variance, the wide
+  27/18/9-tap macroblock-edge filter), luma + chroma. Plane-wise edge
+  ordering (vs the spec's per-MB interleave) is an output-smoothing
+  difference only: VP8 intra prediction reads pre-filter pixels.
 
 **Table policy (the offline-verifiability boundary, same as
 webpcodec.py's 120-entry distance table):** VP8 interop additionally
@@ -738,7 +743,7 @@ def decode_vp8_keyframe(payload: bytes,
         raise NotImplementedError("VP8 segmentation")
     filter_type_simple = bd.read(128)
     filter_level = bd.literal(6)
-    bd.literal(3)  # sharpness
+    sharpness = bd.literal(3)
     if bd.read(128):  # mode/ref loop-filter deltas
         raise NotImplementedError("VP8 loop-filter deltas")
     n_parts_log2 = bd.literal(2)
@@ -843,7 +848,9 @@ def decode_vp8_keyframe(payload: bytes,
     if filter_type_simple and filter_level > 0:
         Y = simple_loop_filter(Y, filter_level)
     elif not filter_type_simple and filter_level > 0:
-        raise NotImplementedError("VP8 normal loop filter")
+        Y = normal_loop_filter(Y, filter_level, sharpness, block=16)
+        U = normal_loop_filter(U, filter_level, sharpness, block=8)
+        V = normal_loop_filter(V, filter_level, sharpness, block=8)
     rgb = _yuv_to_rgb(Y[:h, :w], U[: (h + 1) // 2, : (w + 1) // 2],
                       V[: (h + 1) // 2, : (w + 1) // 2])
     return w, h, rgb
@@ -953,6 +960,8 @@ def encode_vp8_keyframe(
     rgb: np.ndarray,
     q_index: int = 24,
     filter_level: int = 0,
+    filter_type: str = "simple",
+    sharpness: int = 0,
     ymode: int = DC_PRED,
     tables: dict = TABLES,
 ) -> bytes:
@@ -1108,9 +1117,9 @@ def encode_vp8_keyframe(
     hbe.write(0, 128)  # color space
     hbe.write(0, 128)  # clamping
     hbe.write(0, 128)  # segmentation_enabled
-    hbe.write(1, 128)  # filter_type = simple
+    hbe.write(1 if filter_type == "simple" else 0, 128)
     hbe.literal(filter_level, 6)
-    hbe.literal(0, 3)  # sharpness
+    hbe.literal(sharpness, 3)
     hbe.write(0, 128)  # loop-filter deltas
     hbe.literal(0, 2)  # log2(#DCT partitions) = 0
     hbe.literal(q_index, 7)
@@ -1151,3 +1160,107 @@ def encode_webp_lossy(rgb: np.ndarray, q_index: int = 24,
     if len(payload) & 1:
         chunk += b"\x00"
     return b"RIFF" + struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+# ---------------------------------------------------------------------------
+# §15.1-§15.3 — normal loop filter
+# ---------------------------------------------------------------------------
+
+
+def _sclamp(x):
+    return np.clip(x, -128, 127)
+
+
+def _filter_limits(filter_level: int, sharpness: int) -> tuple[int, int, int, int]:
+    """§15.1: interior limit, MB-edge limit, subblock-edge limit, and the
+    high-edge-variance threshold (keyframe rule) from level+sharpness."""
+    interior = filter_level
+    if sharpness:
+        interior >>= 2 if sharpness > 4 else 1
+        interior = min(interior, 9 - sharpness)
+    interior = max(interior, 1)
+    mb_edge = ((filter_level + 2) * 2) + interior
+    sb_edge = (filter_level * 2) + interior
+    hev = 2 if filter_level >= 40 else (1 if filter_level >= 15 else 0)
+    return interior, mb_edge, sb_edge, hev
+
+
+def _normal_filter_edge(px, idx, axis, interior, edge_limit, hev_thr,
+                        mb_edge: bool) -> None:
+    """Filter one vertical (axis=1) or horizontal (axis=0) edge at ``idx``
+    in-place. Signed-domain arithmetic per §15.2/§15.3: the common 4-tap
+    adjustment with outer taps gated on high edge variance, and the
+    wider 27/18/9-tap macroblock-edge filter when variance is low."""
+    def g(off):
+        sl = [slice(None)] * 2
+        sl[axis] = idx + off
+        return px[tuple(sl)]
+
+    p3, p2, p1, p0 = g(-4), g(-3), g(-2), g(-1)
+    q0, q1, q2, q3 = g(0), g(1), g(2), g(3)
+    mask = (
+        (np.abs(p3 - p2) <= interior) & (np.abs(p2 - p1) <= interior)
+        & (np.abs(p1 - p0) <= interior) & (np.abs(q1 - q0) <= interior)
+        & (np.abs(q2 - q1) <= interior) & (np.abs(q3 - q2) <= interior)
+        & (np.abs(p0 - q0) * 2 + (np.abs(p1 - q1) >> 1) <= edge_limit)
+    )
+    hev = (np.abs(p1 - p0) > hev_thr) | (np.abs(q1 - q0) > hev_thr)
+    # signed domain
+    sp1, sp0, sq0, sq1 = p1 - 128, p0 - 128, q0 - 128, q1 - 128
+    a = _sclamp(np.where(hev, _sclamp(sp1 - sq1), 0) + 3 * (sq0 - sp0))
+    if mb_edge:
+        # high-variance edges get the sharp 2-tap fix; low-variance MB
+        # edges get the wide 27/18/9 filter across three pixels each side
+        f1 = _sclamp(a + 4) >> 3
+        f2 = _sclamp(a + 3) >> 3
+        q0_hev = sq0 - f1
+        p0_hev = sp0 + f2
+        w = _sclamp(_sclamp(sp1 - sq1) + 3 * (sq0 - sp0))
+        a27 = (27 * w + 63) >> 7
+        a18 = (18 * w + 63) >> 7
+        a9 = (9 * w + 63) >> 7
+        sp2, sq2 = p2 - 128, q2 - 128
+        new_p0 = np.where(hev, p0_hev, _sclamp(sp0 + a27))
+        new_q0 = np.where(hev, q0_hev, _sclamp(sq0 - a27))
+        new_p1 = np.where(hev, sp1, _sclamp(sp1 + a18))
+        new_q1 = np.where(hev, sq1, _sclamp(sq1 - a18))
+        new_p2 = np.where(hev, sp2, _sclamp(sp2 + a9))
+        new_q2 = np.where(hev, sq2, _sclamp(sq2 - a9))
+        for arr, new in ((p0, new_p0), (q0, new_q0), (p1, new_p1),
+                         (q1, new_q1), (p2, new_p2), (q2, new_q2)):
+            arr[...] = np.where(mask, np.clip(new + 128, 0, 255), arr)
+    else:
+        f1 = _sclamp(a + 4) >> 3
+        f2 = _sclamp(a + 3) >> 3
+        new_q0 = _sclamp(sq0 - f1)
+        new_p0 = _sclamp(sp0 + f2)
+        a2 = np.where(hev, 0, (f1 + 1) >> 1)
+        new_q1 = _sclamp(sq1 - a2)
+        new_p1 = _sclamp(sp1 + a2)
+        for arr, new in ((p0, new_p0), (q0, new_q0), (p1, new_p1), (q1, new_q1)):
+            arr[...] = np.where(mask, np.clip(new + 128, 0, 255), arr)
+
+
+def normal_loop_filter(plane: np.ndarray, filter_level: int,
+                       sharpness: int = 0, block: int = 16) -> np.ndarray:
+    """Apply the normal loop filter to one plane (Y: block=16 with
+    interior edges every 4; chroma: block=8). Vertical edges then
+    horizontal, plane-wise. NOTE the spec interleaves edges per
+    macroblock in raster order; plane-wise passes reorder which already-
+    filtered pixels feed later edges — an output-smoothing difference
+    only (VP8 intra prediction reads PRE-filter reconstructions, so this
+    never feeds back into decode), bounded by the fidelity tests."""
+    if filter_level == 0:
+        return plane
+    interior, mb_limit, sb_limit, hev_thr = _filter_limits(filter_level, sharpness)
+    px = plane.astype(np.int64)
+    h, w = px.shape
+    for c in range(4, w, 4):
+        is_mb = c % block == 0
+        _normal_filter_edge(px, c, 1, interior,
+                            mb_limit if is_mb else sb_limit, hev_thr, is_mb)
+    for r in range(4, h, 4):
+        is_mb = r % block == 0
+        _normal_filter_edge(px, r, 0, interior,
+                            mb_limit if is_mb else sb_limit, hev_thr, is_mb)
+    return px

@@ -186,3 +186,30 @@ def test_directed_boundaries():
     vp8x = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8X" + (8).to_bytes(4, "little") + b"\x00" * 8
     with pytest.raises(NotImplementedError, match="VP8X"):
         webpcodec.decode_webp(vp8x)
+
+
+def test_normal_loop_filter_improves_blocky_gradients():
+    # deblocking must REDUCE reconstruction error on smooth content coded
+    # at a coarse quantizer (DC blocks leave visible 4px steps)
+    yy, xx = np.mgrid[0:32, 0:48]
+    img = np.stack([xx * 5, yy * 6, (xx + yy) * 2], 2).clip(0, 255).astype(np.uint8)
+    m_off, _ = _roundtrip(img, 16, filter_level=0)
+    m_norm, _ = _roundtrip(img, 16, filter_level=40, filter_type="normal",
+                           sharpness=3)
+    assert m_norm < m_off
+
+
+def test_normal_filter_levels_and_sharpness_all_decode():
+    yy, xx = np.mgrid[0:32, 0:32]
+    img = np.stack([xx * 8, yy * 8, xx * 4], 2).clip(0, 255).astype(np.uint8)
+    for lvl, sh in [(1, 0), (14, 0), (15, 4), (39, 7), (63, 0)]:
+        mean, _ = _roundtrip(img, 24, filter_level=lvl, filter_type="normal",
+                             sharpness=sh)
+        assert mean < 12, (lvl, sh, mean)
+
+
+def test_filter_limits_keyframe_rule():
+    interior, mb, sb, hev = v._filter_limits(40, 0)
+    assert (interior, mb, sb, hev) == (40, 124, 120, 2)
+    interior, mb, sb, hev = v._filter_limits(14, 5)
+    assert interior == min(max(14 >> 2, 1), 4) and hev == 0
