@@ -2449,13 +2449,14 @@ def l8j_webp_lossy_decode(spark, sf_dir):
     survey="L5,H8,H9,H6",
 )
 def l54_chunk_documents(spark, sf_dir):
-    """RAG-style document chunking: overlapping token windows (size 32,
-    stride 24) as one generator expression — sequence of window starts,
-    posexplode, slice. No UDF, no shuffle: chunking is a map-side
-    operation whose output count is len/stride per doc, which is what
-    lets a 100 TB corpus chunk in a single scan. Chunk ids are
-    md5-derived (stable across reruns/partitionings); the last partial
-    window is kept iff it has ≥ 8 fresh tokens."""
+    """Chunking with STABLE CHUNK IDS — the retrieval-cache variant of
+    l25_chunk_documents (which pins the window/stride arithmetic and
+    chunk text): here each chunk additionally gets an md5-derived 32-bit
+    id, reproducible across reruns and partitionings, which is the key a
+    RAG index or embedding cache joins on (re-embedding only NEW chunk
+    ids after a corpus refresh). Same map-side generator shape — no UDF,
+    no shuffle; the last partial window is kept iff it has ≥ 8 fresh
+    tokens (size 32, stride 24)."""
     docs = T(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("t"))
     n = F.size("t")
