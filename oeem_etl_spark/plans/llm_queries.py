@@ -2528,9 +2528,17 @@ def l55_bigram_logprob(spark, sf_dir):
             F.element_at("t", F.col("i") + 2).alias("b"),
         )
     )
+    # one scan: the exploded bigram stream feeds the count table AND the
+    # final scoring join (same multi-branch-recompute fix as
+    # importance_weights / prefix-Jaccard's postings, BASELINE.md r3);
+    # vocab and the left-context totals derive from the (much smaller)
+    # bigram-count table, not the stream
+    from pyspark.storagelevel import StorageLevel
+
+    bg = bg.persist(StorageLevel.MEMORY_AND_DISK)
     cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
     ca = cab.groupBy("a").agg(F.sum("nab").alias("na"))
-    vocab = bg.agg(F.count_distinct("b").alias("vs"))
+    vocab = cab.agg(F.count_distinct("b").alias("vs"))
     lp_micros = F.round(
         F.log((F.col("nab") + 1.0) / (F.col("na") + F.col("vs"))) * 1_000_000
     ).cast("long")
