@@ -785,3 +785,40 @@ def test_tier_allocation_conserves_and_bounds(spark, totals):
         assert r["t1"] + r["t2"] + r["t3"] == r["um"]
     assert sum(r["t1"] for r in out) <= b1
     assert sum(r["t2"] for r in out) <= b2 - b1
+
+
+# --- VP8 boolean coder (no Spark: pure entropy-layer invariant) -------------
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 1), st.integers(1, 255)),
+        min_size=0,
+        max_size=400,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_vp8_bool_coder_roundtrips_any_sequence(seq):
+    from oeem_etl_spark.operators.vp8codec import BoolDecoder, BoolEncoder
+
+    enc = BoolEncoder()
+    for bit, prob in seq:
+        enc.write(bit, prob)
+    dec = BoolDecoder(enc.flush())
+    assert [dec.read(prob) for _, prob in seq] == [bit for bit, _ in seq]
+
+
+@given(st.lists(st.integers(-2114, 2114), min_size=0, max_size=16))
+@settings(max_examples=150, deadline=None)
+def test_vp8_token_layer_roundtrips_any_block(coeffs):
+    import numpy as np
+
+    from oeem_etl_spark.operators import vp8codec as v
+
+    q = np.zeros(16, np.int64)
+    q[: len(coeffs)] = coeffs
+    be = v.BoolEncoder()
+    v._encode_coeffs(be, v.TABLES["coeff_probs"], 3, 0, 0, q)
+    bd = v.BoolDecoder(be.flush())
+    got = v._decode_coeffs(bd, v.TABLES["coeff_probs"], 3, 0, 0)
+    assert np.array_equal(got, q)
