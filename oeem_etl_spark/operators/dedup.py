@@ -525,7 +525,12 @@ def simhash_near_pairs(
     """Candidate near-dup pairs by SimHash: bucket on each quarter of the
     signature (pigeonhole: ≤3 differing bits ⇒ at least one of 4 quarters
     equal), then verify Hamming distance ≤ max_hamming within buckets.
-    ``bits`` must match the signature width (quarter width = bits // 4)."""
+    ``bits`` must match the signature width (quarter width = bits // 4).
+    Supported widths: 32 and 64 — any other width puts a quarter astride
+    the lo/hi 32-bit halves, where a negative shiftright would silently
+    bucket on garbage (the JVM masks shift amounts) instead of erroring."""
+    if bits not in (32, 64):
+        raise ValueError(f"bits must be 32 or 64, got {bits}")
     w = bits // 4
     mask = (1 << w) - 1
 

@@ -728,6 +728,17 @@ def decode_vp8_keyframe(payload: bytes,
     tag = payload[0] | payload[1] << 8 | payload[2] << 16
     if tag & 1:
         raise NotImplementedError("VP8 interframe decode (keyframes only)")
+    version = (tag >> 1) & 7
+    if version != 3:
+        # dialect marker: this repo's encoder stamps version 3; real-world
+        # VP8 (version 0-2) would decode to silent garbage under the
+        # stand-in probability tables (module docstring) — refuse loudly
+        # instead, restoring the honest NotImplementedError boundary.
+        raise NotImplementedError(
+            f"VP8 version {version}: third-party lossy WebP needs the RFC"
+            " 6386 empirical tables (offline-unverifiable here); only this"
+            " module's version-3-stamped dialect decodes"
+        )
     first_size = tag >> 5
     if payload[3:6] != b"\x9d\x01\x2a":
         raise ValueError("bad VP8 keyframe start code")
@@ -896,9 +907,12 @@ def _b4_edges(Y: np.ndarray, y0: int, x0: int):
 
 
 def _reconstruct_mb(Y, U, V, my, mx, ymode, bmodes, uvmode,
-                    yq, uq, vq, y2_dcs, has_y2, dq) -> None:
+                    yq, uq, vq, y2_dcs, has_y2, dq,
+                    do_luma: bool = True) -> None:
     y0, x0 = my * 16, mx * 16
-    if has_y2:
+    if not do_luma:
+        pass  # encoder B_PRED path: luma was reconstructed per-sub-block
+    elif has_y2:
         pred = _pred_block(16, ymode, *_mb_edges(Y, y0, x0, 16))
         out = pred.copy()
         for r in range(4):
@@ -1099,17 +1113,11 @@ def encode_vp8_keyframe(
                     Y, U, V, my, mx, ymode, bmodes, uvmode,
                     yq, uq, vq, y2_dcs, True, dq,
                 )
-            else:  # luma already reconstructed per sub-block; do chroma
-                _reconstruct_mb(
-                    Y, U, V, my, mx, DC_PRED, None, uvmode,
-                    [[np.zeros(16, np.int64)] * 4 for _ in range(4)],
-                    uq, vq, np.zeros((4, 4), np.int64), True, dq,
-                )
-                # undo the luma overwrite from the chroma-only call above
-                # by re-running the B_PRED luma reconstruction
+            else:  # luma already reconstructed per sub-block; chroma only
                 _reconstruct_mb(
                     Y, U, V, my, mx, B_PRED, bmodes, uvmode,
                     yq, uq, vq, np.zeros((4, 4), np.int64), False, dq,
+                    do_luma=False,
                 )
 
     # ---- first partition: headers + modes --------------------------------
@@ -1145,7 +1153,9 @@ def encode_vp8_keyframe(
     part1 = hbe.flush()
     tokens = token_be.flush()
 
-    tag = (len(part1) << 5) | (1 << 4) | 0  # show_frame, version 0, keyframe
+    # show_frame, version 3 (the dialect marker the decoder requires —
+    # see decode_vp8_keyframe), keyframe bit 0
+    tag = (len(part1) << 5) | (1 << 4) | (3 << 1)
     header = bytes(
         [tag & 0xFF, (tag >> 8) & 0xFF, (tag >> 16) & 0xFF]
     ) + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)

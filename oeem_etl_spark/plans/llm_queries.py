@@ -87,9 +87,14 @@ _L2B_BANDS_SQL = "\n      UNION ALL ".join(
     sql=f"""
     WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
     sh AS (
-      SELECT doc_id, list_distinct(list_transform(
-        generate_series(1, greatest(len(t) - 2, 1)),
-        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      -- < 3 tokens: whole text as the single shingle (Spark's
+      -- shingles_from_tokens fallback; out-of-range t[i+2] would
+      -- otherwise yield NULL shingles)
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [array_to_string(t, ' ')] END AS s
       FROM tk
     ),
     hs AS (

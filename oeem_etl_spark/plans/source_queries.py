@@ -954,7 +954,7 @@ def a17_csv_dim_enrich(spark, sf_dir):
     (C9): the staged-extract-enriched-by-config shape. The dim is a literal
     DataFrame, never a shuffle side."""
     sub = T(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    path = os.path.join(_TMP, "a17_csv")
+    path = os.path.join(_TMP, "a17_dim_csv")  # NOT "a17_csv": owned by a17_csv_quarantine
     writers.write_csv(sub, path)
     nations = readers.scan_csv(
         spark, path, "n_nationkey BIGINT, n_name STRING, n_regionkey BIGINT"

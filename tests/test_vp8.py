@@ -181,6 +181,10 @@ def test_directed_boundaries():
     data[payload_off] |= 1  # flip keyframe bit -> interframe
     with pytest.raises(NotImplementedError, match="interframe"):
         v.decode_vp8_keyframe(bytes(data[payload_off:]))
+    data[payload_off] &= ~1  # keyframe again...
+    data[payload_off] &= ~(7 << 1)  # ...but version 0 = real-world VP8
+    with pytest.raises(NotImplementedError, match="version 0"):
+        v.decode_vp8_keyframe(bytes(data[payload_off:]))
     from oeem_etl_spark.operators import webpcodec
 
     vp8x = b"RIFF" + (20).to_bytes(4, "little") + b"WEBP" + b"VP8X" + (8).to_bytes(4, "little") + b"\x00" * 8

@@ -38,7 +38,10 @@ SCALE_DIR = f"/tmp/oeem_scale{COPIES}"
 
 
 def build_scaled(spark) -> None:
-    if os.path.isdir(f"{SCALE_DIR}/lineitem.parquet"):
+    # guard on the LAST table this function writes (embeddings, added r4):
+    # keying on lineitem left a pre-r4 cache dir permanently missing the
+    # newer tables and crashed the semantic probe
+    if os.path.isdir(f"{SCALE_DIR}/embeddings.parquet"):
         return
     shutil.rmtree(SCALE_DIR, ignore_errors=True)
     li = load_table(spark, SF_DIR, "lineitem")
