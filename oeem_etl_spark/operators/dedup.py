@@ -522,29 +522,36 @@ def simhash(
 def simhash_near_pairs(
     sim: DataFrame, key: str, max_hamming: int = 3, bits: int = 64
 ) -> DataFrame:
-    """Candidate near-dup pairs by SimHash: bucket on each quarter of the
-    signature (pigeonhole: ≤3 differing bits ⇒ at least one of 4 quarters
-    equal), then verify Hamming distance ≤ max_hamming within buckets.
-    ``bits`` must match the signature width (quarter width = bits // 4).
-    Supported widths: 32 and 64 — any other width puts a quarter astride
-    the lo/hi 32-bit halves, where a negative shiftright would silently
-    bucket on garbage (the JVM masks shift amounts) instead of erroring."""
+    """Candidate near-dup pairs by SimHash: bucket on contiguous bit bands
+    of the signature, then verify Hamming distance ≤ ``max_hamming``
+    within buckets. Band count is ``max(4, max_hamming + 1)`` — the
+    pigeonhole guarantee (≤ h differing bits ⇒ with h + 1 bands at least
+    one band is bit-identical) makes recall EXACT for any ``max_hamming``,
+    not just the classic 4-quarter h ≤ 3 regime. ``bits`` must match the
+    signature width; supported widths are 32 and 64 (the two-half
+    simhash_lo/simhash_hi layout). Bands may straddle the 32-bit halves:
+    the signature is reassembled into one 64-bit value first, and band
+    extraction uses an unsigned shift so the sign bit never leaks into a
+    bucket id."""
     if bits not in (32, 64):
         raise ValueError(f"bits must be 32 or 64, got {bits}")
-    w = bits // 4
-    mask = (1 << w) - 1
+    n_bands = min(max(4, max_hamming + 1), bits)
+    full = (
+        F.shiftleft(F.col("simhash_hi"), 32).bitwiseOR(F.col("simhash_lo"))
+        if bits == 64
+        else F.col("simhash_lo")
+    )
+    bounds = [q * bits // n_bands for q in range(n_bands + 1)]
 
-    def _quarter(q: int):
-        start = q * w
-        if start + w <= 32:
-            return F.shiftright("simhash_lo", start).bitwiseAND(F.lit(mask))
-        return F.shiftright("simhash_hi", start - 32).bitwiseAND(F.lit(mask))
+    def _band(q: int):
+        start, width = bounds[q], bounds[q + 1] - bounds[q]
+        return F.shiftrightunsigned(full, start).bitwiseAND(F.lit((1 << width) - 1))
 
     quarters = sim.select(
         F.col(key),
         "simhash_lo",
         "simhash_hi",
-        F.posexplode(F.array(*[_quarter(q) for q in range(4)])).alias("q", "qval"),
+        F.posexplode(F.array(*[_band(q) for q in range(n_bands)])).alias("q", "qval"),
     )
     a = quarters.select(
         F.col(key).alias("key_a"),

@@ -2676,3 +2676,274 @@ def l57_curriculum_shards(spark, sf_dir):
                 "min_score", "max_score", "min_doc")
         .orderBy("shard")
     )
+
+
+@query(
+    "l58_boilerplate_ngrams",
+    # Cross-document boilerplate detection (the C4/RefinedWeb "repeated
+    # n-gram" pruning signal): word 5-grams, document frequency across
+    # the corpus, per-doc fraction of 5-grams that are corpus-repeated
+    # (df >= 3 docs), rolled up per source. Per-doc fractions are
+    # micros-quantized BIGINTs before the source-level mean so the
+    # rollup is summation-order independent in both engines.
+    sql="""
+    WITH w AS (
+      SELECT doc_id, source, str_split(text, ' ') AS words FROM documents
+    ), g AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(list_slice(words, i, i + 4), ' ') AS gram
+      FROM w, UNNEST(range(1, len(words) - 3)) AS t(i)
+    ), df AS (
+      SELECT gram, COUNT(*) AS df_docs FROM g GROUP BY gram
+    ), per_doc AS (
+      SELECT g.doc_id, g.source,
+             CAST(ROUND(1e6 * SUM(CASE WHEN df.df_docs >= 3 THEN 1 ELSE 0 END)
+                        / COUNT(*)) AS BIGINT) AS bm
+      FROM g JOIN df USING (gram)
+      GROUP BY g.doc_id, g.source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           ROUND(SUM(bm) / (COUNT(*) * 1e6), 6) AS avg_boilerplate,
+           ROUND(MAX(bm) / 1e6, 6) AS max_boilerplate
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tier="T3",
+    survey="L-ext,L5,L7,D1,C1,H9",
+)
+def l58_boilerplate_ngrams(spark, sf_dir):
+    """Corpus-level boilerplate scoring: per-doc distinct word 5-grams
+    (array_distinct BEFORE the explode, so within-doc repeats never hit
+    the wire), document frequency via one hash agg on the gram, flags
+    joined back on the gram key, per-doc fraction, per-source rollup.
+    Scale shape: two shuffles on the gram (agg + join-back), both
+    map-side combinable; at 100 TB you'd bucket both sides of the
+    join-back by gram hash, and the df table can be Bloom-pruned to
+    grams with df >= 2 before the join since df = 1 grams contribute 0
+    to every numerator."""
+    docs = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(words) - 5),
+        lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(5))),
+    )
+    g = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.when(F.size(words) >= 5, F.array_distinct(grams)).otherwise(
+                F.array().cast("array<string>")
+            )
+        ).alias("gram"),
+    )
+    df = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df_docs"))
+    per_doc = (
+        g.join(df, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.round(
+                F.lit(1e6)
+                * F.sum(F.when(F.col("df_docs") >= 3, 1).otherwise(0))
+                / F.count(F.lit(1))
+            )
+            .cast("long")
+            .alias("bm")
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.sum("bm") / (F.count(F.lit(1)) * F.lit(1e6)), 6).alias(
+                "avg_boilerplate"
+            ),
+            F.round(F.max("bm") / F.lit(1e6), 6).alias("max_boilerplate"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "l60_pmi_bigrams",
+    # Collocation mining: corpus-wide PMI over word bigrams with a
+    # support floor, top-20. The PMI argument is assembled in ONE fixed
+    # association order — (((c_ab*nu)/nb)*nu)/(c_a*c_b) — mirrored
+    # exactly on the Spark side so both engines execute the identical
+    # IEEE double sequence before the 6-digit round.
+    sql="""
+    WITH w AS (
+      SELECT str_split(text, ' ') AS words FROM documents
+    ), tok AS (
+      SELECT unnest(words) AS tokw FROM w
+    ), uni AS (
+      SELECT tokw, COUNT(*) AS c FROM tok GROUP BY tokw
+    ), totals AS (
+      SELECT SUM(c) AS nu FROM uni
+    ), big AS (
+      SELECT words[i] AS w1, words[i + 1] AS w2
+      FROM w, UNNEST(range(1, len(words))) AS t(i)
+    ), bc AS (
+      SELECT w1, w2, COUNT(*) AS c_ab FROM big GROUP BY w1, w2
+    ), btot AS (
+      SELECT SUM(c_ab) AS nb FROM bc
+    )
+    SELECT bc.w1 || ' ' || bc.w2 AS bigram, bc.c_ab,
+           ROUND(LN((((CAST(bc.c_ab AS DOUBLE) * totals.nu) / btot.nb)
+                     * totals.nu)
+                    / (CAST(u1.c AS DOUBLE) * u2.c)), 6) AS pmi
+    FROM bc
+    JOIN uni u1 ON bc.w1 = u1.tokw
+    JOIN uni u2 ON bc.w2 = u2.tokw
+    CROSS JOIN totals CROSS JOIN btot
+    WHERE bc.c_ab >= 25
+    ORDER BY pmi DESC, bigram ASC
+    LIMIT 20
+    """,
+    tier="T3",
+    survey="L-ext,L5,D1,C9,H8,F3",
+)
+def l60_pmi_bigrams(spark, sf_dir):
+    """PMI collocation mining (phrase discovery for tokenizer/corpus
+    work): unigram and bigram counts, PMI with a support floor, top-20
+    tie-broken on the bigram. Scale shape: bigrams come from zip_with
+    over the token array (no self-join), counts are two map-side
+    combinable hash aggs, and the unigram vocabulary joins back onto
+    the bigram table as a BROADCAST (vocabularies are ~1e6 rows at any
+    corpus size; if a tokenizer explodes that, the joins degrade to
+    hash joins on w1/w2 — still linear). Totals are single-row
+    broadcasts."""
+    docs = T(spark, sf_dir, "documents")
+    words = F.split("text", " ")
+    n = F.size(words)
+    docs = docs.select(
+        words.alias("words"),
+        F.zip_with(
+            F.slice(F.col("words"), 1, n - 1),
+            F.slice(F.col("words"), 2, n - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ).alias("bigrams"),
+    )
+    uni = (
+        docs.select(F.explode("words").alias("tokw"))
+        .groupBy("tokw")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    totals = uni.agg(F.sum("c").alias("nu"))
+    bc = (
+        docs.select(F.explode("bigrams").alias("bg"))
+        .select("bg.w1", "bg.w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    btot = bc.agg(F.sum("c_ab").alias("nb"))
+    u1 = uni.select(F.col("tokw").alias("w1"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("tokw").alias("w2"), F.col("c").alias("c2"))
+    pmi = (
+        F.log(
+            (
+                (F.col("c_ab").cast("double") * F.col("nu")) / F.col("nb")
+                * F.col("nu")
+            )
+            / (F.col("c1").cast("double") * F.col("c2"))
+        )
+    )
+    return (
+        bc.where(F.col("c_ab") >= 25)
+        .join(F.broadcast(u1), "w1")
+        .join(F.broadcast(u2), "w2")
+        .crossJoin(F.broadcast(totals))
+        .crossJoin(F.broadcast(btot))
+        .select(
+            F.concat_ws(" ", "w1", "w2").alias("bigram"),
+            "c_ab",
+            F.round(pmi, 6).alias("pmi"),
+        )
+        .orderBy(F.col("pmi").desc(), F.col("bigram").asc())
+        .limit(20)
+    )
+
+
+@query(
+    "l61_dsir_select",
+    # DSIR-style importance selection: score every document by the
+    # log-likelihood ratio between a target unigram LM (docs from
+    # 'src0') and the background LM (everything else), add-1 smoothed
+    # over the shared vocabulary; keep the top 30. Each token's
+    # log-ratio is nano-quantized to a BIGINT in the vocabulary table,
+    # so the per-doc sum is integer arithmetic — summation-order
+    # independent — and the ln() is evaluated once per vocab entry with
+    # one fixed association on both engines.
+    sql="""
+    WITH tok AS (
+      SELECT doc_id, lang, source, unnest(str_split(text, ' ')) AS tokw
+      FROM documents
+    ), vocab AS (
+      SELECT tokw,
+             SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS ct,
+             SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS cb
+      FROM tok GROUP BY tokw
+    ), totals AS (
+      SELECT SUM(ct) AS nt, SUM(cb) AS nb, COUNT(*) AS v FROM vocab
+    ), scored_vocab AS (
+      SELECT tokw,
+             CAST(ROUND(1e9 * LN(((ct + 1.0) / (nt + v))
+                                 / ((cb + 1.0) / (nb + v)))) AS BIGINT)
+               AS lr_nanos
+      FROM vocab CROSS JOIN totals
+    )
+    SELECT t.doc_id, ANY_VALUE(t.lang) AS lang, ANY_VALUE(t.source) AS source,
+           COUNT(*) AS n_tokens,
+           ROUND(SUM(sv.lr_nanos) / 1e9, 6) AS importance
+    FROM tok t JOIN scored_vocab sv ON t.tokw = sv.tokw
+    GROUP BY t.doc_id
+    ORDER BY importance DESC, t.doc_id ASC
+    LIMIT 30
+    """,
+    tier="T3",
+    survey="L-ext,L5,L7,D1,C9,F3,H5",
+)
+def l61_dsir_select(spark, sf_dir):
+    """Data Selection via Importance Resampling (DSIR, Xie et al. 2023 —
+    public method): rank corpus documents by how target-like their
+    unigram distribution is. Scale shape: one token explode feeds one
+    vocabulary-sized hash agg (map-side combinable); the scored
+    vocabulary (ln ratio, nano-quantized) is a BROADCAST back onto the
+    token stream; the per-doc score is a BIGINT sum keyed by doc_id;
+    top-30 is TakeOrderedAndProject. The corpus is scanned twice (vocab
+    build + scoring) — at 100 TB you persist the tokenized stream or
+    fold the vocab build into a sketch; both scans are
+    shuffle-light."""
+    docs = T(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", "lang", "source", F.explode(F.split("text", " ")).alias("tokw")
+    )
+    vocab = tok.groupBy("tokw").agg(
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(F.col("source") != "src0", 1).otherwise(0)).alias("cb"),
+    )
+    totals = vocab.agg(
+        F.sum("ct").alias("nt"), F.sum("cb").alias("nb"), F.count(F.lit(1)).alias("v")
+    )
+    scored_vocab = vocab.crossJoin(F.broadcast(totals)).select(
+        "tokw",
+        F.round(
+            F.lit(1e9)
+            * F.log(
+                ((F.col("ct") + F.lit(1.0)) / (F.col("nt") + F.col("v")))
+                / ((F.col("cb") + F.lit(1.0)) / (F.col("nb") + F.col("v")))
+            )
+        )
+        .cast("long")
+        .alias("lr_nanos"),
+    )
+    return (
+        tok.join(F.broadcast(scored_vocab), "tokw")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("lang").alias("lang"),
+            F.any_value("source").alias("source"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.sum("lr_nanos") / F.lit(1e9), 6).alias("importance"),
+        )
+        .orderBy(F.col("importance").desc(), F.col("doc_id").asc())
+        .limit(30)
+    )

@@ -2033,3 +2033,113 @@ def d29_struct_unpivot(spark, sf_dir):
     )
     wide = stats.select("o_custkey", "envelope.*")
     return wide.unpivot(["o_custkey"], ["price_min", "price_max"], "metric", "val")
+
+
+@query(
+    "d30_cuped_adjustment",
+    # CUPED variance-reduced experiment readout: per-user pre/post value
+    # sums (millis-quantized BIGINTs), theta = cov(pre, post)/var(pre)
+    # pooled over all users, arm-level adjusted means derived purely
+    # from arm sums. Every moment is an exact integer before ONE
+    # double-arithmetic path shared verbatim by both engines.
+    sql="""
+    WITH u AS (
+      SELECT user_id, user_id % 2 AS arm,
+             COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-16'
+                          THEN CAST(ROUND(value * 1000) AS BIGINT) END), 0) AS x,
+             COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                          THEN CAST(ROUND(value * 1000) AS BIGINT) END), 0) AS y
+      FROM events GROUP BY user_id
+    ), g AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS dn,
+             CAST(SUM(x) AS DOUBLE) AS dsx, CAST(SUM(y) AS DOUBLE) AS dsy,
+             CAST(SUM(x * x) AS DOUBLE) AS dsxx,
+             CAST(SUM(x * y) AS DOUBLE) AS dsxy,
+             CAST(SUM(y * y) AS DOUBLE) AS dsyy
+      FROM u
+    ), t AS (
+      SELECT dn, dsx,
+             (dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx) AS theta,
+             ((dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy))
+               / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)) AS r2
+      FROM g
+    )
+    SELECT u.arm, COUNT(*) AS n_users,
+           ROUND(CAST(SUM(u.x) AS DOUBLE) / COUNT(*) / 1000.0, 6) AS mean_pre,
+           ROUND(CAST(SUM(u.y) AS DOUBLE) / COUNT(*) / 1000.0, 6) AS mean_post,
+           ROUND(CAST(SUM(u.y) AS DOUBLE) / COUNT(*) / 1000.0
+                 - t.theta * (CAST(SUM(u.x) AS DOUBLE) / COUNT(*) / 1000.0
+                              - t.dsx / t.dn / 1000.0), 6) AS mean_adjusted,
+           ROUND(t.theta, 6) AS theta,
+           ROUND(t.r2, 6) AS var_reduction
+    FROM u CROSS JOIN t
+    GROUP BY u.arm, t.theta, t.r2, t.dsx, t.dn
+    ORDER BY u.arm
+    """,
+    tier="T2",
+    survey="D3,D1,B4,H4,H5,C5",
+)
+def d30_cuped_adjustment(spark, sf_dir):
+    """CUPED (controlled-experiment pre-period adjustment, Deng et al.
+    2013 — public method): reduce post-period metric variance using
+    each user's pre-period activity as the covariate. Scale shape: ONE
+    pass over events into a per-user conditional aggregate (hash agg on
+    user_id, map-side combinable); the global moment frame g is a
+    single row crossJoin-broadcast back onto the tiny per-user frame;
+    arm-level output is 2 rows. theta and r² are derived from exact
+    BIGINT moment sums in one fixed IEEE association, so repr-equality
+    holds across engines."""
+    ev = T(spark, sf_dir, "events")
+    split = F.lit("2024-01-16").cast("timestamp_ntz")
+    vm = F.round(F.col("value") * 1_000).cast("long")
+    u = ev.groupBy("user_id").agg(
+        F.coalesce(F.sum(F.when(F.col("ts") < split, vm)), F.lit(0)).alias("x"),
+        F.coalesce(F.sum(F.when(F.col("ts") >= split, vm)), F.lit(0)).alias("y"),
+    ).select((F.col("user_id") % 2).alias("arm"), "x", "y")
+    x, y = F.col("x"), F.col("y")
+    g = u.agg(
+        F.count(F.lit(1)).cast("double").alias("dn"),
+        F.sum(x).cast("double").alias("dsx"),
+        F.sum(y).cast("double").alias("dsy"),
+        F.sum(x * x).cast("double").alias("dsxx"),
+        F.sum(x * y).cast("double").alias("dsxy"),
+        F.sum(y * y).cast("double").alias("dsyy"),
+    )
+    dn, dsx, dsy = F.col("dn"), F.col("dsx"), F.col("dsy")
+    dsxx, dsxy, dsyy = F.col("dsxx"), F.col("dsxy"), F.col("dsyy")
+    t = g.select(
+        "dn",
+        "dsx",
+        ((dn * dsxy - dsx * dsy) / (dn * dsxx - dsx * dsx)).alias("theta"),
+        (
+            ((dn * dsxy - dsx * dsy) * (dn * dsxy - dsx * dsy))
+            / ((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy))
+        ).alias("r2"),
+    )
+    arm_mean_pre = F.sum(x).cast("double") / F.count(F.lit(1)) / F.lit(1000.0)
+    arm_mean_post = F.sum(y).cast("double") / F.count(F.lit(1)) / F.lit(1000.0)
+    return (
+        u.crossJoin(F.broadcast(t))
+        .groupBy("arm", "theta", "r2", "dsx", "dn")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(arm_mean_pre, 6).alias("mean_pre"),
+            F.round(arm_mean_post, 6).alias("mean_post"),
+            F.round(
+                arm_mean_post
+                - F.col("theta")
+                * (arm_mean_pre - F.col("dsx") / F.col("dn") / F.lit(1000.0)),
+                6,
+            ).alias("mean_adjusted"),
+        )
+        .select(
+            "arm",
+            "n_users",
+            "mean_pre",
+            "mean_post",
+            "mean_adjusted",
+            F.round("theta", 6).alias("theta"),
+            F.round("r2", 6).alias("var_reduction"),
+        )
+        .orderBy("arm")
+    )

@@ -585,3 +585,181 @@ def m13_top_session_paths(spark, sf_dir):
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(20)
     )
+
+
+@query(
+    "m14_retention_cohorts",
+    # Weekly retention triangle: cohort = user's first active week; one
+    # row per (cohort_week, week_offset<=12) with distinct active users
+    # and the retention ratio against the cohort size. Week arithmetic is
+    # Monday-truncated in both engines; the ratio divides two exact
+    # BIGINTs once, so no summation-order hazard.
+    sql="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS TIMESTAMP) AS active_week
+      FROM events
+    ), cohort AS (
+      SELECT user_id, MIN(active_week) AS cohort_week FROM uw GROUP BY user_id
+    ), sizes AS (
+      SELECT cohort_week, COUNT(*) AS n_cohort FROM cohort GROUP BY cohort_week
+    ), tri AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', CAST(c.cohort_week AS DATE),
+                            CAST(u.active_week AS DATE)) // 7 AS INT)
+               AS week_offset,
+             COUNT(DISTINCT u.user_id) AS n_active
+      FROM uw u JOIN cohort c USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT t.cohort_week, t.week_offset, t.n_active, s.n_cohort,
+           ROUND(CAST(t.n_active AS DOUBLE) / s.n_cohort, 6) AS retention
+    FROM tri t JOIN sizes s USING (cohort_week)
+    WHERE t.week_offset <= 12
+    ORDER BY t.cohort_week, t.week_offset
+    """,
+    tier="T2",
+    survey="K-ext,D1,D2,H4,C1",
+)
+def m14_retention_cohorts(spark, sf_dir):
+    """Weekly retention-cohort triangle over the events stream. Shape for
+    100 TB: the raw stream is collapsed FIRST to distinct (user, week) —
+    the only pass over the full data — and everything after (first-week
+    cohort, triangle counts, cohort sizes) operates on that collapsed
+    set, keyed by user_id so the cohort join co-partitions with the
+    activity rows. Cohort sizes are a tiny dimension broadcast onto the
+    triangle."""
+    ev = T(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        F.date_trunc("week", F.col("ts")).cast("timestamp_ntz").alias("active_week"),
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("active_week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("n_cohort"))
+    tri = (
+        uw.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"),
+                    F.col("cohort_week").cast("date"),
+                )
+                / 7
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+    return (
+        tri.join(F.broadcast(sizes), "cohort_week")
+        .where(F.col("week_offset") <= 12)
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            "n_cohort",
+            F.round(F.col("n_active").cast("double") / F.col("n_cohort"), 6).alias(
+                "retention"
+            ),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@query(
+    "m15_funnel_conversion",
+    # Strictly-ordered funnel view -> click -> purchase: each stage's
+    # timestamp must follow the user's FIRST timestamp of the previous
+    # stage. Windowed per-user mins chain inside one partitioning; the
+    # final answer is a single row of counts and exact one-shot ratios.
+    sql="""
+    WITH s1 AS (
+      SELECT user_id, ts, event_type,
+             MIN(CASE WHEN event_type = 'view' THEN ts END)
+               OVER (PARTITION BY user_id) AS first_view
+      FROM events
+    ), s2 AS (
+      SELECT user_id, ts, event_type, first_view,
+             MIN(CASE WHEN event_type = 'click' AND ts > first_view
+                      THEN ts END)
+               OVER (PARTITION BY user_id) AS first_click
+      FROM s1
+    ), s3 AS (
+      SELECT user_id, first_view, first_click,
+             MIN(CASE WHEN event_type = 'purchase' AND ts > first_click
+                      THEN ts END)
+               OVER (PARTITION BY user_id) AS first_purchase
+      FROM s2
+    ), per_user AS (
+      SELECT user_id, MAX(first_view IS NOT NULL) AS did_view,
+             MAX(first_click IS NOT NULL) AS did_click,
+             MAX(first_purchase IS NOT NULL) AS did_purchase
+      FROM s3 GROUP BY user_id
+    )
+    SELECT COUNT(*) FILTER (WHERE did_view) AS n_view,
+           COUNT(*) FILTER (WHERE did_click) AS n_click,
+           COUNT(*) FILTER (WHERE did_purchase) AS n_purchase,
+           ROUND(CAST(COUNT(*) FILTER (WHERE did_click) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE did_view), 6) AS view_to_click,
+           ROUND(CAST(COUNT(*) FILTER (WHERE did_purchase) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE did_click), 6) AS click_to_purchase,
+           ROUND(CAST(COUNT(*) FILTER (WHERE did_purchase) AS DOUBLE)
+                 / COUNT(*) FILTER (WHERE did_view), 6) AS overall
+    FROM per_user
+    """,
+    tier="T2",
+    survey="K-ext,E3,B4,D1,H4",
+)
+def m15_funnel_conversion(spark, sf_dir):
+    """Strict-order funnel conversion (view -> click -> purchase, each
+    stage after the user's first hit of the previous stage). The three
+    chained per-user MIN windows share one hash partitioning on user_id
+    — Catalyst plans a single exchange and three Window ops over it — and
+    the per-user flags collapse with a map-side-combinable group-by, so
+    the whole funnel is one shuffle of (user, flags) regardless of event
+    volume."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    w = Window.partitionBy("user_id")
+    s = ev.withColumn(
+        "first_view",
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).over(w),
+    )
+    s = s.withColumn(
+        "first_click",
+        F.min(
+            F.when(
+                (F.col("event_type") == "click") & (F.col("ts") > F.col("first_view")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    s = s.withColumn(
+        "first_purchase",
+        F.min(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & (F.col("ts") > F.col("first_click")),
+                F.col("ts"),
+            )
+        ).over(w),
+    )
+    per_user = s.groupBy("user_id").agg(
+        F.max(F.col("first_view").isNotNull()).alias("did_view"),
+        F.max(F.col("first_click").isNotNull()).alias("did_click"),
+        F.max(F.col("first_purchase").isNotNull()).alias("did_purchase"),
+    )
+    nv = F.count(F.when(F.col("did_view"), 1))
+    nc = F.count(F.when(F.col("did_click"), 1))
+    np_ = F.count(F.when(F.col("did_purchase"), 1))
+    return per_user.agg(
+        nv.alias("n_view"),
+        nc.alias("n_click"),
+        np_.alias("n_purchase"),
+        F.round(nc.cast("double") / nv, 6).alias("view_to_click"),
+        F.round(np_.cast("double") / nc, 6).alias("click_to_purchase"),
+        F.round(np_.cast("double") / nv, 6).alias("overall"),
+    )

@@ -698,26 +698,33 @@ def test_apply_cdc_matches_python_replay(spark, target, feed):
     )
     got = {r["id"]: r["v"] for r in apply_cdc(tdf, fdf, ["id"]).collect()}
 
-    # python model
-    latest: dict[int, tuple[int, int, str]] = {}
-    ambiguous = set()
+    # python model: per key, the candidate set tied at max seq. apply_cdc
+    # picks ONE unspecified winner row from that set (documented contract),
+    # so the check is membership-based for tied keys:
+    #   all candidates D            -> key absent
+    #   no candidate D              -> key present, value from a candidate
+    #   mixed D / non-D candidates  -> presence unspecified; if present,
+    #                                  the value must come from a non-D row
+    maxseq: dict[int, int] = {}
+    cands: dict[int, list[tuple[int, str]]] = {}
     for k, v, op, seq in feed:
-        cur = latest.get(k)
-        if cur is None or seq > cur[0]:
-            latest[k] = (seq, v, op)
-        elif seq == cur[0]:
-            ambiguous.add(k)  # tie at max seq: winner unspecified
-    expect = dict(tgt)
-    for k, (_s, v, op) in latest.items():
-        if op == "D":
-            expect.pop(k, None)
+        if k not in maxseq or seq > maxseq[k]:
+            maxseq[k] = seq
+            cands[k] = [(v, op)]
+        elif seq == maxseq[k]:
+            cands[k].append((v, op))
+    for k in set(tgt) | set(cands) | set(got):
+        if k in cands:
+            vals = [v for v, op in cands[k] if op != "D"]
+            has_d = any(op == "D" for _v, op in cands[k])
+            if not vals:  # every tied candidate deletes
+                assert k not in got, (k, got.get(k))
+            elif has_d:  # winner could be the delete or an upsert
+                assert k not in got or got[k] in vals, (k, got.get(k), vals)
+            else:  # winner is some upsert
+                assert k in got and got[k] in vals, (k, got.get(k), vals)
         else:
-            expect[k] = v
-    for k in set(expect) | set(got):
-        if k in ambiguous:
-            assert (k in got) == (k in expect) or latest[k][2] != "D"
-            continue
-        assert got.get(k) == expect.get(k), (k, got.get(k), expect.get(k))
+            assert got.get(k) == tgt.get(k), (k, got.get(k), tgt.get(k))
 
 
 @given(
