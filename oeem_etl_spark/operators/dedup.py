@@ -678,3 +678,126 @@ def prefix_filter_jaccard_join(
         .where(inter / union >= F.lit(threshold))
         .select("key_a", "key_b", F.round(inter / union, 6).alias("jaccard"))
     )
+
+
+def duplicate_window_spans(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    window: int = 50,
+    min_docs: int = 2,
+    hash_windows: bool = True,
+) -> DataFrame:
+    """Merged word-position spans of cross-document duplicated windows
+    (SURVEY §2.L1-ext — the exact-substring dedup signal of Lee et al.
+    2021, "Deduplicating Training Data Makes Language Models Better",
+    arXiv:2107.06499, at fixed ``window``-word granularity).
+
+    A window occurrence is *droppable* when its content appears in
+    ``>= min_docs`` distinct documents AND this document is not the
+    canonical copy (the smallest ``key`` holding that content keeps its
+    occurrence). Droppable [start, end] word spans are merged per
+    document (interval union), so the output is at most one row per
+    maximal duplicated region: ``(key, span_start, span_end)``,
+    0-based inclusive word positions.
+
+    Scale shape: one posexplode of per-doc window keys, ONE hash agg on
+    the window key (map-side combinable: min + count_distinct), one
+    join-back on the same key, then a per-doc window function over the
+    droppable spans only (bounded by duplicated volume, not corpus
+    size). With ``hash_windows=True`` (production default) the shuffled
+    key is an 8-byte xxhash64, never the window text; ``False`` keys on
+    the raw window string — bit-exact (collision-free) and what the
+    DuckDB oracle twins group on.
+    """
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    toks = F.split(F.col(text_col), " ")
+    wtext = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window))  # noqa: E731
+    wkey = (lambda i: F.xxhash64(wtext(i))) if hash_windows else wtext
+    n = F.size(toks)
+    wins = df.select(
+        F.col(key).alias("__k"),
+        F.posexplode(
+            F.when(
+                n >= window,
+                F.transform(F.sequence(F.lit(0), n - window), wkey),
+            ).otherwise(
+                F.array().cast(
+                    "array<bigint>" if hash_windows else "array<string>"
+                )
+            )
+        ).alias("__s", "__w"),
+    )
+    canon = wins.groupBy("__w").agg(
+        F.min("__k").alias("__canon"),
+        F.count_distinct("__k").alias("__nd"),
+    )
+    droppable = (
+        wins.join(canon, "__w")
+        .where((F.col("__nd") >= min_docs) & (F.col("__k") != F.col("__canon")))
+        .select("__k", "__s", (F.col("__s") + window - 1).alias("__e"))
+    )
+    from pyspark.sql import Window as W
+
+    byk = W.partitionBy("__k").orderBy("__s")
+    prev_max = F.max("__e").over(byk.rowsBetween(W.unboundedPreceding, -1))
+    flagged = droppable.withColumn(
+        "__new",
+        F.when(prev_max.isNull() | (F.col("__s") > prev_max + 1), 1).otherwise(0),
+    )
+    return (
+        flagged.withColumn("__island", F.sum("__new").over(byk))
+        .groupBy("__k", "__island")
+        .agg(
+            F.min("__s").cast("long").alias("span_start"),
+            F.max("__e").cast("long").alias("span_end"),
+        )
+        .select(F.col("__k").alias(key), "span_start", "span_end")
+    )
+
+
+def substring_dedup(
+    df: DataFrame,
+    key: str,
+    text_col: str,
+    window: int = 50,
+    min_docs: int = 2,
+    hash_windows: bool = True,
+) -> DataFrame:
+    """Rewrite each document with its duplicated windows removed
+    (:func:`duplicate_window_spans` policy: the canonical smallest-key
+    copy keeps its text; every other occurrence's merged span is cut).
+
+    Adds columns ``text_deduped`` (surviving words re-joined with single
+    spaces), ``n_words``, ``dup_words`` (positions removed). The span
+    test runs as a higher-order ``filter(..., (word, i) -> ...)`` over a
+    per-doc array of merged spans — JVM-side, no Python UDF, and the
+    span array is small (duplicated regions only) so the join-back is a
+    normal shuffle join keyed on ``key`` carrying a few ints per doc.
+    """
+    spans = duplicate_window_spans(
+        df, key, text_col, window=window, min_docs=min_docs,
+        hash_windows=hash_windows,
+    )
+    per_doc = spans.groupBy(key).agg(
+        F.collect_list(F.struct("span_start", "span_end")).alias("__spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_words"),
+    )
+    toks = F.split(F.col(text_col), " ")
+    out = df.join(per_doc, key, "left")
+    empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    spans_col = F.coalesce(F.col("__spans"), empty)
+    kept = F.filter(
+        toks,
+        lambda w, i: ~F.exists(
+            spans_col,
+            lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
+        ),
+    )
+    return (
+        out.withColumn("text_deduped", F.concat_ws(" ", kept))
+        .withColumn("n_words", F.size(toks))
+        .withColumn("dup_words", F.coalesce(F.col("dup_words"), F.lit(0)))
+        .drop("__spans")
+    )

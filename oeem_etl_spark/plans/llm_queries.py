@@ -2947,3 +2947,356 @@ def l61_dsir_select(spark, sf_dir):
         .orderBy(F.col("importance").desc(), F.col("doc_id").asc())
         .limit(30)
     )
+
+
+@query(
+    "l62_substring_dedup",
+    # Exact-substring dedup signal (Lee et al. 2021 arXiv:2107.06499 at
+    # 8-word window granularity): per doc, merged word spans whose
+    # 8-gram content appears in >= 2 docs and whose doc is not the
+    # canonical (smallest doc_id) holder; per-source rollup of the
+    # duplicated-word fraction. Fractions are micros-quantized BIGINTs
+    # before the mean so the rollup is summation-order independent.
+    sql="""
+    WITH w AS (
+      SELECT doc_id, source, str_split(text, ' ') AS words FROM documents
+    ), win AS (
+      SELECT doc_id, i - 1 AS s, i + 6 AS e,
+             array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+      FROM w, UNNEST(range(1, len(words) - 6)) AS t(i)
+    ), canon AS (
+      SELECT gram, MIN(doc_id) AS canon_doc, COUNT(DISTINCT doc_id) AS nd
+      FROM win GROUP BY gram
+    ), dropw AS (
+      SELECT win.doc_id, win.s, win.e
+      FROM win JOIN canon USING (gram)
+      WHERE canon.nd >= 2 AND win.doc_id <> canon.canon_doc
+    ), isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s) AS island
+      FROM (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+        FROM dropw)
+    ), merged AS (
+      SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM isl GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT w.doc_id, w.source, len(w.words) AS n_words,
+             COALESCE(SUM(m.me - m.ms + 1), 0) AS dup_words
+      FROM w LEFT JOIN merged m USING (doc_id)
+      GROUP BY w.doc_id, w.source, len(w.words)
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           COUNT(*) FILTER (WHERE dup_words > 0) AS docs_with_dups,
+           SUM(dup_words) AS dup_words_total,
+           ROUND(SUM(CAST(ROUND(1e6 * dup_words / n_words) AS BIGINT))
+                 / (COUNT(*) * 1e6), 6) AS avg_dup_frac,
+           ROUND(MAX(CAST(ROUND(1e6 * dup_words / n_words) AS BIGINT)) / 1e6,
+                 6) AS max_dup_frac
+    FROM per_doc GROUP BY source ORDER BY source
+    """,
+    tier="T3",
+    survey="L-ext,L1,L5,E3,D1,C1,H9",
+)
+def l62_substring_dedup(spark, sf_dir):
+    """Exact-substring (windowed) dedup signal per source: duplicated
+    8-word spans merged per doc, canonical smallest-doc copy exempt.
+    Spark path: `dedup.duplicate_window_spans` — one posexplode of
+    per-doc window keys, one map-side-combinable hash agg on the
+    window, join-back, interval merge over droppable spans only. This
+    oracle twin keys on the raw gram string (`hash_windows=False`);
+    production keys on xxhash64 so the two shuffles carry 8 bytes per
+    window, never text — see the operator docstring for the 100 TB
+    posture."""
+    docs = T(spark, sf_dir, "documents")
+    spans = dedup.duplicate_window_spans(
+        docs, "doc_id", "text", window=8, min_docs=2, hash_windows=False
+    )
+    dup = spans.groupBy("doc_id").agg(
+        F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_words")
+    )
+    per_doc = (
+        docs.join(dup, "doc_id", "left")
+        .select(
+            "source",
+            F.size(F.split("text", " ")).alias("n_words"),
+            F.coalesce("dup_words", F.lit(0)).alias("dup_words"),
+        )
+        .withColumn(
+            "frac_micro",
+            F.round(F.lit(1e6) * F.col("dup_words") / F.col("n_words")).cast("long"),
+        )
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count(F.when(F.col("dup_words") > 0, 1)).alias("docs_with_dups"),
+            F.sum("dup_words").alias("dup_words_total"),
+            F.round(F.sum("frac_micro") / (F.count(F.lit(1)) * F.lit(1e6)), 6).alias(
+                "avg_dup_frac"
+            ),
+            F.round(F.max("frac_micro") / F.lit(1e6), 6).alias("max_dup_frac"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "l62b_substring_dedup_text",
+    # Reconstruction twin of l62: every document's text is rewritten
+    # with droppable duplicated 8-word spans removed (canonical copy
+    # keeps its text); output is (doc_id, md5-of-rewritten-text,
+    # words kept / removed), so the oracle certifies the REBUILT
+    # STRINGS byte-for-byte, not just the span accounting.
+    sql="""
+    WITH w AS (
+      SELECT doc_id, str_split(text, ' ') AS words FROM documents
+    ), win AS (
+      SELECT doc_id, i - 1 AS s, i + 6 AS e,
+             array_to_string(list_slice(words, i, i + 7), ' ') AS gram
+      FROM w, UNNEST(range(1, len(words) - 6)) AS t(i)
+    ), canon AS (
+      SELECT gram, MIN(doc_id) AS canon_doc, COUNT(DISTINCT doc_id) AS nd
+      FROM win GROUP BY gram
+    ), dropw AS (
+      SELECT win.doc_id, win.s, win.e
+      FROM win JOIN canon USING (gram)
+      WHERE canon.nd >= 2 AND win.doc_id <> canon.canon_doc
+    ), isl AS (
+      SELECT doc_id, s, e,
+             SUM(CASE WHEN pmax IS NULL OR s > pmax + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY s) AS island
+      FROM (
+        SELECT doc_id, s, e,
+               MAX(e) OVER (PARTITION BY doc_id ORDER BY s
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS pmax
+        FROM dropw)
+    ), merged AS (
+      SELECT doc_id, island, MIN(s) AS ms, MAX(e) AS me
+      FROM isl GROUP BY doc_id, island
+    ), pos AS (
+      SELECT doc_id, UNNEST(range(ms, me + 1)) AS p FROM merged
+    ), tok AS (
+      SELECT w.doc_id, w.words[t.i] AS word, t.i - 1 AS p
+      FROM w, UNNEST(range(1, len(w.words) + 1)) AS t(i)
+    ), kept AS (
+      SELECT tok.doc_id,
+             COALESCE(string_agg(tok.word, ' ' ORDER BY tok.p)
+                      FILTER (WHERE pos.p IS NULL), '') AS text_deduped,
+             COUNT(*) FILTER (WHERE pos.p IS NULL) AS kept_words,
+             COUNT(*) FILTER (WHERE pos.p IS NOT NULL) AS dup_words
+      FROM tok LEFT JOIN pos ON tok.doc_id = pos.doc_id AND tok.p = pos.p
+      GROUP BY tok.doc_id
+    )
+    SELECT doc_id, md5(text_deduped) AS text_md5, kept_words, dup_words
+    FROM kept ORDER BY doc_id
+    """,
+    tier="T3",
+    survey="L-ext,L1,H6,H8,C1,E3",
+)
+def l62b_substring_dedup_text(spark, sf_dir):
+    """Rebuilt-text certification of `dedup.substring_dedup`: the rewrite
+    itself (higher-order `filter((word, i) -> no span covers i)` over the
+    per-doc merged-span array, JVM lambda, no Python UDF) is compared as
+    md5-of-string against an independent SQL reconstruction that keeps
+    tokens by position anti-join. Every document appears exactly once,
+    fully-deduplicated docs included (empty string, md5 of '')."""
+    docs = T(spark, sf_dir, "documents")
+    out = dedup.substring_dedup(
+        docs, "doc_id", "text", window=8, min_docs=2, hash_windows=False
+    )
+    return out.select(
+        "doc_id",
+        F.md5("text_deduped").alias("text_md5"),
+        (F.col("n_words") - F.col("dup_words")).alias("kept_words"),
+        "dup_words",
+    ).orderBy("doc_id")
+
+
+def _pq_cte(
+    m: int = 4,
+    k_codes: int = 16,
+    iters: int = 1,
+    dim: int = 64,
+    scale: int = 1000,
+    n_queries: int = 10,
+):
+    """DuckDB oracle for fixed-point product quantization: per subspace,
+    the same unrolled Lloyd CTEs as `_kmeans_cte` (seeded from the
+    k_codes smallest vec_ids' subvectors), then per-subspace encode
+    CTEs, query-side LUT CTEs (queries = vec_id < n_queries), and the
+    ADC sum assembled by a (subspace, code)-keyed join. All arithmetic
+    is exact int64 on the quantized grid — bit-identical to
+    clustering.pq_train/pq_encode/pq_adc_topk. Returns (cte_sql,
+    adc_name) where adc_name holds (q_id, vec_id, adc_dist)."""
+    sub = dim // m
+    parts = [
+        f"""q AS (
+      SELECT vec_id, list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * {scale}) AS BIGINT)) AS v
+      FROM embeddings
+    )"""
+    ]
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        parts.append(
+            f"""q{j} AS (
+      SELECT vec_id, list_slice(v, {lo}, {hi}) AS v FROM q
+    ),
+    c{j}_0 AS (
+      SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS INT) AS cid, v
+      FROM q{j} ORDER BY vec_id LIMIT {k_codes}
+    )"""
+        )
+        for it in range(1, iters + 1):
+            parts.append(
+                f"""d{j}_{it} AS (
+      SELECT q{j}.vec_id, c.cid,
+             list_sum(list_transform(generate_series(1, {sub}),
+                      i -> (q{j}.v[i] - c.v[i]) * (q{j}.v[i] - c.v[i]))) AS dist
+      FROM q{j} CROSS JOIN c{j}_{it - 1} c
+    ),
+    a{j}_{it} AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+        FROM d{j}_{it}
+      ) WHERE rn = 1
+    ),
+    s{j}_{it} AS (
+      SELECT a{j}_{it}.cid, p.pos,
+             CAST(round(CAST(SUM(q{j}.v[p.pos]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS cv
+      FROM a{j}_{it} JOIN q{j} USING (vec_id)
+      CROSS JOIN (SELECT unnest(generate_series(1, {sub})) AS pos) p
+      GROUP BY a{j}_{it}.cid, p.pos
+    ),
+    n{j}_{it} AS (SELECT cid, list(cv ORDER BY pos) AS v FROM s{j}_{it} GROUP BY cid),
+    c{j}_{it} AS (
+      SELECT c{j}_{it - 1}.cid, COALESCE(n{j}_{it}.v, c{j}_{it - 1}.v) AS v
+      FROM c{j}_{it - 1} LEFT JOIN n{j}_{it} USING (cid)
+    )"""
+            )
+        parts.append(
+            f"""e{j} AS (
+      SELECT vec_id, {j} AS sp, cid FROM (
+        SELECT q{j}.vec_id, c.cid,
+               row_number() OVER (PARTITION BY q{j}.vec_id ORDER BY
+                 list_sum(list_transform(generate_series(1, {sub}),
+                          i -> (q{j}.v[i] - c.v[i]) * (q{j}.v[i] - c.v[i]))),
+                 c.cid) AS rn
+        FROM q{j} CROSS JOIN c{j}_{iters} c
+      ) WHERE rn = 1
+    ),
+    l{j} AS (
+      SELECT qs.vec_id AS q_id, {j} AS sp, c.cid,
+             list_sum(list_transform(generate_series(1, {sub}),
+                      i -> (qs.v[i] - c.v[i]) * (qs.v[i] - c.v[i]))) AS d
+      FROM (SELECT vec_id, v FROM q{j} WHERE vec_id < {n_queries}) qs
+      CROSS JOIN c{j}_{iters} c
+    )"""
+        )
+    enc = " UNION ALL ".join(f"SELECT * FROM e{j}" for j in range(m))
+    lut = " UNION ALL ".join(f"SELECT * FROM l{j}" for j in range(m))
+    parts.append(
+        f"""enc AS ({enc}),
+    lut AS ({lut}),
+    adc AS (
+      SELECT l.q_id, e.vec_id, SUM(l.d) AS adc_dist
+      FROM enc e JOIN lut l ON l.sp = e.sp AND l.cid = e.cid
+      GROUP BY l.q_id, e.vec_id
+    )"""
+    )
+    return "WITH " + ",\n    ".join(parts), "adc"
+
+
+_PQ_CTE, _PQ_ADC = _pq_cte()
+
+
+@query(
+    "l63_pq_adc_topk",
+    sql=f"""
+    {_PQ_CTE}
+    SELECT q_id, vec_id, adc_dist, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q_id, vec_id, adc_dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rnk
+      FROM {_PQ_ADC}
+    ) WHERE rnk <= 5 ORDER BY q_id, rnk
+    """,
+    tier="T3",
+    survey="L3,L-ext,H8,E5,D1",
+)
+def l63_pq_adc_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al. 2011), pure ADC stage:
+    4 subspaces × 16 codes trained by one fixed-point Lloyd round,
+    corpus encoded to 4 small ints/vector, per-query exact-int64 LUT,
+    distance = 4 lookups summed. Fully oracle-checked INCLUDING the
+    per-subspace training (unrolled CTEs). Scale: the ADC join ships
+    (key, 4 codes) per corpus row — ~32× less than the float vectors —
+    and the query side (with LUTs) broadcasts; training is
+    per-subspace map+agg rounds with driver state = the 1 KB codebook."""
+    from oeem_etl_spark.operators import clustering
+
+    emb = T(spark, sf_dir, "embeddings")
+    books = clustering.pq_train(
+        emb, "vec_id", "embedding", m=4, dim=64, k_codes=16, iters=1
+    )
+    codes = clustering.pq_encode(emb, "vec_id", books)
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return clustering.pq_adc_topk(codes, qs, books, k=5).orderBy("q_id", "rnk")
+
+
+@query(
+    "l63b_pq_refined_topk",
+    sql=f"""
+    {_PQ_CTE},
+    short AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, vec_id) AS rn
+        FROM {_PQ_ADC}
+      ) WHERE rn <= 50
+    ),
+    exact AS (
+      SELECT s.q_id, s.vec_id,
+             list_sum(list_transform(generate_series(1, 64),
+                      i -> (qq.v[i] - cq.v[i]) * (qq.v[i] - cq.v[i]))) AS l2q_dist
+      FROM short s
+      JOIN q cq ON cq.vec_id = s.vec_id
+      JOIN q qq ON qq.vec_id = s.q_id
+    )
+    SELECT q_id, vec_id, l2q_dist, CAST(rnk AS INT) AS rnk FROM (
+      SELECT q_id, vec_id, l2q_dist,
+             row_number() OVER (PARTITION BY q_id ORDER BY l2q_dist, vec_id) AS rnk
+      FROM exact
+    ) WHERE rnk <= 5 ORDER BY q_id, rnk
+    """,
+    tier="T3",
+    survey="L3,L-ext,H8,E5,C1",
+)
+def l63b_pq_refined_topk(spark, sf_dir):
+    """Production PQ shape: ADC shortlist (50/query over codes only) +
+    exact quantized-L2 re-rank of the shortlist against the float
+    vectors. Recall lost to 16-code coarseness comes back in the
+    re-rank (tests assert recall@5 vs brute force); full-precision
+    vectors are touched for 50 · n_queries rows only. Oracle-checked
+    end-to-end — training, encode, ADC, and re-rank."""
+    from oeem_etl_spark.operators import clustering
+
+    emb = T(spark, sf_dir, "embeddings")
+    books = clustering.pq_train(
+        emb, "vec_id", "embedding", m=4, dim=64, k_codes=16, iters=1
+    )
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return clustering.pq_search_refined(
+        emb, qs, books, k=5, shortlist=50
+    ).orderBy("q_id", "rnk")

@@ -3,6 +3,8 @@ and corpus.duplicated_window_stats (span-level dedup signal)."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from oeem_etl_spark.operators import clustering, corpus
@@ -464,3 +466,104 @@ def test_pca_rerank_recall_vs_exact(spark):
     hits = sum(len(approx[q] & exact[q]) for q in exact)
     total = sum(len(exact[q]) for q in exact)
     assert hits / total >= 0.9, (hits, total)
+
+
+# ---------------------------------------------------------------------------
+# product quantization
+# ---------------------------------------------------------------------------
+
+
+def _np_corpus(spark, sf_dir):
+    import numpy as np
+
+    pdf = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .toPandas()
+        .sort_values("vec_id")
+    )
+    V = np.round(np.stack(pdf.embedding.values).astype(np.float64) * 1000).astype(
+        np.int64
+    )
+    return pdf.vec_id.values, V
+
+
+def test_pq_train_matches_per_subspace_lloyd(spark, sf_dir):
+    # the fused one-job-per-iteration training must equal running
+    # _lloyd independently per subspace (the definitional form)
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = clustering.pq_train(
+        emb, "vec_id", "embedding", m=4, dim=64, k_codes=8, iters=2
+    )
+    qdf = emb.select(
+        F.col("vec_id").alias("__k"),
+        clustering.quantize_vec("embedding").alias("__qvfull"),
+    )
+    seed_rows = qdf.orderBy("__k").limit(8).collect()
+    for j in range(4):
+        sub_df = qdf.select(F.slice("__qvfull", j * 16 + 1, 16).alias("__qv"))
+        seeds = [list(r["__qvfull"])[j * 16 : (j + 1) * 16] for r in seed_rows]
+        assert clustering._lloyd(sub_df, seeds, 2) == books[j]
+
+
+def test_pq_refined_recall_vs_bruteforce(spark, sf_dir):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = clustering.pq_train(
+        emb, "vec_id", "embedding", m=4, dim=64, k_codes=16, iters=1
+    )
+    qs = emb.where(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    got = clustering.pq_search_refined(emb, qs, books, k=5, shortlist=50).collect()
+    ids, V = _np_corpus(spark, sf_dir)
+    hits = total = 0
+    for q in range(10):
+        d = ((V - V[np.where(ids == q)[0][0]]) ** 2).sum(axis=1)
+        exact = set(ids[np.lexsort((ids, d))][:5])
+        mine = {r["vec_id"] for r in got if r["q_id"] == q}
+        hits += len(exact & mine)
+        total += 5
+    # ADC shortlist of 50 over 16-code books recovers most true
+    # neighbors after exact re-rank; bound is a regression tripwire
+    assert hits / total >= 0.8, hits / total
+
+
+def test_pq_adc_distance_is_lut_sum(spark, sf_dir):
+    # ADC distance of (q, x) must equal the exact L2 between q's
+    # subvectors and x's ASSIGNED CENTROIDS (definition of ADC)
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(100)
+    books = clustering.pq_train(
+        emb, "vec_id", "embedding", m=4, dim=64, k_codes=8, iters=1
+    )
+    codes = {
+        r["vec_id"]: list(r["pq_code"])
+        for r in clustering.pq_encode(emb, "vec_id", books).collect()
+    }
+    qs = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    adc = clustering.pq_adc_topk(
+        clustering.pq_encode(emb, "vec_id", books), qs, books, k=100
+    ).collect()
+    ids, V = _np_corpus(spark, sf_dir)
+    pos = {v: i for i, v in enumerate(ids)}
+    B = [np.array(b, dtype=np.int64) for b in books]
+    for r in adc:
+        q = V[pos[r["q_id"]]]
+        expect = sum(
+            int(((q[j * 16 : (j + 1) * 16] - B[j][codes[r["vec_id"]][j]]) ** 2).sum())
+            for j in range(4)
+        )
+        assert r["adc_dist"] == expect
+
+
+def test_pq_train_rejects_bad_dim():
+    with pytest.raises(ValueError):
+        clustering.pq_train(None, "vec_id", m=7, dim=64)

@@ -934,3 +934,95 @@ def test_weighted_quantile_excludes_null_values(spark):
     for fn in (weighted_quantile, weighted_quantile_bucketed):
         got = fn(df, ["grp"], "v", "w", 1, 2).collect()
         assert [(r["grp"], r["v"]) for r in got] == [("g", 1.0)], fn.__name__
+
+
+# ---------------------------------------------------------------------------
+# exact-substring (windowed) dedup
+# ---------------------------------------------------------------------------
+
+
+def _substring_ref(rows, window):
+    """Python reference for substring_dedup: window content in >= 2 docs,
+    canonical (min doc) keeps its occurrences, others drop covered
+    positions."""
+    from collections import defaultdict
+
+    wins = defaultdict(list)
+    for k, t in rows:
+        ws = t.split(" ")
+        for i in range(len(ws) - window + 1):
+            wins[" ".join(ws[i : i + window])].append((k, i))
+    drop = defaultdict(set)
+    for occ in wins.values():
+        docs = {k for k, _ in occ}
+        if len(docs) >= 2:
+            canon = min(docs)
+            for k, i in occ:
+                if k != canon:
+                    drop[k].update(range(i, i + window))
+    out = {}
+    for k, t in rows:
+        ws = t.split(" ")
+        out[k] = (
+            " ".join(w for i, w in enumerate(ws) if i not in drop[k]),
+            len(ws),
+            len(drop[k]),
+        )
+    return out
+
+
+def test_substring_dedup_matches_python_reference(spark):
+    rows = [
+        (1, "a b c d e f g h i j"),  # canonical holder of the shared span
+        (2, "x y a b c d e f q r s t"),  # mid-doc copy of a..f
+        (3, "a b c d e f g h i j"),  # full duplicate -> emptied
+        (4, "short text"),  # below window size
+        (5, "u v w p q r s t u v w zz a b c d e f yy"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["text_deduped"], r["n_words"], r["dup_words"])
+        for r in dedup.substring_dedup(
+            df, "doc_id", "text", window=6, hash_windows=False
+        ).collect()
+    }
+    assert got == _substring_ref(rows, 6)
+
+
+def test_substring_dedup_hash_and_string_keys_agree(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(200)
+    a = dedup.substring_dedup(docs, "doc_id", "text", window=8, hash_windows=True)
+    b = dedup.substring_dedup(docs, "doc_id", "text", window=8, hash_windows=False)
+    rows_a = sorted((r["doc_id"], r["text_deduped"]) for r in a.collect())
+    rows_b = sorted((r["doc_id"], r["text_deduped"]) for r in b.collect())
+    assert rows_a == rows_b  # xxhash64 keys are collision-free here
+
+
+def test_duplicate_window_spans_merges_overlaps(spark):
+    # doc 2 repeats doc 1's 8 words at positions 2..9 and 6..13: the two
+    # droppable 4-windows overlap and must merge into one [2, 13] span.
+    rows = [
+        (1, "p q r s t u v w"),
+        (2, "x y p q r s p q r s t u v w z"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = sorted(
+        (r["doc_id"], r["span_start"], r["span_end"])
+        for r in dedup.duplicate_window_spans(
+            df, "doc_id", "text", window=4, hash_windows=False
+        ).collect()
+    )
+    assert all(d == 2 for d, _s, _e in spans)
+    # spans are disjoint, merged, and cover exactly the reference's
+    # dropped-word count (overlapping windows collapsed to one island)
+    assert spans == sorted(spans, key=lambda r: r[1])
+    assert all(a[2] < b[1] - 1 + 1 for a, b in zip(spans, spans[1:]))
+    covered = sum(e - s + 1 for _d, s, e in spans)
+    assert covered == _substring_ref(rows, 4)[2][2]
+    assert len(spans) == 1  # the two overlapping windows merged
+
+
+def test_substring_dedup_window_guard(spark):
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        dedup.duplicate_window_spans(df, "doc_id", "text", window=1)
