@@ -1,0 +1,184 @@
+"""Byte-pair-encoding tokenizer training on Spark (SURVEY.md §2 L5/L-ext).
+
+Classic word-level BPE (Sennrich, Haddow & Birch 2016, arXiv:1508.07909 —
+public method): collapse the corpus to a (word, freq) table once, then
+repeatedly (1) count adjacent symbol pairs weighted by word frequency,
+(2) merge the most frequent pair greedily left-to-right in every word.
+Tie-breaks are total (count desc, then left/right symbol ascending), so
+training is deterministic and — because pair counts are exact integer
+sums — oracle-checkable by unrolling the merge rounds into SQL CTEs
+(plans/corpus_queries.py does exactly that).
+
+Scale design (100 TB): the ONE corpus-sized job is the word-frequency
+aggregation — a map-side-combinable hash agg on the word itself; the text
+never shuffles. Every merge round afterwards runs over the distinct-word
+table (bounded further by ``top_words``), whose size is vocabulary-, not
+corpus-, shaped. Per round: one job (pair-count agg + top-1 collect of a
+single driver-held row) plus a map-only greedy-merge rewrite; lineage is
+truncated with localCheckpoint per round, the connected-components
+pattern from operators/dedup.py. Applying a trained tokenizer to new text
+(:func:`token_counts`) is a broadcast join against the final word→symbols
+table — no per-document Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END_MARK = "</w>"  # end-of-word symbol, per the original formulation
+
+# Pre-tokenization shared with the DuckDB oracle: lowercase, keep [a-z]+
+# runs. Spark and DuckDB regex engines agree on this class, and the
+# fixture text is ascii words, so the split is engine-identical.
+WORD_RE = "[a-z]+"
+
+
+def word_freq(docs: DataFrame, text_col: str = "text", top_words: int | None = None) -> DataFrame:
+    """Corpus -> (word, freq) — the single corpus-sized pass.
+
+    ``top_words`` bounds the training vocabulary (freq desc, word asc —
+    total order) the way production BPE trainers do; top-k is a
+    TakeOrdered, not a global sort.
+    """
+    wf = (
+        docs.select(
+            F.explode(
+                F.regexp_extract_all(F.lower(text_col), F.lit(WORD_RE), 0)
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    if top_words is not None:
+        wf = wf.orderBy(F.desc("freq"), "word").limit(top_words)
+    return wf
+
+
+def initial_symbols(words: DataFrame) -> DataFrame:
+    """(word, freq) -> (word, freq, syms): characters plus the end mark."""
+    return words.select(
+        "word",
+        "freq",
+        F.concat(
+            F.regexp_extract_all("word", F.lit("."), 0), F.array(F.lit(END_MARK))
+        ).alias("syms"),
+    )
+
+
+def top_pair(words: DataFrame) -> tuple[str, str, int] | None:
+    """Most frequent adjacent symbol pair, weighted by word freq.
+
+    One job; the result is a single driver-held row. Ties break on
+    (left asc, right asc) so training is deterministic everywhere.
+    """
+    pairs = words.select(
+        "freq",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(syms) - 1),"
+                " i -> struct(element_at(syms, i) AS l,"
+                "             element_at(syms, i + 1) AS r))"
+            )
+        ).alias("p"),
+    ).select("freq", "p.l", "p.r")
+    row = (
+        pairs.groupBy("l", "r")
+        .agg(F.sum("freq").alias("cnt"))
+        .orderBy(F.desc("cnt"), "l", "r")
+        .limit(1)
+        .collect()
+    )
+    if not row:
+        return None
+    return (row[0]["l"], row[0]["r"], int(row[0]["cnt"]))
+
+
+def merge_expr(syms: Column | str, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of adjacent (left, right) into one symbol.
+
+    A fold over the symbol array: append each symbol unless the
+    accumulator ends with ``left`` and the incoming symbol is ``right``,
+    in which case replace the tail with the merged symbol. Because the
+    merged symbol is a different string than ``left``, a just-merged
+    position can never merge again — exactly the non-overlapping
+    left-to-right semantics of the reference algorithm (and of the
+    run-parity SQL oracle in plans/corpus_queries.py). Pure JVM lambda,
+    map-side only.
+    """
+    c = F.col(syms) if isinstance(syms, str) else syms
+    lft, rgt, merged = F.lit(left), F.lit(right), F.lit(left + right)
+    return F.aggregate(
+        c,
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == lft) & (x == rgt),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    top_words: int | None = None,
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Train ``n_merges`` BPE merges; return (merge table, final word df).
+
+    Merge table rows are (step, left, right, pair_count) — the learned
+    tokenizer, ~n_merges rows of driver state (the PQ-codebook posture).
+    The returned DataFrame is (word, freq, syms) after all merges,
+    checkpointed (small: vocabulary-sized).
+    """
+    # The word table is vocabulary-sized; collapse to few partitions before
+    # each lineage-truncating checkpoint so n_merges rounds don't litter
+    # shuffle-partition-many checkpoint files (fd pressure on local mode,
+    # tiny-file pressure on a cluster). 1 partition per ~1M vocab words.
+    parts = 1 + (top_words or 1_000_000) // 1_000_000
+    words = (
+        initial_symbols(word_freq(docs, text_col, top_words))
+        .coalesce(parts)
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        best = top_pair(words)
+        if best is None or best[2] < 1:
+            break
+        lft, rgt, cnt = best
+        merges.append((step, lft, rgt, cnt))
+        words = words.select(
+            "word", "freq", merge_expr("syms", lft, rgt).alias("syms")
+        ).localCheckpoint()
+    return merges, words
+
+
+def token_counts(
+    docs: DataFrame,
+    trained_words: DataFrame,
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document token count under a trained tokenizer.
+
+    Broadcast-joins each document's words against the trained
+    word→symbols table; out-of-vocabulary words fall back to
+    character-level (len + end mark). The corpus side never shuffles.
+    """
+    doc_words = docs.select(
+        F.col(key),
+        F.explode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(WORD_RE), 0)
+        ).alias("word"),
+    )
+    vocab = F.broadcast(trained_words.select("word", F.size("syms").alias("n_syms")))
+    return (
+        doc_words.join(vocab, "word", "left")
+        .select(
+            key,
+            F.coalesce("n_syms", F.length("word") + F.lit(1)).alias("n_syms"),
+        )
+        .groupBy(key)
+        .agg(F.sum("n_syms").alias("bpe_tokens"))
+    )

@@ -491,3 +491,184 @@ def l39_oov_rate(spark, sf_dir):
         "doc_id", "n_tok", "n_in",
         F.round((F.col("n_tok") - F.col("n_in")) / F.col("n_tok"), 6).alias("oov_rate"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (Sennrich et al. 2016) — operators/bpe.py. The
+# oracle unrolls every merge round into CTEs: pair counts are exact integer
+# sums and the greedy left-to-right merge is reproduced positionally (a
+# candidate run takes its even offsets — equivalent to the fold in
+# bpe.merge_expr, see tests/test_bpe.py for the property proof).
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+_BPE_TOP_WORDS = 200
+
+
+def _bpe_cte(n_merges: int = _BPE_MERGES, top_words: int = _BPE_TOP_WORDS) -> str:
+    parts = [
+        f"""toks AS MATERIALIZED (
+      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents
+    ),
+    wf AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
+      GROUP BY word ORDER BY freq DESC, word LIMIT {top_words}
+    ),
+    w0 AS MATERIALIZED (
+      SELECT word, freq,
+             list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+      FROM wf
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        p = i - 1
+        parts.append(
+            f"""p{i} AS MATERIALIZED (
+      SELECT l, r, CAST(SUM(freq) AS BIGINT) AS cnt FROM (
+        SELECT freq, unnest(syms[1:len(syms)-1]) AS l,
+               unnest(syms[2:len(syms)]) AS r
+        FROM w{p}
+      ) GROUP BY l, r
+    ),
+    b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
+    x{i} AS MATERIALIZED (
+      SELECT word, freq, unnest(syms) AS sym,
+             unnest(range(1, len(syms) + 1)) AS pos
+      FROM w{p}
+    ),
+    m{i} AS MATERIALIZED (
+      SELECT word, freq, sym, pos,
+             CASE WHEN sym = (SELECT l FROM b{i})
+                   AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                       = (SELECT r FROM b{i})
+                  THEN 1 ELSE 0 END AS cand
+      FROM x{i}
+    ),
+    g{i} AS MATERIALIZED (
+      SELECT *, pos - row_number()
+                  OVER (PARTITION BY word, cand ORDER BY pos) AS grp
+      FROM m{i}
+    ),
+    t{i} AS MATERIALIZED (
+      SELECT word, freq, sym, pos,
+             CASE WHEN cand = 1
+                   AND (pos - MIN(pos) OVER (PARTITION BY word, cand, grp)) % 2 = 0
+                  THEN 1 ELSE 0 END AS take
+      FROM g{i}
+    ),
+    r{i} AS MATERIALIZED (
+      SELECT word, freq, pos,
+             CASE WHEN take = 1 THEN sym || (SELECT r FROM b{i}) ELSE sym END AS osym,
+             COALESCE(lag(take) OVER (PARTITION BY word ORDER BY pos), 0) AS dropped
+      FROM t{i}
+    ),
+    w{i} AS MATERIALIZED (
+      SELECT word, freq, list(osym ORDER BY pos) AS syms
+      FROM r{i} WHERE dropped = 0 GROUP BY word, freq
+    )"""
+        )
+    return "WITH " + ",\n    ".join(parts)
+
+
+_BPE_CTE = _bpe_cte()
+_BPE_MERGE_UNION = " UNION ALL ".join(
+    f"SELECT CAST({i} AS INTEGER) AS step, l AS left_sym, r AS right_sym,"
+    f" l || r AS merged, cnt AS pair_count FROM b{i}"
+    for i in range(1, _BPE_MERGES + 1)
+)
+
+
+@query(
+    "l64_bpe_train",
+    sql=f"""
+    {_BPE_CTE}
+    SELECT step, left_sym, right_sym, merged, pair_count
+    FROM ({_BPE_MERGE_UNION}) ORDER BY step
+    """,
+    tier="T3",
+    survey="L5,L-ext,H8,D1,F3",
+)
+def l64_bpe_train(spark, sf_dir):
+    """BPE tokenizer training (Sennrich et al. 2016): 8 merge rounds over
+    the corpus word-frequency table, fully oracle-checked INCLUDING the
+    iterative training (each round's pair-count aggregate and greedy
+    merge are unrolled into SQL). Scale: the corpus is touched once (the
+    word-freq hash agg); every round after runs on the vocabulary-sized
+    word table with one top-1 job and a map-only merge rewrite
+    (operators/bpe.py posture notes)."""
+    from oeem_etl_spark.operators import bpe
+
+    docs = T(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(
+        docs, n_merges=_BPE_MERGES, top_words=_BPE_TOP_WORDS
+    )
+    return spark.createDataFrame(
+        [(s, lft, rgt, lft + rgt, cnt) for s, lft, rgt, cnt in merges],
+        "step int, left_sym string, right_sym string, merged string,"
+        " pair_count long",
+    ).orderBy("step")
+
+
+@query(
+    "l64b_bpe_vocab",
+    sql=f"""
+    {_BPE_CTE}
+    SELECT sym AS token, CAST(SUM(freq) AS BIGINT) AS n_occ FROM (
+      SELECT freq, unnest(syms) AS sym FROM w{_BPE_MERGES}
+    ) GROUP BY sym ORDER BY n_occ DESC, token LIMIT 30
+    """,
+    tier="T3",
+    survey="L5,L-ext,D1,F3",
+)
+def l64b_bpe_vocab(spark, sf_dir):
+    """Post-training corpus token census: top-30 learned BPE symbols by
+    corpus occurrence (freq-weighted over the trained word table; ties
+    break token-asc). One explode + hash agg over the vocabulary-sized
+    table, then a TakeOrdered top-k — nothing corpus-shaped after the
+    shared word-freq pass."""
+    from oeem_etl_spark.operators import bpe
+
+    docs = T(spark, sf_dir, "documents")
+    _, words = bpe.bpe_train(docs, n_merges=_BPE_MERGES, top_words=_BPE_TOP_WORDS)
+    return (
+        words.select("freq", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(F.sum("freq").alias("n_occ"))
+        .orderBy(F.desc("n_occ"), "token")
+        .limit(30)
+    )
+
+
+@query(
+    "l64c_bpe_token_counts",
+    sql=f"""
+    {_BPE_CTE},
+    dwords AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT doc_id,
+           CAST(SUM(COALESCE(len(syms), length(word) + 1)) AS BIGINT)
+             AS bpe_tokens
+    FROM dwords LEFT JOIN w{_BPE_MERGES} USING (word)
+    GROUP BY doc_id
+    """,
+    tier="T3",
+    survey="L5,L11,L-ext,C9,D1",
+)
+def l64c_bpe_token_counts(spark, sf_dir):
+    """Token counting under the trained tokenizer: per-document BPE token
+    totals via a broadcast join of document words against the trained
+    word→symbols table (OOV words fall back to character-level). The
+    pattern a shard-budgeting pipeline runs corpus-wide; the corpus side
+    never shuffles (bpe.token_counts)."""
+    from oeem_etl_spark.operators import bpe
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 120)
+    _, words = bpe.bpe_train(
+        T(spark, sf_dir, "documents"),
+        n_merges=_BPE_MERGES,
+        top_words=_BPE_TOP_WORDS,
+    )
+    return bpe.token_counts(docs, words)

@@ -2992,7 +2992,7 @@ def l61_dsir_select(spark, sf_dir):
     )
     SELECT source, COUNT(*) AS n_docs,
            COUNT(*) FILTER (WHERE dup_words > 0) AS docs_with_dups,
-           SUM(dup_words) AS dup_words_total,
+           CAST(SUM(dup_words) AS BIGINT) AS dup_words_total,
            ROUND(SUM(CAST(ROUND(1e6 * dup_words / n_words) AS BIGINT))
                  / (COUNT(*) * 1e6), 6) AS avg_dup_frac,
            ROUND(MAX(CAST(ROUND(1e6 * dup_words / n_words) AS BIGINT)) / 1e6,

@@ -1,0 +1,126 @@
+"""Unit tests for operators/bpe.py (BPE tokenizer training).
+
+The load-bearing equivalence: bpe.merge_expr's fold must implement greedy
+left-to-right non-overlapping pair merging — the same semantics as the
+run-parity positional SQL in plans/corpus_queries._bpe_cte and as the
+reference algorithm (Sennrich et al. 2016). A pure-Python reference here
+pins both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators import bpe
+
+
+# --- pure-Python reference -------------------------------------------------
+
+
+def _ref_merge(syms: list[str], left: str, right: str) -> list[str]:
+    out: list[str] = []
+    i = 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _ref_train(word_freq: dict[str, int], n_merges: int):
+    words = {w: [*w, bpe.END_MARK] for w in word_freq}
+    merges = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in words.items():
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + word_freq[w]
+        if not counts:
+            break
+        (lft, rgt), cnt = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((step, lft, rgt, cnt))
+        words = {w: _ref_merge(s, lft, rgt) for w, s in words.items()}
+    return merges, words
+
+
+# --- merge_expr vs reference ------------------------------------------------
+
+MERGE_CASES = [
+    # (symbols, left, right) — includes the overlap traps
+    (["a", "b", "c"], "a", "b"),
+    (["a", "a", "a"], "a", "a"),  # greedy: [aa, a]
+    (["a", "a", "a", "a"], "a", "a"),  # [aa, aa]
+    (["a", "a", "a", "a", "a"], "a", "a"),  # [aa, aa, a]
+    (["x", "a", "b", "a", "b"], "a", "b"),  # both pairs merge
+    (["a", "b", "b"], "b", "b"),  # second pair only
+    (["ab", "c", "ab", "c"], "ab", "c"),  # multi-char symbols
+    (["a"], "a", "a"),  # too short
+    (["b", "a"], "a", "b"),  # no match
+    (["a", "b", "a"], "b", "a"),  # match not at start
+]
+
+
+def test_merge_expr_matches_reference(spark):
+    rows = [(i, syms) for i, (syms, _, _) in enumerate(MERGE_CASES)]
+    df = spark.createDataFrame(rows, "id long, syms array<string>")
+    for i, (syms, lft, rgt) in enumerate(MERGE_CASES):
+        got = (
+            df.where(F.col("id") == i)
+            .select(bpe.merge_expr("syms", lft, rgt).alias("m"))
+            .collect()[0]["m"]
+        )
+        assert got == _ref_merge(syms, lft, rgt), (syms, lft, rgt, got)
+
+
+def test_merge_expr_long_run_parity(spark):
+    # 30-symbol all-'a' run: greedy pairs from the left, odd tail survives.
+    df = spark.createDataFrame([(["a"] * 30,)], "syms array<string>")
+    got = df.select(bpe.merge_expr("syms", "a", "a").alias("m")).collect()[0]["m"]
+    assert got == ["aa"] * 15
+    df = spark.createDataFrame([(["a"] * 31,)], "syms array<string>")
+    got = df.select(bpe.merge_expr("syms", "a", "a").alias("m")).collect()[0]["m"]
+    assert got == ["aa"] * 15 + ["a"]
+
+
+# --- end-to-end training vs reference ----------------------------------------
+
+
+def test_bpe_train_matches_reference(spark):
+    corpus = [
+        "low low low low low",
+        "lower lower newer newer newer newer",
+        "newest newest newest widest widest",
+        "new new new lowest",
+    ]
+    docs = spark.createDataFrame([(i, t) for i, t in enumerate(corpus)], "doc_id long, text string")
+    wf: dict[str, int] = {}
+    for t in corpus:
+        for w in t.split():
+            wf[w] = wf.get(w, 0) + 1
+    ref_merges, ref_words = _ref_train(wf, 6)
+    merges, words = bpe.bpe_train(docs, n_merges=6)
+    assert merges == ref_merges
+    got = {r["word"]: r["syms"] for r in words.collect()}
+    assert got == ref_words
+
+
+def test_bpe_top_words_bound_is_total_ordered(spark):
+    # freq ties broken word-asc: 'aa' and 'bb' both freq 2 -> 'aa' kept.
+    docs = spark.createDataFrame(
+        [(0, "aa bb aa bb cc cc cc")], "doc_id long, text string"
+    )
+    kept = {r["word"] for r in bpe.word_freq(docs, top_words=2).collect()}
+    assert kept == {"cc", "aa"}
+
+
+def test_token_counts_oov_fallback(spark):
+    docs = spark.createDataFrame([(0, "low low zzz")], "doc_id long, text string")
+    train = spark.createDataFrame([(1, "low low")], "doc_id long, text string")
+    _, words = bpe.bpe_train(train, n_merges=2)
+    # after 2 merges 'low' is <=2 symbols; 'zzz' is OOV -> len+1 = 4 tokens
+    n_low = {r["word"]: len(r["syms"]) for r in words.collect()}["low"]
+    out = bpe.token_counts(docs, words).collect()
+    assert out[0]["bpe_tokens"] == 2 * n_low + 4
