@@ -1057,3 +1057,27 @@ def a18_fetch_upload_stats(spark, sf_dir):
     return spark.createDataFrame(
         rows, "event_type string, n_events long, total_value double"
     ).orderBy("event_type")
+
+
+@query(
+    "a31_orc_roundtrip",
+    sql="""
+    SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+    FROM orders WHERE o_orderkey <= 800
+    """,
+    tier="T2",
+    survey="A1,A6",
+)
+def a31_orc_roundtrip(spark, sf_dir):
+    """ORC sink + ORC scan (Spark-native columnar alternative to parquet;
+    readers.scan_orc / writers.write_orc were operator-only until now).
+    The oracle reads the same slice straight from parquet, so the check
+    certifies the ORC round trip is lossless for int/string/double."""
+    sub = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_orderkey") <= 800)
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+    )
+    path = os.path.join(_TMP, "a31_orc")
+    writers.write_orc(sub, path)
+    return readers.scan_orc(spark, path)

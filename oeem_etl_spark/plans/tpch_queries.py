@@ -4,14 +4,17 @@ SURVEY.md §2 declares the operator inventory row by row; these queries prove
 the operators COMPOSE into the full complex-analytics surface a user of the
 reference-era stack would expect from a query engine: multi-way join chains,
 correlated EXISTS, scalar subqueries, correlated aggregate subqueries,
-disjunctive join predicates, and group-filtered semi joins. Shapes follow the
-public TPC-H queries (Q3-Q10, Q14-Q19, Q22 — fifteen of the twenty-two;
-Q1/Q13 live in relational_queries as q01/c2) adapted to the columns the
-driver fixtures actually carry (FIXTURES.md — no partsupp / commitdate /
-shipmode / phone, nation names are NATION_i; Q9's supply cost is modeled as
-0.8 × retail price, Q16 counts suppliers via lineitem). Q11/Q20 (partsupp
-inventory), Q12 (shipmode) and Q21 (commit/receipt dates) have no column
-basis in the fixtures and are omitted rather than faked.
+disjunctive join predicates, and group-filtered semi joins. All twenty-two
+public TPC-H shapes are covered: Q1/Q13 live in relational_queries as
+q01/c2_left_join_histogram (the customer-distribution shape), the other
+twenty here as t02–t22, each adapted to the
+columns the driver fixtures actually carry (FIXTURES.md — no partsupp /
+commitdate / shipmode / phone, nation names are NATION_i). Where the
+fixture lacks a column basis the adaptation is documented on the query:
+supply cost is modeled from lineitem unit prices (t02) or 0.8 × retail
+price (t09), inventory via lineitem (t11/t16/t20), ship-mode and
+commit-date predicates remapped to the available date/status columns
+(t12/t21).
 
 Scale notes (100 TB posture, SURVEY.md §4):
 
@@ -1009,4 +1012,95 @@ def t21_waiting_supplier(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(20)
+    )
+
+
+@query(
+    "t02_min_cost_supplier",
+    sql="""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(ROUND(l_extendedprice / l_quantity * 1000000) AS BIGINT))
+               AS unit_cost_micros
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eur AS (
+      SELECT s_suppkey, s_name, s_acctbal, n_name
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE r_name = 'EUROPE'
+    ), scoped AS (
+      SELECT p_partkey, p_brand, s_name, s_acctbal, n_name, unit_cost_micros,
+             MIN(unit_cost_micros) OVER (PARTITION BY p_partkey) AS best
+      FROM cost
+      JOIN eur ON l_suppkey = s_suppkey
+      JOIN part ON l_partkey = p_partkey
+      WHERE p_type = 'STANDARD' AND p_size <= 10
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+           ROUND(unit_cost_micros / 1000000.0, 6) AS unit_cost
+    FROM scoped WHERE unit_cost_micros = best
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+    LIMIT 100
+    """,
+    tier="T2",
+    survey="C1,C9,D1,E3,F1,F3",
+)
+def t02_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (minimum-cost supplier): for every in-scope part,
+    the European supplier(s) achieving the minimum unit cost, via a
+    correlated min-per-part — the last of the twenty-two public shapes
+    to land (the fixtures carry no partsupp, so ps_supplycost is modeled
+    as the minimum observed lineitem unit price per (part, supplier);
+    the plan shape — scoped dimension join, per-group min, equality
+    against the correlated min, ordered limit — is Q2's).
+
+    Scale: the one fact-sized job is the (partkey, suppkey) cost
+    aggregate (map-side combinable); suppliers-in-region and the filtered
+    part list broadcast, so the fact never shuffles for the joins; the
+    correlated min is a single window over the already partkey-clustered
+    join output rather than a second aggregate+join. Unit costs compare
+    in integer micros, so the min-equality is order-independent."""
+    from pyspark.sql import Window
+
+    micros = F.round(
+        F.col("l_extendedprice") / F.col("l_quantity") * 1_000_000
+    ).cast("long")
+    cost = (
+        T(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", micros.alias("m"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("m").alias("unit_cost_micros"))
+    )
+    nat = T(spark, sf_dir, "nation")
+    reg = T(spark, sf_dir, "region").where(F.col("r_name") == "EUROPE")
+    eur = (
+        T(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(reg), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    parts = (
+        T(spark, sf_dir, "part")
+        .where((F.col("p_type") == "STANDARD") & (F.col("p_size") <= 10))
+        .select("p_partkey", "p_brand")
+    )
+    joined = cost.join(
+        F.broadcast(eur), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(parts), F.col("l_partkey") == F.col("p_partkey"))
+    best = F.min("unit_cost_micros").over(Window.partitionBy("p_partkey"))
+    return (
+        joined.withColumn("best", best)
+        .where(F.col("unit_cost_micros") == F.col("best"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_brand",
+            F.round(F.col("unit_cost_micros") / F.lit(1_000_000.0), 6).alias(
+                "unit_cost"
+            ),
+        )
+        .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey")
+        .limit(100)
     )
