@@ -150,6 +150,10 @@ def main() -> None:
         "k40_tiered_billing",  # integer-micros clamped running totals
         "d24b_weighted_median_bucketed",  # two-phase bucket refinement
         "m10_touch_attribution",  # per-user range join + position window
+        "l62b_substring_dedup_text",  # windowed-key agg -> span union -> rebuild
+        "l63b_pq_refined_topk",  # PQ train+encode+ADC+exact rerank
+        "l64_bpe_train",  # corpus pass + vocab-shaped merge rounds
+        "t02_min_cost_supplier",  # TPC-H Q2 shape (correlated min)
     ]
     extra: dict[str, float] = {}
     for name in (n for n in EXTRA if n in qs):

@@ -166,3 +166,62 @@ def triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame
     bc = e.select(F.col("lo").alias("b"), F.col("hi").alias("c"))
     ac = e.select(F.col("lo").alias("a"), F.col("hi").alias("c"))
     return ab.join(bc, "b").join(ac, ["a", "c"]).select("a", "b", "c")
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007, Phys. Rev. E 76) — deterministic variant:
+    every node starts labeled with its own id; each round relabels every
+    node with the label most frequent among its neighbors, ties broken
+    by the smallest label. Returns (node, label) after ``rounds``.
+
+    The async/random-order LPA is nondeterministic by design; the
+    synchronous min-tie-break form used here is engine-reproducible, so
+    a fixed round count is fully oracle-checkable (the DuckDB twin
+    unrolls rounds into CTEs — plans/scale_queries.py).
+
+    Scale: per round, one join of the undirected edge list against the
+    label table (both keyed by node) and one (node, label) count-argmax
+    aggregate — two shuffles per round over edge-sized data, the same
+    shape as pagerank's; lineage is checkpoint-truncated per round.
+    Sublinear rounds (LPA converges in ~5 rounds on social-scale graphs)
+    beat CC-style propagation when communities, not components, are the
+    target.
+    """
+    from pyspark.storagelevel import StorageLevel
+
+    s, d = F.col(src), F.col(dst)
+    und = edges.select(s.alias("u"), d.alias("v")).where(s != d)
+    # the edge list is reused every round — materialize it once instead of
+    # re-deriving the upstream build per iteration
+    und = (
+        und.union(und.select(F.col("v"), F.col("u")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    labels = und.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        counts = (
+            und.join(
+                labels.withColumnRenamed("node", "v"), "v"
+            )  # neighbor labels of u
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels

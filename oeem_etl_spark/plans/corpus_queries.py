@@ -672,3 +672,85 @@ def l64c_bpe_token_counts(spark, sf_dir):
         top_words=_BPE_TOP_WORDS,
     )
     return bpe.token_counts(docs, words)
+
+
+@query(
+    "l65_kneser_ney_logprob",
+    # Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen & Goodman
+    # 1999 — the standard n-gram smoothing) scored by the corpus's own
+    # counts with fixed discount d = 0.75 (exactly representable):
+    #   P(b|a) = max(c(a,b) - d, 0)/c(a) + [d·succ(a)/c(a)] · [prev(b)/T]
+    # where succ(a) = distinct successors of a, prev(b) = distinct
+    # predecessors of b (the continuation count), T = distinct bigram
+    # types. Every ln term is micros-quantized before the mean (l55's
+    # order-independence discipline).
+    sql="""
+    WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+    bg AS (
+      SELECT doc_id, t[i] AS a, t[i+1] AS b
+      FROM tk, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      WHERE len(t) >= 2
+    ),
+    cab AS (SELECT a, b, COUNT(*) AS nab FROM bg GROUP BY a, b),
+    ca AS (SELECT a, CAST(SUM(nab) AS BIGINT) AS na, COUNT(*) AS succ
+           FROM cab GROUP BY a),
+    cb AS (SELECT b, COUNT(*) AS prev FROM cab GROUP BY b),
+    tt AS (SELECT COUNT(*) AS types FROM cab)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND(SUM(CAST(ROUND(ln(
+               greatest(nab - 0.75, 0) / na
+               + (0.75 * succ / na) * (prev * 1.0 / types)
+             ) * 1000000) AS BIGINT)) / COUNT(*) / 1000000.0, 6)
+             AS mean_kn_logprob
+    FROM bg JOIN cab USING (a, b) JOIN ca USING (a) JOIN cb USING (b), tt
+    GROUP BY doc_id
+    """,
+    tier="T3",
+    survey="L7,L5,D1,D2,C1,C9",
+)
+def l65_kneser_ney_logprob(spark, sf_dir):
+    """Kneser-Ney-smoothed bigram fluency scoring — the production-grade
+    upgrade of l55's Laplace model (absolute discounting + continuation
+    probability; what real n-gram quality filters use). All model state
+    is three aggregates OF the bigram-count table (left totals +
+    successor counts, predecessor/continuation counts, type count) — the
+    corpus-sized stream is scanned once into counts, persisted, and
+    joined back; the model tables are vocabulary-shaped and the type
+    total is a broadcast scalar. λ(a) > 0 and P_cont(b) > 0 for every
+    observed bigram, so ln is total."""
+    from pyspark.storagelevel import StorageLevel
+
+    docs = T(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    bg = (
+        toks.where(F.size("t") >= 2)
+        .select(
+            "doc_id",
+            F.posexplode(F.slice("t", 1, F.size("t") - 1)).alias("i", "a"),
+            F.col("t").alias("t"),
+        )
+        .select("doc_id", "a", F.element_at("t", F.col("i") + 2).alias("b"))
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    cab = bg.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+    ca = cab.groupBy("a").agg(
+        F.sum("nab").alias("na"), F.count(F.lit(1)).alias("succ")
+    )
+    cb = cab.groupBy("b").agg(F.count(F.lit(1)).alias("prev"))
+    tt = cab.agg(F.count(F.lit(1)).alias("types"))
+    p = F.greatest(F.col("nab") - 0.75, F.lit(0.0)) / F.col("na") + (
+        0.75 * F.col("succ") / F.col("na")
+    ) * (F.col("prev") * 1.0 / F.col("types"))
+    lp_micros = F.round(F.log(p) * 1_000_000).cast("long")
+    return (
+        bg.join(cab, ["a", "b"])
+        .join(ca, ["a"])
+        .join(cb, ["b"])
+        .crossJoin(F.broadcast(tt))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.sum(lp_micros) / F.count(F.lit(1)) / 1_000_000.0, 6).alias(
+                "mean_kn_logprob"
+            ),
+        )
+    )

@@ -763,3 +763,78 @@ def m15_funnel_conversion(spark, sf_dir):
         F.round(np_.cast("double") / nc, 6).alias("click_to_purchase"),
         F.round(np_.cast("double") / nv, 6).alias("overall"),
     )
+
+
+@query(
+    "m16_label_propagation",
+    sql="""
+    WITH bounded AS (SELECT o_orderkey FROM orders WHERE o_custkey <= 5),
+    li AS MATERIALIZED (
+      SELECT l_orderkey, l_suppkey
+      FROM lineitem JOIN bounded ON l_orderkey = o_orderkey
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT l1.l_suppkey AS u, l2.l_suppkey AS v
+      FROM li l1 JOIN li l2
+        ON l1.l_orderkey = l2.l_orderkey AND l1.l_suppkey <> l2.l_suppkey
+    ),
+    l0 AS MATERIALIZED (
+      SELECT node, node AS label
+      FROM (SELECT DISTINCT u AS node FROM e0)
+    ),
+    c1 AS (
+      SELECT e0.u AS node, l.label, COUNT(*) AS c
+      FROM e0 JOIN l0 l ON e0.v = l.node GROUP BY e0.u, l.label
+    ),
+    l1 AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label)
+                 AS rn
+        FROM c1
+      ) WHERE rn = 1
+    ),
+    c2 AS (
+      SELECT e0.u AS node, l.label, COUNT(*) AS c
+      FROM e0 JOIN l1 l ON e0.v = l.node GROUP BY e0.u, l.label
+    ),
+    l2 AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node ORDER BY c DESC, label)
+                 AS rn
+        FROM c2
+      ) WHERE rn = 1
+    )
+    SELECT node, label FROM l2 ORDER BY node
+    """,
+    tier="T3",
+    survey="L10,C10,D1,E1",
+)
+def m16_label_propagation(spark, sf_dir):
+    """Community detection on the supplier co-purchase graph via
+    2-round synchronous label propagation (operators/graph.py
+    label_propagation — deterministic min-tie-break variant, so the
+    unrolled-CTE oracle matches exactly). Edge build is m5's: suppliers
+    sharing an order of a bounded customer set, order list broadcast.
+    Each round is two edge-sized shuffles (neighbor-label join +
+    count-argmax window) — pagerank's cost shape, converging in O(5)
+    rounds on community-structured graphs."""
+    from oeem_etl_spark.operators.graph import label_propagation
+
+    o = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 5)
+        .select("o_orderkey")
+    )
+    li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    li = li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"]).select(
+        "l_orderkey", "l_suppkey"
+    )
+    l2 = li.select(F.col("l_orderkey"), F.col("l_suppkey").alias("s2"))
+    edges = (
+        li.join(l2, "l_orderkey")
+        .where(F.col("l_suppkey") != F.col("s2"))
+        .select(F.col("l_suppkey").alias("src"), F.col("s2").alias("dst"))
+    )
+    return label_propagation(edges, rounds=2).orderBy("node")

@@ -124,3 +124,32 @@ def test_token_counts_oov_fallback(spark):
     n_low = {r["word"]: len(r["syms"]) for r in words.collect()}["low"]
     out = bpe.token_counts(docs, words).collect()
     assert out[0]["bpe_tokens"] == 2 * n_low + 4
+
+
+def test_merge_expr_randomized_parity(spark):
+    # 300 seeded-random cases over a 3-symbol alphabet (maximizes runs and
+    # overlap traps), all evaluated in ONE Spark job: per row its own
+    # (left, right) pair is folded via a case-dispatched expression.
+    import random
+
+    rng = random.Random(20260815)
+    alpha = ["a", "b", "ab"]
+    cases = []
+    for i in range(300):
+        syms = [rng.choice(alpha) for _ in range(rng.randint(0, 12))]
+        lft, rgt = rng.choice(alpha), rng.choice(alpha)
+        cases.append((i, syms, lft, rgt))
+    df = spark.createDataFrame(
+        [(i, s, l, r) for i, s, l, r in cases],
+        "id long, syms array<string>, lft string, rgt string",
+    )
+    # one merge_expr per distinct pair, dispatched by the row's pair
+    expr = None
+    for lft in alpha:
+        for rgt in alpha:
+            cond = (F.col("lft") == lft) & (F.col("rgt") == rgt)
+            b = bpe.merge_expr("syms", lft, rgt)
+            expr = F.when(cond, b) if expr is None else expr.when(cond, b)
+    got = {r["id"]: r["m"] for r in df.select("id", expr.alias("m")).collect()}
+    for i, syms, lft, rgt in cases:
+        assert got[i] == _ref_merge(syms, lft, rgt), (i, syms, lft, rgt, got[i])

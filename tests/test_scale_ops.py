@@ -198,3 +198,54 @@ def test_cc_label_propagation_reports_rounds(spark, sf_dir):
     got = {(r["node"], r["label"]) for r in labels.collect()}
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     assert stats["rounds"] <= 3
+
+
+def test_label_propagation_matches_python_reference(spark):
+    # two triangles bridged by one edge; sync LPA with min tie-break
+    from oeem_etl_spark.operators.graph import label_propagation
+
+    edge_list = [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)]
+
+    def ref(rounds):
+        adj: dict[int, set[int]] = {}
+        for a, b in edge_list:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        lab = {n: n for n in adj}
+        for _ in range(rounds):
+            new = {}
+            for n, nbrs in adj.items():
+                counts: dict[int, int] = {}
+                for m in nbrs:
+                    counts[lab[m]] = counts.get(lab[m], 0) + 1
+                new[n] = min(
+                    counts, key=lambda c: (-counts[c], c)
+                )
+            lab = new
+        return lab
+
+    df = spark.createDataFrame(edge_list, "src long, dst long")
+    for rounds in (1, 2, 3):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(df, rounds=rounds).collect()
+        }
+        assert got == ref(rounds), rounds
+
+
+def test_label_propagation_separates_cliques(spark):
+    # two disjoint 4-cliques: each converges to its own min-id label
+    from oeem_etl_spark.operators.graph import label_propagation
+
+    edges = [
+        (a, b)
+        for grp in ([10, 11, 12, 13], [20, 21, 22, 23])
+        for i, a in enumerate(grp)
+        for b in grp[i + 1 :]
+    ]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {
+        r["node"]: r["label"] for r in label_propagation(df, rounds=3).collect()
+    }
+    assert {got[n] for n in (10, 11, 12, 13)} == {10}
+    assert {got[n] for n in (20, 21, 22, 23)} == {20}

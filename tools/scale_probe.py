@@ -373,9 +373,53 @@ def shapes(spark, sf_dir):
             emb, "vec_id", "embedding", k=k, iters=2, threshold=0.35
         )
 
+    def substring_spans():
+        # l62's exact-substring dedup signal: windowed keys -> ONE hash agg
+        # on the window key -> join-back -> per-doc interval union. Renamed
+        # copies keep duplication copy-local, so span volume scales with
+        # rows, not copies².
+        from oeem_etl_spark.operators.dedup import duplicate_window_spans
+
+        renamed = _copy_renamed_docs()
+        return duplicate_window_spans(renamed, "doc_id", "text", window=20)
+
+    def pq_adc():
+        # l63's full PQ pipeline: fused one-pass training (2 Lloyd rounds),
+        # pure-map encode, broadcast-LUT ADC top-k. Corpus is scanned
+        # iters+1 times and ships only (key, m codes) into the top-k.
+        from oeem_etl_spark.operators.clustering import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        books = pq_train(emb, "vec_id", "embedding", m=4, dim=64, k_codes=16, iters=2)
+        codes = pq_encode(emb, "vec_id", books)
+        qs = emb.where(F.col("vec_id") < 10).select(
+            F.col("vec_id").alias("q_id"), "embedding"
+        )
+        return pq_adc_topk(codes, qs, books, k=5)
+
+    def bpe(stats):
+        # l64's BPE training: ONE corpus-sized word-freq pass, then 8
+        # merge rounds over the vocabulary-sized word table. 10× copies
+        # of the same text grow the corpus pass 10× while the vocabulary
+        # (and so every merge round) stays constant — the probe should
+        # show strongly sublinear scaling, the operator's design claim.
+        from oeem_etl_spark.operators.bpe import bpe_train
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        merges, words = bpe_train(docs, n_merges=8, top_words=200)
+        stats["n_merges"] = len(merges)
+        return words
+
     return {
         "q01_agg": q01,
         "q02_bjoin": q02,
+        "substring_spans": substring_spans,
+        "pq_adc": pq_adc,
+        "bpe_train": bpe,
         "exact_dedup": dedup,
         "minhash_sigs": minhash,
         "fuzzy_join": fuzzy,
