@@ -410,3 +410,73 @@ def g7_theta_distinct_algebra(spark, sf_dir):
             "n_click_only"
         ),
     )
+
+
+@query(
+    "m17_dense_ids",
+    sql="""
+    SELECT c_name AS key,
+           CAST(row_number() OVER (ORDER BY c_name) - 1 AS BIGINT) AS id
+    FROM (SELECT DISTINCT c_name FROM customer)
+    ORDER BY key
+    """,
+    tier="T2",
+    survey="E1,F1,D11",
+)
+def m17_dense_ids(spark, sf_dir):
+    """Distributed surrogate-key assignment (operators/ids.py): contiguous
+    0..N-1 ids in key order WITHOUT row_number's empty-PARTITION-BY
+    single-task global sort — range-repartition, bucket-local rank,
+    B-row offset cumsum broadcast back. Ids equal the global key rank
+    regardless of sampled range boundaries, so the scalable plan is
+    hash-exactly oracle-checkable against the naive window."""
+    from oeem_etl_spark.operators.ids import dense_ids
+
+    cust = T(spark, sf_dir, "customer")
+    return dense_ids(cust, "c_name", buckets=16).select(
+        F.col("c_name").alias("key"), "id"
+    ).orderBy("key")
+
+
+@query(
+    "m17b_incremental_ids",
+    sql="""
+    WITH old AS MATERIALIZED (
+      SELECT DISTINCT c_name FROM customer WHERE c_custkey <= 500
+    ),
+    oldids AS (
+      SELECT c_name, row_number() OVER (ORDER BY c_name) - 1 AS id FROM old
+    ),
+    unseen AS (
+      SELECT DISTINCT c_name FROM customer
+      WHERE c_name NOT IN (SELECT c_name FROM old)
+    ),
+    n AS (SELECT COUNT(*) AS c FROM old)
+    SELECT key, CAST(id AS BIGINT) AS id FROM (
+      SELECT c_name AS key, id FROM oldids
+      UNION ALL
+      SELECT c_name AS key,
+             (SELECT c FROM n) + row_number() OVER (ORDER BY c_name) - 1 AS id
+      FROM unseen
+    ) ORDER BY key
+    """,
+    tier="T2",
+    survey="E1,C4,G1,K6",
+)
+def m17b_incremental_ids(spark, sf_dir):
+    """Surrogate-key UPSERT: keys in the existing mapping keep their ids;
+    unseen keys get dense ids appended after max(existing) — the
+    dimension-load stability contract, deterministic at any parallelism.
+    The unseen set is a broadcast anti-join; new ids reuse dense_ids
+    started at max+1."""
+    from oeem_etl_spark.operators.ids import dense_ids, incremental_ids
+
+    cust = T(spark, sf_dir, "customer")
+    existing = dense_ids(
+        cust.where(F.col("c_custkey") <= 500), "c_name", buckets=8
+    )
+    return (
+        incremental_ids(cust, existing, "c_name", buckets=8)
+        .select(F.col("c_name").alias("key"), "id")
+        .orderBy("key")
+    )
