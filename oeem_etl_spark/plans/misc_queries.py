@@ -10,9 +10,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
+from oeem_etl_spark.operators.layout import sql_zorder_key
 from oeem_etl_spark.operators.splits import hash_uniform, sql_hash_uniform
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, dsum
+
+_SQL_Z = sql_zorder_key(["(o_custkey % 256)", "(o_orderkey % 256)"], 8)
 
 
 @query(
@@ -479,4 +482,42 @@ def m17b_incremental_ids(spark, sf_dir):
         incremental_ids(cust, existing, "c_name", buckets=8)
         .select(F.col("c_name").alias("key"), "id")
         .orderBy("key")
+    )
+
+
+@query(
+    "m18_zorder_layout",
+    sql=f"""
+    WITH keyed AS (
+      SELECT o_orderkey, o_custkey % 256 AS cx, o_orderkey % 256 AS cy,
+             {_SQL_Z} AS z
+      FROM orders
+    )
+    SELECT o_orderkey, cx, cy, CAST(z AS BIGINT) AS z
+    FROM keyed ORDER BY z, o_orderkey LIMIT 300
+    """,
+    tier="T2",
+    survey="B2,F1,F3,H5",
+)
+def m18_zorder_layout(spark, sf_dir):
+    """Z-order (Morton) clustering key for multi-column file skipping
+    (operators/layout.py — the lakehouse OPTIMIZE ZORDER BY primitive):
+    bit-interleaves two bounded dimensions in pure integer arithmetic
+    (engine-identical, whole-stage-codegen, no UDF), then takes the
+    first 300 rows of the layout order — exactly the rows the first
+    z-clustered file would own. At write time zorder_layout
+    range-repartitions on this key so every file's min/max stats prune
+    on EITHER dimension."""
+    from oeem_etl_spark.operators.layout import zorder_key
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("cx"),
+        (F.col("o_orderkey") % 256).alias("cy"),
+    )
+    return (
+        o.withColumn("z", zorder_key(["cx", "cy"], bits=8))
+        .select("o_orderkey", "cx", "cy", "z")
+        .orderBy("z", "o_orderkey")
+        .limit(300)
     )
