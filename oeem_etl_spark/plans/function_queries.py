@@ -919,3 +919,79 @@ def j10_udf_normalize_dedupe(spark, sf_dir):
         F.col("event_id").alias("latest_event_id"),
         F.col("value").alias("latest_value"),
     )
+
+
+@query(
+    "j11_cogroup_asof",
+    sql="""
+    WITH p AS (
+      SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+      FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+      SELECT user_id, CAST(ts AS TIMESTAMP) AS cts
+      FROM events WHERE event_type = 'click'
+    ),
+    m AS (
+      SELECT p.event_id, p.user_id, p.ts,
+             (SELECT max(c.cts) FROM c
+              WHERE c.user_id = p.user_id AND c.cts <= p.ts)
+               AS last_click_ts
+      FROM p
+    )
+    SELECT event_id, user_id, ts, last_click_ts,
+           CASE WHEN last_click_ts IS NULL THEN NULL
+                ELSE (epoch_us(ts) - epoch_us(last_click_ts)) // 1000000
+           END AS gap_s
+    FROM m
+    """,
+    tier="T2",
+    survey="J3,C8,B3",
+)
+def j11_cogroup_asof(spark, sf_dir):
+    """Two-sided grouped map (the cogroup → applyInPandas API surface,
+    previously uncovered): per-user pandas merge_asof of purchase events
+    against the click stream — each purchase matched to the most recent
+    click at-or-before it. Arrow ships both sides batched per key; the
+    matched value equals the SQL correlated max, so the Python path is
+    hash-exactly oracle-checked (C8's as-of semantics through J3's API).
+    Scale: both sides hash-partition on user_id only; per-key pandas is
+    the right tool when keys are bounded (sessions per user), and the
+    relational as-of (relational.asof_join) remains the fact-sized path."""
+    import pandas as pd
+
+    ev = T(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts")
+    )
+
+    def match(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            return pd.DataFrame(
+                columns=["event_id", "user_id", "ts", "last_click_ts"]
+            )
+        lo = left.sort_values("ts")
+        ro = right.sort_values("cts")[["cts"]]
+        out = pd.merge_asof(
+            lo, ro, left_on="ts", right_on="cts", direction="backward"
+        )
+        return out.rename(columns={"cts": "last_click_ts"})[
+            ["event_id", "user_id", "ts", "last_click_ts"]
+        ]
+
+    matched = (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(
+            match,
+            "event_id long, user_id long, ts timestamp, last_click_ts timestamp",
+        )
+    )
+    gap = (F.unix_micros("ts") - F.unix_micros("last_click_ts")) / F.lit(1_000_000)
+    return matched.select(
+        "event_id", "user_id", "ts", "last_click_ts",
+        F.floor(gap).cast("long").alias("gap_s"),
+    )
