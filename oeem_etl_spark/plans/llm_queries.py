@@ -3207,7 +3207,7 @@ def _pq_cte(
         f"""enc AS ({enc}),
     lut AS ({lut}),
     adc AS (
-      SELECT l.q_id, e.vec_id, SUM(l.d) AS adc_dist
+      SELECT l.q_id, e.vec_id, CAST(SUM(l.d) AS BIGINT) AS adc_dist
       FROM enc e JOIN lut l ON l.sp = e.sp AND l.cid = e.cid
       GROUP BY l.q_id, e.vec_id
     )"""
@@ -3266,8 +3266,9 @@ def l63_pq_adc_topk(spark, sf_dir):
     ),
     exact AS (
       SELECT s.q_id, s.vec_id,
-             list_sum(list_transform(generate_series(1, 64),
-                      i -> (qq.v[i] - cq.v[i]) * (qq.v[i] - cq.v[i]))) AS l2q_dist
+             CAST(list_sum(list_transform(generate_series(1, 64),
+                      i -> (qq.v[i] - cq.v[i]) * (qq.v[i] - cq.v[i])))
+               AS BIGINT) AS l2q_dist
       FROM short s
       JOIN q cq ON cq.vec_id = s.vec_id
       JOIN q qq ON qq.vec_id = s.q_id
