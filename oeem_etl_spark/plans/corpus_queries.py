@@ -754,3 +754,87 @@ def l65_kneser_ney_logprob(spark, sf_dir):
             ),
         )
     )
+
+
+@query(
+    "l66_zipf_slope",
+    # OLS of ln(freq) on ln(rank) over the token frequency table — the
+    # Zipf-law fit (slope ≈ -1 on natural corpora) used as a corpus-health
+    # metric. Each per-token term (x, y, xy, x²) is micros-quantized BEFORE
+    # summing, so all four sums are exact integers and the closed-form
+    # slope/intercept is the same double arithmetic in both engines.
+    sql="""
+    WITH freq AS (
+      SELECT t, COUNT(*) AS f FROM (
+        SELECT unnest(string_split(text, ' ')) AS t FROM documents
+      ) GROUP BY t
+    ),
+    ranked AS (
+      SELECT f, row_number() OVER (ORDER BY f DESC, t) AS r FROM freq
+    ),
+    terms AS (
+      SELECT CAST(ROUND(ln(r) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(f) * 1000000) AS BIGINT) AS y,
+             CAST(ROUND(ln(r) * ln(f) * 1000000) AS BIGINT) AS xy,
+             CAST(ROUND(ln(r) * ln(r) * 1000000) AS BIGINT) AS xx
+      FROM ranked
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(xy) AS BIGINT) AS sxy,
+             CAST(SUM(xx) AS BIGINT) AS sxx
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           ROUND((n * sxy - CAST(sx AS DOUBLE) / 1000000 * sy)
+                 / (n * sxx - CAST(sx AS DOUBLE) / 1000000 * sx), 6) AS slope,
+           ROUND((CAST(sy AS DOUBLE) - ((n * sxy - CAST(sx AS DOUBLE) / 1000000 * sy)
+                 / (n * sxx - CAST(sx AS DOUBLE) / 1000000 * sx)) * sx)
+                 / n / 1000000, 6) AS intercept
+    FROM s
+    """,
+    tier="T3",
+    survey="L7,L5,D1,E1,H5",
+)
+def l66_zipf_slope(spark, sf_dir):
+    """Zipf-law fit over the corpus token frequency distribution: OLS of
+    ln(freq) on ln(rank), slope ≈ -1 on natural text — drifts flag
+    boilerplate floods or tokenizer breakage. One token-count hash agg,
+    one vocabulary-sized rank window, four exact integer sums (each
+    ln-term micros-quantized pre-sum), closed-form fit — identical
+    double arithmetic on both engines."""
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), "t"))
+    )
+    q = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    lnr, lnf = F.log("r"), F.log("f")
+    s = ranked.select(
+        q(lnr).alias("x"),
+        q(lnf).alias("y"),
+        q(lnr * lnf).alias("xy"),
+        q(lnr * lnr).alias("xx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx"])
+    slope = (n * sxy - sx.cast("double") / 1_000_000 * sy) / (
+        n * sxx - sx.cast("double") / 1_000_000 * sx
+    )
+    intercept = (sy.cast("double") - slope * sx) / n / 1_000_000
+    return s.select(
+        n.cast("long").alias("n_tokens"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+    )

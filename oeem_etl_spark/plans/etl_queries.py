@@ -2064,3 +2064,60 @@ def k43_expanding_cv_folds(spark, sf_dir):
             "val_total"
         ),
     )
+
+
+@query(
+    "k11c_sessionize_dynamic_gap",
+    sql="""
+    WITH base AS (
+      SELECT user_id, epoch_us(ts) AS tu,
+             CASE WHEN event_type = 'error' THEN 600000000
+                  ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, tu, gap_us,
+             MAX(tu + gap_us) OVER (PARTITION BY user_id ORDER BY tu
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM base
+    ),
+    isl AS (
+      SELECT user_id, tu, gap_us,
+             CAST(SUM(CASE WHEN pmax IS NULL OR tu > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tu
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sid
+      FROM marked
+    )
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(MIN(tu) AS BIGINT) AS session_start_us,
+           CAST(MAX(tu + gap_us) AS BIGINT) AS session_end_us
+    FROM isl GROUP BY user_id, sid
+    """,
+    tier="T2",
+    survey="K-ext,I3,D1,H4,B4",
+)
+def k11c_sessionize_dynamic_gap(spark, sf_dir):
+    """DYNAMIC-gap sessionization: ``F.session_window`` with a per-event
+    gap expression (error events extend their session only 10 minutes,
+    everything else 30) — the API k11b's static form can't reach, same
+    aggregate-internal merge machinery. The oracle is the
+    interval-union form: a session ends when the next event's start
+    exceeds the running max of (event time + ITS OWN gap); session end
+    is that running max (merging [0,30) with [1,11) ends at 30 — max,
+    not last-event-plus-gap). Boundary rule shared with k11b: an event
+    landing exactly on the window end merges (strict >)."""
+    ev = T(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    return (
+        ev.groupBy("user_id", F.session_window("ts", gap))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            "n_events",
+            F.unix_micros("session_window.start").alias("session_start_us"),
+            F.unix_micros("session_window.end").alias("session_end_us"),
+        )
+    )
