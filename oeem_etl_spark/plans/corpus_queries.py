@@ -838,3 +838,106 @@ def l66_zipf_slope(spark, sf_dir):
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
     )
+
+
+@query(
+    "l67_heaps_law",
+    # Heaps'-law fit V = K·N^beta (vocabulary growth vs corpus size):
+    # checkpoint the corpus at every 50th doc_id; V(n) = tokens whose FIRST
+    # occurrence is in a doc <= n, N(n) = running token total — both
+    # computed as ONE conditional aggregate against a 10-row broadcast
+    # checkpoint list (no global cumulative window, which would be the
+    # scale trap), then the l66 micros-exact OLS on (ln N, ln V).
+    sql="""
+    WITH per_doc AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents
+    ),
+    fo AS (
+      SELECT t, MIN(doc_id) AS first_doc FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents
+      ) GROUP BY t
+    ),
+    cps AS (SELECT unnest(generate_series(49, 499, 50)) AS cp),
+    pts AS (
+      SELECT cp,
+             (SELECT CAST(SUM(n_toks) AS BIGINT) FROM per_doc
+              WHERE doc_id <= cp) AS big_n,
+             (SELECT COUNT(*) FROM fo WHERE first_doc <= cp) AS v
+      FROM cps
+    ),
+    terms AS (
+      SELECT CAST(ROUND(ln(big_n) * 1000000) AS BIGINT) AS x,
+             CAST(ROUND(ln(v) * 1000000) AS BIGINT) AS y,
+             CAST(ROUND(ln(big_n) * ln(v) * 1000000) AS BIGINT) AS xy,
+             CAST(ROUND(ln(big_n) * ln(big_n) * 1000000) AS BIGINT) AS xx
+      FROM pts WHERE big_n IS NOT NULL AND v > 0
+    ),
+    s AS (
+      SELECT COUNT(*) AS n, CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy, CAST(SUM(xy) AS BIGINT) AS sxy,
+             CAST(SUM(xx) AS BIGINT) AS sxx
+      FROM terms
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           ROUND((n * sxy - CAST(sx AS DOUBLE) / 1000000 * sy)
+                 / (n * sxx - CAST(sx AS DOUBLE) / 1000000 * sx), 6) AS beta,
+           ROUND((CAST(sy AS DOUBLE) - ((n * sxy - CAST(sx AS DOUBLE) / 1000000 * sy)
+                 / (n * sxx - CAST(sx AS DOUBLE) / 1000000 * sx)) * sx)
+                 / n / 1000000, 6) AS ln_k
+    FROM s
+    """,
+    tier="T3",
+    survey="L7,L5,D1,C5,H5",
+)
+def l67_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit (V = K·N^beta, beta ≈ 0.4-0.6 on
+    natural text; near 0 when the corpus is a fixed-vocabulary loop —
+    the duplication/diversity telltale l66's Zipf slope can miss).
+    Scale shape: first-occurrence table is one hash agg; checkpoints are
+    a 10-row broadcast cross join with conditional counts, NOT a global
+    cumulative window; the fit reuses l66's exact-integer OLS."""
+    docs = T(spark, sf_dir, "documents")
+    per_doc = docs.select(
+        "doc_id", F.size(F.split("text", " ")).alias("n_toks")
+    )
+    fo = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.min("doc_id").alias("first_doc"))
+    )
+    cps = F.broadcast(
+        docs.sparkSession.range(49, 500, 50).select(F.col("id").alias("cp"))
+    )
+    big_n = per_doc.crossJoin(cps).where(F.col("doc_id") <= F.col("cp")).groupBy(
+        "cp"
+    ).agg(F.sum("n_toks").alias("big_n"))
+    v = fo.crossJoin(cps).where(F.col("first_doc") <= F.col("cp")).groupBy(
+        "cp"
+    ).agg(F.count(F.lit(1)).alias("v"))
+    pts = big_n.join(v, "cp").where(
+        F.col("big_n").isNotNull() & (F.col("v") > 0)
+    )
+    q = lambda c: F.round(c * 1_000_000).cast("long")  # noqa: E731
+    lnn, lnv = F.log("big_n"), F.log("v")
+    s = pts.select(
+        q(lnn).alias("x"),
+        q(lnv).alias("y"),
+        q(lnn * lnv).alias("xy"),
+        q(lnn * lnn).alias("xx"),
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum("xy").alias("sxy"),
+        F.sum("xx").alias("sxx"),
+    )
+    n, sx, sy, sxy, sxx = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx"])
+    beta = (n * sxy - sx.cast("double") / 1_000_000 * sy) / (
+        n * sxx - sx.cast("double") / 1_000_000 * sx
+    )
+    ln_k = (sy.cast("double") - beta * sx) / n / 1_000_000
+    return s.select(
+        n.cast("long").alias("n_points"),
+        F.round(beta, 6).alias("beta"),
+        F.round(ln_k, 6).alias("ln_k"),
+    )
