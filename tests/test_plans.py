@@ -535,3 +535,80 @@ def test_l49_importance_vocab_join_no_text_shuffle(spark, sf_dir):
     for line in plan.splitlines():
         if "Exchange" in line and "text" in line:
             raise AssertionError(f"text column in exchange: {line}")
+
+
+def test_t02_fact_single_shuffle_dims_broadcast(spark, sf_dir):
+    q = registry.queries()["t02_min_cost_supplier"]
+    plan = plan_of(q(spark, sf_dir))
+    # dims (supplier->nation->region chain, filtered part) all broadcast
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "SortMergeJoin" not in plan
+    # fact scans only the 4 needed columns
+    m = re.search(r"ReadSchema: struct<(l_[^>]*)>", plan)
+    assert m and {c.split(":")[0] for c in m.group(1).split(",")} == {
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+    }, plan
+
+
+def test_dense_ids_no_data_sized_single_partition(spark, sf_dir):
+    # the operator's whole point: the only SinglePartition exchange is over
+    # the B-row bucket-count frame, never over the key data
+    from oeem_etl_spark.operators.ids import dense_ids
+
+    cust = load_table(spark, sf_dir, "customer")
+    plan = plan_of(dense_ids(cust, "c_name", buckets=16))
+    # data-sized side: one range exchange + one bucket-id hash exchange
+    assert "rangepartitioning(c_name" in plan, plan
+    # exactly ONE SinglePartition exchange — the B-row bucket-count frame;
+    # a second would mean the key data itself is being single-tasked
+    assert plan.count("SinglePartition") == 1, plan
+    # global key windows would show as an empty-partition Window sort on
+    # c_name over a SinglePartition exchange — assert the window is bucketed
+    assert re.search(r"row_number\(\) windowspecdefinition\(__b", plan), plan
+
+
+def test_zorder_key_stays_in_codegen(spark, sf_dir):
+    from oeem_etl_spark.operators.layout import zorder_key
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_custkey") % 256).alias("cx"),
+        (F.col("o_orderkey") % 256).alias("cy"),
+    )
+    df = o.withColumn("z", zorder_key(["cx", "cy"], bits=8))
+    plan = plan_of(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # formatted explain marks codegen nodes with '*'
+    assert re.search(r"\* Project", plan), plan
+
+
+def test_bpe_word_freq_partial_aggregates(spark, sf_dir):
+    from oeem_etl_spark.operators.bpe import word_freq
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = plan_of(word_freq(docs, top_words=200))
+    # the one corpus-sized pass must map-side combine, and the top-k bound
+    # must plan as TakeOrdered, not a global sort
+    assert "partial_count" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_j11_cogroup_plans_as_cogroup_not_join(spark, sf_dir):
+    q = registry.queries()["j11_cogroup_asof"]
+    plan = plan_of(q(spark, sf_dir))
+    assert "FlatMapCoGroupsInPandas" in plan, plan
+    # both sides shuffle once on user_id only
+    assert plan.count("hashpartitioning(user_id") == 2, plan
+
+
+def test_label_propagation_rounds_are_checkpoint_backed(spark, sf_dir):
+    # each round ends in localCheckpoint, so the returned frame's lineage is
+    # a checkpoint scan, not the whole iterative join tree — the property
+    # that keeps round N's plan O(1) instead of O(N)
+    from oeem_etl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4)], "src long, dst long"
+    )
+    plan = plan_of(label_propagation(edges, rounds=2))
+    assert "ExistingRDD" in plan or "LogicalRDD" in plan, plan
+    assert "hashpartitioning" not in plan, plan  # no join tree in lineage
