@@ -678,3 +678,56 @@ def i13_stream_user_buckets(spark, sf_dir):
         [F.count(F.lit(1)).alias("cnt"), dsum("value", "sum_value")],
     )
     return harness.run_available_now(out, "complete")
+
+
+@query(
+    "i16_stream_dynamic_session",
+    sql=f"""
+    WITH base AS (
+      SELECT user_id, epoch_us({_CAST_TS}) AS tu,
+             CASE WHEN event_type = 'error' THEN 600000000
+                  ELSE 1800000000 END AS gap_us
+      FROM events
+    ),
+    marked AS (
+      SELECT user_id, tu, gap_us,
+             MAX(tu + gap_us) OVER (PARTITION BY user_id ORDER BY tu
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+      FROM base
+    ),
+    isl AS (
+      SELECT user_id, tu, gap_us,
+             CAST(SUM(CASE WHEN pmax IS NULL OR tu > pmax THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY tu
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS BIGINT) AS sid
+      FROM marked
+    )
+    SELECT user_id, CAST(MIN(tu) AS BIGINT) AS session_start_us,
+           CAST(MAX(tu + gap_us) AS BIGINT) AS session_end_us,
+           COUNT(*) AS n_events
+    FROM isl GROUP BY user_id, sid
+    """,
+    tier="T3",
+    survey="I3,B4",
+)
+def i16_stream_dynamic_session(spark, sf_dir):
+    """STREAMING dynamic-gap sessions: the same per-event gap expression
+    as batch k11c (error events hold sessions 10 min, others 30) run
+    through Structured Streaming's session_window merge state and
+    drained with availableNow — the stream must equal the batch
+    interval-union oracle exactly (same strict-boundary rule)."""
+    sdf = events_stream(spark, sf_dir)
+    gap = F.when(F.col("event_type") == "error", F.lit("10 minutes")).otherwise(
+        F.lit("30 minutes")
+    )
+    out = ops.session_agg(
+        sdf, gap, ["user_id"], [F.count(F.lit(1)).alias("n_events")]
+    )
+    res = harness.run_available_now(out, "complete")
+    return res.select(
+        "user_id",
+        F.unix_micros("session_start").alias("session_start_us"),
+        F.unix_micros("session_end").alias("session_end_us"),
+        "n_events",
+    )

@@ -52,13 +52,15 @@ def sliding_agg(
 
 def session_agg(
     df: DataFrame,
-    gap: str,
+    gap: str | Column,
     keys: list[str],
     aggs: list[Column],
     ts_col: str = "ts",
 ) -> DataFrame:
     """I3: gap-based sessions; a session closes after ``gap`` of silence.
-    ``session_end`` is last-event-ts + gap (Spark's session_window shape)."""
+    ``session_end`` is last-event-ts + gap (Spark's session_window shape).
+    ``gap`` may be a Column expression for per-event DYNAMIC gaps (the
+    session then ends at the running max of event-time + own gap)."""
     w = F.session_window(ts_col, gap)
     agged = df.groupBy(w.alias("w"), *keys).agg(*aggs)
     return agged.select(
