@@ -521,3 +521,48 @@ def m18_zorder_layout(spark, sf_dir):
         .orderBy("z", "o_orderkey")
         .limit(300)
     )
+
+
+_J12_SQL = """
+    SELECT doc_id,
+           string_split(text, ' ')[1] AS p0,
+           string_split(text, ' ')[2] AS p1,
+           string_split(text, ' ')[3] AS p2,
+           string_split(text, ' ')[4] AS p3
+    FROM documents WHERE doc_id <= 80
+"""
+
+
+@query("j12_udtf_analyze", sql=_J12_SQL, tier="T3", survey="J6,H1")
+def j12_udtf_analyze(spark, sf_dir):
+    """POLYMORPHIC Python UDTF (Spark 4's analyze-time schema): the
+    output column set (p0..p{n-1}) is derived from a CONSTANT argument
+    at plan time via the static ``analyze`` hook — the API a
+    fixed-width-splitter / configurable parser needs, where j6's
+    declared-returnType form cannot change shape per call site. The
+    oracle pins n=4 with plain array indexing."""
+    from pyspark.sql.functions import udtf
+    from pyspark.sql.types import StringType, StructType
+    from pyspark.sql.udtf import AnalyzeArgument, AnalyzeResult
+
+    class SplitParts:
+        @staticmethod
+        def analyze(text: AnalyzeArgument, n: AnalyzeArgument) -> AnalyzeResult:
+            assert n.isConstantExpression, "n must be a literal"
+            schema = StructType()
+            for i in range(int(n.value)):
+                schema = schema.add(f"p{i}", StringType())
+            return AnalyzeResult(schema=schema)
+
+        def eval(self, text: str, n: int):
+            parts = text.split(" ")
+            yield tuple(parts[i] if i < len(parts) else None for i in range(n))
+
+    spark.udtf.register("oeem_split_parts", udtf(SplitParts))
+    T(spark, sf_dir, "documents").where(F.col("doc_id") <= 80).createOrReplaceTempView(
+        "j12_docs"
+    )
+    return spark.sql(
+        "SELECT d.doc_id, s.p0, s.p1, s.p2, s.p3 "
+        "FROM j12_docs d, LATERAL oeem_split_parts(d.text, 4) s"
+    )
