@@ -76,3 +76,33 @@ def test_salted_agg_shuffles_on_key_and_salt(spark, sf_dir):
     sc = spark.sparkContext
     plan = sc._jvm.PythonSQLUtils.explainString(out._jdf.queryExecution(), "formatted")
     assert "hashpartitioning(event_type" in plan and "__salt" in plan
+
+def test_dense_ids_under_extreme_key_skew(spark, sf_dir):
+    # 100k rows, 5 distinct keys: the distinct() collapses skew before the
+    # range repartition, so ids are still the key rank and nothing hot-keys
+    from pyspark.sql import functions as F
+
+    from oeem_etl_spark.operators.ids import dense_ids
+
+    df = spark.range(100_000).select(
+        F.concat(F.lit("k"), (F.col("id") % 5).cast("string")).alias("k")
+    )
+    got = {r["k"]: r["id"] for r in dense_ids(df, "k", buckets=16).collect()}
+    assert got == {f"k{i}": i for i in range(5)}
+
+
+def test_label_propagation_star_graph(spark, sf_dir):
+    # star: hub 0 with 200 leaves. Round 1: hub takes min leaf label (1),
+    # every leaf takes hub's label (0). Round 2: hub -> 0 (all leaves carry
+    # 0), leaves -> 1 (hub carries 1). The adversarial oscillation case for
+    # sync LPA — the operator must reproduce it deterministically, and the
+    # hub's degree-sized neighbor-count group must not break anything.
+    from oeem_etl_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(0, i) for i in range(1, 201)], "src long, dst long"
+    )
+    l1 = {r["node"]: r["label"] for r in label_propagation(edges, rounds=1).collect()}
+    assert l1[0] == 1 and all(l1[i] == 0 for i in range(1, 201))
+    l2 = {r["node"]: r["label"] for r in label_propagation(edges, rounds=2).collect()}
+    assert l2[0] == 0 and all(l2[i] == 1 for i in range(1, 201))
