@@ -941,3 +941,93 @@ def l67_heaps_law(spark, sf_dir):
         F.round(beta, 6).alias("beta"),
         F.round(ln_k, 6).alias("ln_k"),
     )
+
+
+@query(
+    "l68_corpus_build",
+    # Capstone composition — the end-to-end training-corpus build:
+    # exact dedup (keep smallest doc per normalized digest) → lexical
+    # quality gate → deterministic 80/10/10 split on the surviving doc id
+    # → per-split token budget (md5-ordered running total, first 20k
+    # tokens) → per-split report. Every stage is an existing certified
+    # operator; the value here is the CHAIN matching end-to-end.
+    sql="""
+    WITH keep AS (
+      SELECT doc_id, source, text FROM (
+        SELECT doc_id, source, text,
+               row_number() OVER (
+                 PARTITION BY md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                 ORDER BY doc_id) AS rn
+        FROM documents
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tok,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+               / len(string_split(text, ' ')) AS ldiv
+      FROM keep
+    ),
+    gated AS (SELECT * FROM q WHERE n_tok >= 10 AND ldiv >= 0.3),
+    s AS (
+      SELECT *,
+             CASE WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)),1,1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)),2,1))) % 100 < 80
+                    THEN 'train'
+                  WHEN (ascii(substr(md5(CAST(doc_id AS VARCHAR)),1,1)) * 256
+                        + ascii(substr(md5(CAST(doc_id AS VARCHAR)),2,1))) % 100 < 90
+                    THEN 'val'
+                  ELSE 'test' END AS split
+      FROM gated
+    ),
+    b AS (
+      SELECT *,
+             SUM(n_tok) OVER (PARTITION BY split
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s
+    ),
+    sel AS (SELECT * FROM b WHERE cum <= 20000)
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM sel GROUP BY split
+    """,
+    tier="T3",
+    survey="L1,L7,L-ext,B8,E3,D1",
+)
+def l68_corpus_build(spark, sf_dir):
+    """End-to-end training-corpus build, composed ENTIRELY from the
+    library's certified operators: dedup.exact_dedup (digest-first, text
+    never shuffles) → lexical-diversity quality gate → leakage-stable
+    deterministic_split → per-split md5-ordered token budget (the l35
+    shard-budget idiom) → per-split report. One corpus scan feeds the
+    digest window; everything after runs on the deduped survivor set.
+    Oracle replays the full chain, so any stage drifting breaks the
+    hash — the composition contract, not just each stage alone."""
+    from oeem_etl_spark.operators import dedup as ddp
+    from oeem_etl_spark.operators.splits import deterministic_split
+    from pyspark.sql import Window
+
+    docs = T(spark, sf_dir, "documents")
+    keep = ddp.exact_dedup(docs, "text", "doc_id")
+    toks = F.split("text", " ")
+    q = keep.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("n_tok"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ldiv"),
+    )
+    gated = q.where((F.col("n_tok") >= 10) & (F.col("ldiv") >= 0.3))
+    s = deterministic_split(gated, "doc_id")
+    w = (
+        Window.partitionBy("split")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    sel = s.withColumn("cum", F.sum("n_tok").over(w)).where(F.col("cum") <= 20000)
+    return sel.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.count_distinct("source").alias("n_sources"),
+    )
