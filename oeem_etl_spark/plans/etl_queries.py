@@ -2121,3 +2121,109 @@ def k11c_sessionize_dynamic_gap(spark, sf_dir):
             F.unix_micros("session_window.end").alias("session_end_us"),
         )
     )
+
+
+@query(
+    "k44_psi_drift",
+    # Population Stability Index between the reference (even event_id) and
+    # incoming (odd event_id) value distributions over 10 fixed-width bins:
+    # PSI = Σ (p_i − q_i)·ln(p_i / q_i), Laplace-smoothed (+1 per bin) so
+    # empty bins stay finite. The monitoring twin of l53's unigram KL —
+    # PSI is what production model-monitoring dashboards actually report
+    # (PSI > 0.2 = significant shift). Integer-exact bin counts; the final
+    # fractions/logs are identical double arithmetic in both engines.
+    sql="""
+    WITH binned AS (
+      SELECT CAST(least(greatest(floor(value / 10.0), 0), 9) AS BIGINT) AS bin,
+             event_id % 2 = 0 AS ref
+      FROM events WHERE value IS NOT NULL
+    ),
+    bins AS (SELECT unnest(generate_series(0, 9)) AS bin),
+    counts AS (
+      SELECT bins.bin,
+             COALESCE(SUM(CASE WHEN ref THEN 1 ELSE 0 END), 0) + 1 AS nref,
+             COALESCE(SUM(CASE WHEN NOT ref THEN 1 ELSE 0 END), 0) + 1 AS ninc
+      FROM bins LEFT JOIN binned ON bins.bin = binned.bin
+      GROUP BY bins.bin
+    ),
+    tot AS (
+      SELECT CAST(SUM(nref) AS BIGINT) AS tref,
+             CAST(SUM(ninc) AS BIGINT) AS tinc
+      FROM counts
+    ),
+    terms AS (
+      SELECT bin, nref, ninc,
+             CAST(ROUND((nref * 1.0 / tref - ninc * 1.0 / tinc)
+                        * ln((nref * 1.0 / tref) / (ninc * 1.0 / tinc))
+                        * 1000000) AS BIGINT) AS term_micros
+      FROM counts, tot
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, CAST(nref AS BIGINT) AS nref,
+           CAST(ninc AS BIGINT) AS ninc,
+           ROUND(term_micros / 1000000.0, 6) AS psi_term,
+           ROUND(CAST(SUM(term_micros) OVER () AS BIGINT) / 1000000.0, 6)
+             AS psi_total
+    FROM terms ORDER BY bin
+    """,
+    tier="T2",
+    survey="K9,D1,B4,H5",
+)
+def k44_psi_drift(spark, sf_dir):
+    """Population Stability Index drift monitor between the reference and
+    incoming halves of the event stream, 10 fixed-width value bins with
+    Laplace smoothing — the standard production monitoring metric (PSI >
+    0.2 flags a shift). Bin counts are one conditional hash agg; the
+    10-row bin frame comes from a broadcast range, so missing bins
+    surface with their smoothed prior instead of vanishing. Per-bin
+    terms micros-quantized; psi_total is their exact integer sum."""
+    ev = T(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    binned = ev.select(
+        F.least(
+            F.greatest(F.floor(F.col("value") / 10.0), F.lit(0)), F.lit(9)
+        )
+        .cast("long")
+        .alias("bin"),
+        (F.col("event_id") % 2 == 0).alias("ref"),
+    )
+    bins = F.broadcast(
+        ev.sparkSession.range(0, 10).select(F.col("id").alias("bin"))
+    )
+    counts = (
+        bins.join(binned, "bin", "left")
+        .groupBy("bin")
+        .agg(
+            (
+                F.coalesce(
+                    F.sum(F.when(F.col("ref"), 1).otherwise(0)), F.lit(0)
+                )
+                + 1
+            ).alias("nref"),
+            (
+                F.coalesce(
+                    F.sum(F.when(~F.col("ref"), 1).otherwise(0)), F.lit(0)
+                )
+                + 1
+            ).alias("ninc"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("nref").alias("tref"), F.sum("ninc").alias("tinc")
+    )
+    p = F.col("nref") * 1.0 / F.col("tref")
+    q = F.col("ninc") * 1.0 / F.col("tinc")
+    term = F.round((p - q) * F.log(p / q) * 1_000_000).cast("long")
+    from pyspark.sql import Window
+
+    terms = counts.crossJoin(F.broadcast(tot)).select(
+        "bin", "nref", "ninc", term.alias("term_micros")
+    )
+    return terms.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("nref").cast("long").alias("nref"),
+        F.col("ninc").cast("long").alias("ninc"),
+        F.round(F.col("term_micros") / 1_000_000.0, 6).alias("psi_term"),
+        F.round(
+            (F.sum("term_micros").over(Window.partitionBy()) / 1_000_000.0),
+            6,
+        ).alias("psi_total"),
+    ).orderBy("bin")
