@@ -135,10 +135,13 @@ def bpe_train(
     # each lineage-truncating checkpoint so n_merges rounds don't litter
     # shuffle-partition-many checkpoint files (fd pressure on local mode,
     # tiny-file pressure on a cluster). 1 partition per ~1M vocab words.
+    # repartition, NOT coalesce: coalesce(1) would propagate upstream and
+    # run the CORPUS-sized word-freq scan in one task (measured 100× probe
+    # regression); the repartition shuffle moves only vocab-sized rows.
     parts = 1 + (top_words or 1_000_000) // 1_000_000
     words = (
         initial_symbols(word_freq(docs, text_col, top_words))
-        .coalesce(parts)
+        .repartition(parts)
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
