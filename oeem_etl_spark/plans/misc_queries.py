@@ -566,3 +566,152 @@ def j12_udtf_analyze(spark, sf_dir):
         "SELECT d.doc_id, s.p0, s.p1, s.p2, s.p3 "
         "FROM j12_docs d, LATERAL oeem_split_parts(d.text, 4) s"
     )
+
+
+@query(
+    "m19_auc_mann_whitney",
+    # Exact ROC-AUC via the Mann-Whitney rank-sum: group by score, average
+    # tie ranks (kept as 2×rank so everything stays integer), U = R_pos −
+    # n_pos(n_pos+1)/2, AUC = U / (n_pos·n_neg). Integer-exact end to end;
+    # the one ordered pass runs over DISTINCT scores (statistic-sized, not
+    # row-sized — fixture values are cent-quantized).
+    sql="""
+    WITH labeled AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS pos
+      FROM events WHERE value IS NOT NULL
+    ),
+    grp AS (
+      SELECT score, COUNT(*) AS n, CAST(SUM(pos) AS BIGINT) AS np
+      FROM labeled GROUP BY score
+    ),
+    ranked AS (
+      SELECT score, n, np,
+             COALESCE(SUM(n) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS before
+      FROM grp
+    ),
+    tot AS (
+      SELECT CAST(SUM(np) AS BIGINT) AS n_pos,
+             CAST(SUM(n - np) AS BIGINT) AS n_neg,
+             CAST(SUM(np * (2 * before + n + 1)) AS BIGINT) AS r2
+      FROM ranked
+    )
+    SELECT n_pos, n_neg,
+           ROUND((r2 - n_pos * (n_pos + 1))
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM tot
+    """,
+    tier="T2",
+    survey="D1,E3,H5,B4",
+)
+def m19_auc_mann_whitney(spark, sf_dir):
+    """Exact ROC-AUC of `value` as a score for purchase events — the
+    rank-sum (Mann-Whitney U) formulation with proper tie handling
+    (average ranks, carried as 2×rank so the whole computation is
+    integer-exact; AUC ≈ 0.5 on the synthetic fixture, which is the
+    correct null reading). Scale: one hash agg to score groups, one
+    ordered pass over the DISTINCT-score table (statistic-sized), no
+    row-level sort."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    grp = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("pos"),
+    ).groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("np")
+    )
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grp.withColumn("before", F.coalesce(F.sum("n").over(w), F.lit(0)))
+    tot = ranked.agg(
+        F.sum("np").alias("n_pos"),
+        F.sum(F.col("n") - F.col("np")).alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("before") + F.col("n") + 1)).alias("r2"),
+    )
+    return tot.select(
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("n_neg").cast("long").alias("n_neg"),
+        F.round(
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + 1))
+            / (2.0 * F.col("n_pos") * F.col("n_neg")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@query(
+    "m20_ks_two_sample",
+    # Two-sample Kolmogorov-Smirnov D between click and view value
+    # distributions: D = max |F1(v) − F2(v)| over score groups. The max is
+    # taken on the INTEGER cross-product |c1·n2 − c2·n1| (exact; ties in
+    # the max are irrelevant because only the max value survives), divided
+    # once at the end. Statistic-sized ordered pass, same scaffold as m19.
+    sql="""
+    WITH labeled AS (
+      SELECT value AS score,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS a,
+             CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS b
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('click', 'view')
+    ),
+    grp AS (
+      SELECT score, CAST(SUM(a) AS BIGINT) AS na, CAST(SUM(b) AS BIGINT) AS nb
+      FROM labeled GROUP BY score
+    ),
+    cum AS (
+      SELECT score,
+             SUM(na) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ca,
+             SUM(nb) OVER (ORDER BY score
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb
+      FROM grp
+    ),
+    tot AS (SELECT CAST(SUM(na) AS BIGINT) AS n1, CAST(SUM(nb) AS BIGINT) AS n2
+            FROM grp)
+    SELECT n1, n2,
+           ROUND(MAX(ABS(ca * n2 - cb * n1)) / (1.0 * n1 * n2), 6) AS ks_d
+    FROM cum, tot GROUP BY n1, n2
+    """,
+    tier="T2",
+    survey="D1,E3,H5,G4",
+)
+def m20_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov D statistic (click vs view value
+    distributions) — the classic distribution-equality test a feature
+    pipeline runs next to k44's PSI. The supremum is maximized on the
+    exact integer cross-product |c1·n2 − c2·n1| before the single final
+    division, so the statistic is engine-identical; the ordered pass
+    runs over distinct scores (statistic-sized), not rows."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("click", "view")
+    )
+    grp = ev.select(
+        F.col("value").alias("score"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("a"),
+        F.when(F.col("event_type") == "view", 1).otherwise(0).alias("b"),
+    ).groupBy("score").agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    cum = grp.select(
+        F.sum("na").over(w).alias("ca"), F.sum("nb").over(w).alias("cb")
+    )
+    tot = grp.agg(F.sum("na").alias("n1"), F.sum("nb").alias("n2"))
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .groupBy("n1", "n2")
+        .agg(
+            F.round(
+                F.max(F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1")))
+                / (1.0 * F.col("n1") * F.col("n2")),
+                6,
+            ).alias("ks_d")
+        )
+        .select(
+            F.col("n1").cast("long").alias("n1"),
+            F.col("n2").cast("long").alias("n2"),
+            "ks_d",
+        )
+    )
