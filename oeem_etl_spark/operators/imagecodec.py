@@ -945,3 +945,93 @@ def encode_gif(
             out += bytes([len(chunk)]) + chunk
         out += b"\x00"
     return bytes(out + b"\x3b")
+
+
+# ---------------------------------------------------------------------------
+# TIFF (baseline: uncompressed, stripped, 8-bit gray or RGB) — TIFF 6.0
+# spec (public, Adobe 1992). Both byte orders decode; the encoder writes
+# little-endian ("II") with a single strip and ascending-sorted tags.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZE = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_values(buf: bytes, endian: str, typ: int, count: int, field: bytes):
+    """Read a tag's values: inline when they fit in the 4-byte field
+    (left-justified per spec), else at the LONG offset the field holds."""
+    size = _TIFF_TYPE_SIZE[typ]
+    total = size * count
+    if total <= 4:
+        raw = field[:total]
+    else:
+        (off,) = struct.unpack(endian + "I", field)
+        raw = buf[off : off + total]
+    fmt = {1: "B", 3: "H", 4: "I"}[typ]
+    return list(struct.unpack(endian + fmt * count, raw))
+
+
+def decode_tiff(content: bytes) -> tuple[int, int, np.ndarray]:
+    """Uncompressed stripped TIFF -> (width, height, RGB uint8)."""
+    order = content[:2]
+    if order == b"II":
+        endian = "<"
+    elif order == b"MM":
+        endian = ">"
+    else:
+        raise ValueError(f"not a TIFF: byte order {order!r}")
+    (magic, ifd_off) = struct.unpack(endian + "HI", content[2:8])
+    if magic != 42:
+        raise ValueError(f"bad TIFF magic {magic}")
+    (n,) = struct.unpack(endian + "H", content[ifd_off : ifd_off + 2])
+    tags: dict[int, list[int]] = {}
+    for i in range(n):
+        e = ifd_off + 2 + 12 * i
+        tag, typ, cnt = struct.unpack(endian + "HHI", content[e : e + 8])
+        if typ in _TIFF_TYPE_SIZE:
+            tags[tag] = _tiff_values(content, endian, typ, cnt, content[e + 8 : e + 12])
+    if tags.get(259, [1])[0] != 1:
+        raise NotImplementedError(f"TIFF compression {tags[259][0]} (only 1=none)")
+    w, h = tags[256][0], tags[257][0]
+    spp = tags.get(277, [1])[0]
+    bits = tags.get(258, [8])
+    if any(b != 8 for b in bits):
+        raise NotImplementedError(f"TIFF bits-per-sample {bits} (only 8)")
+    offsets = tags[273]
+    counts = tags.get(279, [w * h * spp])
+    data = b"".join(
+        content[o : o + c] for o, c in zip(offsets, counts)
+    )
+    px = np.frombuffer(data, dtype=np.uint8, count=w * h * spp).reshape(h, w, spp)
+    if spp == 1:
+        px = np.repeat(px, 3, axis=2)
+    return w, h, px[:, :, :3].copy()
+
+
+def encode_tiff(pixels: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 -> little-endian uncompressed single-strip TIFF."""
+    h, w, _ = pixels.shape
+    data = pixels.astype(np.uint8).tobytes()
+    # layout: header(8) | IFD(2 + 9*12 + 4) | bits(6) | pixel data
+    ifd_off = 8
+    n_tags = 9
+    bits_off = ifd_off + 2 + n_tags * 12 + 4
+    data_off = bits_off + 6
+    out = bytearray(struct.pack("<2sHI", b"II", 42, ifd_off))
+    out += struct.pack("<H", n_tags)
+
+    def tag(t, typ, cnt, val):
+        out.extend(struct.pack("<HHII", t, typ, cnt, val))
+
+    tag(256, 4, 1, w)            # ImageWidth
+    tag(257, 4, 1, h)            # ImageLength
+    tag(258, 3, 3, bits_off)     # BitsPerSample -> [8,8,8]
+    tag(259, 3, 1, 1)            # Compression: none
+    tag(262, 3, 1, 2)            # Photometric: RGB
+    tag(273, 4, 1, data_off)     # StripOffsets
+    tag(277, 3, 1, 3)            # SamplesPerPixel
+    tag(278, 4, 1, h)            # RowsPerStrip: single strip
+    tag(279, 4, 1, len(data))    # StripByteCounts
+    out += struct.pack("<I", 0)  # next IFD
+    out += struct.pack("<HHH", 8, 8, 8)
+    out += data
+    return bytes(out)

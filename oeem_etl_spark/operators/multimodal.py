@@ -242,6 +242,8 @@ def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
 
         w, h, px = webpcodec.decode_webp(bytes(content))
         return w, h, px[:, :, :3]
+    if content[:2] in (b"II", b"MM") and len(content) >= 4:
+        return imagecodec.decode_tiff(bytes(content))
     raise NotImplementedError(
         f"no pure-Python decoder for magic {bytes(content[:4])!r}; "
         "MP3/H.264 need external codec libraries, not present here"

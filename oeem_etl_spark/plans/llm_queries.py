@@ -3301,3 +3301,51 @@ def l63b_pq_refined_topk(spark, sf_dir):
     return clustering.pq_search_refined(
         emb, qs, books, k=5, shortlist=50
     ).orderBy("q_id", "rnk")
+
+
+@query(
+    "l8k_tiff_decode",
+    sql="""
+    SELECT doc_id,
+           CAST(6 + doc_id % 3 AS INT) AS width,
+           CAST(4 + 2 * (doc_id % 4) AS INT) AS height,
+           ROUND((CAST(doc_id % 256 AS DOUBLE) + CAST((doc_id * 5) % 256 AS DOUBLE)) / 2, 6) AS mean_r,
+           ROUND((CAST((2 * doc_id) % 256 AS DOUBLE) + CAST((doc_id * 9) % 256 AS DOUBLE)) / 2, 6) AS mean_g,
+           ROUND((CAST((3 * doc_id) % 256 AS DOUBLE) + CAST((doc_id * 17) % 256 AS DOUBLE)) / 2, 6) AS mean_b
+    FROM documents WHERE doc_id < 40
+    """,
+    tier="T3",
+    survey="L8,J4",
+)
+def l8k_tiff_decode(spark, sf_dir):
+    """REAL TIFF decode, oracle-checked (uncompressed stripped RGB per the
+    TIFF 6.0 spec — IFD tag parsing, both byte orders;
+    operators/imagecodec.py): two-tone fixture per doc, height forced
+    even so each channel mean is exactly (A+B)/2 (the l8f PNG scheme
+    with different color constants). Encoded little-endian, decoded via
+    the magic-sniffing image_features path."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators import imagecodec
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 40).select("doc_id")
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 6 + d % 3, 4 + 2 * (d % 4)
+                px = np.zeros((h, w, 3), dtype=np.uint8)
+                px[: h // 2] = [d % 256, (2 * d) % 256, (3 * d) % 256]
+                px[h // 2 :] = [(5 * d) % 256, (9 * d) % 256, (17 * d) % 256]
+                rows.append((d, imagecodec.encode_tiff(px)))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = docs.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(encoded, "doc_id", "payload", "image/tiff")
+    return multimodal.image_features(assets).select(
+        F.col("asset_id").alias("doc_id"),
+        "width", "height", "mean_r", "mean_g", "mean_b",
+    )

@@ -608,3 +608,62 @@ def test_audio_spectral_detects_tone_under_noise(spark):
         # broadband noise alone would centroid near sr/4 = 2000 Hz; the
         # tone pulls it well below
         assert 300 < r["centroid_hz"] < 1900
+
+
+def test_tiff_roundtrip_and_gray():
+    import numpy as np
+
+    from oeem_etl_spark.operators import imagecodec as ic
+
+    rng = np.random.default_rng(11)
+    for h, w in [(1, 1), (5, 7), (16, 9)]:
+        px = rng.integers(0, 256, (h, w, 3), dtype=np.uint8)
+        w2, h2, out = ic.decode_tiff(ic.encode_tiff(px))
+        assert (w2, h2) == (w, h) and (out == px).all()
+
+
+def test_tiff_big_endian_and_multistrip():
+    import struct
+
+    import numpy as np
+
+    from oeem_etl_spark.operators import imagecodec as ic
+
+    # hand-build a big-endian ("MM") grayscale TIFF with TWO strips of 2
+    # rows each — exercises the endian paths, inline big-endian SHORT
+    # values, strip reassembly, and gray->RGB replication
+    h, w = 4, 3
+    px = np.arange(h * w, dtype=np.uint8).reshape(h, w)
+    strip1, strip2 = px[:2].tobytes(), px[2:].tobytes()
+    n_tags = 9
+    ifd_off = 8
+    arrays_off = ifd_off + 2 + n_tags * 12 + 4  # strip offsets/counts arrays
+    data1_off = arrays_off + 16
+    data2_off = data1_off + len(strip1)
+    out = bytearray(struct.pack(">2sHI", b"MM", 42, ifd_off))
+    out += struct.pack(">H", n_tags)
+
+    def tag(t, typ, cnt, val):
+        out.extend(struct.pack(">HHI", t, typ, cnt))
+        # inline SHORT values are LEFT-justified in the 4-byte field
+        if typ == 3 and cnt == 1:
+            out.extend(struct.pack(">HH", val, 0))
+        else:
+            out.extend(struct.pack(">I", val))
+
+    tag(256, 4, 1, w)
+    tag(257, 4, 1, h)
+    tag(258, 3, 1, 8)
+    tag(259, 3, 1, 1)
+    tag(262, 3, 1, 1)  # BlackIsZero (gray)
+    tag(273, 4, 2, arrays_off)  # two strip offsets
+    tag(277, 3, 1, 1)
+    tag(278, 4, 1, 2)  # rows per strip
+    tag(279, 4, 2, arrays_off + 8)
+    out += struct.pack(">I", 0)
+    out += struct.pack(">II", data1_off, data2_off)
+    out += struct.pack(">II", len(strip1), len(strip2))
+    out += strip1 + strip2
+    w2, h2, rgb = ic.decode_tiff(bytes(out))
+    assert (w2, h2) == (w, h)
+    assert (rgb[:, :, 0] == px).all() and (rgb[:, :, 1] == px).all()
