@@ -715,3 +715,107 @@ def m20_ks_two_sample(spark, sf_dir):
             "ks_d",
         )
     )
+
+
+@query(
+    "m21_spearman_corr",
+    # Spearman rank correlation between event value and event time, per
+    # event type: Pearson on average-tie ranks. Ranks are carried as
+    # 2×rank (integers), so all five sums are exact; the final formula is
+    # one identical double expression per engine. The rank windows run
+    # over DISTINCT values per type (statistic-sized).
+    sql="""
+    WITH rows_ AS (
+      SELECT event_type, value AS x, epoch_us(CAST(ts AS TIMESTAMP)) AS y
+      FROM events WHERE value IS NOT NULL
+    ),
+    rx AS (
+      SELECT event_type, x,
+             CAST(2 * COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY x
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n + 1 AS BIGINT) AS rx2
+      FROM (SELECT event_type, x, COUNT(*) AS n FROM rows_ GROUP BY event_type, x)
+    ),
+    ry AS (
+      SELECT event_type, y,
+             CAST(2 * COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY y
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                  + n + 1 AS BIGINT) AS ry2
+      FROM (SELECT event_type, y, COUNT(*) AS n FROM rows_ GROUP BY event_type, y)
+    ),
+    j AS (
+      SELECT r.event_type, rx2, ry2
+      FROM rows_ r JOIN rx ON r.event_type = rx.event_type AND r.x = rx.x
+                  JOIN ry ON r.event_type = ry.event_type AND r.y = ry.y
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(rx2) AS BIGINT) AS sx, CAST(SUM(ry2) AS BIGINT) AS sy,
+             CAST(SUM(rx2 * ry2) AS BIGINT) AS sxy,
+             CAST(SUM(rx2 * rx2) AS BIGINT) AS sxx,
+             CAST(SUM(ry2 * ry2) AS BIGINT) AS syy
+      FROM j GROUP BY event_type
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((n * sxy - sx * sy)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6) AS spearman
+    FROM s ORDER BY event_type
+    """,
+    tier="T2",
+    survey="D3,E3,D1,H5",
+)
+def m21_spearman_corr(spark, sf_dir):
+    """Spearman rank correlation (value vs event time, per type) — the
+    tie-correct form (Pearson on average ranks, NOT the 6Σd²/n(n²−1)
+    shortcut, which is wrong under ties). Ranks carried as 2×rank keep
+    every sum integer-exact; the ranks come from DISTINCT-value windows
+    per type and join back, so the row-sized work is two hash joins and
+    one aggregate — no row-level sort."""
+    from pyspark.sql import Window
+
+    ev = T(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    rows_ = ev.select(
+        "event_type",
+        F.col("value").alias("x"),
+        F.unix_micros(F.col("ts")).alias("y"),
+    )
+
+    def rank2(col):
+        g = rows_.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("n"))
+        w = (
+            Window.partitionBy("event_type")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return g.select(
+            "event_type",
+            col,
+            (
+                2 * F.coalesce(F.sum("n").over(w), F.lit(0)) + F.col("n") + 1
+            ).alias(f"r{col}2"),
+        )
+
+    j = rows_.join(rank2("x"), ["event_type", "x"]).join(
+        rank2("y"), ["event_type", "y"]
+    )
+    s = j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx2").alias("sx"),
+        F.sum("ry2").alias("sy"),
+        F.sum(F.col("rx2") * F.col("ry2")).alias("sxy"),
+        F.sum(F.col("rx2") * F.col("rx2")).alias("sxx"),
+        F.sum(F.col("ry2") * F.col("ry2")).alias("syy"),
+    )
+    n, sx, sy, sxy, sxx, syy = (
+        F.col(c) for c in ["n", "sx", "sy", "sxy", "sxx", "syy"]
+    )
+    rho = (n * sxy - sx * sy) / (
+        F.sqrt((n * sxx - sx * sx).cast("double"))
+        * F.sqrt((n * syy - sy * sy).cast("double"))
+    )
+    return s.select(
+        "event_type",
+        n.cast("long").alias("n"),
+        F.round(rho, 6).alias("spearman"),
+    ).orderBy("event_type")
