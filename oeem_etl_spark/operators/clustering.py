@@ -337,6 +337,12 @@ def pq_train(
     seed_rows = (
         qdf.orderBy(key).limit(k_codes).collect()
     )  # k rows — driver-held by design
+    if len(seed_rows) < k_codes:
+        raise ValueError(
+            f"pq_train needs at least k_codes={k_codes} input rows to seed "
+            f"the codebooks; got {len(seed_rows)} — lower k_codes or feed "
+            f"more vectors"
+        )
     books: list[list[list[int]]] = [
         [list(r["__qvfull"])[j * sub : (j + 1) * sub] for r in seed_rows]
         for j in range(m)

@@ -224,4 +224,8 @@ def label_propagation(
             .select("node", "label")
             .localCheckpoint()
         )
+    # the final labels are materialized by the eager localCheckpoint above,
+    # so the cached edge list is no longer needed — release it rather than
+    # accumulating cached plans across calls in one session (ADVICE r4)
+    und.unpersist()
     return labels

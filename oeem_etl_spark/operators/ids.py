@@ -37,7 +37,16 @@ def dense_ids(
     buckets: int = 64,
     start: int = 0,
 ) -> DataFrame:
-    """(key, id): contiguous ids ``start..start+N-1`` in key rank order."""
+    """(key, id): contiguous ids ``start..start+N-1`` in key rank order.
+
+    Caching contract: the distinct-key frame is persisted (MEMORY_AND_DISK)
+    because both the per-bucket count and the final join re-evaluate it and
+    the bucket assignment must not be recomputed differently between them.
+    The returned frame still REFERENCES that cache, so it cannot be
+    unpersisted here; it is released when the session evicts it or on
+    ``spark.catalog.clearCache()`` (what tools/scale_probe.py does between
+    probes). Callers running many dense_ids builds in one long session
+    should clearCache() between builds."""
     d = (
         df.select(key)
         .where(F.col(key).isNotNull())

@@ -21,10 +21,25 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _check_width(n_cols: int, bits: int) -> None:
+    # the interleaved key must fit a SIGNED 64-bit int: bit position
+    # (bits-1)*d + d-1 = d*bits - 1 must stay <= 62, else F.lit(1 << 63)
+    # overflows Spark's LongType while DuckDB silently widens the same
+    # literal to HUGEINT — a cross-engine divergence, so fail loudly here.
+    if n_cols * bits > 63:
+        raise ValueError(
+            f"z-order key needs {n_cols} cols x {bits} bits = "
+            f"{n_cols * bits} interleaved bits; max is 63 (signed 64-bit "
+            f"key) — lower `bits` or drop columns"
+        )
+
+
 def zorder_key(cols: list[str], bits: int = 16) -> Column:
     """Morton code of ``cols`` (each assumed in [0, 2^bits)): bit j of
     cols[i] lands at interleaved position j·d + i. Division/modulo form
-    (no bitwise ops) so the identical arithmetic runs in any SQL engine."""
+    (no bitwise ops) so the identical arithmetic runs in any SQL engine.
+    Requires ``len(cols) * bits <= 63`` (signed-64 key)."""
+    _check_width(len(cols), bits)
     d = len(cols)
     terms = []
     for i, c in enumerate(cols):
@@ -39,7 +54,9 @@ def zorder_key(cols: list[str], bits: int = 16) -> Column:
 
 
 def sql_zorder_key(cols: list[str], bits: int = 16) -> str:
-    """The DuckDB/ANSI twin of :func:`zorder_key` (same arithmetic)."""
+    """The DuckDB/ANSI twin of :func:`zorder_key` (same arithmetic).
+    Requires ``len(cols) * bits <= 63`` (signed-64 key)."""
+    _check_width(len(cols), bits)
     d = len(cols)
     terms = [
         f"((CAST({c} AS BIGINT) // {1 << j}) % 2) * {1 << (j * d + i)}"

@@ -242,7 +242,10 @@ def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
 
         w, h, px = webpcodec.decode_webp(bytes(content))
         return w, h, px[:, :, :3]
-    if content[:2] in (b"II", b"MM") and len(content) >= 4:
+    # full 4-byte TIFF magic (byte order + the 42): a 2-byte 'II'/'MM'
+    # sniff would swallow unrelated formats into decode_tiff's ValueError
+    # instead of the directed NotImplementedError below (ADVICE r4)
+    if content[:4] in (b"II*\x00", b"MM\x00*"):
         return imagecodec.decode_tiff(bytes(content))
     raise NotImplementedError(
         f"no pure-Python decoder for magic {bytes(content[:4])!r}; "

@@ -711,7 +711,7 @@ def h18_fuzzy_join_dist2(spark, sf_dir):
       FROM folded
     )
     SELECT code,
-           array_agg(tok ORDER BY tok) AS toks,
+           array_to_string(array_agg(tok ORDER BY tok), ',') AS toks,
            COUNT(*) AS n
     FROM coded GROUP BY code ORDER BY code
     """,
@@ -733,7 +733,7 @@ def h19_soundex_blocking(spark, sf_dir):
     )
     return (
         toks.groupBy(F.soundex(F.upper("tok")).alias("code"))
-        .agg(F.array_sort(F.collect_set("tok")).alias("toks"),
+        .agg(F.array_join(F.array_sort(F.collect_set("tok")), ",").alias("toks"),
              F.count(F.lit(1)).alias("n"))
         .orderBy("code")
     )

@@ -1081,9 +1081,10 @@ def l2e_simhash_oracle(spark, sf_dir):
     sql="""
     SELECT vec_id,
            round(CASE WHEN m > 0 THEN 127.0 / m ELSE 0.0 END, 6) AS qscale_r,
-           list_transform(e, x -> CAST(round(x * (CASE WHEN m > 0 THEN 127.0 / m
-                                                       ELSE 0.0 END)) AS TINYINT))
-             AS qvec
+           array_to_string(
+             list_transform(e, x -> CAST(round(x * (CASE WHEN m > 0 THEN 127.0 / m
+                                                         ELSE 0.0 END)) AS TINYINT)),
+             ',') AS qvec
     FROM (
       SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS m
       FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
@@ -1101,8 +1102,14 @@ def l23_quantize_int8(spark, sf_dir):
 
     emb = T(spark, sf_dir, "embeddings")
     out = quantize_int8(emb, "vec_id", "embedding")
+    # qvec flattened to CSV: the driver's pandas canonicalizer cannot
+    # sort/hash array cells (the h19/d5 rule, tests/test_oracle.py gate).
     return out.select(
-        "vec_id", F.round("qscale", 6).alias("qscale_r"), "qvec"
+        "vec_id",
+        F.round("qscale", 6).alias("qscale_r"),
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")), ",").alias(
+            "qvec"
+        ),
     )
 
 

@@ -567,3 +567,11 @@ def test_pq_adc_distance_is_lut_sum(spark, sf_dir):
 def test_pq_train_rejects_bad_dim():
     with pytest.raises(ValueError):
         clustering.pq_train(None, "vec_id", m=7, dim=64)
+
+
+def test_pq_train_rejects_fewer_rows_than_codes(spark):
+    # seeding takes the k_codes smallest keys; fewer input rows used to
+    # surface as an opaque IndexError deep in the codebook lookup
+    emb = _emb(spark, [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(3)])
+    with pytest.raises(ValueError, match="k_codes"):
+        clustering.pq_train(emb, "vec_id", "embedding", dim=4, m=2, k_codes=8)

@@ -53,3 +53,20 @@ def test_zorder_layout_partitions_own_disjoint_ranges(spark):
     assert len(per) > 1
     for a, b in zip(per, per[1:]):
         assert a["hi"] < b["lo"]
+
+
+def test_zorder_key_rejects_64bit_overflow():
+    # 4 cols x 16 bits puts a bit at position 63 — signed-long overflow in
+    # Spark, HUGEINT widening in DuckDB (cross-engine divergence). Both
+    # builders must refuse loudly.
+    import pytest
+
+    from oeem_etl_spark.operators.layout import sql_zorder_key
+
+    with pytest.raises(ValueError, match="63"):
+        zorder_key(["a", "b", "c", "d"], bits=16)
+    with pytest.raises(ValueError, match="63"):
+        sql_zorder_key(["a", "b", "c", "d"], bits=16)
+    # 63 bits exactly is fine (bit positions 0..62)
+    zorder_key(["a", "b", "c"], bits=21)
+    assert "BIGINT" in sql_zorder_key(["a", "b", "c"], bits=21)

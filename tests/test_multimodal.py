@@ -667,3 +667,17 @@ def test_tiff_big_endian_and_multistrip():
     w2, h2, rgb = ic.decode_tiff(bytes(out))
     assert (w2, h2) == (w, h)
     assert (rgb[:, :, 0] == px).all() and (rgb[:, :, 1] == px).all()
+
+
+def test_decode_image_requires_full_tiff_magic():
+    # 'II'/'MM' prefixes without the 42 magic are NOT TIFF (e.g. arbitrary
+    # binary starting 'MM'): must raise the directed NotImplementedError
+    # listing the codec boundary, not decode_tiff's 'bad TIFF magic'.
+    for payload in (b"IIXX\x00\x00\x00\x00", b"MMagic-not-tiff!"):
+        with pytest.raises(NotImplementedError):
+            mm.decode_image(payload)
+    # real TIFF magics still dispatch (and fail deeper for truncated data)
+    for payload in (b"II*\x00", b"MM\x00*"):
+        with pytest.raises(Exception) as ei:
+            mm.decode_image(payload + b"\x00" * 4)
+        assert not isinstance(ei.value, NotImplementedError)

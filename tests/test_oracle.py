@@ -124,6 +124,27 @@ def _rows(colnames, records):
 def test_oracle_match(name, spark, duck, sf_dir):
     q = ALL[name]
     sdf = q.fn(spark, sf_dir)
+
+    # Driver-canonicalizer gate (VERDICT r4 task #2): the driver hashes
+    # results through pandas (name-sorted columns -> sort_values over all
+    # columns -> value hash), and Array/Map/Struct cells materialize as
+    # numpy.ndarray / dict / Row — unhashable/unorderable there (how
+    # h19_soundex_blocking erred in CORRECTNESS_r04 while the repr-based
+    # local sweep stayed green). Oracle-checked output must be flat:
+    # array_join / to_json the column instead (the d5_collect_list idiom).
+    from pyspark.sql import types as S
+
+    nested = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (S.ArrayType, S.MapType, S.StructType))
+    ]
+    assert not nested, (
+        f"{name}: oracle-checked output has nested columns {nested} — the "
+        f"driver's pandas canonicalizer cannot sort/hash them; flatten with "
+        f"array_join/to_json on BOTH engine and oracle sides"
+    )
+
     spark_cols = sdf.columns
     spark_recs = [tuple(r) for r in sdf.collect()]
 
