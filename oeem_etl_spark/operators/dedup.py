@@ -295,7 +295,10 @@ def minhash_lsh_dedup(
         F.col("jaccard") >= threshold
     )
 
-    labels = connected_components(
+    # contraction CC is the default (VERDICT r4 #4): O(log d) rounds vs
+    # min-label's O(d) — 4.3x vs 7.56x at the 10x scale probe — and the
+    # same (node, label=component-min) contract, so results are identical
+    labels = connected_components_contraction(
         verified.select("key_a", "key_b"), max_rounds=max_rounds
     )
     # survivors: cluster representative (label == node) or never-clustered

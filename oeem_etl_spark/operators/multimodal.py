@@ -217,7 +217,13 @@ def decode_image(content: bytes) -> tuple[int, int, np.ndarray]:
     third-party libraries (operators/imagecodec.py, webpcodec.py,
     vp8codec.py); grayscale replicates to RGB and alpha is dropped.
     Formats that genuinely need external codecs (MP3/H.264) raise —
-    that boundary is honest, the mapInPandas dataflow is identical."""
+    that boundary is honest, the mapInPandas dataflow is identical.
+
+    Lossy-WebP boundary (loud, not silent): the VP8 probability/dequant
+    tables are documented deterministic STAND-INS, so only streams from
+    THIS repo's encoder (which stamps the version-3 dialect marker)
+    decode; real-world VP8 (version 0-2, e.g. cwebp output) raises
+    NotImplementedError instead of mis-decoding to garbage."""
     from . import imagecodec
 
     if content[:2] == b"P6":

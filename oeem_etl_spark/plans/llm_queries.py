@@ -2128,7 +2128,9 @@ def l50_neardup_canonical(spark, sf_dir):
     edges = dedup.prefix_filter_jaccard_join(docs, "doc_id", "text", 0.5).select(
         "key_a", "key_b"
     )
-    lab = dedup.connected_components(edges)
+    # contraction CC: O(log d) rounds, default for unknown topology
+    # (VERDICT r4 #4); identical labels to min-label propagation
+    lab = dedup.connected_components_contraction(edges)
     ranked = lab.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     ).withColumn(
@@ -2247,7 +2249,8 @@ def l52_dedup_aware_split(spark, sf_dir):
     edges = dedup.prefix_filter_jaccard_join(docs, "doc_id", "text", 0.5).select(
         "key_a", "key_b"
     )
-    lab = dedup.connected_components(edges)
+    # contraction CC, same labels, O(log d) rounds (VERDICT r4 #4)
+    lab = dedup.connected_components_contraction(edges)
     keyed = docs.join(
         lab.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
     ).select(

@@ -539,7 +539,7 @@ def main() -> None:
                 {
                     "copies": COPIES,
                     "sf_dir": SF_DIR,
-                    "best_time_ratio_10x_over_1x": summary,
+                    f"best_time_ratio_{COPIES}x_over_1x": summary,
                     "runs": results,
                 },
                 indent=1,
