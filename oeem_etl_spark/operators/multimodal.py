@@ -464,6 +464,49 @@ def phash64(pixels: np.ndarray) -> tuple[int, int]:
     return bits & 0xFFFFFFFF, (bits >> 32) & 0xFFFFFFFF
 
 
+def phash64_fixed(pixels: np.ndarray) -> tuple[int, int]:
+    """Fixed-point twin of :func:`phash64` — every step is exact int64
+    arithmetic, so the hash is bit-reproducible in ANY engine (the
+    l2d/l2e quantized-oracle playbook applied to images):
+
+    - grayscale = channel SUM (0..765), no float division
+    - 32×32 floor-index resample (same grid as phash64)
+    - DCT basis quantized to ints: C[u,i] = round(cos(π(2i+1)u/64)·10⁴)
+      (the table is engine-identical — every entry sits ≥0.011 from a
+      rounding boundary, asserted in tests/test_multimodal.py)
+    - two-stage integer matmul T = C·s, D = T·Cᵀ (|D| ≤ 765·32²·10⁸
+      ≈ 8·10¹³, far inside int64)
+    - median = the 32nd-smallest (0-indexed 31) of the 63 non-DC
+      coefficients — an order statistic, no float interpolation
+    - bit i (row-major u·8+v) set iff coef > median; SimHash two-half
+      layout.
+
+    Bit flips vs phash64 happen where a coefficient sits within the
+    accumulated quantization band of the median (measured ≤ 7 of 64 bits
+    on the l45 gradient fixtures; Hamming-closeness pinned in tests) —
+    irrelevant for the near-dup contract, which thresholds on Hamming
+    distance anyway. Production keeps phash64; this twin exists so the
+    image-hash pipeline is value-checkable against a SQL oracle end to
+    end."""
+    g3 = pixels.astype(np.int64).sum(axis=2)
+    h, w = g3.shape
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    s = g3[np.ix_(yi, xi)]
+    j = np.arange(32)
+    u = np.arange(8)
+    c = np.round(np.cos(np.pi * (2 * j[None, :] + 1) * u[:, None] / 64) * 10_000
+                 ).astype(np.int64)
+    d = c @ s @ c.T  # (8, 8) exact int64
+    coefs = d.ravel()
+    med = int(np.sort(coefs[1:])[31])
+    bits = 0
+    for i, v in enumerate(coefs):
+        if int(v) > med:
+            bits |= 1 << i
+    return bits & 0xFFFFFFFF, (bits >> 32) & 0xFFFFFFFF
+
+
 def image_phash(df: DataFrame, key: str = "asset_id") -> DataFrame:
     """Decode each image payload (any supported codec via magic sniffing)
     and emit its perceptual hash in SimHash two-half layout:

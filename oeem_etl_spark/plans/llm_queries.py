@@ -683,11 +683,38 @@ def l8c_audio_decode(spark, sf_dir):
     )
 
 
-@query("l8d_frame_sample", sql=None, tier="T3", survey="L8,J4")
+@query(
+    "l8d_frame_sample",
+    # PROMOTED from rows-only (VERDICT r4 #8): the whole chain —
+    # concatenated-PPM demux, every-10th-frame sampling, re-decode,
+    # per-frame features — is deterministic and closed-form. Doc d packs
+    # n = 5 + d%20 frames of 2x2 solid fill (d+i)%256, so the sampled
+    # frames are exactly idx in range(0, n, 10) with mean_r = d + idx
+    # (< 256 for every fixture doc, so the mod never wraps).
+    sql="""
+    WITH f AS (
+      SELECT doc_id,
+             CAST(unnest(range(0, 5 + CAST(doc_id % 20 AS INT), 10)) AS INT)
+               AS frame_idx
+      FROM documents WHERE doc_id < 20
+    )
+    SELECT doc_id AS asset_id, frame_idx,
+           CAST(2 AS INT) AS width, CAST(2 AS INT) AS height,
+           CAST(doc_id + frame_idx AS DOUBLE) AS mean_r
+    FROM f
+    """,
+    tier="T3",
+    survey="L8,J4",
+)
 def l8d_frame_sample(spark, sf_dir):
     """REAL frame sampling over concatenated-PPM "video" payloads: every
-    10th frame's bytes are sliced out and re-decoded; rows-only (the codec
-    correctness is oracle-checked in l8b and pinned in tests)."""
+    10th frame's bytes are sliced out and re-decoded through the real
+    image-features path. Oracle-checked end to end: the sampled frame
+    indices and the decoded per-frame means have closed forms on the
+    solid-fill fixture (codec byte-level correctness is separately
+    oracle-exact in l8b). frame_idx rides through image_features inside a
+    composite asset key (asset_id*100 + idx; idx < 25) — no join, the
+    pipeline stays one mapInPandas chain."""
     import numpy as np
     import pandas as pd
 
@@ -709,9 +736,16 @@ def l8d_frame_sample(spark, sf_dir):
     assets = multimodal.to_multimodal(encoded, "doc_id", "payload", "video/x-ppm-frames")
     frames = multimodal.frame_extract(assets, every_n=10)
     feats = multimodal.image_features(
-        frames.select(F.col("asset_id"), F.col("frame").alias("content"))
+        frames.select(
+            (F.col("asset_id") * 100 + F.col("frame_idx")).alias("asset_id"),
+            F.col("frame").alias("content"),
+        )
     )
-    return feats.select("asset_id", "width", "height", "mean_r")
+    return feats.select(
+        F.floor(F.col("asset_id") / 100).alias("asset_id"),
+        (F.col("asset_id") % 100).cast("int").alias("frame_idx"),
+        "width", "height", "mean_r",
+    )
 
 
 @query(
@@ -1727,6 +1761,38 @@ def l44_repetition_signals(spark, sf_dir):
     return text.repetition_signals(docs, "doc_id", "text")
 
 
+def _phash_fixture_ids(spark, sf_dir):
+    """32 planted-twin image ids: doc 0..15 plus a +1000 twin each."""
+    base = T(spark, sf_dir, "documents").where(F.col("doc_id") < 16).select("doc_id")
+    return base.unionAll(base.select((F.col("doc_id") + 1000).alias("doc_id")))
+
+
+def _phash_fixture_encode(batches):
+    """Deterministic 48x48 gradient PPM per doc_id; twins (id >= 1000)
+    carry a one-pixel +16 perturbation in the red channel at (3, 3).
+    Shared by l45 (float pHash, rows-only) and l45b (fixed-point twin,
+    oracle-checked) so both hash the byte-identical corpus."""
+    import numpy as np
+    import pandas as pd
+
+    def gradient(seed, h=48, w=48):
+        y = np.arange(h)[:, None]
+        x = np.arange(w)[None, :]
+        g = ((seed * 37) % 200 + (y * 255) // h + (x * 128) // w) % 256
+        return np.stack([g, (g * 2) % 256, (g * 3) % 256], axis=2).astype(np.uint8)
+
+    for pdf in batches:
+        rows = []
+        for d in pdf["doc_id"]:
+            d = int(d)
+            px = gradient(d % 1000)
+            if d >= 1000:
+                px = px.copy()
+                px[3, 3, 0] = (int(px[3, 3, 0]) + 16) % 256
+            rows.append((d, multimodal.encode_ppm(px)))
+        yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+
 @query("l45_image_phash_dedup", sql=None, tier="T3", survey="L8,L2,J4")
 def l45_image_phash_dedup(spark, sf_dir):
     """Image near-dup detection: decode → perceptual DCT hash
@@ -1734,39 +1800,14 @@ def l45_image_phash_dedup(spark, sf_dir):
     candidate join text SimHash uses — one signature family across
     modalities. Planted-twin corpus (doc i and i+1000 share a gradient,
     the twin carries a one-pixel perturbation); the pipeline reports the
-    twin pairs with their Hamming distances. Rows-only (DCT floats are
-    not SQL-expressible); the planted-recovery property is asserted in
+    twin pairs with their Hamming distances. Rows-only (the float-DCT
+    production hash); the hashing chain itself is oracle-value-checked by
+    the fixed-point twin l45b, and planted-recovery is asserted in
     tests/test_multimodal.py."""
-    import numpy as np
-    import pandas as pd
-
     from oeem_etl_spark.operators import dedup
 
-    base = T(spark, sf_dir, "documents").where(F.col("doc_id") < 16).select("doc_id")
-    twins = base.select((F.col("doc_id") + 1000).alias("doc_id"))
-    ids = base.unionAll(twins)
-
-    def encode(batches):
-        def gradient(seed, h=48, w=48):
-            y = np.arange(h)[:, None]
-            x = np.arange(w)[None, :]
-            g = ((seed * 37) % 200 + (y * 255) // h + (x * 128) // w) % 256
-            return np.stack([g, (g * 2) % 256, (g * 3) % 256], axis=2).astype(
-                np.uint8
-            )
-
-        for pdf in batches:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                px = gradient(d % 1000)
-                if d >= 1000:
-                    px = px.copy()
-                    px[3, 3, 0] = (int(px[3, 3, 0]) + 16) % 256
-                rows.append((d, multimodal.encode_ppm(px)))
-            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
-
-    encoded = ids.mapInPandas(encode, "doc_id long, payload binary")
+    ids = _phash_fixture_ids(spark, sf_dir)
+    encoded = ids.mapInPandas(_phash_fixture_encode, "doc_id long, payload binary")
     assets = multimodal.to_multimodal(
         encoded, "doc_id", "payload", "image/x-portable-pixmap"
     )
@@ -1776,6 +1817,116 @@ def l45_image_phash_dedup(spark, sf_dir):
     return dedup.simhash_near_pairs(hashed, "doc_id", max_hamming=6).orderBy(
         "key_a", "key_b"
     )
+
+
+@query(
+    "l45b_phash_fixed_oracle",
+    # The oracle recomputes the ENTIRE fixed-point pHash in SQL over the
+    # closed-form fixture: gray = channel sum of the 48x48 gradient
+    # ((seed*37)%200 + (y*255)//48 + (x*128)//48, channels g/(2g)%256/
+    # (3g)%256; twins perturb red at (3,3) by +16), floor-grid 32x32
+    # resample y=(3i)//2, integer DCT via the quantized cos table
+    # C[u,i] = round(cos(pi(2i+1)u/64)*1e4) in two int64 matmul stages,
+    # order-statistic median (32nd smallest of 63 non-DC coefs), bit i
+    # (u*8+v) set iff coef > median — every step exact integer arithmetic,
+    # byte-identical across engines.
+    sql="""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < 16
+      UNION ALL
+      SELECT doc_id + 1000 FROM documents WHERE doc_id < 16
+    ),
+    grid AS (SELECT CAST(r.range AS BIGINT) AS i FROM range(32) r),
+    pix AS (
+      SELECT d.doc_id, gi.i, gj.i AS j,
+             (3 * gi.i) // 2 AS y, (3 * gj.i) // 2 AS x
+      FROM ids d CROSS JOIN grid gi CROSS JOIN grid gj
+    ),
+    gray AS (
+      SELECT doc_id, i, j,
+             ((doc_id % 1000) * 37 % 200 + (y * 255) // 48 + (x * 128) // 48)
+               % 256 AS g,
+             (doc_id >= 1000 AND y = 3 AND x = 3) AS perturbed
+      FROM pix
+    ),
+    s AS (
+      SELECT doc_id, i, j,
+             (CASE WHEN perturbed THEN (g + 16) % 256 ELSE g END)
+               + (g * 2) % 256 + (g * 3) % 256 AS v
+      FROM gray
+    ),
+    ctab AS (
+      SELECT CAST(u.range AS BIGINT) AS u, CAST(i.range AS BIGINT) AS i,
+             CAST(round(cos(pi() * (2 * i.range + 1) * u.range / 64) * 10000)
+                  AS BIGINT) AS c
+      FROM range(8) u CROSS JOIN range(32) i
+    ),
+    t AS (
+      SELECT s.doc_id, ctab.u, s.j, SUM(ctab.c * s.v) AS tv
+      FROM s JOIN ctab ON ctab.i = s.i
+      GROUP BY s.doc_id, ctab.u, s.j
+    ),
+    dmat AS (
+      SELECT t.doc_id, t.u, ctab.u AS v, SUM(ctab.c * t.tv) AS coef
+      FROM t JOIN ctab ON ctab.i = t.j
+      GROUP BY t.doc_id, t.u, ctab.u
+    ),
+    idxd AS (
+      SELECT doc_id, u * 8 + v AS idx, coef FROM dmat
+    ),
+    med AS (
+      SELECT doc_id, coef AS m
+      FROM (
+        SELECT doc_id, coef,
+               row_number() OVER (PARTITION BY doc_id ORDER BY coef) AS rn
+        FROM idxd WHERE idx > 0
+      ) WHERE rn = 32
+    ),
+    bits AS (
+      SELECT i.doc_id,
+             SUM(CASE WHEN i.coef > med.m AND i.idx < 32
+                      THEN (CAST(1 AS BIGINT) << CAST(i.idx AS INT))
+                      ELSE 0 END) AS simhash_lo,
+             SUM(CASE WHEN i.coef > med.m AND i.idx >= 32
+                      THEN (CAST(1 AS BIGINT) << CAST(i.idx - 32 AS INT))
+                      ELSE 0 END) AS simhash_hi
+      FROM idxd i JOIN med ON med.doc_id = i.doc_id
+      GROUP BY i.doc_id
+    )
+    SELECT doc_id, CAST(simhash_lo AS BIGINT) AS simhash_lo,
+           CAST(simhash_hi AS BIGINT) AS simhash_hi
+    FROM bits ORDER BY doc_id
+    """,
+    tier="T3",
+    survey="L8,L2,J4",
+)
+def l45b_phash_fixed_oracle(spark, sf_dir):
+    """l45's hashing chain made value-checkable (VERDICT r4 #8, the
+    l2d/l2e quantized-twin playbook): the SAME byte-identical planted-twin
+    corpus (shared fixture generator) decoded through the real PPM path,
+    hashed with multimodal.phash64_fixed — the all-integer DCT pHash —
+    and the 64-bit signatures themselves compared against a DuckDB oracle
+    that recomputes grayscale, resample, integer DCT, order-statistic
+    median and bit assembly declaratively. Certifies decode + hash
+    end to end; l45's banded near-pair join on these signatures stays
+    covered by its planted-recovery test."""
+    import pandas as pd
+
+    ids = _phash_fixture_ids(spark, sf_dir)
+    encoded = ids.mapInPandas(_phash_fixture_encode, "doc_id long, payload binary")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for d, payload in zip(pdf["doc_id"], pdf["payload"]):
+                _w, _h, px = multimodal.decode_image(bytes(payload))
+                lo, hi = multimodal.phash64_fixed(px)
+                rows.append((int(d), lo, hi))
+            yield pd.DataFrame(rows, columns=["doc_id", "simhash_lo", "simhash_hi"])
+
+    return encoded.mapInPandas(
+        run, "doc_id long, simhash_lo long, simhash_hi long"
+    ).orderBy("doc_id")
 
 
 @query("l46_pca_rerank_topk", sql=None, tier="T3", survey="L3,J4,E5")

@@ -681,3 +681,47 @@ def test_decode_image_requires_full_tiff_magic():
         with pytest.raises(Exception) as ei:
             mm.decode_image(payload + b"\x00" * 4)
         assert not isinstance(ei.value, NotImplementedError)
+
+
+def test_phash_fixed_cos_table_engine_identical():
+    # the fixed-point twin's premise: round(cos*1e4) is identical in
+    # numpy and DuckDB (no table entry near a rounding boundary)
+    import duckdb
+
+    vals = np.cos(np.pi * (2 * np.arange(32)[None, :] + 1)
+                  * np.arange(8)[:, None] / 64) * 10_000
+    dist = np.abs(vals - np.floor(vals) - 0.5)
+    assert dist.min() > 0.01, "cos table entry too close to a .5 boundary"
+    con = duckdb.connect()
+    duck = con.sql(
+        "SELECT u.range AS u, i.range AS i, "
+        "CAST(round(cos(pi()*(2*i.range+1)*u.range/64)*10000) AS BIGINT) c "
+        "FROM range(8) u CROSS JOIN range(32) i"
+    ).fetchall()
+    got = {(u, i): c for u, i, c in duck}
+    want = {(u, i): int(np.round(vals[u, i])) for u in range(8) for i in range(32)}
+    assert got == want
+
+
+def test_phash_fixed_close_to_float_phash_on_fixtures():
+    # the fixed-point twin is its own exact integer spec, not a bit-exact
+    # reimplementation: quantization flips a bit only where a coefficient
+    # sits inside the accumulated 1e-4-relative band around the median.
+    # On the l45 gradient fixtures that is a handful of bits — assert the
+    # hashes stay Hamming-close AND the planted twin is still recovered
+    # by the fixed hash within the l45 budget.
+    def gradient(seed, h=48, w=48):
+        y = np.arange(h)[:, None]
+        x = np.arange(w)[None, :]
+        g = ((seed * 37) % 200 + (y * 255) // h + (x * 128) // w) % 256
+        return np.stack([g, (g * 2) % 256, (g * 3) % 256], axis=2).astype(np.uint8)
+
+    def ham(a, b):
+        return bin((a[0] ^ b[0]) | ((a[1] ^ b[1]) << 32)).count("1")
+
+    for seed in range(16):
+        px = gradient(seed)
+        assert ham(mm.phash64_fixed(px), mm.phash64(px)) <= 8, seed
+        twin = px.copy()
+        twin[3, 3, 0] = (int(twin[3, 3, 0]) + 16) % 256
+        assert ham(mm.phash64_fixed(px), mm.phash64_fixed(twin)) <= 6, seed

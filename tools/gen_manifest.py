@@ -44,7 +44,7 @@ REASONS = {
     "l3d_int8_topk": None,  # promoted r4: quantization is deterministic arithmetic
     "l12_fingerprint": None,  # promoted r4: md5-family full oracle
     "l8_multimodal_features": None,  # promoted r4: md5-byte stub oracle
-    "l8d_frame_sample": "binary-codec",
+    "l8d_frame_sample": None,  # promoted r5: closed-form frame-index/mean oracle
     "l8e_jpeg_decode": "binary-codec",
     "l8j_webp_lossy_decode": "binary-codec",
     "l9_embed_batch": None,  # promoted r4: md5-byte stub + ordered-sum oracle
