@@ -164,11 +164,75 @@ def l22_repetition_stats(spark, sf_dir):
     )
 
 
-@query("l20b_pack_no_straddle", sql=None, tier="T3", survey="J3,E3")
+@query(
+    "l20b_pack_no_straddle",
+    # PROMOTED from rows-only (VERDICT r4 #8): FFD IS SQL-expressible as a
+    # list_reduce fold (the h19-soundex playbook, scaled up). Per source,
+    # items sort (tokens DESC, doc_id ASC) and fold over a flat BIGINT
+    # state [k, a_1..a_k, caps...]: acc[1]=items processed, acc[2:k+1]
+    # their pack ids, the tail = remaining capacity per open pack. Each
+    # step either opens a pack (oversize tok>=256 -> cap 0; or no first
+    # fit: list_position(...)=0 -> cap 256-tok) or decrements the first
+    # fitting pack via an index lambda. NOTE the accumulator is a plain
+    # list on purpose: DuckDB 1.0's list_reduce mis-binds STRUCT
+    # accumulator fields referenced multiple times in one lambda.
+    sql="""
+    WITH items AS (
+      SELECT source, doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+      FROM documents
+    ),
+    grouped AS (
+      SELECT source,
+             list(struct_pack(doc_id := doc_id, tok := n_tokens)
+                  ORDER BY n_tokens DESC, doc_id ASC) AS its
+      FROM items GROUP BY source
+    ),
+    folded AS (
+      SELECT source, its,
+        list_reduce(
+          list_prepend(CAST([0] AS BIGINT[]),
+                       list_transform(its, t -> [t.tok]::BIGINT[])),
+          (acc, x) -> CASE
+            WHEN x[1] >= 256 OR list_position(list_transform(
+                   acc[CAST(acc[1] AS INT)+2:], c -> c >= x[1]), true) = 0
+            THEN list_concat(
+                   list_concat(
+                     list_prepend(acc[1]+1, acc[2:CAST(acc[1] AS INT)+1]),
+                     [CAST(len(acc) - acc[1] - 1 AS BIGINT)]),
+                   list_append(acc[CAST(acc[1] AS INT)+2:],
+                               CAST(CASE WHEN x[1] >= 256 THEN 0
+                                         ELSE 256 - x[1] END AS BIGINT)))
+            ELSE list_concat(
+                   list_concat(
+                     list_prepend(acc[1]+1, acc[2:CAST(acc[1] AS INT)+1]),
+                     [list_position(list_transform(
+                        acc[CAST(acc[1] AS INT)+2:], c -> c >= x[1]), true) - 1]),
+                   list_transform(acc[CAST(acc[1] AS INT)+2:], (c, i) ->
+                     CASE WHEN i = list_position(list_transform(
+                            acc[CAST(acc[1] AS INT)+2:], c2 -> c2 >= x[1]), true)
+                          THEN c - x[1] ELSE c END))
+          END) AS st
+      FROM grouped
+    ),
+    flat AS (
+      SELECT source, unnest(its) AS it,
+             unnest(st[2:CAST(st[1] AS INT)+1]) AS pack_id
+      FROM folded
+    )
+    SELECT source, it.doc_id AS doc_id, it.tok AS n_tokens, pack_id,
+           it.tok >= 256 AS oversize
+    FROM flat
+    """,
+    tier="T3",
+    survey="J3,E3",
+)
 def l20b_pack_no_straddle(spark, sf_dir):
     """No-straddle first-fit-decreasing packing per source shard
-    (applyInPandas grouped-map; FFD is deterministic but not
-    SQL-expressible → rows-only; exact fixtures in tests/test_corpus.py)."""
+    (applyInPandas grouped-map). FFD is deterministic — (tokens desc, key
+    asc) processing order — so the per-document pack assignment is
+    oracle-checked end to end against a DuckDB list_reduce fold of the
+    same spec; exact fixtures additionally pinned in tests/test_corpus.py."""
     from oeem_etl_spark.operators.corpus import pack_sequences_no_straddle
 
     docs = T(spark, sf_dir, "documents").select(

@@ -59,7 +59,7 @@ REASONS = {
     "d15_hll_mergeable_rollup": "approx-sketch",
     "d20_kll_quantile_rollup": "approx-sketch",
     "g7_theta_distinct_algebra": "approx-sketch",
-    "l20b_pack_no_straddle": "greedy-packing-order",
+    "l20b_pack_no_straddle": None,  # promoted r5: list_reduce FFD fold oracle
 }
 
 
