@@ -185,3 +185,78 @@ def token_counts(
         .groupBy(key)
         .agg(F.sum("n_syms").alias("bpe_tokens"))
     )
+
+
+def apply_merges(syms: Column | str, merges: list[tuple]) -> Column:
+    """Fold a trained merge table (in training order) over a symbol array.
+
+    Each rule is one :func:`merge_expr` pass — greedy left-to-right,
+    non-overlapping — so the chain reproduces exactly what training did
+    to in-vocabulary words and extends it to unseen ones (the defining
+    property of BPE apply). Pure nested JVM lambdas: n_merges stacked
+    ``aggregate`` expressions, no Python in the data plane. Merge rows
+    may be (step, left, right, count) tuples from :func:`bpe_train` or
+    bare (left, right) pairs.
+    """
+    col = F.col(syms) if isinstance(syms, str) else syms
+    for row in merges:
+        lft, rgt = (row[1], row[2]) if len(row) >= 3 else (row[0], row[1])
+        col = merge_expr(col, lft, rgt)
+    return col
+
+
+def bpe_encode(
+    docs: DataFrame,
+    merges: list[tuple],
+    key: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Tokenize text under a trained merge list -> (key, bpe_text,
+    n_tokens), where bpe_text is the space-joined token sequence in
+    original word order (END_MARK kept, the reversible form).
+
+    Scale shape: the merge chain runs once per DISTINCT word (a
+    vocabulary-sized map-only rewrite — the same posture as training's
+    merge rounds), then a broadcast join decorates the corpus's
+    (doc, position, word) stream and a single hash agg reassembles
+    per-document sequences. The corpus text is scanned once and never
+    carries symbol arrays through a shuffle; out-of-vocabulary words cost
+    the same as vocabulary words (the rules, not a lookup table, define
+    the tokenizer).
+    """
+    doc_words = docs.select(
+        F.col(key),
+        F.posexplode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(WORD_RE), 0)
+        ).alias("pos", "word"),
+    )
+    vocab = doc_words.select("word").distinct()
+    vocab = vocab.select(
+        "word",
+        apply_merges(
+            F.concat(
+                F.regexp_extract_all("word", F.lit("."), 0),
+                F.array(F.lit(END_MARK)),
+            ),
+            merges,
+        ).alias("toks"),
+    )
+    per_word = doc_words.join(F.broadcast(vocab), "word")
+    agg = per_word.groupBy(key).agg(
+        F.array_sort(F.collect_list(F.struct("pos", "toks"))).alias("seq")
+    )
+    return docs.select(key).join(agg, key, "left").select(
+        key,
+        F.coalesce(
+            F.array_join(
+                F.flatten(F.expr("transform(seq, s -> s.toks)")), " "
+            ),
+            F.lit(""),
+        ).alias("bpe_text"),
+        F.coalesce(
+            F.expr(
+                "aggregate(seq, 0L, (acc, s) -> acc + size(s.toks))"
+            ),
+            F.lit(0).cast("long"),
+        ).alias("n_tokens"),
+    )

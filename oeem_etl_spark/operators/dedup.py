@@ -453,7 +453,9 @@ def connected_components_contraction(
             .select(
                 F.greatest("lu", "lv").alias("u"), F.least("lu", "lv").alias("v")
             )
-            .distinct()
+            # no .distinct() here: the small-star collect_set below dedups
+            # neighbors anyway — an explicit distinct is a whole extra
+            # shuffle per round for nothing
         )
         # small-star over the (max -> min) oriented edges
         g2 = large.groupBy("u").agg(F.collect_set("v").alias("nbrs"))

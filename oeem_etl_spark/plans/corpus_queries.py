@@ -569,6 +569,49 @@ _BPE_MERGES = 8
 _BPE_TOP_WORDS = 200
 
 
+def _merge_round(i: int, src: str, dst: str, pfx: str) -> str:
+    """CTEs applying the round-``i`` merge pair (b{i}) to the (word, freq,
+    syms) table ``src``, producing ``dst`` — the run-parity positional
+    form of bpe.merge_expr (a candidate run takes its even offsets).
+    ``pfx`` namespaces the intermediates so the training chain and the
+    held-out apply chain can coexist in one statement."""
+    return f"""{pfx}x{i} AS MATERIALIZED (
+      SELECT word, freq, unnest(syms) AS sym,
+             unnest(range(1, len(syms) + 1)) AS pos
+      FROM {src}
+    ),
+    {pfx}m{i} AS MATERIALIZED (
+      SELECT word, freq, sym, pos,
+             CASE WHEN sym = (SELECT l FROM b{i})
+                   AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
+                       = (SELECT r FROM b{i})
+                  THEN 1 ELSE 0 END AS cand
+      FROM {pfx}x{i}
+    ),
+    {pfx}g{i} AS MATERIALIZED (
+      SELECT *, pos - row_number()
+                  OVER (PARTITION BY word, cand ORDER BY pos) AS grp
+      FROM {pfx}m{i}
+    ),
+    {pfx}t{i} AS MATERIALIZED (
+      SELECT word, freq, sym, pos,
+             CASE WHEN cand = 1
+                   AND (pos - MIN(pos) OVER (PARTITION BY word, cand, grp)) % 2 = 0
+                  THEN 1 ELSE 0 END AS take
+      FROM {pfx}g{i}
+    ),
+    {pfx}r{i} AS MATERIALIZED (
+      SELECT word, freq, pos,
+             CASE WHEN take = 1 THEN sym || (SELECT r FROM b{i}) ELSE sym END AS osym,
+             COALESCE(lag(take) OVER (PARTITION BY word ORDER BY pos), 0) AS dropped
+      FROM {pfx}t{i}
+    ),
+    {dst} AS MATERIALIZED (
+      SELECT word, freq, list(osym ORDER BY pos) AS syms
+      FROM {pfx}r{i} WHERE dropped = 0 GROUP BY word, freq
+    )"""
+
+
 def _bpe_cte(n_merges: int = _BPE_MERGES, top_words: int = _BPE_TOP_WORDS) -> str:
     parts = [
         f"""toks AS MATERIALIZED (
@@ -596,43 +639,28 @@ def _bpe_cte(n_merges: int = _BPE_MERGES, top_words: int = _BPE_TOP_WORDS) -> st
       ) GROUP BY l, r
     ),
     b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
-    x{i} AS MATERIALIZED (
-      SELECT word, freq, unnest(syms) AS sym,
-             unnest(range(1, len(syms) + 1)) AS pos
-      FROM w{p}
-    ),
-    m{i} AS MATERIALIZED (
-      SELECT word, freq, sym, pos,
-             CASE WHEN sym = (SELECT l FROM b{i})
-                   AND lead(sym) OVER (PARTITION BY word ORDER BY pos)
-                       = (SELECT r FROM b{i})
-                  THEN 1 ELSE 0 END AS cand
-      FROM x{i}
-    ),
-    g{i} AS MATERIALIZED (
-      SELECT *, pos - row_number()
-                  OVER (PARTITION BY word, cand ORDER BY pos) AS grp
-      FROM m{i}
-    ),
-    t{i} AS MATERIALIZED (
-      SELECT word, freq, sym, pos,
-             CASE WHEN cand = 1
-                   AND (pos - MIN(pos) OVER (PARTITION BY word, cand, grp)) % 2 = 0
-                  THEN 1 ELSE 0 END AS take
-      FROM g{i}
-    ),
-    r{i} AS MATERIALIZED (
-      SELECT word, freq, pos,
-             CASE WHEN take = 1 THEN sym || (SELECT r FROM b{i}) ELSE sym END AS osym,
-             COALESCE(lag(take) OVER (PARTITION BY word ORDER BY pos), 0) AS dropped
-      FROM t{i}
-    ),
-    w{i} AS MATERIALIZED (
-      SELECT word, freq, list(osym ORDER BY pos) AS syms
-      FROM r{i} WHERE dropped = 0 GROUP BY word, freq
-    )"""
+    {_merge_round(i, f"w{p}", f"w{i}", "")}"""
         )
     return "WITH " + ",\n    ".join(parts)
+
+
+def _bpe_apply_cte(where: str, n_merges: int = _BPE_MERGES) -> str:
+    """Apply chain: the distinct words of the ``where``-filtered documents
+    run the SAME n trained merge rules (b1..bn from the training chain),
+    round by round — BPE apply for in-vocabulary AND unseen words alike."""
+    parts = [
+        f"""a0 AS MATERIALIZED (
+      SELECT word, CAST(1 AS BIGINT) AS freq,
+             list_append(regexp_extract_all(word, '.'), '</w>') AS syms
+      FROM (
+        SELECT DISTINCT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM documents WHERE {where}
+      )
+    )"""
+    ]
+    for i in range(1, n_merges + 1):
+        parts.append(_merge_round(i, f"a{i-1}", f"a{i}", "a"))
+    return ",\n    ".join(parts)
 
 
 _BPE_CTE = _bpe_cte()
@@ -736,6 +764,59 @@ def l64c_bpe_token_counts(spark, sf_dir):
         top_words=_BPE_TOP_WORDS,
     )
     return bpe.token_counts(docs, words)
+
+
+@query(
+    "l64d_bpe_encode",
+    # Train (the shared unrolled chain, b1..b8) then APPLY: the held-out
+    # docs' distinct words run the same 8 rules round by round (a-chain),
+    # and per-document token sequences reassemble positionally. This is
+    # the tokenizer-APPLICATION face — rules, not a lookup table, so
+    # words never seen in the training vocabulary (top-200) still merge
+    # wherever trained rules match.
+    sql=f"""
+    {_BPE_CTE},
+    {_bpe_apply_cte("doc_id >= 120 AND doc_id < 160")},
+    dwords AS (
+      SELECT doc_id, unnest(ws) AS word,
+             unnest(range(1, len(ws) + 1)) AS pos
+      FROM (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z]+') AS ws
+        FROM documents WHERE doc_id >= 120 AND doc_id < 160
+      )
+    ),
+    assembled AS (
+      SELECT doc_id,
+             string_agg(array_to_string(syms, ' '), ' ' ORDER BY pos)
+               AS bpe_text,
+             CAST(SUM(len(syms)) AS BIGINT) AS n_tokens
+      FROM dwords JOIN a{_BPE_MERGES} USING (word)
+      GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(a.bpe_text, '') AS bpe_text,
+           COALESCE(a.n_tokens, 0) AS n_tokens
+    FROM (SELECT doc_id FROM documents
+          WHERE doc_id >= 120 AND doc_id < 160) d
+    LEFT JOIN assembled a USING (doc_id)
+    """,
+    tier="T3",
+    survey="L5,L-ext,H8,C9,D1",
+)
+def l64d_bpe_encode(spark, sf_dir):
+    """BPE tokenizer APPLY (the encode face training exists for): train 8
+    merges on the full corpus, then tokenize 40 held-out documents —
+    bpe.bpe_encode folds the trained rules over each DISTINCT word
+    (vocabulary-sized map-only rewrite, nested JVM lambdas), broadcast-
+    joins the corpus's (doc, pos, word) stream, and reassembles the
+    space-joined token text per document. Oracle-checked byte for byte
+    including unseen-word behavior (rules apply, not vocab lookup)."""
+    from oeem_etl_spark.operators import bpe
+
+    docs = T(spark, sf_dir, "documents")
+    merges, _ = bpe.bpe_train(docs, n_merges=_BPE_MERGES, top_words=_BPE_TOP_WORDS)
+    held_out = docs.where((F.col("doc_id") >= 120) & (F.col("doc_id") < 160))
+    return bpe.bpe_encode(held_out, merges)
 
 
 @query(

@@ -153,3 +153,30 @@ def test_merge_expr_randomized_parity(spark):
     got = {r["id"]: r["m"] for r in df.select("id", expr.alias("m")).collect()}
     for i, syms, lft, rgt in cases:
         assert got[i] == _ref_merge(syms, lft, rgt), (i, syms, lft, rgt, got[i])
+
+
+def test_bpe_encode_applies_rules_to_unseen_words(spark):
+    # train on a tiny corpus: round 1 merges ('o','</w>') (count 9 beats
+    # l-o's 6), round 2 ('l','o</w>'). Then encode text containing a word
+    # NEVER seen in training ('solo'): the trained rules must still fire
+    # inside it — rule application, not vocabulary lookup — and word
+    # order must be preserved in bpe_text.
+    train = spark.createDataFrame(
+        [(1, "lo lo lo lo go go"), (2, "lo lo go")],
+        "doc_id long, text string",
+    )
+    merges, _ = bpe.bpe_train(train, n_merges=2)
+    assert [(m[1], m[2]) for m in merges] == [("o", "</w>"), ("l", "o</w>")]
+
+    target = spark.createDataFrame(
+        [(10, "solo lo"), (11, ""), (12, "go")],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["bpe_text"], r["n_tokens"])
+        for r in bpe.bpe_encode(target, merges).collect()
+    }
+    # 'solo' -> s o lo</w> (both rules fire at the tail); 'lo' -> lo</w>
+    assert got[10] == ("s o lo</w> lo</w>", 4)
+    assert got[11] == ("", 0)  # wordless docs keep a row (left join)
+    assert got[12] == ("g o</w>", 2)  # rule 2 is l+o</w>, not g
