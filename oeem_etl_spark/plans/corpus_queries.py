@@ -1176,3 +1176,89 @@ def l68_corpus_build(spark, sf_dir):
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.count_distinct("source").alias("n_sources"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index search (operators/search.py): positional postings, AND
+# retrieval, phrase match. The oracle recomputes the same anchor-vote
+# relational plan declaratively.
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l70_phrase_search",
+    sql="""
+    WITH p AS (
+      SELECT doc_id, w AS term,
+             CAST(pos - 1 AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM documents
+      )
+    ),
+    slots AS (
+      SELECT * FROM (VALUES ('table', 0), ('hash', 1), ('join', 2))
+        AS t(term, slot)
+    ),
+    votes AS (
+      SELECT p.doc_id, p.pos - s.slot AS anchor, s.slot
+      FROM p JOIN slots s USING (term)
+    ),
+    hits AS (
+      SELECT doc_id, anchor
+      FROM votes GROUP BY doc_id, anchor
+      HAVING COUNT(DISTINCT slot) = 3
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM hits GROUP BY doc_id ORDER BY doc_id
+    """,
+    tier="T3",
+    survey="L5,L-ext,H9,C9,D10",
+)
+def l70_phrase_search(spark, sf_dir):
+    """Positional phrase search ("table hash join") over the corpus via
+    the anchor-vote plan (operators/search.py): postings scan filtered to
+    the 3 phrase terms (pushed-down IN-list), broadcast join against the
+    3-row slot table, one shuffle on (doc, anchor = pos - slot), and an
+    all-slots-present HAVING. Linear in matched postings — no positional
+    self-join. Returns each matching doc with its phrase-occurrence
+    count; oracle replays the identical algebra."""
+    from oeem_etl_spark.operators import search
+
+    docs = T(spark, sf_dir, "documents")
+    postings = search.build_postings(docs)
+    return search.phrase_search(postings, ["table", "hash", "join"]).orderBy(
+        "doc_id"
+    )
+
+
+@query(
+    "l71_conjunctive_search",
+    sql="""
+    WITH p AS (
+      SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+      FROM documents
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM p WHERE term IN ('spark', 'window', 'merge')
+    GROUP BY doc_id HAVING COUNT(DISTINCT term) = 3
+    ORDER BY doc_id
+    """,
+    tier="T3",
+    survey="L5,H9,D2,D10",
+)
+def l71_conjunctive_search(spark, sf_dir):
+    """Conjunctive (AND) retrieval: docs containing ALL of {spark,
+    window, merge}, with total matched-posting counts. The IN-list
+    reaches the scan, membership is one hash aggregate with a distinct
+    count — the boolean-retrieval primitive at its scale-correct shape
+    (no joins, no intersect of per-term doc lists)."""
+    from oeem_etl_spark.operators import search
+
+    docs = T(spark, sf_dir, "documents")
+    postings = search.build_postings(docs)
+    return search.conjunctive_search(
+        postings, ["spark", "window", "merge"]
+    ).orderBy("doc_id")
