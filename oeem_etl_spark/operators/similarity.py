@@ -571,3 +571,57 @@ def hard_negatives(
         .where(F.col("rnk") <= k)
         .select(query_key, corpus_key, "neg_label", "score", "rnk")
     )
+
+
+def srp_planes(bits: int = 16, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 hyperplane matrix for sign-random-projection LSH
+    (Charikar 2002, STOC — SimHash for real vectors; public method).
+    Rademacher entries derived from md5("srp{b}_{j}") hex-prefix parity,
+    so the planes are a reproducible SPEC (engine-independent constants),
+    not runtime RNG state — the property that makes SRP sketches fully
+    oracle-checkable, unlike seeded-xxhash families."""
+    import hashlib
+
+    return [
+        [
+            1
+            if int(hashlib.md5(f"srp{b}_{j}".encode()).hexdigest()[:4], 16) % 2
+            else -1
+            for j in range(dim)
+        ]
+        for b in range(bits)
+    ]
+
+
+def srp_sketch(
+    df: DataFrame,
+    key: str = "vec_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    dim: int = 64,
+) -> DataFrame:
+    """(key, srp): the ``bits``-bit sign-random-projection sketch — bit b
+    set iff <v, plane_b> strictly positive. Vectors are micros-quantized
+    first (clustering.quantize_vec), so every dot product is exact int64
+    arithmetic: the sketch is hash-reproducible across engines and
+    parallelism. Map-only (bits × dim multiply-adds per row, all JVM
+    lambdas); equal sketches are the LSH bucket key for near-neighbor
+    candidate generation, and Hamming distance on sketches estimates
+    angular similarity."""
+    from .clustering import quantize_vec
+
+    planes = srp_planes(bits, dim)
+    qv = quantize_vec(vec_col)
+    out = df.select(F.col(key), qv.alias("__qv"))
+    sig = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        pl = F.array(*[F.lit(s) for s in plane])
+        dot = F.aggregate(
+            F.zip_with("__qv", pl, lambda x, s: x * s),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        sig = sig + F.when(dot > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out.select(key, sig.alias("srp"))

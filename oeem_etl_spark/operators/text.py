@@ -384,3 +384,40 @@ def bm25_scores(
         F.count(F.lit(1)).alias("n_hit_terms"),
         F.round(F.sum("__micros") / F.lit(1e6), 6).alias("score"),
     )
+
+
+def char_entropy(df: DataFrame, key: str, text_col: str) -> DataFrame:
+    """Per-document character-level Shannon entropy (nats) — the cheap
+    gibberish/encoding-damage detector: natural language sits near ~3
+    nats, base64/hex blobs higher, single-char spam near 0.
+
+    Entirely ROW-LOCAL higher-order lambdas (no explode, no shuffle): per
+    row, distinct characters and their counts come from array ops over
+    the char array, and each count's ln(c/n) is quantized to integer
+    micros before the weighted sum — the l24/dsum idiom — so the result
+    is exact integer arithmetic and hash-reproducible across engines.
+    O(distinct_chars · len) per row, embarrassingly parallel at 100 TB.
+    """
+    chars = F.regexp_extract_all(F.col(text_col), F.lit("."), 0)
+    out = df.select(
+        F.col(key),
+        chars.alias("__cs"),
+        F.size(chars).alias("n_chars"),
+        F.array_size(F.array_distinct(chars)).alias("n_distinct"),
+    )
+    # per distinct char c: cnt = |filter(cs, == c)|; accumulate
+    # -cnt * round(ln(cnt/n) * 1e6) in a long fold
+    ent_micros = F.expr(
+        "aggregate(array_distinct(__cs), 0L, (acc, c) -> acc - "
+        " size(filter(__cs, x -> x = c)) *"
+        " CAST(ROUND(ln(size(filter(__cs, x -> x = c)) / CAST(n_chars AS DOUBLE))"
+        "            * 1000000) AS LONG))"
+    )
+    return out.select(
+        F.col(key),
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.when(F.col("n_chars") > 0, F.round(ent_micros / F.col("n_chars") / 1e6, 6))
+        .otherwise(F.lit(0.0))
+        .alias("char_entropy"),
+    )

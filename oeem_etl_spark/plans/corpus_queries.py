@@ -1262,3 +1262,37 @@ def l71_conjunctive_search(spark, sf_dir):
     return search.conjunctive_search(
         postings, ["spark", "window", "merge"]
     ).orderBy("doc_id")
+
+
+@query(
+    "l72_char_entropy",
+    sql="""
+    WITH c AS (
+      SELECT doc_id, regexp_extract_all(text, '.') AS cs,
+             len(regexp_extract_all(text, '.')) AS n
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(n AS BIGINT) AS n_chars,
+           CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct,
+           CASE WHEN n > 0 THEN ROUND(
+             list_sum(list_transform(list_distinct(cs), ch ->
+               -len(list_filter(cs, x -> x = ch)) *
+               CAST(ROUND(ln(len(list_filter(cs, x -> x = ch))
+                             / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)))
+             / n / 1000000.0, 6)
+           ELSE 0.0 END AS char_entropy
+    FROM c
+    """,
+    tier="T3",
+    survey="L7,H5,H8",
+)
+def l72_char_entropy(spark, sf_dir):
+    """Character-level Shannon entropy per document (nats) — the cheap
+    gibberish / encoding-damage quality gate. Row-local lambda algebra
+    only (operators/text.char_entropy): no explode, no shuffle; ln values
+    micros-quantized so both engines sum exact integers."""
+    from oeem_etl_spark.operators.text import char_entropy
+
+    docs = T(spark, sf_dir, "documents")
+    return char_entropy(docs, "doc_id", "text")

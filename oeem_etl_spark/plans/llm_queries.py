@@ -3510,3 +3510,51 @@ def l8k_tiff_decode(spark, sf_dir):
         F.col("asset_id").alias("doc_id"),
         "width", "height", "mean_r", "mean_g", "mean_b",
     )
+
+
+# ---------------------------------------------------------------------------
+# Sign-random-projection LSH (similarity.srp_sketch): the md5-derived ±1
+# plane matrix is a constant SPEC shared verbatim by both engines, and the
+# micros-quantized dots are exact int64 — so unlike the seeded-xxhash LSH
+# families (rows-only l3b), this sketch is value-oracle-checked.
+# ---------------------------------------------------------------------------
+
+
+def _srp_sql(bits: int = 16, dim: int = 64) -> str:
+    planes = similarity.srp_planes(bits, dim)
+    terms = []
+    for b, plane in enumerate(planes):
+        arr = "[" + ",".join(str(s) for s in plane) + "]"
+        terms.append(
+            f"CASE WHEN list_sum(list_transform(range(1, {dim + 1}),"
+            f" j -> qv[j] * ({arr})[CAST(j AS INT)])) > 0"
+            f" THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    sum_expr = "\n           + ".join(terms)
+    return f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qv
+      FROM embeddings
+    )
+    SELECT vec_id, CAST({sum_expr} AS BIGINT) AS srp FROM q
+    """
+
+
+@query(
+    "l73_srp_sketch",
+    sql=_srp_sql(),
+    tier="T3",
+    survey="L3,L2,H8,H6",
+)
+def l73_srp_sketch(spark, sf_dir):
+    """16-bit sign-random-projection sketch per embedding (Charikar 2002
+    SimHash for real vectors): bit b = sign of the exact int64 dot of the
+    micros-quantized vector with a deterministic md5-derived ±1 plane.
+    Map-only candidate-generation signature for angular near-neighbor
+    search — equal sketches bucket together, Hamming distance estimates
+    the angle. Value-oracle-checked bit for bit (the plane matrix is a
+    shared literal spec, not runtime RNG)."""
+    emb = T(spark, sf_dir, "embeddings")
+    return similarity.srp_sketch(emb, "vec_id", "embedding")

@@ -47,3 +47,29 @@ def test_phrase_filter_reaches_scan(spark, sf_dir):
         .executedPlan().toString()
     first_exchange = plan.find("Exchange")
     assert "Filter" in plan[first_exchange:], plan[:500]
+
+
+def test_srp_sketch_lsh_property(spark):
+    """SRP sanity: a vector and its small perturbation collide on far more
+    bits than unrelated vectors; sign(-v) complements every non-zero-dot
+    bit."""
+    import numpy as np
+
+    from oeem_etl_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(20, 64)).astype("float32")
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((i, [float(x) for x in v]))
+        rows.append((i + 100, [float(x) for x in v + 0.01 * rng.normal(size=64).astype("float32")]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {r["vec_id"]: r["srp"] for r in similarity.srp_sketch(df).collect()}
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    near = [ham(got[i], got[i + 100]) for i in range(20)]
+    far = [ham(got[i], got[j]) for i in range(20) for j in range(20) if i < j]
+    assert sum(near) / len(near) < 2.0, near          # near-dups: ~0-1 bits
+    assert sum(far) / len(far) > 5.0, sum(far) / len(far)  # random: ~8 bits
