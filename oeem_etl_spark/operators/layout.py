@@ -77,3 +77,123 @@ def zorder_layout(
     with any sink (parquet/ORC/snapshots)."""
     keyed = df.withColumn("__z", zorder_key(cols, bits))
     return keyed.repartitionByRange(files, "__z").sortWithinPartitions("__z")
+
+
+def hilbert_key_2d(xcol: str, ycol: str, bits: int = 8) -> Column:
+    """2-D Hilbert-curve index of (x, y), each in [0, 2^bits) — the
+    locality-superior alternative to :func:`zorder_key`: consecutive key
+    values are always GRID NEIGHBORS (no Z-shape jumps), so range reads
+    touch tighter rectangles and per-file min/max stats prune better on
+    box predicates (Faloutsos & Roseman, PODS'89 — public method).
+
+    The classic per-bit rotate-and-accumulate loop, unrolled at plan
+    time into pure integer arithmetic (division/modulo form — the same
+    expression runs in any SQL engine; no bitwise ops, no UDF):
+
+    per round s = 2^(bits-1) .. 1:
+        rx = (x // s) % 2; ry = (y // s) % 2
+        d += s·s·(3·rx + ry - 2·rx·ry)        # == (3*rx) XOR ry
+        (x, y) rotates: ry=0 & rx=1 -> (n-1-y, n-1-x); ry=0 -> (y, x)
+
+    ``bits`` is capped at 6 in THIS single-Column form: the inlined tree
+    grows ~5x per round (each rotation re-references both coordinates),
+    so 8 rounds already OOMs the analyzer. For larger grids use
+    :func:`with_hilbert_key`, which stages the rounds as chained selects
+    (linear plan — CollapseProject keeps rounds separate because each
+    references the previous round's non-trivial columns several times).
+    """
+    if bits > 6:
+        raise ValueError(
+            f"hilbert_key_2d inlines {bits} rounds into one expression "
+            "(~5^bits tree nodes); use with_hilbert_key for bits > 6"
+        )
+    n = 1 << bits
+    x = F.col(xcol).cast("long")
+    y = F.col(ycol).cast("long")
+    d = F.lit(0).cast("long")
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = (x / F.lit(s)).cast("long") % 2
+        ry = (y / F.lit(s)).cast("long") % 2
+        d = d + F.lit(s * s) * (F.lit(3) * rx + ry - F.lit(2) * rx * ry)
+        nx = (
+            F.when(ry == 1, x)
+            .when(rx == 1, F.lit(n - 1) - y)
+            .otherwise(y)
+        )
+        ny = (
+            F.when(ry == 1, y)
+            .when(rx == 1, F.lit(n - 1) - x)
+            .otherwise(x)
+        )
+        x, y = nx, ny
+    return d
+
+
+def with_hilbert_key(
+    df: DataFrame,
+    xcol: str,
+    ycol: str,
+    bits: int = 8,
+    out: str = "h",
+) -> DataFrame:
+    """``df`` plus Hilbert index column ``out`` of (xcol, ycol) — the
+    scalable form of :func:`hilbert_key_2d`: each rotate-accumulate round
+    is one SELECT stage over the previous round's materialized columns,
+    so the plan grows LINEARLY in ``bits`` (still pure integer
+    expressions, single map stage at runtime, no UDF/shuffle)."""
+    n = 1 << bits
+    cur = df.select(
+        "*",
+        F.col(xcol).cast("long").alias("__hx"),
+        F.col(ycol).cast("long").alias("__hy"),
+        F.lit(0).cast("long").alias("__hd"),
+    )
+    others = [c for c in df.columns]
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = (F.col("__hx") / F.lit(s)).cast("long") % 2
+        ry = (F.col("__hy") / F.lit(s)).cast("long") % 2
+        cur = cur.select(
+            *others,
+            F.when(ry == 1, F.col("__hx"))
+            .when(rx == 1, F.lit(n - 1) - F.col("__hy"))
+            .otherwise(F.col("__hy"))
+            .alias("__hx"),
+            F.when(ry == 1, F.col("__hy"))
+            .when(rx == 1, F.lit(n - 1) - F.col("__hx"))
+            .otherwise(F.col("__hx"))
+            .alias("__hy"),
+            (
+                F.col("__hd")
+                + F.lit(s * s) * (F.lit(3) * rx + ry - F.lit(2) * rx * ry)
+            ).alias("__hd"),
+        )
+    return cur.select(*others, F.col("__hd").alias(out))
+
+
+def sql_hilbert_cte(src: str, key: str, xexpr: str, yexpr: str,
+                    bits: int = 8) -> str:
+    """DuckDB/ANSI twin of :func:`hilbert_key_2d`: the same per-bit
+    rounds unrolled as chained CTEs h0..h{bits} over ``src`` (each round
+    carries (key, x, y, d) — linear SQL, no expression blowup). The
+    final CTE is ``h{bits}`` with columns (``key``, d)."""
+    n = 1 << bits
+    parts = [
+        f"h0 AS (SELECT {key}, CAST({xexpr} AS BIGINT) AS x,"
+        f" CAST({yexpr} AS BIGINT) AS y, CAST(0 AS BIGINT) AS d FROM {src})"
+    ]
+    for r, i in enumerate(range(bits - 1, -1, -1)):
+        s = 1 << i
+        parts.append(f"""h{r + 1} AS (
+      SELECT {key},
+        CASE WHEN (y // {s}) % 2 = 1 THEN x
+             WHEN (x // {s}) % 2 = 1 THEN {n - 1} - y
+             ELSE y END AS x,
+        CASE WHEN (y // {s}) % 2 = 1 THEN y
+             WHEN (x // {s}) % 2 = 1 THEN {n - 1} - x
+             ELSE x END AS y,
+        d + {s * s} * (3 * ((x // {s}) % 2) + (y // {s}) % 2
+                       - 2 * ((x // {s}) % 2) * ((y // {s}) % 2)) AS d
+      FROM h{r})""")
+    return ",\n    ".join(parts)

@@ -523,6 +523,55 @@ def m18_zorder_layout(spark, sf_dir):
     )
 
 
+_M22_HILBERT_CTE = None  # built lazily to keep import order simple
+
+
+def _m22_sql() -> str:
+    from oeem_etl_spark.operators.layout import sql_hilbert_cte
+
+    cte = sql_hilbert_cte(
+        "(SELECT o_orderkey, o_custkey % 256 AS cx, o_orderkey % 256 AS cy"
+        " FROM orders)",
+        "o_orderkey, cx, cy",  # carried through every round untouched
+        "cx", "cy", bits=8,
+    )
+    return f"""
+    WITH {cte}
+    SELECT o_orderkey, cx, cy, CAST(d AS BIGINT) AS h
+    FROM h8 ORDER BY h, o_orderkey LIMIT 300
+    """
+
+
+@query(
+    "m22_hilbert_layout",
+    sql=_m22_sql(),
+    tier="T2",
+    survey="B2,F1,F3,H5",
+)
+def m22_hilbert_layout(spark, sf_dir):
+    """Hilbert-curve clustering key (operators/layout.hilbert_key_2d) —
+    m18's Z-order with strictly better locality: consecutive key values
+    are always grid neighbors, so range-partitioned files own tighter
+    (cx, cy) rectangles and min/max stats prune harder on box predicates.
+    Pure unrolled integer arithmetic (8 rotate-accumulate rounds, no
+    UDF, whole-stage codegen); the oracle replays the identical rounds
+    as chained CTEs. First 300 rows of the layout order = the first
+    hilbert-clustered file."""
+    from oeem_etl_spark.operators.layout import with_hilbert_key
+
+    o = T(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 256).alias("cx"),
+        (F.col("o_orderkey") % 256).alias("cy"),
+    )
+    return (
+        with_hilbert_key(o, "cx", "cy", bits=8, out="h")
+        .select("o_orderkey", "cx", "cy", "h")
+        .orderBy("h", "o_orderkey")
+        .limit(300)
+    )
+
+
 _J12_SQL = """
     SELECT doc_id,
            string_split(text, ' ')[1] AS p0,

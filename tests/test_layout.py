@@ -70,3 +70,69 @@ def test_zorder_key_rejects_64bit_overflow():
     # 63 bits exactly is fine (bit positions 0..62)
     zorder_key(["a", "b", "c"], bits=21)
     assert "BIGINT" in sql_zorder_key(["a", "b", "c"], bits=21)
+
+
+def _py_hilbert(x, y, bits):
+    n = 1 << bits
+    d = 0
+    for i in range(bits - 1, -1, -1):
+        s = 1 << i
+        rx = (x // s) % 2
+        ry = (y // s) % 2
+        d += s * s * (3 * rx + ry - 2 * rx * ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = (n - 1) - y, (n - 1) - x
+            else:
+                x, y = y, x
+    return d
+
+
+def test_hilbert_key_bijective_and_adjacent(spark):
+    # THE Hilbert property (what Z-order lacks): consecutive indices are
+    # always grid neighbors; and the mapping is a bijection
+    from oeem_etl_spark.operators.layout import hilbert_key_2d, with_hilbert_key
+
+    bits, n = 4, 16
+    rows = [(x * n + y, x, y) for x in range(n) for y in range(n)]
+    df = spark.createDataFrame(rows, "k long, x long, y long")
+    got = {
+        r["k"]: r["h"]
+        for r in with_hilbert_key(df, "x", "y", bits=bits).collect()
+    }
+    assert got == {x * n + y: _py_hilbert(x, y, bits)
+                   for x in range(n) for y in range(n)}
+    pos = {h: divmod(k, n) for k, h in got.items()}
+    assert len(pos) == n * n
+    for d in range(n * n - 1):
+        (x1, y1), (x2, y2) = pos[d], pos[d + 1]
+        assert abs(x1 - x2) + abs(y1 - y2) == 1, d
+    # the single-Column form agrees where it is allowed (bits <= 6)
+    got2 = {
+        r["k"]: r["h"]
+        for r in df.withColumn("h", hilbert_key_2d("x", "y", bits=4)).collect()
+    }
+    assert got2 == got
+
+
+def test_hilbert_column_form_rejects_deep_unroll():
+    import pytest
+
+    from oeem_etl_spark.operators.layout import hilbert_key_2d
+
+    with pytest.raises(ValueError, match="with_hilbert_key"):
+        hilbert_key_2d("x", "y", bits=8)
+
+
+def test_hilbert_plan_stays_linear(spark):
+    # with_hilbert_key at bits=8 must produce a plan Catalyst can hold:
+    # 256x256 grid, single map stage, no shuffle
+    from oeem_etl_spark.operators.layout import with_hilbert_key
+
+    df = spark.range(1000).select(
+        (F.col("id") % 256).alias("x"), ((F.col("id") * 7) % 256).alias("y")
+    )
+    out = with_hilbert_key(df, "x", "y", bits=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert out.count() == 1000

@@ -449,6 +449,22 @@ def shapes(spark, sf_dir):
         )
         return label_propagation(edges, rounds=2)
 
+    def phrase(_stats=None):
+        # anchor-vote phrase search: scan-filter + one (doc, anchor)
+        # shuffle — must scale with matched postings, i.e. ~rows
+        from oeem_etl_spark.operators import search
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        p = search.build_postings(docs)
+        return search.phrase_search(p, ["table", "hash", "join"])
+
+    def srp(_stats=None):
+        # map-only 16x64 integer dot sketch: pure scan-bound, ratio ~rows
+        from oeem_etl_spark.operators import similarity as sim
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        return sim.srp_sketch(emb, "vec_id", "embedding")
+
     return {
         "q01_agg": q01,
         "q02_bjoin": q02,
@@ -469,6 +485,8 @@ def shapes(spark, sf_dir):
         "jacc_prefix_cc": jacc_prefix_cc,
         "jacc_prefix_cc_star": jacc_prefix_cc_contraction,
         "semantic_dedup": semantic,
+        "phrase_search": phrase,
+        "srp_sketch": srp,
     }
 
 
