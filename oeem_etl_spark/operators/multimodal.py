@@ -571,3 +571,44 @@ def audio_spectral_features(df: DataFrame) -> DataFrame:
             )
 
     return df.select("asset_id", "content").mapInPandas(fn, schema)
+
+
+def thumbnail_box(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Exact box-average downscale of image payloads (the antialiased
+    thumbnail for vision-training prep; :func:`resize_image` above is the
+    nearest-neighbor sampler): (asset_id, content) -> (asset_id, width,
+    height, frame) where frame is the resized image re-encoded as PPM.
+
+    Requires integer block factors (src dims divisible by out dims) and
+    uses PURE INTEGER arithmetic — channel = (block_sum + block//2) //
+    block, i.e. round-half-up nearest (ties impossible for odd block
+    sizes) — so the result is bit-identical everywhere and closed-form
+    checkable on synthetic fixtures. mapInPandas; bytes stay
+    executor-side. Fractional-factor resampling (bilinear/Lanczos) is a
+    quality choice out of scope for the exactness contract here."""
+    schema = "asset_id long, width int, height int, frame binary"
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                w, h, px = decode_image(bytes(content))
+                if w % out_w or h % out_h:
+                    raise ValueError(
+                        f"resize_image needs integer block factors: "
+                        f"{w}x{h} -> {out_w}x{out_h}"
+                    )
+                fy, fx = h // out_h, w // out_w
+                block = fy * fx
+                s = (
+                    px.astype(np.int64)
+                    .reshape(out_h, fy, out_w, fx, 3)
+                    .sum(axis=(1, 3))
+                )
+                small = ((s + block // 2) // block).astype(np.uint8)
+                rows.append((aid, out_w, out_h, encode_ppm(small)))
+            yield pd.DataFrame(
+                rows, columns=["asset_id", "width", "height", "frame"]
+            )
+
+    return df.mapInPandas(fn, schema)

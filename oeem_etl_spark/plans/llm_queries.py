@@ -3558,3 +3558,84 @@ def l73_srp_sketch(spark, sf_dir):
     shared literal spec, not runtime RNG)."""
     emb = T(spark, sf_dir, "embeddings")
     return similarity.srp_sketch(emb, "vec_id", "embedding")
+
+
+@query(
+    "l8l_resize_thumbnail",
+    # Oracle recomputes the exact box average over the closed-form 48x48
+    # gradient fixture (shared with l45/l45b): out channel =
+    # (block_sum + 4) // 9 — pure integer nearest (ties impossible, 9
+    # odd). The twin perturbation at (3,3) lands in out cell (1,1).
+    sql="""
+    WITH ids AS (
+      SELECT doc_id FROM documents WHERE doc_id < 16
+      UNION ALL
+      SELECT doc_id + 1000 FROM documents WHERE doc_id < 16
+    ),
+    cell AS (SELECT CAST(c.range AS BIGINT) AS i FROM range(16) c),
+    off AS (SELECT CAST(o.range AS BIGINT) AS o FROM range(3) o),
+    px AS (
+      SELECT d.doc_id, ci.i AS oy, cj.i AS ox,
+             ci.i * 3 + dy.o AS y, cj.i * 3 + dx.o AS x
+      FROM ids d
+      CROSS JOIN cell ci CROSS JOIN cell cj
+      CROSS JOIN off dy CROSS JOIN off dx
+    ),
+    chan AS (
+      SELECT doc_id, oy, ox,
+             ((doc_id % 1000) * 37 % 200 + (y * 255) // 48 + (x * 128) // 48)
+               % 256 AS g,
+             (doc_id >= 1000 AND y = 3 AND x = 3) AS pert
+      FROM px
+    ),
+    sums AS (
+      SELECT doc_id, oy, ox,
+             SUM(CASE WHEN pert THEN (g + 16) % 256 ELSE g END) AS sr,
+             SUM((g * 2) % 256) AS sg,
+             SUM((g * 3) % 256) AS sb
+      FROM chan GROUP BY doc_id, oy, ox
+    )
+    SELECT doc_id, CAST(oy AS INT) AS y, CAST(ox AS INT) AS x,
+           CAST((sr + 4) // 9 AS INT) AS r,
+           CAST((sg + 4) // 9 AS INT) AS g,
+           CAST((sb + 4) // 9 AS INT) AS b
+    FROM sums
+    """,
+    tier="T3",
+    survey="L8,J4",
+)
+def l8l_resize_thumbnail(spark, sf_dir):
+    """Thumbnailing for vision-training prep, oracle-EXACT: the 48x48
+    planted-twin gradient corpus (the l45 fixture) box-downscales 3x to
+    16x16 through multimodal.thumbnail_box (integer-nearest block means,
+    PPM re-encode), then a second decode stage re-reads the resized
+    bytes and emits every output pixel — real bytes cross the Arrow
+    boundary twice, and all 256 positions x 32 images compare against
+    the closed-form block sums."""
+    import pandas as pd
+
+    ids = _phash_fixture_ids(spark, sf_dir)
+    encoded = ids.mapInPandas(_phash_fixture_encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(
+        encoded, "doc_id", "payload", "image/x-portable-pixmap"
+    )
+    small = multimodal.thumbnail_box(assets, 16, 16)
+
+    def pixels(batches):
+        for pdf in batches:
+            rows = []
+            for aid, frame in zip(pdf["asset_id"], pdf["frame"]):
+                w, h, px = multimodal.decode_ppm(bytes(frame))
+                for y in range(h):
+                    for x in range(w):
+                        rows.append(
+                            (int(aid), y, x, int(px[y, x, 0]),
+                             int(px[y, x, 1]), int(px[y, x, 2]))
+                        )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "y", "x", "r", "g", "b"]
+            )
+
+    return small.mapInPandas(
+        pixels, "doc_id long, y int, x int, r int, g int, b int"
+    )

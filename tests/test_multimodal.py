@@ -725,3 +725,26 @@ def test_phash_fixed_close_to_float_phash_on_fixtures():
         twin = px.copy()
         twin[3, 3, 0] = (int(twin[3, 3, 0]) + 16) % 256
         assert ham(mm.phash64_fixed(px), mm.phash64_fixed(twin)) <= 6, seed
+
+
+def test_thumbnail_box_average_exact(spark):
+    # 4x4 -> 2x2: each output channel is the integer-nearest mean of its
+    # 2x2 block; non-divisible targets refuse loudly
+    import pandas as pd
+
+    px = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "payload": [mm.encode_ppm(px)]})
+    )
+    assets = mm.to_multimodal(df, "doc_id", "payload", "image/x-portable-pixmap")
+    out = mm.thumbnail_box(assets, 2, 2).collect()
+    assert (out[0]["width"], out[0]["height"]) == (2, 2)
+    _w, _h, got = mm.decode_ppm(bytes(out[0]["frame"]))
+    blocks = px.astype(np.int64).reshape(2, 2, 2, 2, 3).sum(axis=(1, 3))
+    want = ((blocks + 2) // 4).astype(np.uint8)
+    assert np.array_equal(got, want)
+
+    import pytest
+
+    with pytest.raises(Exception, match="integer block factors"):
+        mm.thumbnail_box(assets, 3, 3).collect()
