@@ -80,3 +80,17 @@ def filter_project_in_pandas(df: DataFrame, event_type: str) -> DataFrame:
             yield out
 
     return df.mapInPandas(fn, schema)
+
+
+@F.udf(returnType=Ty.IntegerType(), useArrow=True)
+def vowel_count(s: str) -> int | None:
+    """Arrow-optimized scalar UDF (J1): count of aeiou characters — the
+    SQL-checkable stand-in for any per-string Python featurizer."""
+    return sum(c in "aeiou" for c in s) if s is not None else None
+
+
+@F.pandas_udf(Ty.DoubleType())
+def clip_value(v: pd.Series) -> pd.Series:
+    """Vectorized scalar pandas UDF (J2): clip to [0, 50] over an Arrow
+    batch — the winsorization primitive."""
+    return v.clip(lower=0.0, upper=50.0)

@@ -20,5 +20,6 @@ def load_all() -> None:
         misc_queries,
         tpch_queries,
         corpus_queries,
+        breadth_queries,
         scale_queries,
     )

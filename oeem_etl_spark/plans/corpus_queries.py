@@ -1215,7 +1215,7 @@ def l68_corpus_build(spark, sf_dir):
     FROM hits GROUP BY doc_id ORDER BY doc_id
     """,
     tier="T3",
-    survey="L5,L-ext,H9,C9,D10",
+    survey="L12,L5,L-ext,H9,C9,D10",
 )
 def l70_phrase_search(spark, sf_dir):
     """Positional phrase search ("table hash join") over the corpus via
@@ -1247,7 +1247,7 @@ def l70_phrase_search(spark, sf_dir):
     ORDER BY doc_id
     """,
     tier="T3",
-    survey="L5,H9,D2,D10",
+    survey="L12,L5,H9,D2,D10",
 )
 def l71_conjunctive_search(spark, sf_dir):
     """Conjunctive (AND) retrieval: docs containing ALL of {spark,

@@ -40,6 +40,11 @@ sys.path.insert(0, str(REPO))
 WARMUP_OVERRIDES = {"q01_pricing_summary": 0.4}  # first-run JVM warm-up excluded
 PREFIX = 50  # the driver's observed per-round certification cap
 
+# Queries that MUST occupy a prefix slot this round regardless of the
+# rotation ledger — e.g. a query whose prior driver check ERRED and needs
+# re-certification (h19 erred in r4's canonicalizer; fixed in r5).
+FORCE_INCLUDE = ["h19_soundex_blocking"]
+
 
 def main() -> None:
     from oeem_etl_spark import plans
@@ -58,11 +63,15 @@ def main() -> None:
         for t in tags[n]:
             providers[t] = providers.get(t, 0) + 1
 
+    forced = [n for n in FORCE_INCLUDE if n in qs]
+
     def cover_with_quota(quota: int) -> list[str] | None:
-        remaining = set(qs)
-        uncovered = set(alltags)
-        order: list[str] = []
-        used_checked = 0
+        remaining = set(qs) - set(forced)
+        uncovered = set(alltags) - set().union(
+            *(tags[n] for n in forced), set()
+        )
+        order: list[str] = list(forced)
+        used_checked = sum(1 for n in forced if n in checked_rounds)
         while uncovered:
             def score(n: str):
                 new = uncovered & tags[n]
