@@ -295,10 +295,14 @@ def minhash_lsh_dedup(
         F.col("jaccard") >= threshold
     )
 
-    # contraction CC is the default (VERDICT r4 #4): O(log d) rounds vs
-    # min-label's O(d) — 4.3x vs 7.56x at the 10x scale probe — and the
-    # same (node, label=component-min) contract, so results are identical
-    labels = connected_components_contraction(
+    # hybrid CC is the default (VERDICT r4 #4, refined by SCALE_r05):
+    # min-label probe rounds win on the tiny-diameter graphs near-dup
+    # verification produces (star contraction measured ~1.5-2x slower
+    # wall-clock there at every probed scale/regime), while the
+    # contraction fallback on the quotient keeps O(log d) rounds for
+    # adversarial chain topology — same (node, label=component-min)
+    # contract either way, so results are identical
+    labels = connected_components_hybrid(
         verified.select("key_a", "key_b"), max_rounds=max_rounds
     )
     # survivors: cluster representative (label == node) or never-clustered
@@ -374,7 +378,74 @@ def connected_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
+        stats["converged"] = changed == 0
     return labels
+
+
+def connected_components_hybrid(
+    pairs: DataFrame,
+    probe_rounds: int = 3,
+    max_rounds: int = 50,
+    stats: dict | None = None,
+) -> DataFrame:
+    """Adaptive CC: min-label propagation for up to ``probe_rounds``; if
+    it converges (the overwhelmingly common near-dup case — clusters have
+    diameter ≤ 3), that IS the answer at min-label's cost, which every
+    1×/10× probe this repo has run shows is the cheapest round shape on
+    verified-pair edge lists (SCALE_r04/r05: star contraction pays
+    ~1.5-2× more wall-clock per probe on these tiny-diameter graphs).
+    If it does NOT converge — chain-like topology, where min-label would
+    need O(diameter) rounds — the partial labels define a QUOTIENT graph
+    (each edge maps to its endpoints' current labels; everything within
+    ``probe_rounds`` hops of a local minimum has already collapsed) and
+    :func:`connected_components_contraction` finishes on that strictly
+    smaller graph in O(log d) rounds. Composition preserves the contract:
+    a node's partial label is reachable from it, so quotient components
+    equal original components, and the component minimum labels itself
+    through every min-label round — final label = component min, exactly
+    :func:`connected_components`' and the contraction's semantics.
+
+    ``stats`` receives {"rounds": probe rounds used, "converged": bool,
+    "contraction_rounds": n} (the last key only when the fallback ran).
+    """
+    st: dict = {}
+    labels = connected_components(pairs, max_rounds=probe_rounds, stats=st)
+    if stats is not None:
+        stats.update(st)
+    if st.get("converged"):
+        return labels
+    # quotient graph over current labels; strictly smaller than the input
+    edges = pairs.select(
+        F.col("key_a").alias("__qa"), F.col("key_b").alias("__qb")
+    )
+    la = labels.select(
+        F.col("node").alias("__qa"), F.col("label").alias("key_a")
+    )
+    lb = labels.select(
+        F.col("node").alias("__qb"), F.col("label").alias("key_b")
+    )
+    q = (
+        edges.join(la, "__qa")
+        .join(lb, "__qb")
+        .where(F.col("key_a") != F.col("key_b"))
+        .select("key_a", "key_b")
+    )
+    cst: dict = {}
+    comp = connected_components_contraction(q, max_rounds=max_rounds, stats=cst)
+    if stats is not None:
+        stats["contraction_rounds"] = cst.get("rounds", 0)
+    return (
+        labels.join(
+            comp.withColumnRenamed("label", "__final").withColumnRenamed(
+                "node", "label"
+            ),
+            "label",
+            "left",
+        )
+        .select(
+            "node", F.coalesce("__final", F.col("label")).alias("label")
+        )
+    )
 
 
 def connected_components_contraction(

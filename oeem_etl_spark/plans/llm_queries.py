@@ -2279,9 +2279,11 @@ def l50_neardup_canonical(spark, sf_dir):
     edges = dedup.prefix_filter_jaccard_join(docs, "doc_id", "text", 0.5).select(
         "key_a", "key_b"
     )
-    # contraction CC: O(log d) rounds, default for unknown topology
-    # (VERDICT r4 #4); identical labels to min-label propagation
-    lab = dedup.connected_components_contraction(edges)
+    # hybrid CC (VERDICT r4 #4 refined by SCALE_r05): min-label probe
+    # rounds (the measured winner on tiny-diameter near-dup graphs) with
+    # a star-contraction fallback on the quotient for chain topology;
+    # identical labels either way
+    lab = dedup.connected_components_hybrid(edges)
     ranked = lab.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     ).withColumn(
@@ -2400,8 +2402,8 @@ def l52_dedup_aware_split(spark, sf_dir):
     edges = dedup.prefix_filter_jaccard_join(docs, "doc_id", "text", 0.5).select(
         "key_a", "key_b"
     )
-    # contraction CC, same labels, O(log d) rounds (VERDICT r4 #4)
-    lab = dedup.connected_components_contraction(edges)
+    # hybrid CC, same labels (see l50's note)
+    lab = dedup.connected_components_hybrid(edges)
     keyed = docs.join(
         lab.select(F.col("node").alias("doc_id"), "label"), "doc_id", "left"
     ).select(

@@ -249,3 +249,55 @@ def test_label_propagation_separates_cliques(spark):
     }
     assert {got[n] for n in (10, 11, 12, 13)} == {10}
     assert {got[n] for n in (20, 21, 22, 23)} == {20}
+
+
+def test_cc_hybrid_matches_both_variants_random_graph(spark):
+    from oeem_etl_spark.operators.dedup import (
+        connected_components,
+        connected_components_hybrid,
+    )
+
+    e = spark.range(0, 400).select(
+        (F.col("id") % 97).alias("key_a"),
+        (F.pmod(F.xxhash64(F.col("id")), F.lit(120))).alias("key_b"),
+    )
+    a = {(r["node"], r["label"]) for r in connected_components(e).collect()}
+    stats: dict = {}
+    h = {
+        (r["node"], r["label"])
+        for r in connected_components_hybrid(e, stats=stats).collect()
+    }
+    assert a == h
+
+
+def test_cc_hybrid_converged_probe_skips_contraction(spark):
+    # tiny-diameter graph: the min-label probe converges, no fallback
+    from oeem_etl_spark.operators.dedup import connected_components_hybrid
+
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "key_a long, key_b long"
+    )
+    stats: dict = {}
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components_hybrid(e, stats=stats).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert stats["converged"] and "contraction_rounds" not in stats
+
+
+def test_cc_hybrid_chain_falls_back_to_contraction(spark):
+    # 2k-node path: the 3-round probe cannot converge; the quotient
+    # contraction must finish in O(log) rounds with exact labels
+    from oeem_etl_spark.operators.dedup import connected_components_hybrid
+
+    n = 2_000
+    path = spark.range(0, n - 1).select(
+        F.col("id").alias("key_a"), (F.col("id") + 1).alias("key_b")
+    )
+    stats: dict = {}
+    labels = connected_components_hybrid(path, max_rounds=40, stats=stats)
+    assert not stats["converged"]
+    assert 0 < stats["contraction_rounds"] <= 2 * math.ceil(math.log2(n))
+    assert labels.where(F.col("label") != 0).count() == 0
+    assert labels.count() == n

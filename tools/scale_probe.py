@@ -449,6 +449,25 @@ def shapes(spark, sf_dir):
         )
         return label_propagation(edges, rounds=2)
 
+    def jacc_prefix_cc_hybrid(stats):
+        # the production default: min-label probe (wins on near-dup
+        # topology — this fixture) + contraction fallback on the quotient
+        from oeem_etl_spark.operators.dedup import (
+            connected_components_hybrid,
+            prefix_filter_jaccard_join,
+        )
+
+        renamed = _copy_renamed_docs()
+        pairs = prefix_filter_jaccard_join(renamed, "doc_id", "text", 0.5)
+        labels = connected_components_hybrid(
+            pairs.select("key_a", "key_b"), stats=stats
+        )
+        return renamed.join(
+            labels.withColumnRenamed("node", "doc_id"), ["doc_id"], "left"
+        ).select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("canonical")
+        )
+
     def phrase(_stats=None):
         # anchor-vote phrase search: scan-filter + one (doc, anchor)
         # shuffle — must scale with matched postings, i.e. ~rows
@@ -484,6 +503,7 @@ def shapes(spark, sf_dir):
         "lsh_e2e": lsh_e2e,
         "jacc_prefix_cc": jacc_prefix_cc,
         "jacc_prefix_cc_star": jacc_prefix_cc_contraction,
+        "jacc_prefix_cc_hybrid": jacc_prefix_cc_hybrid,
         "semantic_dedup": semantic,
         "phrase_search": phrase,
         "srp_sketch": srp,
