@@ -48,10 +48,10 @@ REASONS = {
     "l8e_jpeg_decode": "binary-codec",
     "l8j_webp_lossy_decode": "binary-codec",
     "l9_embed_batch": None,  # promoted r4: md5-byte stub + ordered-sum oracle
-    "l29b_semantic_dedup_bounded": "iterative-kmeans",
+    "l29b_semantic_dedup_bounded": "refined-candidate-set",  # sub-clustering legitimately changes the pair list vs l29's oracle
     "l31b_cms_estimates": "approx-sketch",
     "l43_pca_project": "iterative-linalg",
-    "l45_image_phash_dedup": "binary-codec",
+    "l45_image_phash_dedup": "float-dct",  # hashing chain value-checked via the fixed-point twin l45b
     "l46_pca_rerank_topk": "iterative-linalg",
     "i10_streaming_cms": "approx-sketch",
     "d7_approx_percentile": "approx-sketch",
