@@ -625,3 +625,106 @@ def srp_sketch(
             F.lit(0).cast("long")
         )
     return out.select(key, sig.alias("srp"))
+
+
+def srp_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_key: str = "vec_id",
+    query_key: str = "q_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 2,
+    max_hamming: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Approximate top-k via SRP-LSH banding — the first ANN path in this
+    repo whose EVERY step is value-reproducible (srp_sketch's plane
+    matrix is a literal spec; the band join, Hamming gate and rounded
+    cosine re-rank are plain algebra), so the whole pipeline is
+    oracle-checkable, unlike the seeded-xxhash LSH/IVF variants.
+
+    Plan shape (the 100 TB posture): sketches are map-only; candidates
+    come from ``bands`` EQUALITY joins on (band, band-bits) — a union of
+    hash joins, never all-pairs — deduped, gated on true sketch Hamming
+    distance <= ``max_hamming`` (cheap int ops), and only the survivors
+    pay the exact cosine. Query side is broadcast; the corpus never
+    shuffles more than its (key, sketch) pairs plus candidate rows.
+    Same deterministic order contract as cosine_topk: (rounded score
+    desc, corpus key asc)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    csk = srp_sketch(corpus, corpus_key, vec_col, bits, dim)
+    qsk = srp_sketch(queries, query_key, vec_col, bits, dim)
+
+    def banded(df, key, out):
+        parts = []
+        for b in range(bands):
+            parts.append(
+                df.select(
+                    F.col(key),
+                    F.col("srp").alias(out),
+                    F.lit(b).alias("__band"),
+                    (
+                        F.shiftright(F.col("srp"), b * width).bitwiseAND(mask)
+                    ).alias("__bkey"),
+                )
+            )
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        return u
+
+    cand = (
+        banded(qsk, query_key, "__qsrp")
+        .join(banded(csk, corpus_key, "__csrp"), ["__band", "__bkey"])
+        .select(query_key, corpus_key, "__qsrp", "__csrp")
+        .distinct()
+        .where(
+            F.bit_count(
+                F.col("__qsrp").bitwiseXOR(F.col("__csrp"))
+            )
+            <= max_hamming
+        )
+        .select(query_key, corpus_key)
+    )
+    pairs = (
+        cand.join(
+            corpus.select(F.col(corpus_key), F.col(vec_col).alias("__cv")),
+            corpus_key,
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_key), F.col(vec_col).alias("__qv"))
+            ),
+            query_key,
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("__cv", "__qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = pairs.select(
+        query_key,
+        corpus_key,
+        F.round(dot / (norm(F.col("__cv")) * norm(F.col("__qv"))), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("score").desc(), F.col(corpus_key).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select(query_key, corpus_key, "score", "rnk")
+    )

@@ -3641,3 +3641,61 @@ def l8l_resize_thumbnail(spark, sf_dir):
     return small.mapInPandas(
         pixels, "doc_id long, y int, x int, r int, g int, b int"
     )
+
+
+def _srp_sketch_cte() -> str:
+    """(vec_id, srp) sketches for ALL embeddings — the l73 oracle body
+    reshaped as a reusable CTE (same literal plane matrix)."""
+    body = _srp_sql()
+    # strip the trailing SELECT into a named CTE: reuse the WITH q AS ... body
+    return f"sk AS ({body})"
+
+
+@query(
+    "l74_srp_ann_topk",
+    # Every stage recomputed declaratively: sketches (literal plane
+    # matrix), 2x8-bit band equality joins, Hamming<=4 gate
+    # (bit_count(xor)), rounded-cosine re-rank, top-5 per query.
+    sql=f"""
+    WITH {_srp_sketch_cte()},
+    qs AS (SELECT vec_id AS q_id, srp AS qsrp FROM sk WHERE vec_id <= 5),
+    cand AS (
+      SELECT DISTINCT q.q_id, c.vec_id, q.qsrp, c.srp AS csrp
+      FROM qs q JOIN sk c
+        ON (q.qsrp % 256) = (c.srp % 256)
+        OR (q.qsrp // 256) = (c.srp // 256)
+    ),
+    gated AS (
+      SELECT q_id, vec_id FROM cand
+      WHERE bit_count(xor(qsrp, csrp)) <= 4
+    ),
+    scored AS (
+      SELECT g.q_id, g.vec_id,
+             ROUND(list_cosine_similarity(
+               CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6)
+               AS score
+      FROM gated g
+      JOIN embeddings c ON c.vec_id = g.vec_id
+      JOIN embeddings q ON q.vec_id = g.q_id
+    )
+    SELECT q_id, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rnk
+    FROM scored QUALIFY rnk <= 5
+    """,
+    tier="T3",
+    survey="L3,L2,H8,H6,E5",
+)
+def l74_srp_ann_topk(spark, sf_dir):
+    """ANN top-5 via SRP-LSH banding, oracle-checked END TO END — the
+    first fully value-reproducible approximate-nearest-neighbor path
+    (similarity.srp_ann_topk): deterministic sketches → 2 band equality
+    joins (union of hash joins, never all-pairs) → Hamming ≤ 4 gate →
+    exact rounded-cosine re-rank of survivors. l3b/l3c remain the
+    seeded-hash variants (rows-only by family); this query certifies the
+    ANN pipeline SHAPE itself against SQL."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.srp_ann_topk(emb, queries, k=5)

@@ -73,3 +73,27 @@ def test_srp_sketch_lsh_property(spark):
     far = [ham(got[i], got[j]) for i in range(20) for j in range(20) if i < j]
     assert sum(near) / len(near) < 2.0, near          # near-dups: ~0-1 bits
     assert sum(far) / len(far) > 5.0, sum(far) / len(far)  # random: ~8 bits
+
+
+def test_srp_ann_recovers_planted_neighbors(spark):
+    """On data WITH angular structure (planted twins), SRP-ANN must put
+    each query's twin at rank 1; on the near-isotropic fixture corpus the
+    operator only promises determinism (cosine ~0 everywhere — no angular
+    signal for ANY 16-bit sketch; l46's docstring documents the same)."""
+    import numpy as np
+
+    from oeem_etl_spark.operators import similarity
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(40, 64)).astype("float32")
+    rows = [(i + 1000, [float(x) for x in v]) for i, v in enumerate(base)]
+    # queries = perturbed twins of the first 5 corpus vectors
+    qrows = [
+        (i, [float(x) for x in base[i] + 0.05 * rng.normal(size=64)])
+        for i in range(5)
+    ]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = spark.createDataFrame(qrows, "q_id long, embedding array<float>")
+    top = similarity.srp_ann_topk(corpus, queries, k=3)
+    best = {r["q_id"]: r["vec_id"] for r in top.where("rnk = 1").collect()}
+    assert best == {i: i + 1000 for i in range(5)}, best
