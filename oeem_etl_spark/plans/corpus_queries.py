@@ -679,7 +679,7 @@ _BPE_MERGE_UNION = " UNION ALL ".join(
     FROM ({_BPE_MERGE_UNION}) ORDER BY step
     """,
     tier="T3",
-    survey="L5,L-ext,H8,D1,F3",
+    survey="L13,L5,L-ext,H8,D1,F3",
 )
 def l64_bpe_train(spark, sf_dir):
     """BPE tokenizer training (Sennrich et al. 2016): 8 merge rounds over
@@ -711,7 +711,7 @@ def l64_bpe_train(spark, sf_dir):
     ) GROUP BY sym ORDER BY n_occ DESC, token LIMIT 30
     """,
     tier="T3",
-    survey="L5,L-ext,D1,F3",
+    survey="L13,L5,L-ext,D1,F3",
 )
 def l64b_bpe_vocab(spark, sf_dir):
     """Post-training corpus token census: top-30 learned BPE symbols by
@@ -747,7 +747,7 @@ def l64b_bpe_vocab(spark, sf_dir):
     GROUP BY doc_id
     """,
     tier="T3",
-    survey="L5,L11,L-ext,C9,D1",
+    survey="L13,L5,L11,L-ext,C9,D1",
 )
 def l64c_bpe_token_counts(spark, sf_dir):
     """Token counting under the trained tokenizer: per-document BPE token
@@ -801,7 +801,7 @@ def l64c_bpe_token_counts(spark, sf_dir):
     LEFT JOIN assembled a USING (doc_id)
     """,
     tier="T3",
-    survey="L5,L-ext,H8,C9,D1",
+    survey="L13,L5,L-ext,H8,C9,D1",
 )
 def l64d_bpe_encode(spark, sf_dir):
     """BPE tokenizer APPLY (the encode face training exists for): train 8

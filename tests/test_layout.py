@@ -136,3 +136,48 @@ def test_hilbert_plan_stays_linear(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert out.count() == 1000
+
+
+def test_hilbert_prunes_box_queries_better_than_zorder(spark):
+    """The reason Hilbert exists next to Z-order: with files laid out by
+    each key (32 range partitions over a 256x256 grid), min/max file
+    stats under 16 box predicates (32x32 quadrant corners) must touch
+    MEANINGFULLY fewer files in the Hilbert layout — Z-shape jumps give
+    Morton files wide bounding boxes, unit-step locality gives Hilbert
+    files tight ones. Measured 29 vs 49 on this fixture; asserted with
+    margin."""
+    from oeem_etl_spark.operators.layout import with_hilbert_key, zorder_key
+
+    df = spark.range(256 * 256).select(
+        (F.col("id") / 256).cast("long").alias("cx"),
+        (F.col("id") % 256).alias("cy"),
+    )
+
+    def file_stats(keyed, key):
+        parts = (
+            keyed.repartitionByRange(32, key)
+            .sortWithinPartitions(key)
+            .select("cx", "cy", F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .agg(
+                F.min("cx").alias("x0"), F.max("cx").alias("x1"),
+                F.min("cy").alias("y0"), F.max("cy").alias("y1"),
+            )
+        )
+        return [(r["x0"], r["x1"], r["y0"], r["y1"]) for r in parts.collect()]
+
+    hil = file_stats(with_hilbert_key(df, "cx", "cy", bits=8, out="h"), "h")
+    zor = file_stats(df.withColumn("z", zorder_key(["cx", "cy"], bits=8)), "z")
+    boxes = [(a, a + 31, b, b + 31) for a in range(0, 256, 64)
+             for b in range(0, 256, 64)]
+
+    def touched(stats, box):
+        a, b, c, d = box
+        return sum(
+            1 for x0, x1, y0, y1 in stats
+            if not (x1 < a or x0 > b or y1 < c or y0 > d)
+        )
+
+    th = sum(touched(hil, x) for x in boxes)
+    tz = sum(touched(zor, x) for x in boxes)
+    assert th < 0.8 * tz, (th, tz)
