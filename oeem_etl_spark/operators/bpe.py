@@ -195,12 +195,29 @@ def apply_merges(syms: Column | str, merges: list[tuple]) -> Column:
     to in-vocabulary words and extends it to unseen ones (the defining
     property of BPE apply). Pure nested JVM lambdas: n_merges stacked
     ``aggregate`` expressions, no Python in the data plane. Merge rows
-    may be (step, left, right, count) tuples from :func:`bpe_train` or
-    bare (left, right) pairs.
+    must be the documented shapes: 4-tuples (step, left, right, count)
+    from :func:`bpe_train`, bare (left, right) pairs, or Rows/dicts with
+    ``left``/``right`` fields — any other arity raises rather than
+    silently misreading e.g. a (left, right, count) 3-tuple as
+    (step, left, right).
     """
     col = F.col(syms) if isinstance(syms, str) else syms
     for row in merges:
-        lft, rgt = (row[1], row[2]) if len(row) >= 3 else (row[0], row[1])
+        fields = getattr(row, "__fields__", None) or (
+            list(row) if isinstance(row, dict) else None
+        )
+        if fields is not None and "left" in fields and "right" in fields:
+            lft, rgt = row["left"], row["right"]
+        elif len(row) == 4:
+            lft, rgt = row[1], row[2]
+        elif len(row) == 2:
+            lft, rgt = row
+        else:
+            raise ValueError(
+                "apply_merges rows must be (step, left, right, count) "
+                "4-tuples, (left, right) pairs, or Rows/dicts with "
+                f"left/right fields; got arity {len(row)}: {row!r}"
+            )
         col = merge_expr(col, lft, rgt)
     return col
 

@@ -34,6 +34,20 @@ def _check_width(n_cols: int, bits: int) -> None:
         )
 
 
+def _check_hilbert_bits(bits: int) -> None:
+    # same signed-64 rule as _check_width for the 2-D Hilbert index:
+    # d spans [0, 4^bits), so 2*bits must stay <= 62 or the s*s round
+    # literals / final key overflow LongType (ANSI runtime error at
+    # best, silent wraparound at worst). Inputs are assumed in
+    # [0, 2^bits) — out-of-range x/y produce wrong keys, same contract
+    # as zorder_key.
+    if bits < 1 or 2 * bits > 62:
+        raise ValueError(
+            f"hilbert key needs 1 <= bits <= 31 (2*bits <= 62 so the "
+            f"[0, 4^bits) key fits a signed 64-bit int); got bits={bits}"
+        )
+
+
 def zorder_key(cols: list[str], bits: int = 16) -> Column:
     """Morton code of ``cols`` (each assumed in [0, 2^bits)): bit j of
     cols[i] lands at interleaved position j·d + i. Division/modulo form
@@ -141,7 +155,9 @@ def with_hilbert_key(
     scalable form of :func:`hilbert_key_2d`: each rotate-accumulate round
     is one SELECT stage over the previous round's materialized columns,
     so the plan grows LINEARLY in ``bits`` (still pure integer
-    expressions, single map stage at runtime, no UDF/shuffle)."""
+    expressions, single map stage at runtime, no UDF/shuffle).
+    Requires ``bits <= 31`` (signed-64 key) and inputs in [0, 2^bits)."""
+    _check_hilbert_bits(bits)
     n = 1 << bits
     cur = df.select(
         "*",
@@ -177,7 +193,9 @@ def sql_hilbert_cte(src: str, key: str, xexpr: str, yexpr: str,
     """DuckDB/ANSI twin of :func:`hilbert_key_2d`: the same per-bit
     rounds unrolled as chained CTEs h0..h{bits} over ``src`` (each round
     carries (key, x, y, d) — linear SQL, no expression blowup). The
-    final CTE is ``h{bits}`` with columns (``key``, d)."""
+    final CTE is ``h{bits}`` with columns (``key``, d).
+    Requires ``bits <= 31`` (signed-64 key) and inputs in [0, 2^bits)."""
+    _check_hilbert_bits(bits)
     n = 1 << bits
     parts = [
         f"h0 AS (SELECT {key}, CAST({xexpr} AS BIGINT) AS x,"

@@ -595,7 +595,7 @@ def thumbnail_box(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
                 w, h, px = decode_image(bytes(content))
                 if w % out_w or h % out_h:
                     raise ValueError(
-                        f"resize_image needs integer block factors: "
+                        f"thumbnail_box needs integer block factors: "
                         f"{w}x{h} -> {out_w}x{out_h}"
                     )
                 fy, fx = h // out_h, w // out_w

@@ -601,8 +601,10 @@ def srp_sketch(
     dim: int = 64,
 ) -> DataFrame:
     """(key, srp): the ``bits``-bit sign-random-projection sketch — bit b
-    set iff <v, plane_b> strictly positive. Vectors are micros-quantized
-    first (clustering.quantize_vec), so every dot product is exact int64
+    set iff <v, plane_b> strictly positive. Vectors are millis-quantized
+    first (clustering.quantize_vec at its DEFAULT_SCALE=1000 — an oracle
+    written against this function must use scale 1000, not 1e6, or
+    sign-boundary dots diverge), so every dot product is exact int64
     arithmetic: the sketch is hash-reproducible across engines and
     parallelism. Map-only (bits × dim multiply-adds per row, all JVM
     lambdas); equal sketches are the LSH bucket key for near-neighbor
@@ -653,6 +655,12 @@ def srp_ann_topk(
     shuffles more than its (key, sketch) pairs plus candidate rows.
     Same deterministic order contract as cosine_topk: (rounded score
     desc, corpus key asc)."""
+    if bits % bands:
+        raise ValueError(
+            f"srp_ann_topk needs bits divisible by bands so every sketch "
+            f"bit lands in a band (got bits={bits}, bands={bands}; the "
+            f"top bits % bands bits would silently drop out of banding)"
+        )
     width = bits // bands
     mask = (1 << width) - 1
     csk = srp_sketch(corpus, corpus_key, vec_col, bits, dim)

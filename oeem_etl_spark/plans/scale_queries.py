@@ -337,7 +337,15 @@ def m7_entity_resolution_cc(spark, sf_dir):
     component labels with a recursive-CTE reachability fixpoint — so the
     DataFrame iteration (operators/dedup.connected_components: one job
     per round, lineage-truncated) is verified against SQL's declarative
-    fixpoint semantics, not just unit fixtures."""
+    fixpoint semantics, not just unit fixtures.
+
+    Deliberately calls the PURE min-label variant, not
+    connected_components_hybrid (the near-dup default since r5): every
+    production call site uses the hybrid, so this query is the one
+    remaining direct ORACLE check of the pure iteration the hybrid's
+    probe rounds are built from (tests/test_scale_ops.py pins
+    hybrid == pure == star on shared fixtures; this pins pure == SQL
+    fixpoint on driver-checked data). Not a silent divergence."""
     from oeem_etl_spark.operators.dedup import connected_components
     from oeem_etl_spark.operators.text import fuzzy_join
 

@@ -180,3 +180,35 @@ def test_bpe_encode_applies_rules_to_unseen_words(spark):
     assert got[10] == ("s o lo</w> lo</w>", 4)
     assert got[11] == ("", 0)  # wordless docs keep a row (left join)
     assert got[12] == ("g o</w>", 2)  # rule 2 is l+o</w>, not g
+
+
+def test_apply_merges_rejects_ambiguous_arity():
+    """A (left, right, count) 3-tuple is NOT a documented merge-row shape
+    — the old heuristic read it as (step, left, right) and applied wrong
+    rules silently. Only 4-tuples, pairs, and left/right Rows/dicts are
+    accepted."""
+    import pytest
+
+    from oeem_etl_spark.operators.bpe import apply_merges
+
+    with pytest.raises(ValueError, match="arity"):
+        apply_merges("syms", [("a", "b", 7)])
+
+
+def test_apply_merges_accepts_documented_shapes(spark):
+    """4-tuple (step,left,right,count), bare pair, and Row/dict with
+    left/right fields all produce the same merge chain."""
+    from pyspark.sql import Row
+
+    from oeem_etl_spark.operators.bpe import apply_merges
+
+    df = spark.createDataFrame([(["a", "b", "c"],)], "syms array<string>")
+    expected = [["ab", "c"]]
+    for merges in (
+        [(1, "a", "b", 9)],
+        [("a", "b")],
+        [Row(step=1, left="a", right="b", count=9)],
+        [{"left": "a", "right": "b"}],
+    ):
+        got = [r[0] for r in df.select(apply_merges("syms", merges)).collect()]
+        assert got == expected, (merges, got)

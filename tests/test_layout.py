@@ -181,3 +181,20 @@ def test_hilbert_prunes_box_queries_better_than_zorder(spark):
     th = sum(touched(hil, x) for x in boxes)
     tz = sum(touched(zor, x) for x in boxes)
     assert th < 0.8 * tz, (th, tz)
+
+
+def test_hilbert_rejects_64bit_overflow(spark):
+    """bits > 31 puts the [0, 4^bits) Hilbert key past signed-64 — both
+    the DataFrame and SQL builders must refuse loudly (same contract as
+    zorder's _check_width; ADVICE r5)."""
+    import pytest
+
+    from oeem_etl_spark.operators.layout import sql_hilbert_cte, with_hilbert_key
+
+    df = spark.createDataFrame([(1, 2)], "x long, y long")
+    with pytest.raises(ValueError, match="31"):
+        with_hilbert_key(df, "x", "y", bits=32)
+    with pytest.raises(ValueError, match="31"):
+        sql_hilbert_cte("t", "k", "x", "y", bits=32)
+    # 31 bits exactly is fine (key spans [0, 2^62))
+    with_hilbert_key(df, "x", "y", bits=31)

@@ -97,3 +97,57 @@ def test_srp_ann_recovers_planted_neighbors(spark):
     top = similarity.srp_ann_topk(corpus, queries, k=3)
     best = {r["q_id"]: r["vec_id"] for r in top.where("rnk = 1").collect()}
     assert best == {i: i + 1000 for i in range(5)}, best
+
+
+def test_srp_ann_recall_on_anisotropic_corpus(spark):
+    """Recall gate for the SRP path, the analogue of PQ's >=0.8 gate
+    (VERDICT r5 task #5): on a corpus WITH angular signal — 8 clustered
+    directions, per-vector noise 0.02 so intra-cluster angles stay well
+    inside the 16-bit sketch's resolution (expected Hamming ~ bits*theta/pi
+    must sit under max_hamming=4) — SRP-ANN at the documented settings
+    (bits=16, bands=2, max_hamming=4) must achieve recall@10 >= 0.85 vs
+    exact brute-force cosine top-10. Numpy calibration across seeds
+    3/7/11 reads 0.995/0.92/0.945; noise 0.04 already drops to ~0.7,
+    which is the honest sketch-resolution boundary, not a defect."""
+    import numpy as np
+
+    from oeem_etl_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    cidx = rng.integers(0, 8, 200)
+    corpus_np = centers[cidx] + 0.02 * rng.normal(size=(200, 64))
+    qidx = rng.integers(0, 8, 20)
+    queries_np = centers[qidx] + 0.02 * rng.normal(size=(20, 64))
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus_np)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(queries_np)],
+        "q_id long, embedding array<float>",
+    )
+    exact = similarity.cosine_topk(corpus, queries, k=10)
+    approx = similarity.srp_ann_topk(corpus, queries, k=10)
+    ex: dict[int, set] = {}
+    for r in exact.collect():
+        ex.setdefault(r["q_id"], set()).add(r["vec_id"])
+    ap: dict[int, set] = {}
+    for r in approx.collect():
+        ap.setdefault(r["q_id"], set()).add(r["vec_id"])
+    recalls = [len(ap.get(q, set()) & ex[q]) / len(ex[q]) for q in ex]
+    assert len(recalls) == 20
+    mean_recall = sum(recalls) / len(recalls)
+    assert mean_recall >= 0.85, (mean_recall, sorted(recalls))
+
+
+def test_srp_ann_rejects_nondivisible_bands():
+    """bits % bands != 0 would silently drop the top remainder bits from
+    banding (recall loss with no error) — must refuse loudly."""
+    import pytest
+
+    from oeem_etl_spark.operators import similarity
+
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.srp_ann_topk(None, None, k=3, bits=16, bands=3)
