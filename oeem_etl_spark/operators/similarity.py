@@ -195,18 +195,28 @@ def ivf_topk(
     query_key: str = "q_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF-style approximate top-k: centroids are per-partition means
-    (computed with exact decimal-free double agg — fine for an approx op);
-    each query probes its n_probe nearest centroids and searches only
-    those partitions."""
-    # centroid = element-wise mean per partition, via posexplode + groupBy
+    """IVF-style approximate top-k: each query probes its n_probe nearest
+    partition centroids and searches only those partitions.
+
+    The "centroid" is the element-wise integer-MICROS SUM per partition
+    (round(x·10⁶) as int64, summed exactly): cosine is scale-invariant,
+    so the probe ranking is identical to ranking against the mean vector
+    — but the integer sum is partitioning-order-independent (a float avg
+    would wiggle the last ulp with shuffle order), which makes the whole
+    probe path deterministic and DuckDB-oracle-checkable (l3c)."""
+    # centroid = element-wise micros-sum per partition, via posexplode
     ex = corpus.select(
         F.col(partition_col),
         F.posexplode(F.col(vec_col)).alias("__i", "__v"),
     )
     cents = (
         ex.groupBy(partition_col, "__i")
-        .agg(F.avg("__v").alias("__c"))
+        .agg(
+            F.sum(
+                F.round(F.col("__v").cast("double") * F.lit(1000000.0))
+                .cast("long")
+            ).alias("__c")
+        )
         .groupBy(partition_col)
         .agg(F.array_sort(F.collect_list(F.struct("__i", "__c"))).alias("__ic"))
         .select(

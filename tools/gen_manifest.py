@@ -40,7 +40,7 @@ REASONS = {
     "l2_minhash_lsh_dedup": "hash-family-specific",
     "l2b_minhash_candidates": None,  # promoted r4: md5-family full oracle
     "l3b_ann_lsh_topk": "approx-ann",
-    "l3c_ivf_topk": "approx-ann",
+    "l3c_ivf_topk": None,  # promoted r6: integer-micros centroid sums -> full probe-path oracle
     "l3d_int8_topk": None,  # promoted r4: quantization is deterministic arithmetic
     "l12_fingerprint": None,  # promoted r4: md5-family full oracle
     "l8_multimodal_features": None,  # promoted r4: md5-byte stub oracle
@@ -48,7 +48,7 @@ REASONS = {
     "l8e_jpeg_decode": "binary-codec",
     "l8j_webp_lossy_decode": "binary-codec",
     "l9_embed_batch": None,  # promoted r4: md5-byte stub + ordered-sum oracle
-    "l29b_semantic_dedup_bounded": "refined-candidate-set",  # sub-clustering legitimately changes the pair list vs l29's oracle
+    "l29b_semantic_dedup_bounded": None,  # promoted r6: xxhash64(bigint) reproduced in SQL -> re-split + pair stage fully unrolled
     "l31b_cms_estimates": "approx-sketch",
     "l43_pca_project": "iterative-linalg",
     "l45_image_phash_dedup": "float-dct",  # hashing chain value-checked via the fixed-point twin l45b
