@@ -21,5 +21,6 @@ def load_all() -> None:
         tpch_queries,
         corpus_queries,
         breadth_queries,
+        breadth3_queries,
         scale_queries,
     )

@@ -42,8 +42,10 @@ PREFIX = 50  # the driver's observed per-round certification cap
 
 # Queries that MUST occupy a prefix slot this round regardless of the
 # rotation ledger — e.g. a query whose prior driver check ERRED and needs
-# re-certification (h19 erred in r4's canonicalizer; fixed in r5).
-FORCE_INCLUDE = ["h19_soundex_blocking"]
+# re-certification (h19 in r5, since re-certified green). r6: the two
+# rows-only -> oracle promotions get a slot so their new oracles are
+# driver-certified the same round they land.
+FORCE_INCLUDE = ["l29b_semantic_dedup_bounded", "l3c_ivf_topk"]
 
 
 def main() -> None:

@@ -484,6 +484,46 @@ def shapes(spark, sf_dir):
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         return sim.srp_sketch(emb, "vec_id", "embedding")
 
+    def srp_ann(_stats=None):
+        # full SRP-ANN pipeline (VERDICT r5 task #8): band EQUALITY joins
+        # (union of hash joins — never all-pairs) + Hamming gate + cosine
+        # re-rank. Query side is 5 fixed vectors (broadcast), so time must
+        # track the corpus's candidate volume, ~linear in rows.
+        from oeem_etl_spark.operators import similarity as sim
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = (
+            spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+            .where(F.col("vec_id") <= 5)
+            .select(F.col("vec_id").alias("q_id"), "embedding")
+        )
+        return sim.srp_ann_topk(emb, queries, k=10)
+
+    def stream_drain(_stats=None):
+        # availableNow streaming drain (VERDICT r5 task #8): the file
+        # source lists + batches the scaled lineitem dir, tumbling 1-day
+        # count/sum windows, memory sink. State is bounded by DISTINCT
+        # windows (~2.5k days), never by rows — the drain must scale with
+        # input bytes, not explode with state.
+        from oeem_etl_spark.streaming.harness import run_available_now
+        from oeem_etl_spark.streaming.ops import tumbling_agg
+        from oeem_etl_spark.streaming.source import file_stream
+
+        # NTZ -> TIMESTAMP cast matters: streaming window over a
+        # timestamp_ntz column never completes its batch (the same rule
+        # events_stream applies; session tz is UTC so it is value-exact)
+        sdf = file_stream(spark, sf_dir.rstrip("/"), "lineitem").select(
+            F.col("l_shipdate").cast("timestamp").alias("ts"),
+            F.round(F.col("l_quantity") * 1_000_000).cast("long").alias("qty_m"),
+        )
+        agged = tumbling_agg(
+            sdf,
+            "1 day",
+            [],
+            [F.count(F.lit(1)).alias("n"), F.sum("qty_m").alias("qty_m")],
+        )
+        return run_available_now(agged, "complete")
+
     return {
         "q01_agg": q01,
         "q02_bjoin": q02,
@@ -507,6 +547,8 @@ def shapes(spark, sf_dir):
         "semantic_dedup": semantic,
         "phrase_search": phrase,
         "srp_sketch": srp,
+        "srp_ann": srp_ann,
+        "stream_drain": stream_drain,
     }
 
 
