@@ -35,21 +35,21 @@ _CAST_TS = "CAST(ts AS TIMESTAMP)"
 @query(
     "a41_csv_quote_roundtrip",
     sql="""
-    SELECT p_partkey,
+    SELECT p_partkey AS part_id,
            translate(upper(p_name), ' ', '_') AS tag,
            lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS padded,
            CAST(round(p_retailprice * 1000000) AS BIGINT) AS price_micros
     FROM part WHERE p_partkey <= 400
     """,
     tier="T2",
-    survey="A2,A7,B5,H1",
+    survey="A2,A7,B1,B5,H1",
 )
 def a41_csv_quote_roundtrip(spark, sf_dir):
     """CSV round-trip under QUOTING (p_name contains the delimiter-free
     but space-laden catalog strings; the writer quotes, the schema'd
-    reader must un-quote losslessly), then the string toolkit face:
-    translate + upper + lpad — all JVM built-ins with exact DuckDB
-    twins."""
+    reader must un-quote losslessly), then rename (B1) and the string
+    toolkit face: translate + upper + lpad — all JVM built-ins with
+    exact DuckDB twins."""
     sub = (
         T(spark, sf_dir, "part")
         .where(F.col("p_partkey") <= 400)
@@ -62,10 +62,10 @@ def a41_csv_quote_roundtrip(spark, sf_dir):
     back = spark.read.option("header", True).schema(
         "p_partkey BIGINT, p_name STRING, p_retailprice DOUBLE"
     ).csv(path)
-    return back.select(
-        "p_partkey",
+    return back.withColumnRenamed("p_partkey", "part_id").select(
+        "part_id",
         F.translate(F.upper("p_name"), " ", "_").alias("tag"),
-        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias("padded"),
+        F.lpad(F.col("part_id").cast("string"), 8, "0").alias("padded"),
         F.round(F.col("p_retailprice") * 1_000_000)
         .cast("long")
         .alias("price_micros"),
@@ -810,3 +810,907 @@ def h53_try_parse_family(spark, sf_dir):
         .cast("long")
         .alias("safe_div"),
     )
+
+
+# ---------------------------------------------------------------------------
+# UDF-contract faces
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j31_sql_registered_pipeline",
+    sql="""
+    SELECT doc_id,
+           length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha_len,
+           CASE WHEN length(text) = 0 THEN 0.0
+                ELSE ROUND(CAST(length(regexp_replace(lower(text),
+                       '[^a-z]', '', 'g')) AS DOUBLE) / length(text), 6)
+           END AS alpha_frac
+    FROM documents WHERE doc_id <= 250
+    """,
+    tier="T3",
+    survey="J1,J7",
+)
+def j31_sql_registered_pipeline(spark, sf_dir):
+    """Scalar Python UDF registered via spark.udf.register and consumed
+    from SQL TEXT (not the DataFrame API — j13's face) — the
+    user-extension entry point a SQL-first caller uses. The UDF computes
+    the alphabetic character count; the ratio stays in SQL so only the
+    genuinely-Python step pays the Python tax."""
+
+    def alpha_len(s: str) -> int:
+        return sum(1 for ch in s.lower() if "a" <= ch <= "z") if s else 0
+
+    spark.udf.register("oeem_alpha_len", alpha_len, "long")
+    T(spark, sf_dir, "documents").where(
+        F.col("doc_id") <= 250
+    ).createOrReplaceTempView("j31_docs")
+    return spark.sql(
+        """
+        SELECT doc_id, oeem_alpha_len(text) AS alpha_len,
+               CASE WHEN length(text) = 0 THEN 0.0D
+                    ELSE ROUND(CAST(oeem_alpha_len(text) AS DOUBLE)
+                               / length(text), 6) END AS alpha_frac
+        FROM j31_docs
+        """
+    )
+
+
+@query(
+    "j32_pandas_udf_whitespace",
+    sql="""
+    SELECT doc_id,
+           trim(regexp_replace(text, ' +', ' ', 'g')) AS squeezed,
+           length(text) - length(trim(regexp_replace(text, ' +', ' ', 'g')))
+             AS removed
+    FROM documents WHERE doc_id <= 250
+    """,
+    tier="T3",
+    survey="J2,H2",
+)
+def j32_pandas_udf_whitespace(spark, sf_dir):
+    """Arrow-batched pandas UDF doing VECTORIZED string cleanup
+    (pandas .str ops over the whole batch — no per-row Python loop,
+    unlike a scalar UDF): collapse runs of spaces and trim; the removed
+    count proves character-exact equivalence with the SQL regexp."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("string")
+    # bare signature: this module uses `from __future__ import
+    # annotations`, which stringifies hints pandas_udf can't resolve
+    def squeeze(s):
+        return s.str.replace(" +", " ", regex=True).str.strip()
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") <= 250)
+    out = docs.select("doc_id", "text", squeeze("text").alias("squeezed"))
+    return out.select(
+        "doc_id",
+        "squeezed",
+        (F.length("text") - F.length("squeezed")).alias("removed"),
+    )
+
+
+@query(
+    "j33_grouped_agg_rms",
+    sql="""
+    SELECT event_type,
+           ROUND(sqrt(AVG(value * value)), 6) AS rms
+    FROM events GROUP BY event_type
+    """,
+    tier="T3",
+    survey="J5,D3",
+)
+def j33_grouped_agg_rms(spark, sf_dir):
+    """Vectorized grouped-AGG pandas UDF (root-mean-square per event
+    type) — j5's face computed max; RMS exercises a genuinely numeric
+    reduction where numpy does the whole group in one call. Five groups
+    of ~N/5 doubles: summation-order differences live below the 1e-6
+    rounding."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # explicit GROUPED_AGG: the bare signature (see j32 note) removes the
+    # annotation Spark would otherwise infer the UDF kind from
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def rms(v):
+        import numpy as np
+
+        return float(np.sqrt(np.mean(np.square(v.to_numpy()))))
+
+    ev = T(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(rms(F.col("value")), 6).alias("rms")
+    )
+
+
+@query(
+    "j34_udtf_char_bigrams",
+    sql="""
+    WITH ch AS (
+      SELECT doc_id, substr(lower(text), i, 2) AS bg
+      FROM documents,
+           LATERAL (SELECT unnest(generate_series(1, length(text) - 1)) AS i) s
+      WHERE doc_id <= 40
+    )
+    SELECT doc_id, bg, COUNT(*) AS n
+    FROM ch
+    WHERE bg NOT LIKE '% %'
+    GROUP BY doc_id, bg
+    HAVING COUNT(*) >= 3
+    """,
+    tier="T3",
+    survey="J6,L5",
+)
+def j34_udtf_char_bigrams(spark, sf_dir):
+    """Python UDTF emitting CHARACTER bigrams (j6's face split words):
+    one-to-many expansion at the character level, LATERAL-joined in SQL,
+    then a plain aggregation keeps bigrams occurring 3+ times — the
+    n-gram profiler shape for language-ID features."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="bg string")
+    class CharBigrams:
+        def eval(self, text: str):
+            t = (text or "").lower()
+            for i in range(len(t) - 1):
+                bg = t[i : i + 2]
+                if " " not in bg:
+                    yield (bg,)
+
+    spark.udtf.register("oeem_char_bigrams", CharBigrams)
+    T(spark, sf_dir, "documents").where(
+        F.col("doc_id") <= 40
+    ).createOrReplaceTempView("j34_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, b.bg, COUNT(*) AS n
+        FROM j34_docs d, LATERAL oeem_char_bigrams(d.text) b
+        GROUP BY d.doc_id, b.bg HAVING COUNT(*) >= 3
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# ETL faces
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "k71_billing_cycles",
+    sql=f"""
+    SELECT CAST(date_diff('day', DATE '2024-01-01', CAST({_CAST_TS} AS DATE))
+                // 10 AS BIGINT) AS cycle,
+           COUNT(*) AS n_events, {sql_dsum("value", "sum_value")}
+    FROM events GROUP BY cycle
+    """,
+    tier="T2",
+    survey="K7,H4",
+)
+def k71_billing_cycles(spark, sf_dir):
+    """Interval-align face #3 — arithmetic bucketing into 10-DAY billing
+    cycles anchored at 2024-01-01 (k7 aligned via keyless as-of, k57 via
+    month-window join): pure integer date arithmetic, no join at all —
+    the cheapest alignment when intervals are regular."""
+    ev = T(spark, sf_dir, "events")
+    cycle = F.floor(
+        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01").cast("date"))
+        / 10
+    ).cast("long")
+    return ev.groupBy(cycle.alias("cycle")).agg(
+        F.count(F.lit(1)).alias("n_events"), dsum("value", "sum_value")
+    )
+
+
+@query(
+    "k72_mixed_unit_rebase",
+    sql="""
+    WITH u AS (
+      SELECT CASE CAST(json_extract(props, '$.k') AS BIGINT) % 3
+               WHEN 0 THEN 'Wh' WHEN 1 THEN 'kWh' ELSE 'MWh' END AS unit,
+             CAST(round(value * 1000000) AS BIGINT)
+               * CASE CAST(json_extract(props, '$.k') AS BIGINT) % 3
+                   WHEN 0 THEN 1 WHEN 1 THEN 1000 ELSE 1000000 END
+               AS wh_micros
+      FROM events
+    )
+    SELECT unit, COUNT(*) AS n,
+           CAST(SUM(wh_micros) AS BIGINT) AS total_wh_micros
+    FROM u GROUP BY unit
+    """,
+    tier="T2",
+    survey="K8,B4,H12",
+)
+def k72_mixed_unit_rebase(spark, sf_dir):
+    """Unit-normalization face #3 — the unit arrives IN-BAND (derived
+    from the props payload, the mixed-feed case) instead of k8's clean
+    enum-to-factor lookup: CASE-dispatched integer factors rebase
+    everything to exact Wh-micros, so the rollup is overflow-checked
+    integer math end to end."""
+    ev = T(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long") % 3
+    unit = (
+        F.when(k == 0, "Wh").when(k == 1, "kWh").otherwise("MWh")
+    )
+    factor = F.when(k == 0, 1).when(k == 1, 1000).otherwise(1000000)
+    wh = F.round(F.col("value") * 1_000_000).cast("long") * factor
+    return ev.select(unit.alias("unit"), wh.alias("wh_micros")).groupBy(
+        "unit"
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("wh_micros").alias("total_wh_micros"),
+    )
+
+
+@query(
+    "k73_gap_sessions",
+    sql=f"""
+    WITH o AS (
+      SELECT user_id, {_CAST_TS} AS ts,
+             lag({_CAST_TS}) OVER (PARTITION BY user_id
+                                   ORDER BY {_CAST_TS}, event_id) AS prev
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(CASE WHEN prev IS NULL
+                       OR ts - prev > INTERVAL '45 minutes'
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sess
+      FROM o
+    ),
+    per AS (SELECT user_id, sess, COUNT(*) AS n FROM s
+            GROUP BY user_id, sess)
+    SELECT user_id, COUNT(*) AS n_sessions,
+           MAX(n) AS longest_session
+    FROM per GROUP BY user_id
+    """,
+    tier="T2",
+    survey="K11,E2",
+)
+def k73_gap_sessions(spark, sf_dir):
+    """Gap-based sessionization via lag + running boundary-count (the
+    manual cumsum construction — k11b's face used the native
+    session_window): a new session starts after a 45-minute silence;
+    reports per-user session count and the largest session's event
+    count."""
+    ev = T(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    o = ev.select(
+        "user_id", "ts", F.lag("ts").over(w).alias("prev")
+    )
+    boundary = (
+        F.col("prev").isNull()
+        | (F.col("ts") > F.col("prev") + F.expr("INTERVAL 45 MINUTES"))
+    ).cast("int")
+    wrun = (
+        Window.partitionBy("user_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    s = o.select("user_id", F.sum(boundary).over(wrun).alias("sess"))
+    per = s.groupBy("user_id", "sess").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.max("n").alias("longest_session"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline faces
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "l81_knn_margin",
+    sql="""
+    WITH q AS (SELECT vec_id AS q_id, embedding AS qvec FROM embeddings
+               WHERE vec_id BETWEEN 10 AND 19),
+    scored AS (
+      SELECT q.q_id, e.vec_id,
+             ROUND(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                          CAST(q.qvec AS DOUBLE[])), 6)
+               AS score
+      FROM embeddings e CROSS JOIN q
+    ),
+    topk AS (
+      SELECT q_id, vec_id FROM (
+        SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                                  ORDER BY score DESC, vec_id) AS rnk
+        FROM scored
+      ) WHERE rnk <= 7
+    ),
+    votes AS (
+      SELECT t.q_id, e.label, COUNT(*) AS votes
+      FROM topk t JOIN embeddings e USING (vec_id)
+      GROUP BY t.q_id, e.label
+    ),
+    ranked AS (
+      SELECT q_id, label, votes,
+             row_number() OVER (PARTITION BY q_id
+                                ORDER BY votes DESC, label) AS r
+      FROM votes
+    )
+    SELECT a.q_id, a.label AS predicted, a.votes,
+           CAST(a.votes - COALESCE(b.votes, 0) AS BIGINT) AS margin
+    FROM ranked a LEFT JOIN ranked b ON b.q_id = a.q_id AND b.r = 2
+    WHERE a.r = 1
+    """,
+    tier="T3",
+    survey="L4,L3,E5",
+)
+def l81_knn_margin(spark, sf_dir):
+    """kNN face #3 — k=7 over a different query slice, reporting the
+    winning label AND the vote MARGIN over the runner-up (the
+    classification-confidence signal l4's plain majority face drops;
+    margin 7 means unanimous)."""
+    from oeem_etl_spark.operators import similarity
+
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").between(10, 19)).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    topk = similarity.cosine_topk(emb, queries, k=7)
+    votes = (
+        topk.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("q_id", "label")
+        .agg(F.count(F.lit(1)).alias("votes"))
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    ranked = votes.withColumn("r", F.row_number().over(w))
+    first = ranked.where(F.col("r") == 1).select(
+        "q_id", F.col("label").alias("predicted"), "votes"
+    )
+    second = ranked.where(F.col("r") == 2).select(
+        "q_id", F.col("votes").alias("votes2")
+    )
+    return first.join(second, "q_id", "left").select(
+        "q_id",
+        "predicted",
+        "votes",
+        (F.col("votes") - F.coalesce("votes2", F.lit(0)))
+        .cast("long")
+        .alias("margin"),
+    )
+
+
+@query(
+    "l82_tfidf_top_terms",
+    sql="""
+    WITH tf AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(str_split(text, ' ')) AS tok FROM documents
+      ) GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    wts AS (
+      SELECT tf.doc_id, tf.term,
+             ROUND((1 + ln(tf.tf))
+                   * ln((CAST(n.n_docs AS DOUBLE) + 1) / (dfreq.df + 1)), 6)
+               AS w
+      FROM tf JOIN dfreq USING (term) CROSS JOIN n
+      WHERE tf.doc_id < 30
+    )
+    SELECT doc_id, term, w,
+           CAST(rnk AS INT) AS rnk
+    FROM (
+      SELECT doc_id, term, w,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY w DESC, term) AS rnk
+      FROM wts
+    ) WHERE rnk <= 3
+    """,
+    tier="T3",
+    survey="L6,L5,E5",
+)
+def l82_tfidf_top_terms(spark, sf_dir):
+    """tf-idf face #3 — sublinear tf (1+ln tf) with add-one-smoothed idf,
+    keeping each document's top-3 keywords (the keyword-extraction shape;
+    l6 emits the full raw matrix). Weights are rounded to 6dp BEFORE the
+    rank so the top-3 cut is engine-stable."""
+    from oeem_etl_spark.operators import text
+
+    docs = T(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    raw = text.tf_idf(docs, "doc_id", "text").where(F.col("doc_id") < 30)
+    wts = raw.select(
+        "doc_id",
+        "term",
+        F.round(
+            (1 + F.log(F.col("tf")))
+            * F.log((F.lit(float(n_docs)) + 1) / (F.col("df") + 1)),
+            6,
+        ).alias("w"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("w").desc(), F.col("term"))
+    return (
+        wts.withColumn("rnk", F.row_number().over(w))
+        .where(F.col("rnk") <= 3)
+        .withColumn("rnk", F.col("rnk").cast("int"))
+    )
+
+
+@query(
+    "m51_degree_centrality",
+    sql="""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_partkey <= 300
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    und AS (
+      SELECT u AS node, v AS nbr FROM edges
+      UNION ALL SELECT v, u FROM edges
+    ),
+    deg AS (SELECT node, COUNT(DISTINCT nbr) AS degree FROM und
+            GROUP BY node),
+    nn AS (SELECT COUNT(*) AS n_nodes FROM deg)
+    SELECT node, degree,
+           ROUND(CAST(degree AS DOUBLE) / (n_nodes - 1), 6) AS centrality
+    FROM deg CROSS JOIN nn
+    ORDER BY degree DESC, node LIMIT 20
+    """,
+    tier="T3",
+    survey="L10,C10,F3",
+)
+def m51_degree_centrality(spark, sf_dir):
+    """Degree centrality on the co-purchase graph (bounded part slice):
+    the cheapest of the centrality family — one self-join for edges, one
+    distinct-neighbor count, normalized by n-1 (m2's face iterates
+    PageRank; this face is the single-pass baseline every graph report
+    starts with). Top-20 fully tie-broken."""
+    li = T(spark, sf_dir, "lineitem").where(F.col("l_partkey") <= 300)
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("u"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("v"))
+    edges = (
+        a.join(b, "ok").where(F.col("u") < F.col("v")).select("u", "v").distinct()
+    )
+    und = edges.select(F.col("u").alias("node"), F.col("v").alias("nbr")).unionAll(
+        edges.select(F.col("v").alias("node"), F.col("u").alias("nbr"))
+    )
+    deg = und.groupBy("node").agg(F.count_distinct("nbr").alias("degree"))
+    n_nodes = deg.count()
+    return (
+        deg.select(
+            "node",
+            "degree",
+            F.round(F.col("degree") / F.lit(float(n_nodes - 1)), 6).alias(
+                "centrality"
+            ),
+        )
+        .orderBy(F.col("degree").desc(), "node")
+        .limit(20)
+    )
+
+
+@query(
+    "m52_stratified_weighted_pick",
+    sql=f"""
+    SELECT lang, doc_id, n_chars
+    FROM (
+      SELECT lang, doc_id, n_chars,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY pow(
+                 CAST(CAST(concat('0x', substring(md5(concat(
+                   CAST(doc_id AS VARCHAR), ':7')), 1, 8)) AS UBIGINT)
+                   AS DOUBLE) / {float(1 << 32)},
+                 1.0 / n_chars) DESC, doc_id
+             ) AS rn
+      FROM documents WHERE n_chars > 0
+    ) WHERE rn <= 3
+    ORDER BY lang, doc_id
+    """,
+    tier="T3",
+    survey="L11,B8,E5",
+)
+def m52_stratified_weighted_pick(spark, sf_dir):
+    """Weighted-sample face #3 — per-LANGUAGE strata (m3 sampled per
+    source) with k=3 and a different seed: Efraimidis–Spirakis over the
+    md5 uniform, so the language-balanced training-mixture draw is fully
+    deterministic and oracle-checked."""
+    from oeem_etl_spark.operators.splits import (
+        weighted_sample_without_replacement,
+    )
+
+    docs = T(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    picked = weighted_sample_without_replacement(
+        docs, key="doc_id", weight="n_chars", k=3, group_by=["lang"], seed=7
+    )
+    return picked.select("lang", "doc_id", "n_chars").orderBy("lang", "doc_id")
+
+
+@query(
+    "l83_embed_pool_stats",
+    sql="""
+    WITH emb AS (
+      SELECT doc_id, lang,
+             list_transform(generate_series(0, 7), j ->
+               CAST(concat('0x', substr(md5(text || '|' || CAST(j AS VARCHAR)),
+                    1, 8)) AS UBIGINT) % 1000) AS v
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           CAST(SUM(v[1]) AS BIGINT) AS sum_c0,
+           CAST(SUM(list_sum(v)) AS BIGINT) AS sum_all
+    FROM emb GROUP BY lang
+    """,
+    tier="T3",
+    survey="L9,J4,D1",
+)
+def l83_embed_pool_stats(spark, sf_dir):
+    """Embed-batch face #4 — POOLED statistics per language over the
+    Arrow-batched encoder's output (l9b sums per doc, l9d checks per-
+    component integrity; this face checks the group-by composition over
+    embedded vectors): first-component and all-component integer sums
+    per language stratum."""
+    import hashlib
+
+    import pandas as pd
+
+    dim = 8
+
+    def embed(batches):
+        for pdf in batches:
+            rows = []
+            for d, lang, t in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                v = [
+                    int(hashlib.md5(f"{t}|{j}".encode()).hexdigest()[:8], 16)
+                    % 1000
+                    for j in range(dim)
+                ]
+                rows.append((int(d), str(lang), v[0], sum(v)))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "lang", "c0", "all_sum"]
+            )
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < 150)
+        .select("doc_id", "lang", "text")
+    )
+    emb = docs.mapInPandas(
+        embed, "doc_id long, lang string, c0 long, all_sum long"
+    )
+    return emb.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("c0").alias("sum_c0"),
+        F.sum("all_sum").alias("sum_all"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Combo faces: single coherent pipelines that exercise SEVERAL starved
+# rows at once, so the driver's 50-slot tag-complete prefix can stay
+# nearly all-fresh (40+ tags have exactly one unchecked provider — without
+# bundling, the mandatory picks alone overflow the prefix).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j41_udf_trifecta",
+    sql="""
+    WITH scored AS (
+      SELECT doc_id, lang,
+             length(regexp_replace(lower(text), '[^aeiou]', '', 'g'))
+               AS vowels,
+             length(trim(regexp_replace(text, ' +', ' ', 'g'))) AS squeezed_len
+      FROM documents WHERE doc_id <= 300
+    )
+    SELECT lang, COUNT(*) AS n,
+           ROUND(sqrt(AVG(CAST(vowels * vowels AS DOUBLE))), 6) AS vowel_rms,
+           CAST(SUM(squeezed_len) AS BIGINT) AS total_squeezed
+    FROM scored GROUP BY lang
+    """,
+    tier="T3",
+    survey="J1,J2,J5,J7",
+)
+def j41_udf_trifecta(spark, sf_dir):
+    """All three UDF contracts in ONE pipeline: a SQL-registered scalar
+    Python UDF (vowel count — J1 via the J7 entry point) and an
+    Arrow-batched pandas UDF (whitespace squeeze — J2) compute per-doc
+    features, then a grouped-agg pandas UDF (RMS — J5) reduces them per
+    language. Each step pays the Python tax exactly once over Arrow
+    batches; everything around them stays JVM."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    def vowel_count(s):
+        return sum(1 for ch in (s or "").lower() if ch in "aeiou")
+
+    spark.udf.register("oeem_j41_vowels", vowel_count, "long")
+
+    @pandas_udf("string")
+    def squeeze(s):  # bare signature, see j32 note on future-annotations
+        return s.str.replace(" +", " ", regex=True).str.strip()
+
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def rms(v):
+        import numpy as np
+
+        return float(np.sqrt(np.mean(np.square(v.to_numpy(dtype="float64")))))
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 300)
+        .select("doc_id", "lang", "text")
+    )
+    docs.createOrReplaceTempView("j41_docs")
+    scored = spark.sql(
+        "SELECT doc_id, lang, text, oeem_j41_vowels(text) AS vowels "
+        "FROM j41_docs"
+    ).withColumn("squeezed_len", F.length(squeeze("text")))
+    # a grouped-agg pandas UDF cannot share an agg() with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — run it in its own aggregation and
+    # broadcast-join the 5-row results back together
+    plain = scored.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("squeezed_len").alias("total_squeezed"),
+    )
+    udaf = scored.groupBy("lang").agg(
+        F.round(rms(F.col("vowels").cast("double")), 6).alias("vowel_rms")
+    )
+    return plain.join(F.broadcast(udaf), "lang").select(
+        "lang", "n", "vowel_rms", "total_squeezed"
+    )
+
+
+@query(
+    "i41_stream_dedup_sliding",
+    sql=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type,
+             time_bucket(INTERVAL '1 hour', {_CAST_TS}) AS hr
+      FROM events
+    ),
+    cand AS (
+      SELECT unnest([hr, hr - INTERVAL '1 hour']) AS window_start, user_id
+      FROM d
+    )
+    SELECT window_start, COUNT(*) AS active_pairs
+    FROM cand GROUP BY window_start
+    """,
+    tier="T3",
+    survey="I2,I5,I8",
+)
+def i41_stream_dedup_sliding(spark, sf_dir):
+    """Streaming dedup FEEDING a sliding window in one query: state
+    dedups (user, type, hour) triples as they stream, then 2h/1h sliding
+    windows count the deduped activity pairs — the chained-stateful
+    topology (dedup state + window state in the same streaming plan)
+    that neither i5 nor i19 exercises alone."""
+    from oeem_etl_spark.streaming import harness, ops
+    from oeem_etl_spark.streaming.source import events_stream
+
+    sdf = events_stream(spark, sf_dir).select(
+        "user_id", "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    )
+    deduped = ops.dedup_keys(sdf, ["user_id", "event_type", "hr"])
+    out = ops.sliding_agg(
+        deduped,
+        "2 hours",
+        "1 hour",
+        [],
+        [F.count(F.lit(1)).alias("active_pairs")],
+        ts_col="hr",
+    )
+    return harness.run_available_now(out, "complete")
+
+
+@query(
+    "a45_fetch_csv_normalize",
+    sql="""
+    SELECT lang AS language,
+           upper(lang) AS lang_uc,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents WHERE doc_id <= 500 AND n_chars >= 100
+    GROUP BY lang
+    """,
+    tier="T2",
+    survey="A11,A12,A2,A7,B1,B5,B3",
+)
+def a45_fetch_csv_normalize(spark, sf_dir):
+    """Fetch tier + CSV scan/sink + the rename/cast/filter parse stage as
+    ONE pipeline (the reference's ingest loop with a real cleanup pass,
+    where a44 parses verbatim): CSV shards land through a flaky
+    transport, the parse stage renames lang→language, casts the n_chars
+    field from its string CSV form, filters short docs, and the rollup
+    uploads through a flaky chunked datastore."""
+    import functools
+    import shutil
+
+    from oeem_etl_spark.sources import fetch as fx
+    from oeem_etl_spark.sources import upload as up
+
+    root = os.path.join(
+        _TMP, f"a45_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+    shutil.rmtree(root, ignore_errors=True)
+    remote = os.path.join(root, "remote")
+    fstate = os.path.join(root, "fstate")
+    ustate = os.path.join(root, "ustate")
+    landing = os.path.join(root, "landing")
+    dsroot = os.path.join(root, "ds")
+    for d in (remote, fstate, ustate):
+        os.makedirs(d, exist_ok=True)
+
+    docs = (
+        T(spark, sf_dir, "documents")
+        .where(F.col("doc_id") <= 500)
+        .select("lang", "n_chars")
+    )
+    docs.repartition(3).write.mode("overwrite").option("header", True).csv(
+        remote
+    )
+    shards = sorted(
+        f
+        for f in os.listdir(remote)
+        if f.endswith(".csv") and not f.startswith(("_", "."))
+    )
+    tasks = spark.createDataFrame(
+        [(s, s) for s in shards], "task_id string, uri string"
+    )
+    ffactory = functools.partial(
+        fx.local_flaky_fetcher, remote=remote, fail_times=1, state_dir=fstate
+    )
+    statuses = {
+        r["status"]
+        for r in fx.fetch_to_landing(tasks, ffactory, landing).collect()
+    }
+    assert statuses <= {"fetched", "skipped"}
+
+    # parse stage: STRING schema on purpose (the raw-feed case), then
+    # rename + cast + filter — the B1/B5/B3 cleanup pass
+    raw = spark.read.option("header", True).schema(
+        "lang string, n_chars string"
+    ).csv(landing)
+    clean = (
+        raw.withColumnRenamed("lang", "language")
+        .withColumn("n_chars", F.col("n_chars").cast("long"))
+        .where(F.col("n_chars") >= 100)
+    )
+    agg = clean.groupBy("language").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+    ).select(
+        "language",
+        F.upper("language").alias("lang_uc"),
+        "n_docs",
+        "total_chars",
+    )
+    ufactory = functools.partial(
+        up.local_flaky_datastore, root=dsroot, fail_times=1, state_dir=ustate
+    )
+    up.bulk_upload(
+        agg.withColumn("seq", F.lit(1)),
+        ufactory,
+        epoch_id=0,
+        batch_size=2,
+        max_attempts=4,
+    )
+    state = up.FilesystemDatastore(dsroot).state("language", "seq")
+    rows = [
+        (
+            str(v["language"]),
+            str(v["lang_uc"]),
+            int(v["n_docs"]),
+            int(v["total_chars"]),
+        )
+        for v in state.values()
+    ]
+    return spark.createDataFrame(
+        rows, "language string, lang_uc string, n_docs long, total_chars long"
+    )
+
+
+@query(
+    "a46_json_try_profile",
+    sql="""
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(json_extract_string(payload, '$.tag') AS BIGINT)
+             AS tag_num,
+           json_extract_string(payload, '$.kind') AS kind
+    FROM (
+      SELECT event_id, props,
+             to_json(struct_pack(
+               kind := event_type,
+               tag := CASE WHEN user_id % 2 = 0
+                           THEN CAST(user_id AS VARCHAR)
+                           ELSE event_type END)) AS payload
+      FROM events WHERE event_id <= 500
+    )
+    """,
+    tier="T2",
+    survey="A3,B7,H12,H13,B6",
+)
+def a46_json_try_profile(spark, sf_dir):
+    """ndjson sink/scan + try_-family profiling in one pipeline: the
+    payload's ``tag`` field is INTENTIONALLY mixed-type (numeric string
+    for even users, enum for odd), so the reader must combine JSON path
+    extraction with try_cast NULL-lanes instead of aborting under ANSI —
+    the schema-drift triage pass a raw-feed ingest runs."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("event_id") <= 500)
+        .select(
+            "event_id",
+            "props",
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("kind"),
+                    F.when(
+                        F.col("user_id") % 2 == 0,
+                        F.col("user_id").cast("string"),
+                    )
+                    .otherwise(F.col("event_type"))
+                    .alias("tag"),
+                )
+            ).alias("payload"),
+        )
+    )
+    path = os.path.join(_TMP, "a46_json")
+    ev.write.mode("overwrite").json(path)
+    back = spark.read.schema(
+        "event_id BIGINT, props STRING, payload STRING"
+    ).json(path)
+    return back.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("long").alias("k_num"),
+        F.get_json_object("payload", "$.tag")
+        .try_cast("long")
+        .alias("tag_num"),
+        F.get_json_object("payload", "$.kind").alias("kind"),
+    )
+
+
+@query(
+    "e31_frame_page",
+    sql="""
+    WITH fr AS (
+      SELECT o_orderkey, o_custkey,
+             nth_value(o_orderkey, 2) OVER w AS second_order,
+             last_value(o_orderkey) OVER w AS last_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    )
+    SELECT o_orderkey, o_custkey, second_order, last_order
+    FROM fr ORDER BY o_custkey, o_orderkey
+    LIMIT 40 OFFSET 120
+    """,
+    tier="T2",
+    survey="E4,E3,F2",
+)
+def e31_frame_page(spark, sf_dir):
+    """nth_value/last over a full-partition frame, then page 4 of the
+    result under a total order — window frames COMPOSED with offset
+    pagination (the report-export shape), in one plan."""
+    o = T(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    fr = o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+        F.last("o_orderkey").over(w).alias("last_order"),
+    )
+    return fr.orderBy("o_custkey", "o_orderkey").offset(120).limit(40)

@@ -78,7 +78,10 @@ def main() -> None:
             def score(n: str):
                 new = uncovered & tags[n]
                 rarity = sum(1.0 / providers[t] for t in new)
-                return (len(new), rarity, -times.get(n, 1.0))
+                # prefer never-checked at equal gain: a checked pick in
+                # the cover costs one fresh certification slot
+                return (len(new), n not in checked_rounds, rarity,
+                        -times.get(n, 1.0))
 
             pool = [n for n in remaining if n not in checked_rounds]
             if used_checked < quota:
@@ -93,6 +96,24 @@ def main() -> None:
             used_checked += best in checked_rounds
             uncovered -= tags[best]
             remaining.discard(best)
+        # prune redundant picks (tags fully covered by the rest of the
+        # cover) — greedy overshoot is common; drop CHECKED picks first,
+        # then expensive ones, never the forced picks. Each pruned slot
+        # becomes a never-checked filler slot downstream.
+        changed = True
+        while changed:
+            changed = False
+            for n in sorted(
+                (x for x in order if x not in forced),
+                key=lambda x: (x not in checked_rounds, -times.get(x, 1.0)),
+            ):
+                rest_tags = set().union(
+                    *(tags[m] for m in order if m != n)
+                ) if len(order) > 1 else set()
+                if tags[n] <= rest_tags:
+                    order.remove(n)
+                    changed = True
+                    break
         return order if len(order) <= PREFIX else None
 
     best_prefix: list[str] | None = None
