@@ -116,12 +116,56 @@ def main() -> None:
                     break
         return order if len(order) <= PREFIX else None
 
+    def eliminate_checked(order: list[str]) -> list[str]:
+        # local search: a checked pick can leave the cover if its
+        # now-unique tags are coverable by unchecked queries within the
+        # PREFIX budget — each eliminated pick converts 1+ filler slots
+        # into cover slots but frees one whole checked slot, so fresh
+        # count (PREFIX - #checked) strictly improves. Greedy: each round
+        # eliminate the checked pick needing the fewest replacements.
+        order = list(order)
+        while True:
+            cands = []
+            for c in order:
+                if c not in checked_rounds or c in forced:
+                    continue
+                others = set().union(
+                    *(tags[m] for m in order if m != c)
+                ) if len(order) > 1 else set()
+                need = set(tags[c]) - others
+                add: list[str] = []
+                rem = set(need)
+                pool = [
+                    n for n in qs
+                    if n not in checked_rounds and n not in order
+                ]
+                while rem:
+                    best = max(
+                        pool,
+                        key=lambda n: (len(rem & tags[n]),
+                                       -times.get(n, 1.0)),
+                        default=None,
+                    )
+                    if best is None or not rem & tags[best]:
+                        break
+                    add.append(best)
+                    rem -= tags[best]
+                    pool.remove(best)
+                if not rem and len(order) - 1 + len(add) <= PREFIX:
+                    cands.append((len(add), c, add))
+            if not cands:
+                return order
+            _, c, add = min(cands)
+            order.remove(c)
+            order.extend(add)
+
     best_prefix: list[str] | None = None
     best_key: tuple[int, float] | None = None  # (unchecked, -prefix_sec)
     for quota in range(0, PREFIX + 1):
         cov = cover_with_quota(quota)
         if cov is None:
             continue
+        cov = eliminate_checked(cov)
         filler = sorted(
             (n for n in qs if n not in set(cov) and n not in checked_rounds),
             key=lambda n: times.get(n, 1.0),
