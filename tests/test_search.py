@@ -151,3 +151,58 @@ def test_srp_ann_rejects_nondivisible_bands():
 
     with pytest.raises(ValueError, match="divisible"):
         similarity.srp_ann_topk(None, None, k=3, bits=16, bands=3)
+
+
+def test_srp_multiprobe_lifts_recall_past_single_probe(spark):
+    """Multi-probe's reason to exist, measured: at noise 0.04 — where
+    single-probe SRP drops to ~0.7 recall@10 (band keys start missing) —
+    the 1-flip probe expansion must reach >= 0.85 AND strictly beat
+    single-probe. Numpy calibration across seeds 3/7/11:
+    single 0.655/0.74/0.74, multi(mh=6) 0.955/0.975/0.945."""
+    import numpy as np
+
+    from oeem_etl_spark.operators import similarity
+
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    corpus_np = centers[rng.integers(0, 8, 200)] + 0.04 * rng.normal(
+        size=(200, 64)
+    )
+    queries_np = centers[rng.integers(0, 8, 20)] + 0.04 * rng.normal(
+        size=(20, 64)
+    )
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(corpus_np)],
+        "vec_id long, embedding array<float>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in enumerate(queries_np)],
+        "q_id long, embedding array<float>",
+    )
+
+    def recall(approx):
+        ex: dict[int, set] = {}
+        for r in similarity.cosine_topk(corpus, queries, k=10).collect():
+            ex.setdefault(r["q_id"], set()).add(r["vec_id"])
+        ap: dict[int, set] = {}
+        for r in approx.collect():
+            ap.setdefault(r["q_id"], set()).add(r["vec_id"])
+        vals = [len(ap.get(q, set()) & ex[q]) / len(ex[q]) for q in ex]
+        return sum(vals) / len(vals)
+
+    single = recall(similarity.srp_ann_topk(corpus, queries, k=10))
+    multi = recall(similarity.srp_ann_multiprobe(corpus, queries, k=10))
+    assert multi >= 0.85, (single, multi)
+    assert multi > single, (single, multi)
+
+
+def test_srp_multiprobe_guards():
+    import pytest
+
+    from oeem_etl_spark.operators import similarity
+
+    with pytest.raises(ValueError, match="divisible"):
+        similarity.srp_ann_multiprobe(None, None, k=3, bits=16, bands=3)
+    with pytest.raises(ValueError, match="probe_flips"):
+        similarity.srp_ann_multiprobe(None, None, k=3, probe_flips=2)
