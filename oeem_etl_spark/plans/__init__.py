@@ -22,5 +22,6 @@ def load_all() -> None:
         corpus_queries,
         breadth_queries,
         breadth3_queries,
+        breadth4_queries,
         scale_queries,
     )

@@ -106,6 +106,7 @@ def foreach_batch_upsert(
     keys: list[str],
     order_cols: list[str],
     timeout_s: int = 300,
+    output_mode: str | None = None,
 ) -> None:
     """Streaming upsert sink: each micro-batch merges into a parquet
     target with the newest record per key (by ``order_cols``) winning —
@@ -148,9 +149,14 @@ def foreach_batch_upsert(
         shutil.rmtree(old, ignore_errors=True)
 
     try:
+        writer = sdf.writeStream.foreachBatch(sink)
+        if output_mode is not None:
+            # aggregations without watermark need "update" — the merge
+            # absorbs re-emissions of a growing group, so update-mode
+            # batches converge on the same target as a final snapshot
+            writer = writer.outputMode(output_mode)
         q = (
-            sdf.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", ckpt)
+            writer.option("checkpointLocation", ckpt)
             .trigger(availableNow=True)
             .start()
         )

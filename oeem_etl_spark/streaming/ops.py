@@ -292,3 +292,43 @@ def tiered_totals_state(
     return df.groupBy(key).applyInPandasWithState(
         fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def extremes_state(df: DataFrame, key: str = "user_id", value_col: str = "value"):
+    """I6 face: per-key running (min, max, count) in exact integer micros
+    via applyInPandasWithState — the bounds-tracker state machine (e.g.
+    sensor sanity envelopes), update mode. Unlike running_totals_state's
+    sum, the extremes are idempotent under replay by construction."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        f"{key} bigint, n_events bigint, min_value double, max_value double"
+    )
+    state_schema = "n bigint, mn bigint, mx bigint"
+
+    def fn(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        n, mn, mx = state.get if state.exists else (0, None, None)
+        for pdf in pdf_iter:
+            micros = pdf[value_col].mul(1e6).round(0).astype("int64")
+            if not len(micros):
+                continue
+            n += len(micros)
+            bmn, bmx = int(micros.min()), int(micros.max())
+            mn = bmn if mn is None else min(mn, bmn)
+            mx = bmx if mx is None else max(mx, bmx)
+        state.update((int(n), int(mn), int(mx)))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "n_events": [n],
+                "min_value": [round(mn / 1e6, 6)],
+                "max_value": [round(mx / 1e6, 6)],
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
