@@ -829,3 +829,36 @@ def test_vp8_token_layer_roundtrips_any_block(coeffs):
     bd = v.BoolDecoder(be.flush())
     got = v._decode_coeffs(bd, v.TABLES["coeff_probs"], 3, 0, 0)
     assert np.array_equal(got, q)
+
+
+@given(
+    keys=st.lists(
+        st.integers(-(2**63), 2**63 - 1), min_size=1, max_size=40, unique=True
+    )
+)
+@settings(**SETTINGS)
+def test_xxh64_sql_twin_matches_spark(spark, keys):
+    """The DuckDB XXH64 CTE (_xxh64_long_cte — the l29b oracle's seed-
+    draw primitive) must equal F.xxhash64(bigint) BIT-FOR-BIT over the
+    full signed-64 domain, including negatives and the extremes —
+    hypothesis drives the fuzz, Spark is the reference."""
+    import duckdb
+
+    from oeem_etl_spark.plans.llm_queries import _xxh64_long_cte
+
+    df = spark.createDataFrame([(k,) for k in keys], "k long")
+    want = {r["k"]: r["h"] for r in df.select("k", F.xxhash64("k").alias("h")).collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"(CAST({k} AS BIGINT))" for k in keys)
+        + ") v(k)"
+    )
+    got = dict(
+        con.sql(
+            f"WITH src AS (SELECT k FROM t), {_xxh64_long_cte('src', 'k')} "
+            "SELECT k, xxh FROM x8"
+        ).fetchall()
+    )
+    assert got == want
