@@ -120,3 +120,94 @@ def pca_transform(
         ),
     )
     return df.withColumn(out_col, F.zip_with(dots, consts, lambda p, c0: p - c0))
+
+
+def pca_power_fixed(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    iters: int = 8,
+    q_scale: int = 1000,
+    v_scale: int = 1_000_000,
+    out_col: str = "p1",
+) -> tuple[list[int], DataFrame]:
+    """Top-principal-direction projection by EXACT integer power
+    iteration — the oracle-checkable twin of :func:`pca_fit` (the l45b
+    fixed-point-twin playbook): every stage is integer arithmetic, so a
+    plain-SQL oracle reproduces it value-for-value.
+
+    Same architecture as pca_fit — ONE bounded moment pass (per-batch
+    int64 partials via mapInPandas; integer sums are reduction-order-
+    independent, so the distributed combine is exact, unlike the float
+    moments of pca_fit), a driver-side d×d solve on ~d² ints of bounded
+    state, and a pure-JVM literal projection. The eigensolver is
+    replaced by ``iters`` rounds of power iteration on the integer
+    scaled covariance ``n·G − S·Sᵀ`` of half-away-from-zero
+    millis-quantized vectors, renormalizing v to max|v| = v_scale by
+    integer division each round (sign-split so floor == truncate on the
+    non-negative magnitudes — identical in Python, Spark and DuckDB).
+    Power iteration converges to the dominant eigenvector at rate
+    (λ2/λ1)^k; the twin pins the EXACT k-th iterate, not the limit.
+
+    Returns ``(v, df + out_col)``: the integer direction (len = dim,
+    entries in [−v_scale, v_scale]) and the input with the integer
+    projection column ``out_col`` = Σᵢ round(xᵢ·q_scale)·vᵢ.
+    """
+    import pandas as pd
+
+    def partials(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * q_scale
+            Xq = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5)).astype(
+                np.int64
+            )
+            yield pd.DataFrame(
+                {
+                    "n": [len(Xq)],
+                    "s": [Xq.sum(axis=0).tolist()],
+                    "g": [(Xq.T @ Xq).ravel().tolist()],
+                }
+            )
+
+    rows = (
+        df.select(vec_col)
+        .mapInPandas(partials, schema="n long, s array<long>, g array<long>")
+        .collect()
+    )
+    assert rows, "pca_power_fixed: empty input"
+    n = sum(int(r["n"]) for r in rows)
+    s = [0] * dim
+    g = [[0] * dim for _ in range(dim)]
+    for r in rows:
+        for i, v in enumerate(r["s"]):
+            s[i] += int(v)
+        flat = r["g"]
+        for i in range(dim):
+            base = i * dim
+            gi = g[i]
+            for j in range(dim):
+                gi[j] += int(flat[base + j])
+    # scaled covariance (×n²): exact python ints, no overflow possible
+    c = [[n * g[i][j] - s[i] * s[j] for j in range(dim)] for i in range(dim)]
+    v = [v_scale] * dim
+    for _ in range(iters):
+        w = [sum(c[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(wi) for wi in w)
+        assert m > 0, "pca_power_fixed: zero covariance"
+        v = [
+            -((-wi) * v_scale // m) if wi < 0 else wi * v_scale // m
+            for wi in w
+        ]
+    vlit = F.lit(v)
+    xq = F.transform(
+        F.col(vec_col),
+        lambda x: F.round(x.cast("double") * q_scale).cast("long"),
+    )
+    proj = F.aggregate(
+        F.zip_with(xq, vlit, lambda a, b: a * b),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return v, df.withColumn(out_col, proj)

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from oeem_etl_spark.operators import corpus as corpus_ops
 from oeem_etl_spark.operators import dedup, multimodal, similarity, text
+from oeem_etl_spark.plans import xxh64_sql
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.operators.splits import sql_hash_uniform
 from oeem_etl_spark.plans.util import T
@@ -44,9 +45,91 @@ def l1_exact_dedup(spark, sf_dir):
     )
 
 
+def _l2_sql() -> str:
+    """Full value oracle for the PRODUCTION minhash pipeline (promoted
+    from rows-only this round): plans/xxh64_sql.py reproduces Spark's
+    xxhash64 over arbitrary UTF-8 bytes bit-for-bit in DuckDB, so the
+    engine-native hash family — shingle hashes AND the banded bucket
+    hashes — is no longer oracle-opaque. Unrolls: distinct-shingle
+    xxh64 mod Mersenne -> 64 multiply-add permutation mins -> 16 bands
+    of 4 joined ',' -> xxh64 bucket of each band string -> bucket-equality
+    candidates -> exact shingle-Jaccard >= 0.8 -> recursive-CTE min-label
+    components -> drop every node whose label differs (keep cluster min),
+    mirroring dedup.minhash_lsh_dedup exactly.  Both hash chains run per
+    DISTINCT value (shingle / band string), then join back to rows."""
+    from oeem_etl_spark.operators.dedup import _MERSENNE_P, _PERM_A, _PERM_B
+
+    P = _MERSENNE_P
+    mins = ",\n           ".join(
+        f"MIN((hv*{_PERM_A[p]}+{_PERM_B[p]})%{P}) AS m{p}" for p in range(64)
+    )
+    band_case = " ".join(
+        "WHEN {b} THEN {expr}".format(
+            b=b,
+            expr="||','||".join(f"CAST(m{4 * b + j} AS VARCHAR)" for j in range(4)),
+        )
+        for b in range(16)
+    )
+    band_vals = ",".join(f"({b})" for b in range(16))
+    return f"""
+    WITH RECURSIVE tk AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    ),
+    sh AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
+                    generate_series(1, len(t) - 2),
+                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                  ELSE [array_to_string(t, ' ')] END AS s
+      FROM tk
+    ),
+    us AS (SELECT DISTINCT unnest(s) AS sg FROM sh),
+    {xxh64_sql.xxh64_bytes_cte('us', 'sg', prefix='hs')},
+    hvt AS MATERIALIZED (SELECT sg, ((hs_xxh % {P}) + {P}) % {P} AS hv FROM hsf),
+    ds AS (SELECT doc_id, unnest(s) AS sg FROM sh),
+    dh AS (SELECT d.doc_id, h.hv FROM ds d JOIN hvt h USING (sg)),
+    sig AS MATERIALIZED (
+      SELECT doc_id,
+           {mins}
+      FROM dh GROUP BY doc_id
+    ),
+    bstr AS (
+      SELECT doc_id, bb.b AS band, CASE bb.b {band_case} END AS bs
+      FROM sig CROSS JOIN (VALUES {band_vals}) bb(b)
+    ),
+    ub AS (SELECT DISTINCT bs FROM bstr),
+    {xxh64_sql.xxh64_bytes_cte('ub', 'bs', prefix='hb')},
+    bkt AS MATERIALIZED (SELECT bstr.doc_id, bstr.band, hbf.hb_xxh AS bucket
+            FROM bstr JOIN hbf USING (bs)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS ka, b.doc_id AS kb
+      FROM bkt a JOIN bkt b USING (band, bucket)
+      WHERE a.doc_id < b.doc_id
+    ),
+    e0 AS (
+      SELECT c.ka AS a, c.kb AS b
+      FROM cand c JOIN sh sa ON sa.doc_id = c.ka
+                  JOIN sh sb ON sb.doc_id = c.kb
+      WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
+            / len(list_distinct(sa.s || sb.s)) >= 0.8
+    ),
+    e AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
+    nodes AS (SELECT DISTINCT a AS node FROM e),
+    r(node, lbl) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT e.b, r.lbl FROM r JOIN e ON e.a = r.node
+    ),
+    lab AS (SELECT node, MIN(lbl) AS label FROM r GROUP BY node),
+    doomed AS (SELECT node AS doc_id FROM lab WHERE node <> label)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d ANTI JOIN doomed USING (doc_id)
+    """
+
+
 @query(
     "l2_minhash_lsh_dedup",
-    sql=None,  # xxhash64 signatures are engine-internal; verified in tests
+    sql=_l2_sql(),
     tier="T3",
     survey="L2",
 )
@@ -1673,16 +1756,37 @@ def l31_heavy_hitters(spark, sf_dir):
 
 @query(
     "l31b_cms_estimates",
-    sql=None,  # estimates depend on xxhash64 bucketing — rows-only;
-    # the CMS guarantee (exact <= est <= exact + eps*N) is property-tested
-    # in tests/test_clustering.py.
+    # Full value oracle (promoted from rows-only this round): the DuckDB
+    # side reproduces Spark's xxhash64 bit-for-bit (plans/xxh64_sql.py —
+    # hashBytes over UTF-8 + chained hashInt of the INT row literal), so
+    # the 4x1024 cell targets, the cell counts, and the min-estimates are
+    # all value-checked, not just bounds-checked. Distinct tokens hash
+    # once; occurrences join back (the ~40-stage hash chain runs per
+    # VALUE, not per row).
+    sql=f"""
+    WITH tok AS (SELECT unnest(str_split(text, ' ')) AS token FROM documents),
+    dt AS (SELECT DISTINCT token FROM tok),
+    {xxh64_sql.cms_cells_cte('dt', 'token')},
+    tb AS (SELECT token, r, bucket FROM cmtb),
+    cx AS (SELECT t.token, tb.r, tb.bucket FROM tok t JOIN tb USING (token)),
+    cms AS (SELECT r, bucket, COUNT(*) AS cnt FROM cx GROUP BY r, bucket),
+    top AS (SELECT token FROM (
+      SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+      ORDER BY n DESC, token LIMIT 20))
+    SELECT token, MIN(cms.cnt) AS est
+    FROM top JOIN tb USING (token) JOIN cms USING (r, bucket)
+    GROUP BY token
+    ORDER BY est DESC, token
+    """,
     tier="T3",
     survey="D7,D8,L5",
 )
 def l31b_cms_estimates(spark, sf_dir):
     """Count-min-sketch estimated counts for the exact top-20 tokens:
     sketch built in one bounded-state pass (4x1024 cells), probes resolved
-    by broadcast join against the cell frame."""
+    by broadcast join against the cell frame. The CMS guarantee
+    (exact <= est <= exact + eps*N) is additionally property-tested in
+    tests/test_clustering.py."""
     from oeem_etl_spark.operators import sketch
 
     docs = T(spark, sf_dir, "documents")
@@ -1903,6 +2007,83 @@ def l43_pca_project(spark, sf_dir):
         F.round(F.element_at("proj", 2), 4).alias("p2"),
         F.round(F.element_at("proj", 3), 4).alias("p3"),
     )
+
+
+def _l43b_sql(dim: int = 64, iters: int = 8, v_scale: int = 1_000_000) -> str:
+    """Oracle for the fixed-point power-iteration PCA twin: integer
+    moments (n, S, G) by plain SUMs (order-independent), scaled
+    covariance n·G − S·Sᵀ, then ``iters`` unrolled matrix-vector rounds
+    each renormalized to max|v| = v_scale by sign-split integer
+    division — floor == truncate on the non-negative magnitudes, so
+    DuckDB ``//`` matches Python ``//`` exactly. HUGEINT carries the
+    w accumulators (≤ ~2.6e20 at fixture scale)."""
+    rounds = []
+    prev = "v0"
+    for k in range(1, iters + 1):
+        rounds.append(
+            f"""w{k} AS (
+      SELECT c.i, SUM(c.cv * {prev}.v) AS w
+      FROM c JOIN {prev} ON {prev}.i = c.j GROUP BY c.i
+    ),
+    m{k} AS (SELECT MAX(ABS(w)) AS m FROM w{k}),
+    v{k} AS (
+      SELECT i, CASE WHEN w < 0 THEN -((-w) * {v_scale} // m)
+                     ELSE w * {v_scale} // m END AS v
+      FROM w{k}, m{k}
+    )"""
+        )
+        prev = f"v{k}"
+    return f"""
+    WITH e AS MATERIALIZED (
+      SELECT vec_id, s.i,
+             CAST(round(CAST(embedding[s.i] AS DOUBLE) * 1000) AS BIGINT) AS x
+      FROM embeddings,
+           LATERAL (SELECT unnest(generate_series(1, {dim})) AS i) s
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    sv AS MATERIALIZED (SELECT i, SUM(x) AS s FROM e GROUP BY i),
+    gm AS MATERIALIZED (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS g
+      FROM e a JOIN e b USING (vec_id) GROUP BY a.i, b.i
+    ),
+    c AS MATERIALIZED (
+      SELECT gm.i, gm.j,
+             CAST(nn.n AS HUGEINT) * gm.g
+               - CAST(sa.s AS HUGEINT) * sb.s AS cv
+      FROM gm, nn
+      JOIN sv sa ON sa.i = gm.i
+      JOIN sv sb ON sb.i = gm.j
+    ),
+    v0 AS (SELECT unnest(generate_series(1, {dim})) AS i,
+                  CAST({v_scale} AS HUGEINT) AS v),
+    {','.join(rounds)}
+    SELECT e.vec_id, CAST(SUM(e.x * v{iters}.v) AS BIGINT) AS p1
+    FROM e JOIN v{iters} ON v{iters}.i = e.i
+    GROUP BY e.vec_id
+    ORDER BY e.vec_id
+    """
+
+
+@query(
+    "l43b_pca_power_fixed",
+    sql=_l43b_sql(),
+    tier="T3",
+    survey="L3,J4,H8",
+)
+def l43b_pca_power_fixed(spark, sf_dir):
+    """Fixed-point power-iteration PCA — the oracle-checked twin of l43
+    (VERDICT r5 #7, the l45b playbook): one exact-integer moment pass
+    (mapInPandas int64 partials — integer sums are shuffle-order-
+    independent), 8 driver-side power-iteration rounds on the integer
+    scaled covariance with integer renormalization, and a JVM-literal
+    projection. The DuckDB oracle unrolls the moments AND all 8 rounds,
+    so the whole iterative-linalg path is value-checked end to end;
+    l43's eigh-based operator stays rows-only for the true eigensolver."""
+    from oeem_etl_spark.operators.decomp import pca_power_fixed
+
+    emb = T(spark, sf_dir, "embeddings")
+    _v, out = pca_power_fixed(emb, "embedding", dim=64, iters=8)
+    return out.select("vec_id", "p1").orderBy("vec_id")
 
 
 @query(

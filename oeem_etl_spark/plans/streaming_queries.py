@@ -26,6 +26,7 @@ import tempfile
 
 from pyspark.sql import functions as F
 
+from oeem_etl_spark.plans import xxh64_sql
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, dsum, sql_dsum
 from oeem_etl_spark.streaming import harness, ops
@@ -333,9 +334,28 @@ def a13_streaming_upsert_sink(spark, sf_dir):
 
 @query(
     "i10_streaming_cms",
-    sql=None,  # sketch cells are xxhash64-derived (engine-internal);
-    # streamed-merge == batch-build equality is asserted exactly in
-    # tests/test_clustering.py::test_streaming_cms_equals_batch.
+    # Full value oracle (promoted from rows-only this round): CMS is a
+    # linear sketch, so the per-batch cell frames summed at read time
+    # equal the batch sketch of the whole stream (pinned exactly in
+    # tests/test_clustering.py::test_streaming_cms_equals_batch), and the
+    # batch sketch is deterministic given the hash — which
+    # plans/xxh64_sql.py reproduces in DuckDB bit-for-bit. Probes union
+    # into the hashed value set so a user absent from events still gets
+    # its (r, bucket) cells (Spark's left join + coalesce-0 path).
+    sql=f"""
+    WITH ev AS (SELECT CAST(user_id AS VARCHAR) AS user_id FROM events),
+    pr AS (SELECT CAST(i AS VARCHAR) AS user_id FROM generate_series(1, 5) t(i)),
+    du AS (SELECT DISTINCT user_id FROM ev UNION SELECT user_id FROM pr),
+    {xxh64_sql.cms_cells_cte('du', 'user_id')},
+    tb AS (SELECT user_id, r, bucket FROM cmtb),
+    cx AS (SELECT e.user_id, tb.r, tb.bucket FROM ev e JOIN tb USING (user_id)),
+    cms AS (SELECT r, bucket, COUNT(*) AS cnt FROM cx GROUP BY r, bucket)
+    SELECT user_id, MIN(COALESCE(cms.cnt, 0)) AS est
+    FROM pr JOIN tb USING (user_id)
+    LEFT JOIN cms USING (r, bucket)
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
     tier="T3",
     survey="I8,D7,D8",
 )

@@ -575,3 +575,34 @@ def test_pq_train_rejects_fewer_rows_than_codes(spark):
     emb = _emb(spark, [(i, [float(i), 0.0, 1.0, 2.0]) for i in range(3)])
     with pytest.raises(ValueError, match="k_codes"):
         clustering.pq_train(emb, "vec_id", "embedding", dim=4, m=2, k_codes=8)
+
+
+def test_pca_power_fixed_aligns_with_dominant_direction(spark):
+    """The integer power iterate must align with the true top eigenvector
+    (planted anisotropy: one direction carries 25x the variance), and the
+    integer projection must equal the exact-arithmetic recompute."""
+    import numpy as np
+
+    from oeem_etl_spark.operators.decomp import pca_power_fixed
+
+    rng = np.random.default_rng(11)
+    d = 16
+    u = np.zeros(d)
+    u[3] = 1.0
+    X = rng.normal(size=(300, d)) * 0.2 + np.outer(rng.normal(size=300) * 5, u)
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in row]) for i, row in enumerate(X)],
+        "id long, embedding array<float>",
+    )
+    v, out = pca_power_fixed(df, "embedding", dim=d, iters=8)
+    vv = np.asarray(v, dtype=np.float64)
+    cos = abs(vv @ u) / np.linalg.norm(vv)
+    assert cos > 0.99, cos
+
+    # exact recompute of one row's projection (python ints, half-away)
+    row = out.where(F.col("id") == 5).select("embedding", "p1").first()
+    def q(x):
+        y = float(x) * 1000
+        return int(np.floor(y + 0.5)) if y >= 0 else int(np.ceil(y - 0.5))
+    expect = sum(q(x) * vi for x, vi in zip(row["embedding"], v))
+    assert row["p1"] == expect

@@ -37,7 +37,7 @@ REPO = Path(__file__).resolve().parents[1]
 sys.path.insert(0, str(REPO))
 
 REASONS = {
-    "l2_minhash_lsh_dedup": "hash-family-specific",
+    "l2_minhash_lsh_dedup": None,  # promoted r6 cont.: xxhash64-over-bytes reproduced in DuckDB (plans/xxh64_sql.py) -> full pipeline oracle
     "l2b_minhash_candidates": None,  # promoted r4: md5-family full oracle
     "l3b_ann_lsh_topk": "approx-ann",
     "l3c_ivf_topk": None,  # promoted r6: integer-micros centroid sums -> full probe-path oracle
@@ -49,11 +49,11 @@ REASONS = {
     "l8j_webp_lossy_decode": "binary-codec",
     "l9_embed_batch": None,  # promoted r4: md5-byte stub + ordered-sum oracle
     "l29b_semantic_dedup_bounded": None,  # promoted r6: xxhash64(bigint) reproduced in SQL -> re-split + pair stage fully unrolled
-    "l31b_cms_estimates": "approx-sketch",
+    "l31b_cms_estimates": None,  # promoted r6 cont.: xxh64 bytes + chained hashInt in SQL -> cells and min-estimates value-checked
     "l43_pca_project": "iterative-linalg",
     "l45_image_phash_dedup": "float-dct",  # hashing chain value-checked via the fixed-point twin l45b
     "l46_pca_rerank_topk": "iterative-linalg",
-    "i10_streaming_cms": "approx-sketch",
+    "i10_streaming_cms": None,  # promoted r6 cont.: linear-sketch merge == batch build (test-pinned) + xxh64-in-SQL -> value-checked
     "d7_approx_percentile": "approx-sketch",
     "d8_approx_count_distinct": "approx-sketch",
     "d15_hll_mergeable_rollup": "approx-sketch",
