@@ -995,3 +995,41 @@ def j11_cogroup_asof(spark, sf_dir):
         "event_id", "user_id", "ts", "last_click_ts",
         F.floor(gap).cast("long").alias("gap_s"),
     )
+
+
+def _h62_sql() -> str:
+    from oeem_etl_spark.plans import xxh64_sql
+
+    return f"""
+    WITH src AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey <= 200),
+    {xxh64_sql.xxh64_bytes_cte('src', 'c_name', prefix='hn')},
+    {xxh64_sql.xxh64_long_cte('hnf', 'c_custkey', 'hk')},
+    {xxh64_sql.hashint_const_ctes('hkf', 7, 'hn_u', 'hc')}
+    SELECT c_custkey, hn_xxh AS h_name, hk_xxh AS h_key, hc_xxh AS h_chained
+    FROM hcf ORDER BY c_custkey
+    """
+
+
+@query(
+    "h62_xxh64_parity",
+    sql=_h62_sql(),
+    tier="T3",
+    survey="H6",
+)
+def h62_xxh64_parity(spark, sf_dir):
+    """The engine-native hash family exposed DIRECTLY as values — the
+    sharpest possible H6 check: xxhash64 over a string column (full
+    block algorithm, UTF-8 bytes), over a bigint column (hashLong fast
+    path), and the chained two-child form xxhash64(str, lit(7)) (an INT
+    literal takes the 4-byte hashInt step seeded by the string's hash).
+    The DuckDB oracle recomputes all three bit-for-bit via
+    plans/xxh64_sql.py — the machinery that promoted l2/l31b/i10 from
+    rows-only. Any drift in Spark's hash layout (or the SQL twin) fails
+    200 rows loudly."""
+    cust = T(spark, sf_dir, "customer").where(F.col("c_custkey") <= 200)
+    return cust.select(
+        "c_custkey",
+        F.xxhash64("c_name").alias("h_name"),
+        F.xxhash64("c_custkey").alias("h_key"),
+        F.xxhash64("c_name", F.lit(7)).alias("h_chained"),
+    ).orderBy("c_custkey")

@@ -868,3 +868,172 @@ def m21_spearman_corr(spark, sf_dir):
         n.cast("long").alias("n"),
         F.round(rho, 6).alias("spearman"),
     ).orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# Exact-register sketch twins (r6 continuation): the approx-sketch family's
+# ALGEBRA — register building, cell-wise merge, k-smallest-sample set ops —
+# value-checked via the xxh64-in-SQL machinery (plans/xxh64_sql.py), while
+# the float ESTIMATES stay with the rows-only Datasketches queries
+# (d15/d20/g7/d7/d8).
+# ---------------------------------------------------------------------------
+
+_HLL_BUCKETS = 256  # top 8 hash bits
+_HLL_REM_BITS = 56
+_SIGN_FLIP = -(1 << 63)  # XOR flips the sign bit: signed order == unsigned
+
+
+def _d15b_sql() -> str:
+    from oeem_etl_spark.plans import xxh64_sql
+
+    rem = f"CAST(lx_u % {1 << _HLL_REM_BITS} AS BIGINT)"
+    return f"""
+    WITH {xxh64_sql.xxh64_long_cte('documents', 'doc_id', 'lx')},
+    h AS (
+      SELECT lang, CAST(lx_u // {1 << _HLL_REM_BITS} AS BIGINT) AS bucket,
+             CASE WHEN {rem} = 0 THEN 57
+                  ELSE 57 - length(bin({rem})) END AS rank
+      FROM lxf
+    ),
+    per AS (SELECT lang, bucket, CAST(MAX(rank) AS BIGINT) AS r
+            FROM h GROUP BY lang, bucket)
+    SELECT lang, bucket, r FROM per
+    UNION ALL
+    SELECT 'ALL' AS lang, bucket, MAX(r) AS r FROM per GROUP BY bucket
+    ORDER BY lang, bucket
+    """
+
+
+@query(
+    "d15b_hll_register_rollup",
+    sql=_d15b_sql(),
+    tier="T3",
+    survey="D8,H6,D1",
+)
+def d15b_hll_register_rollup(spark, sf_dir):
+    """HyperLogLog REGISTERS with an exact oracle — the register-algebra
+    twin of d15 (whose Datasketches estimates are engine-specific and
+    stay rows-only): bucket = top 8 bits of xxhash64(doc_id), rank =
+    leading-zero count of the remaining 56 bits + 1, one register frame
+    per language (max rank per bucket), and the corpus-wide rollup as
+    the CELL-WISE MAX of the per-language frames — HLL's union is a max,
+    so the two-level merge is exact and the oracle value-checks it
+    (plans/xxh64_sql.py reproduces the hash; bin()-length is the exact
+    integer bit-length in both engines). Register state: ≤ 256 rows per
+    group regardless of input rows — the same persist-partial-sketches
+    shape as d15, now hash-verifiable."""
+    docs = T(spark, sf_dir, "documents")
+    h = F.xxhash64("doc_id")
+    rem = h.bitwiseAND(F.lit((1 << _HLL_REM_BITS) - 1))
+    rank = F.when(rem == 0, F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.bin(rem))
+    )
+    per = (
+        docs.select(
+            "lang",
+            F.shiftrightunsigned(h, _HLL_REM_BITS).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy("lang", "bucket")
+        .agg(F.max("rank").cast("long").alias("r"))
+    )
+    total = per.groupBy("bucket").agg(F.max("r").alias("r")).select(
+        F.lit("ALL").alias("lang"), "bucket", "r"
+    )
+    return per.unionByName(total).orderBy("lang", "bucket")
+
+
+def _g7b_sql(k: int = 64) -> str:
+    from oeem_etl_spark.plans import xxh64_sql
+
+    def side(ev_type: str, p: str) -> str:
+        return f"""{p}u AS (SELECT DISTINCT user_id FROM events
+              WHERE event_type = '{ev_type}'),
+    {xxh64_sql.xxh64_long_cte(f'{p}u', 'user_id', p)},
+    {p}s AS (SELECT CAST({p}_u - {1 << 63} AS BIGINT) AS fl
+             FROM {p}f ORDER BY fl LIMIT {k})"""
+
+    return f"""
+    WITH {side('click', 'ca')},
+    {side('purchase', 'pb')},
+    un AS (SELECT fl FROM (SELECT fl FROM cas UNION SELECT fl FROM pbs)
+           ORDER BY fl LIMIT {k})
+    SELECT
+      (SELECT COUNT(*) FROM cas) AS a_n_sample,
+      (SELECT MAX(fl) FROM cas) AS a_kth_flipped,
+      (SELECT COUNT(*) FROM pbs) AS b_n_sample,
+      (SELECT MAX(fl) FROM pbs) AS b_kth_flipped,
+      (SELECT MAX(fl) FROM un) AS union_kth_flipped,
+      (SELECT COUNT(*) FROM cas JOIN pbs USING (fl)) AS n_common_sample,
+      (SELECT COUNT(*) FROM cas ANTI JOIN pbs USING (fl)) AS n_a_only_sample
+    """
+
+
+@query(
+    "g7b_theta_sample_algebra",
+    # KMV/theta-sketch SAMPLE algebra with an exact oracle: the k smallest
+    # unsigned xxhash64 values per class are a deterministic set, so the
+    # k-th smallest (the theta threshold), the merged sketch's k-th
+    # smallest, and the sample-set intersection/difference counts are all
+    # integers both engines must agree on. Both sides order by the
+    # sign-bit-flipped hash: (u XOR 2^63) as signed == u - 2^63 for every
+    # u, so Spark's h.bitwiseXOR(LONG_MIN) and the oracle's
+    # CAST(u - 2^63 AS BIGINT) are the SAME number with unsigned order.
+    # The float ESTIMATES stay with g7 (rows-only, Datasketches).
+    sql=_g7b_sql(),
+    tier="T3",
+    survey="D8,G3,G4,F3,H6",
+)
+def g7b_theta_sample_algebra(spark, sf_dir):
+    """KMV (theta-sketch) sample algebra, exactly oracle-checked: per
+    class keep the 64 smallest unsigned xxhash64(user_id) of DISTINCT
+    users (one scan + global top-k — bounded state like g7's sketches);
+    union = 64 smallest of the merged samples; intersection/difference
+    cardinalities on the retained samples. Every output is an integer
+    the DuckDB oracle recomputes from the same hash."""
+    ev = T(spark, sf_dir, "events")
+
+    def sample(ev_type: str):
+        fl = F.xxhash64("user_id").bitwiseXOR(F.lit(_SIGN_FLIP))
+        return (
+            ev.where(F.col("event_type") == ev_type)
+            .select("user_id")
+            .distinct()
+            .select(fl.alias("fl"))
+            .orderBy("fl")
+            .limit(64)
+        )
+
+    a = sample("click").cache()
+    b = sample("purchase").cache()
+    un = a.unionByName(b).distinct().orderBy("fl").limit(64)
+    row = (
+        a.agg(
+            F.count(F.lit(1)).alias("a_n_sample"),
+            F.max("fl").alias("a_kth_flipped"),
+        )
+        .crossJoin(
+            b.agg(
+                F.count(F.lit(1)).alias("b_n_sample"),
+                F.max("fl").alias("b_kth_flipped"),
+            )
+        )
+        .crossJoin(un.agg(F.max("fl").alias("union_kth_flipped")))
+        .crossJoin(
+            a.join(b, "fl").agg(F.count(F.lit(1)).alias("n_common_sample"))
+        )
+        .crossJoin(
+            a.join(b, "fl", "left_anti").agg(
+                F.count(F.lit(1)).alias("n_a_only_sample")
+            )
+        )
+    )
+    return row.select(
+        "a_n_sample",
+        "a_kth_flipped",
+        "b_n_sample",
+        "b_kth_flipped",
+        "union_kth_flipped",
+        "n_common_sample",
+        "n_a_only_sample",
+    )

@@ -394,3 +394,24 @@ def hashlong_const_ctes(src: str, value: int, seed_col: str,
     h2 = f"({mul(rotl(h1, 27), str(P1))} + {P4}) % {M64}"
     return f"""{p}0 AS (SELECT *, {h2} AS {p}_h FROM {src}),
     {_avalanche_ctes(prefix, f'{p}_h', f'{p}0')}"""
+
+
+def xxh64_long_cte(src: str, key: str, prefix: str = "lx",
+                   seed: int = SPARK_SEED) -> str:
+    """CTE chain reproducing Spark's ``xxhash64(<bigint col>)`` for every
+    row of ``src`` — the hashLong fast path (one round + avalanche) over
+    the key's 8 little-endian bytes, constant seed.  The prefix-free
+    original of this chain lives in plans/llm_queries._xxh64_long_cte
+    (the l29b promotion); this form adds a prefix so several long-key
+    chains can coexist in one oracle.  Final CTE ``{prefix}f`` adds
+    {prefix}_u / {prefix}_xxh."""
+    p = prefix
+    u = (
+        f"CAST(CASE WHEN {key} < 0 THEN CAST({key} AS HUGEINT) + {M64}"
+        f" ELSE CAST({key} AS HUGEINT) END AS HUGEINT)"
+    )
+    k1 = mul(rotl(mul(u, str(P2)), 31), str(P1))
+    h1 = xor(f"CAST({(seed + P5 + 8) % M64} AS HUGEINT)", k1)
+    h2 = f"({mul(rotl(h1, 27), str(P1))} + {P4}) % {M64}"
+    return f"""{p}0 AS (SELECT *, {h2} AS {p}_h FROM {src}),
+    {_avalanche_ctes(prefix, f'{p}_h', f'{p}0')}"""

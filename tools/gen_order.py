@@ -42,10 +42,18 @@ PREFIX = 50  # the driver's observed per-round certification cap
 
 # Queries that MUST occupy a prefix slot this round regardless of the
 # rotation ledger — e.g. a query whose prior driver check ERRED and needs
-# re-certification (h19 in r5, since re-certified green). r6: the two
-# rows-only -> oracle promotions get a slot so their new oracles are
-# driver-certified the same round they land.
-FORCE_INCLUDE = ["l29b_semantic_dedup_bounded", "l3c_ivf_topk"]
+# re-certification (h19 in r5, since re-certified green). r6: every
+# rows-only -> oracle promotion gets a slot so its new oracle is
+# driver-certified the same round it lands (l29b/l3c early-r6; l2/l31b/
+# i10 via the xxh64-in-SQL machinery plus the new l43b twin, late-r6).
+FORCE_INCLUDE = [
+    "l29b_semantic_dedup_bounded",
+    "l3c_ivf_topk",
+    "l2_minhash_lsh_dedup",
+    "l31b_cms_estimates",
+    "i10_streaming_cms",
+    "l43b_pca_power_fixed",
+]
 
 
 def main() -> None:
