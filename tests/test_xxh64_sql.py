@@ -138,3 +138,39 @@ def test_max_len_guard_is_loud():
     sql = f"WITH {X.xxh64_bytes_cte('g', 's', max_len=64)} SELECT bx_xxh FROM bxf"
     with pytest.raises(duckdb.Error, match="max_len"):
         con.execute(sql).fetchall()
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(
+    batch=st.lists(
+        st.text(max_size=40).filter(lambda s: len(s.encode()) <= 128),
+        min_size=1,
+        max_size=24,
+    )
+)
+def test_duckdb_cte_random_strings_match_reference(batch):
+    """Random-unicode fuzz of the straight-line unroll vs the python
+    reference (which test_python_reference_matches_spark pins to Spark):
+    one batched DuckDB query per example, arbitrary lengths 0..128."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"({i}, ?)" for i in range(len(batch)))
+        + ") v(id, s)",
+        batch,
+    )
+    sql = (
+        f"WITH {X.xxh64_bytes_cte('t', 's', max_len=128)} "
+        "SELECT id, s, bx_xxh FROM bxf ORDER BY id"
+    )
+    for (_i, s, xxh) in con.execute(sql).fetchall():
+        assert xxh == _signed(X.py_xxh64_bytes(s.encode("utf-8"))), repr(s)
+    con.close()
