@@ -380,10 +380,68 @@ def l4_knn_classify(spark, sf_dir):
     return similarity.knn_classify(emb, queries, k=10)
 
 
-@query("l3b_ann_lsh_topk", sql=None, tier="T3", survey="L3")
+def _l3b_sql(dim: int = 64, n_planes: int = 4, k: int = 10) -> str:
+    """Oracle for the LSH-bucketed ANN (promoted from rows-only this
+    round): recall < 1 never blocked an oracle — the ALGORITHM is
+    deterministic; the barrier was believed to be float reduction order.
+    But vector.dot is a SEQUENTIAL left fold (F.aggregate, init 0.0),
+    and IEEE-754 double arithmetic is exactly reproducible when the
+    operation ORDER is fixed — so an unrolled, fully-parenthesized
+    left-associated sum in DuckDB computes the bit-identical double:
+    same plane-sign bits, same buckets, same cosines, same rounded
+    scores. Plane constants print via repr() (shortest round-trip), so
+    both engines parse the identical double."""
+    from oeem_etl_spark.operators.similarity import _hyperplane
+
+    def fold(terms) -> str:
+        e = "CAST(0.0 AS DOUBLE)"
+        for t in terms:
+            e = f"({e} + {t})"
+        return e
+
+    def elem(tbl: str, i: int) -> str:
+        return f"CAST({tbl}.embedding[{i + 1}] AS DOUBLE)"
+
+    def bucket(tbl: str) -> str:
+        bits = []
+        for p in range(n_planes):
+            plane = _hyperplane(dim, p)
+            d = fold(
+                f"{elem(tbl, i)} * CAST({plane[i]!r} AS DOUBLE)"
+                for i in range(dim)
+            )
+            bits.append(f"(CASE WHEN {d} > 0 THEN {1 << p} ELSE 0 END)")
+        return " + ".join(bits)
+
+    pair_dot = fold(f"{elem('c', i)} * {elem('q', i)}" for i in range(dim))
+    nc = fold(f"{elem('c', i)} * {elem('c', i)}" for i in range(dim))
+    nq = fold(f"{elem('q', i)} * {elem('q', i)}" for i in range(dim))
+    return f"""
+    WITH cb AS MATERIALIZED (
+      SELECT vec_id, embedding, {bucket('embeddings')} AS bucket
+      FROM embeddings
+    ),
+    qb AS (SELECT vec_id AS q_id, embedding, bucket FROM cb WHERE vec_id <= 5),
+    sc AS (
+      SELECT q.q_id, c.vec_id,
+             ROUND(({pair_dot}) / (sqrt({nc}) * sqrt({nq})), 6) AS score
+      FROM cb c JOIN qb q USING (bucket)
+    )
+    SELECT q_id, vec_id, score,
+           CAST(row_number() OVER (PARTITION BY q_id
+                ORDER BY score DESC, vec_id) AS INT) AS rnk
+    FROM sc
+    QUALIFY rnk <= {k}
+    ORDER BY q_id, rnk
+    """
+
+
+@query("l3b_ann_lsh_topk", sql=_l3b_sql(), tier="T3", survey="L3")
 def l3b_ann_lsh_topk(spark, sf_dir):
-    """Approximate LSH-bucketed top-k (the 100 TB path; recall<1 ⇒ rows-only).
-    Recall vs the exact operator is asserted in tests/test_llm.py."""
+    """Approximate LSH-bucketed top-k (the 100 TB path). Recall vs the
+    exact operator is asserted in tests/test_llm.py; the bucketed
+    algorithm ITSELF is deterministic and now fully oracle-checked —
+    see _l3b_sql for the fixed-order IEEE argument."""
     emb = T(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") <= 5).select(
         F.col("vec_id").alias("q_id"), "embedding"

@@ -39,7 +39,7 @@ sys.path.insert(0, str(REPO))
 REASONS = {
     "l2_minhash_lsh_dedup": None,  # promoted r6 cont.: xxhash64-over-bytes reproduced in DuckDB (plans/xxh64_sql.py) -> full pipeline oracle
     "l2b_minhash_candidates": None,  # promoted r4: md5-family full oracle
-    "l3b_ann_lsh_topk": "approx-ann",
+    "l3b_ann_lsh_topk": None,  # promoted r6 cont.: vector.dot is a FIXED-ORDER sequential fold, so the unrolled left-associated IEEE sum reproduces buckets/cosines bit-for-bit in SQL
     "l3c_ivf_topk": None,  # promoted r6: integer-micros centroid sums -> full probe-path oracle
     "l3d_int8_topk": None,  # promoted r4: quantization is deterministic arithmetic
     "l12_fingerprint": None,  # promoted r4: md5-family full oracle

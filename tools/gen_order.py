@@ -53,6 +53,7 @@ FORCE_INCLUDE = [
     "l31b_cms_estimates",
     "i10_streaming_cms",
     "l43b_pca_power_fixed",
+    "l3b_ann_lsh_topk",
 ]
 
 

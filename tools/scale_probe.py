@@ -524,6 +524,71 @@ def shapes(spark, sf_dir):
         )
         return run_available_now(agged, "complete")
 
+    def hll_registers():
+        # d15b's exact-register HLL: per-lang register frames + cell-wise
+        # max rollup. State is <= 256 rows per group however many input
+        # rows — the probe checks the build cost tracks the scan.
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        h = F.xxhash64("doc_id")
+        rem = h.bitwiseAND(F.lit((1 << 56) - 1))
+        rank = F.when(rem == 0, F.lit(57)).otherwise(
+            F.lit(57) - F.length(F.bin(rem))
+        )
+        per = (
+            docs.select(
+                "lang",
+                F.shiftrightunsigned(h, 56).alias("bucket"),
+                rank.alias("rank"),
+            )
+            .groupBy("lang", "bucket")
+            .agg(F.max("rank").alias("r"))
+        )
+        return per.groupBy("bucket").agg(F.max("r").alias("r"))
+
+    def kmv_sample():
+        # g7b's KMV sample: distinct + global 64-smallest — the bounded
+        # theta-sketch shape (map-side combine then one tiny reduced
+        # top-k). Keys from the SCALED orders table (events has no 10x
+        # copy in the cache dir).
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        fl = F.xxhash64("o_custkey").bitwiseXOR(F.lit(-(1 << 63)))
+        return (
+            o.select("o_custkey")
+            .distinct()
+            .select(fl.alias("fl"))
+            .orderBy("fl")
+            .limit(64)
+        )
+
+    def pca_moments():
+        # l43b's exact-integer moment pass: per-batch int64 (n, S, G)
+        # partials via mapInPandas — the d²-bounded reduction whose cost
+        # must track the scan, never the d² output
+        import numpy as np
+        import pandas as pd
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+        def partials(it):
+            for pdf in it:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000
+                Xq = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5)).astype(
+                    np.int64
+                )
+                yield pd.DataFrame(
+                    {
+                        "n": [len(Xq)],
+                        "s": [Xq.sum(axis=0).tolist()],
+                        "g": [(Xq.T @ Xq).ravel().tolist()],
+                    }
+                )
+
+        return emb.select("embedding").mapInPandas(
+            partials, schema="n long, s array<long>, g array<long>"
+        )
+
     return {
         "q01_agg": q01,
         "q02_bjoin": q02,
@@ -549,6 +614,9 @@ def shapes(spark, sf_dir):
         "srp_sketch": srp,
         "srp_ann": srp_ann,
         "stream_drain": stream_drain,
+        "hll_registers": hll_registers,
+        "kmv_sample": kmv_sample,
+        "pca_moments": pca_moments,
     }
 
 
