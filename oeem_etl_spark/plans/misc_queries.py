@@ -1037,3 +1037,95 @@ def g7b_theta_sample_algebra(spark, sf_dir):
         "n_common_sample",
         "n_a_only_sample",
     )
+
+
+_D7B_W = 10_000_000  # histogram bucket width in integer micros (10.0 units)
+
+
+def _d7b_sql() -> str:
+    def pcol(p: int, name: str) -> str:
+        tgt = f"((n * {p} + 99) // 100)"
+        return (
+            f"ROUND(CAST(MAX(CASE WHEN cb < {tgt} AND cum >= {tgt}"
+            f" THEN b * {_D7B_W} + (({tgt} - cb) * {_D7B_W}) // cnt"
+            f" END) AS DOUBLE) / 1000000, 6) AS {name}"
+        )
+
+    return f"""
+    WITH vm AS (
+      SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
+      FROM events
+    ),
+    bk AS (SELECT event_type, vm // {_D7B_W} AS b, COUNT(*) AS cnt
+           FROM vm GROUP BY event_type, b),
+    cm AS (SELECT event_type, b, cnt,
+                  SUM(cnt) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+                  SUM(cnt) OVER (PARTITION BY event_type) AS n
+           FROM bk),
+    est AS (SELECT event_type, n, b, cnt, cum, cum - cnt AS cb FROM cm)
+    SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+           {pcol(50, 'p50')},
+           {pcol(95, 'p95')},
+           {pcol(99, 'p99')}
+    FROM est GROUP BY event_type ORDER BY event_type
+    """
+
+
+@query(
+    "d7b_histogram_percentile",
+    sql=_d7b_sql(),
+    tier="T3",
+    survey="D7,D1,E3",
+)
+def d7b_histogram_percentile(spark, sf_dir):
+    """Approximate percentiles you can actually VERIFY — the
+    deterministic member of the D7 family (d7/d20's Spark-internal
+    sketches are engine-specific by design): fixed-width integer-micros
+    histogram (bounded state: one row per occupied bucket, error bounded
+    by the bucket width), cumulative counts, and ceil-rank linear
+    interpolation inside the target bucket — ALL integer arithmetic
+    until the final display division, so the DuckDB oracle reproduces
+    p50/p95/p99 exactly. This is the 100 TB shape: the histogram is one
+    map-combinable groupBy, mergeable across partitions/days by cell-wise
+    sum (CMS-style), and the percentile read is a window over <= ~50
+    bucket rows per group."""
+    ev = T(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    vm = F.round(F.col("value") * 1_000_000).cast("long")
+    bk = (
+        ev.select("event_type", vm.alias("vm"))
+        .withColumn("b", F.expr(f"vm DIV {_D7B_W}"))
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w_ord = Window.partitionBy("event_type").orderBy("b")
+    w_all = Window.partitionBy("event_type")
+    cm = bk.select(
+        "event_type",
+        "b",
+        "cnt",
+        F.sum("cnt").over(w_ord).alias("cum"),
+        F.sum("cnt").over(w_all).alias("n"),
+    ).withColumn("cb", F.col("cum") - F.col("cnt"))
+
+    def pcol(p: int, name: str):
+        tgt = F.expr(f"(n * {p} + 99) DIV 100")
+        est = F.col("b") * _D7B_W + F.expr(
+            f"(((n * {p} + 99) DIV 100) - cb) * {_D7B_W} DIV cnt"
+        )
+        hit = (F.col("cb") < tgt) & (F.col("cum") >= tgt)
+        return F.round(
+            F.max(F.when(hit, est)).cast("double") / 1_000_000, 6
+        ).alias(name)
+
+    return (
+        cm.groupBy("event_type")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            pcol(50, "p50"),
+            pcol(95, "p95"),
+            pcol(99, "p99"),
+        )
+        .orderBy("event_type")
+    )
