@@ -1033,3 +1033,62 @@ def h62_xxh64_parity(spark, sf_dir):
         F.xxhash64("c_custkey").alias("h_key"),
         F.xxhash64("c_name", F.lit(7)).alias("h_chained"),
     ).orderBy("c_custkey")
+
+
+@query(
+    "h63_struct_argmax",
+    sql="""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value DESC, event_id DESC) AS rn
+      FROM events
+    ),
+    above AS (
+      SELECT event_type, COUNT(*) AS n_above
+      FROM events
+      WHERE value > 100.0 OR (value = 100.0 AND event_id > 1000)
+      GROUP BY event_type
+    )
+    SELECT r.event_type, r.value AS best_value,
+           r.event_id AS best_event_id,
+           COALESCE(a.n_above, 0) AS n_above
+    FROM ranked r LEFT JOIN above a USING (event_type)
+    WHERE r.rn = 1
+    ORDER BY r.event_type
+    """,
+    tier="T3",
+    survey="H11,D4",
+)
+def h63_struct_argmax(spark, sf_dir):
+    """Struct ORDERING as the argmax idiom (H11's fifth face, pre-authored
+    so round-8 rotation keeps a fresh provider): max over
+    struct(value, event_id) is lexicographic field-order comparison, so
+    one hash aggregate returns the whole argmax row — no self-join, no
+    window shuffle (the D4 ordered-first/last shape executed through
+    struct comparison). A second struct comparison runs in a FILTER
+    (struct(value, event_id) > struct(100.0, 1000)), whose lexicographic
+    unrolling the oracle states explicitly. Values pass through without
+    arithmetic, so raw doubles compare bit-exactly."""
+    ev = T(spark, sf_dir, "events")
+    m = ev.groupBy("event_type").agg(
+        F.max(F.struct("value", "event_id")).alias("m")
+    )
+    above = (
+        ev.where(
+            F.struct("value", "event_id")
+            > F.struct(F.lit(100.0).alias("value"), F.lit(1000).cast("long").alias("event_id"))
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_above"))
+    )
+    return (
+        m.join(above, "event_type", "left")
+        .select(
+            "event_type",
+            F.col("m.value").alias("best_value"),
+            F.col("m.event_id").alias("best_event_id"),
+            F.coalesce("n_above", F.lit(0).cast("long")).alias("n_above"),
+        )
+        .orderBy("event_type")
+    )
