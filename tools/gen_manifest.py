@@ -13,8 +13,10 @@ Reason codes:
                         engine-specific by design; bounds asserted in tests
   approx-ann            LSH / IVF / int8 ANN — recall-bounded, not exact;
                         exact twins (l3, l3e, l16, l32) are oracle-checked
-  hash-family-specific  xxhash64-based signatures DuckDB can't reproduce;
-                        md5-family twins (l2b/l2c/l2d/l2e) ARE oracle-checked
+  hash-family-specific  HISTORICAL (no current members): xxhash64-based
+                        signatures were believed irreproducible until
+                        plans/xxh64_sql.py reproduced Spark's xxhash64 in
+                        DuckDB bit-for-bit (r6 continuation), promoting l2
   engine-hash           same, for the fingerprint rolling hash
   iterative-kmeans      driver-held centroid iteration (RNG seeds pinned,
                         but float reduction order is engine-specific)
