@@ -122,6 +122,58 @@ def pca_transform(
     return df.withColumn(out_col, F.zip_with(dots, consts, lambda p, c0: p - c0))
 
 
+def quantize_half_away(X: "np.ndarray") -> "np.ndarray":
+    """Round the float64 array half-AWAY-from-zero on the exact double —
+    the same function as Spark's F.round and DuckDB's round(), which the
+    oracle contract requires. The naive floor(X+0.5) is wrong on
+    boundary doubles (X = 0.49999999999999994: the IEEE sum X+0.5 rounds
+    up to exactly 1.0, but the true value is below one half — and even a
+    post-hoc q−X check fails, because that subtraction ties to 0.5 too).
+    Instead compare the EXACT fractional part: X − floor(X) (resp.
+    ceil(X) − X) is computed without rounding for |X| < 2^52, so
+    ``frac >= 0.5`` is the true half-away decision."""
+    fl = np.floor(X)
+    cl = np.ceil(X)
+    q = np.where(
+        X >= 0,
+        fl + (X - fl >= 0.5),
+        cl - (cl - X >= 0.5),
+    )
+    return q.astype(np.int64)
+
+
+def moment_partials_fn(vec_col: str, q_scale: int):
+    """Per-Arrow-batch EXACT integer moments (n, Σx, XᵀX) of the
+    half-away-quantized vectors — the mapInPandas closure shared by
+    pca_power_fixed and tools/scale_probe (so the probe always measures
+    the shipped shape). int64 matmul wraps silently on overflow, so the
+    batch is guarded: max|x|²·rows must stay below 2^63 — a violation
+    raises loudly instead of corrupting the moments."""
+    import pandas as pd
+
+    def partials(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * q_scale
+            Xq = quantize_half_away(X)
+            m = int(np.abs(Xq).max()) if Xq.size else 0
+            if m and m * m * len(Xq) >= (1 << 63):
+                raise ValueError(
+                    "moment pass: |x|*q_scale too large — the int64 Gram "
+                    "accumulator would overflow silently; lower q_scale"
+                )
+            yield pd.DataFrame(
+                {
+                    "n": [len(Xq)],
+                    "s": [Xq.sum(axis=0).tolist()],
+                    "g": [(Xq.T @ Xq).ravel().tolist()],
+                }
+            )
+
+    return partials
+
+
 def pca_power_fixed(
     df: DataFrame,
     vec_col: str,
@@ -153,27 +205,12 @@ def pca_power_fixed(
     entries in [−v_scale, v_scale]) and the input with the integer
     projection column ``out_col`` = Σᵢ round(xᵢ·q_scale)·vᵢ.
     """
-    import pandas as pd
-
-    def partials(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64) * q_scale
-            Xq = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5)).astype(
-                np.int64
-            )
-            yield pd.DataFrame(
-                {
-                    "n": [len(Xq)],
-                    "s": [Xq.sum(axis=0).tolist()],
-                    "g": [(Xq.T @ Xq).ravel().tolist()],
-                }
-            )
-
     rows = (
         df.select(vec_col)
-        .mapInPandas(partials, schema="n long, s array<long>, g array<long>")
+        .mapInPandas(
+            moment_partials_fn(vec_col, q_scale),
+            schema="n long, s array<long>, g array<long>",
+        )
         .collect()
     )
     assert rows, "pca_power_fixed: empty input"

@@ -114,3 +114,31 @@ def heavy_hitters_exact(
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(k)
     )
+
+
+HLL_REM_BITS = 56  # top 8 hash bits select the register bucket
+
+
+def hll_registers(df: DataFrame, key_col: str, group_col: str) -> DataFrame:
+    """HyperLogLog REGISTER frame per group — the exact-oracle-checkable
+    half of HLL (the float estimate lives with Spark's Datasketches
+    surface, d15): bucket = top 8 bits of xxhash64(key), rank =
+    leading-zero count of the remaining 56 bits + 1, one (group, bucket,
+    max rank) row per occupied register. Unions/rollups are CELL-WISE
+    MAX — exactly mergeable, ≤ 256 rows per group regardless of input
+    rows. bin() has no leading zeros in Spark, so 57 − length(bin(rem))
+    is the exact integer leading-zero rank (rem = 0 ⇒ rank 57)."""
+    h = F.xxhash64(key_col)
+    rem = h.bitwiseAND(F.lit((1 << HLL_REM_BITS) - 1))
+    rank = F.when(rem == 0, F.lit(57)).otherwise(
+        F.lit(57) - F.length(F.bin(rem))
+    )
+    return (
+        df.select(
+            F.col(group_col),
+            F.shiftrightunsigned(h, HLL_REM_BITS).alias("bucket"),
+            rank.alias("rank"),
+        )
+        .groupBy(group_col, "bucket")
+        .agg(F.max("rank").cast("long").alias("r"))
+    )

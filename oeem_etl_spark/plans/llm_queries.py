@@ -80,7 +80,10 @@ def _l2_sql() -> str:
              CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
                     generate_series(1, len(t) - 2),
                     i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                  ELSE [array_to_string(t, ' ')] END AS s
+                  -- COALESCE mirrors Spark: concat_ws over a NULL token
+                  -- array returns '' (never NULL), so a NULL-text doc
+                  -- gets the [''] singleton shingle set on BOTH sides
+                  ELSE [COALESCE(array_to_string(t, ' '), '')] END AS s
       FROM tk
     ),
     us AS (SELECT DISTINCT unnest(s) AS sg FROM sh),
@@ -1594,51 +1597,17 @@ def l29_semantic_dedup(spark, sf_dir):
 
 def _xxh64_long_cte(src: str, key: str) -> str:
     """DuckDB CTE chain reproducing Spark's ``xxhash64(<bigint col>)``
-    bit-for-bit: XXH64 of the key's 8 little-endian bytes, seed 42 (the
-    single-lane hashLong path — one round + avalanche). All 64-bit
-    wraparound arithmetic runs on HUGEINT; (a*b) mod 2^64 splits each
-    operand into 32-bit halves so no intermediate exceeds 2^66. Verified
-    against F.xxhash64 on {0, 1, 2, 42, 1e8-ish, Long.MAX, -1, -42}.
-    Emits CTEs x0..x8; x8 has (*src columns..., xxh BIGINT signed)."""
-    P1 = 11400714785074694791
-    P2 = 14029467366897019727
-    P3 = 1609587929392839161
-    P4 = 9650029242287828579
-    P5 = 2870177450012600261
-    M64, M32 = 1 << 64, 1 << 32
+    bit-for-bit — kept for the l29b oracle's historical CTE names
+    (final CTE ``x8``, hash column ``xxh``), now DELEGATING to the
+    shared generator in plans/xxh64_sql.py so the tricky 64-bit
+    wraparound arithmetic exists in exactly one place."""
+    from oeem_etl_spark.plans import xxh64_sql
 
-    def mul(a: str, b: str) -> str:
-        return (
-            f"((({a})%{M32})*(({b})%{M32}) + (((({a})%{M32})*(({b})//{M32})"
-            f" + (({a})//{M32})*(({b})%{M32}))%{M32})*{M32}) % {M64}"
-        )
-
-    def rotl(x: str, n: int) -> str:
-        return f"((({x})*{1 << n})%{M64} + ({x})//{1 << (64 - n)})"
-
-    def xor(a: str, b: str) -> str:
-        return (
-            f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT))"
-            f" AS HUGEINT)"
-        )
-
-    return f"""x0 AS (
-      SELECT *, CAST(CASE WHEN {key} < 0
-                 THEN CAST({key} AS HUGEINT) + {M64}
-                 ELSE CAST({key} AS HUGEINT) END AS HUGEINT) AS hx
-      FROM {src}
-    ),
-    x1 AS (SELECT *, {mul(rotl(mul('hx', str(P2)), 31), str(P1))} AS hk1 FROM x0),
-    x2 AS (SELECT *, {xor(str(42 + P5 + 8), 'hk1')} AS hh1 FROM x1),
-    x3 AS (SELECT *, ({mul(rotl('hh1', 27), str(P1))} + {P4}) % {M64} AS hh2 FROM x2),
-    x4 AS (SELECT *, {xor('hh2', f'(hh2//{1 << 33})')} AS ha FROM x3),
-    x5 AS (SELECT *, {mul('ha', str(P2))} AS hb FROM x4),
-    x6 AS (SELECT *, {xor('hb', f'(hb//{1 << 29})')} AS hc FROM x5),
-    x7 AS (SELECT *, {mul('hc', str(P3))} AS hd FROM x6),
-    x8 AS (SELECT * EXCLUDE (hx, hk1, hh1, hh2, ha, hb, hc, hd),
-           CAST(CASE WHEN he >= {1 << 63} THEN he - {M64} ELSE he END
-                AS BIGINT) AS xxh
-           FROM (SELECT *, {xor('hd', f'(hd//{1 << 32})')} AS he FROM x7))"""
+    return (
+        xxh64_sql.xxh64_long_cte(src, key, prefix="xl")
+        + ",\n    x8 AS (SELECT * EXCLUDE (xl_h, xl_u, xl_xxh),"
+        + " xl_xxh AS xxh FROM xlf)"
+    )
 
 
 def _l29b_sql(max_sz: int = 64, dim: int = 64, threshold: float = 0.35) -> str:

@@ -922,21 +922,10 @@ def d15b_hll_register_rollup(spark, sf_dir):
     integer bit-length in both engines). Register state: ≤ 256 rows per
     group regardless of input rows — the same persist-partial-sketches
     shape as d15, now hash-verifiable."""
+    from oeem_etl_spark.operators.sketch import hll_registers
+
     docs = T(spark, sf_dir, "documents")
-    h = F.xxhash64("doc_id")
-    rem = h.bitwiseAND(F.lit((1 << _HLL_REM_BITS) - 1))
-    rank = F.when(rem == 0, F.lit(57)).otherwise(
-        F.lit(57) - F.length(F.bin(rem))
-    )
-    per = (
-        docs.select(
-            "lang",
-            F.shiftrightunsigned(h, _HLL_REM_BITS).alias("bucket"),
-            rank.alias("rank"),
-        )
-        .groupBy("lang", "bucket")
-        .agg(F.max("rank").cast("long").alias("r"))
-    )
+    per = hll_registers(docs, "doc_id", "lang")
     total = per.groupBy("bucket").agg(F.max("r").alias("r")).select(
         F.lit("ALL").alias("lang"), "bucket", "r"
     )
@@ -1053,8 +1042,11 @@ def _d7b_sql() -> str:
 
     return f"""
     WITH vm AS (
+      -- NULL values excluded on BOTH sides: Spark's window ORDER BY
+      -- sorts a NULL bucket NULLS FIRST, DuckDB 1.0 NULLS LAST, so a
+      -- NULL-valued row would shift every cumulative count differently
       SELECT event_type, CAST(round(value * 1000000) AS BIGINT) AS vm
-      FROM events
+      FROM events WHERE value IS NOT NULL
     ),
     bk AS (SELECT event_type, vm // {_D7B_W} AS b, COUNT(*) AS cnt
            FROM vm GROUP BY event_type, b),
@@ -1089,7 +1081,7 @@ def d7b_histogram_percentile(spark, sf_dir):
     map-combinable groupBy, mergeable across partitions/days by cell-wise
     sum (CMS-style), and the percentile read is a window over <= ~50
     bucket rows per group."""
-    ev = T(spark, sf_dir, "events")
+    ev = T(spark, sf_dir, "events").where(F.col("value").isNotNull())
     from pyspark.sql import Window
 
     vm = F.round(F.col("value") * 1_000_000).cast("long")

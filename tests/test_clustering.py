@@ -606,3 +606,38 @@ def test_pca_power_fixed_aligns_with_dominant_direction(spark):
         return int(np.floor(y + 0.5)) if y >= 0 else int(np.ceil(y - 0.5))
     expect = sum(q(x) * vi for x, vi in zip(row["embedding"], v))
     assert row["p1"] == expect
+
+
+def test_quantize_half_away_boundary_doubles():
+    """floor(X+0.5) rounds UP across the boundary on doubles like
+    0.49999999999999994 (the IEEE sum is exactly 1.0); the corrected
+    quantizer must agree with Spark F.round / DuckDB round(), which
+    round the EXACT double half-away-from-zero."""
+    import numpy as np
+
+    from oeem_etl_spark.operators.decomp import quantize_half_away
+
+    X = np.array(
+        [0.49999999999999994, -0.49999999999999994, 0.5, -0.5, 1.5, -1.5,
+         2.5, 0.0, 123.456, -123.456]
+    )
+    got = quantize_half_away(X).tolist()
+    assert got == [0, 0, 1, -1, 2, -2, 3, 0, 123, -123], got
+    # naive floor(X+0.5) gets the first element wrong
+    naive = np.floor(X[0] + 0.5)
+    assert naive == 1.0
+
+
+def test_moment_partials_overflow_guard(spark):
+    """int64 Gram accumulation wraps silently — the moment pass must
+    raise loudly when max|x|^2 * rows could reach 2^63."""
+    import pytest as _pytest
+
+    from oeem_etl_spark.operators.decomp import pca_power_fixed
+
+    big = 4.0e6  # |x|*q_scale = 4e9 -> one product 1.6e19 > 2^63
+    df = spark.createDataFrame(
+        [(0, [big, 0.0]), (1, [0.0, big])], "id long, embedding array<float>"
+    )
+    with _pytest.raises(Exception, match="overflow|q_scale"):
+        pca_power_fixed(df, "embedding", dim=2, iters=2)

@@ -525,24 +525,14 @@ def shapes(spark, sf_dir):
         return run_available_now(agged, "complete")
 
     def hll_registers():
-        # d15b's exact-register HLL: per-lang register frames + cell-wise
-        # max rollup. State is <= 256 rows per group however many input
-        # rows — the probe checks the build cost tracks the scan.
+        # d15b's exact-register HLL (the SHIPPED operator —
+        # sketch.hll_registers — so the probe can never drift from the
+        # query): per-lang register frames + cell-wise max rollup.
+        # State is <= 256 rows per group however many input rows.
+        from oeem_etl_spark.operators.sketch import hll_registers as regs
+
         docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-        h = F.xxhash64("doc_id")
-        rem = h.bitwiseAND(F.lit((1 << 56) - 1))
-        rank = F.when(rem == 0, F.lit(57)).otherwise(
-            F.lit(57) - F.length(F.bin(rem))
-        )
-        per = (
-            docs.select(
-                "lang",
-                F.shiftrightunsigned(h, 56).alias("bucket"),
-                rank.alias("rank"),
-            )
-            .groupBy("lang", "bucket")
-            .agg(F.max("rank").alias("r"))
-        )
+        per = regs(docs, "doc_id", "lang")
         return per.groupBy("bucket").agg(F.max("r").alias("r"))
 
     def kmv_sample():
@@ -561,32 +551,17 @@ def shapes(spark, sf_dir):
         )
 
     def pca_moments():
-        # l43b's exact-integer moment pass: per-batch int64 (n, S, G)
-        # partials via mapInPandas — the d²-bounded reduction whose cost
-        # must track the scan, never the d² output
-        import numpy as np
-        import pandas as pd
+        # l43b's exact-integer moment pass (the SHIPPED closure —
+        # decomp.moment_partials_fn — so the probe can never drift from
+        # the operator): per-batch int64 (n, S, G) partials via
+        # mapInPandas — the d²-bounded reduction whose cost must track
+        # the scan, never the d² output
+        from oeem_etl_spark.operators.decomp import moment_partials_fn
 
         emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-
-        def partials(it):
-            for pdf in it:
-                if not len(pdf):
-                    continue
-                X = np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000
-                Xq = np.where(X >= 0, np.floor(X + 0.5), np.ceil(X - 0.5)).astype(
-                    np.int64
-                )
-                yield pd.DataFrame(
-                    {
-                        "n": [len(Xq)],
-                        "s": [Xq.sum(axis=0).tolist()],
-                        "g": [(Xq.T @ Xq).ravel().tolist()],
-                    }
-                )
-
         return emb.select("embedding").mapInPandas(
-            partials, schema="n long, s array<long>, g array<long>"
+            moment_partials_fn("embedding", 1000),
+            schema="n long, s array<long>, g array<long>",
         )
 
     return {
