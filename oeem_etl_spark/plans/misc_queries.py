@@ -878,8 +878,7 @@ def m21_spearman_corr(spark, sf_dir):
 # (d15/d20/g7/d7/d8).
 # ---------------------------------------------------------------------------
 
-_HLL_BUCKETS = 256  # top 8 hash bits
-_HLL_REM_BITS = 56
+_HLL_REM_BITS = 56  # top 8 hash bits select the register bucket
 _SIGN_FLIP = -(1 << 63)  # XOR flips the sign bit: signed order == unsigned
 
 
