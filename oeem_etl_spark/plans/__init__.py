@@ -23,5 +23,6 @@ def load_all() -> None:
         breadth_queries,
         breadth3_queries,
         breadth4_queries,
+        breadth5_queries,
         scale_queries,
     )
