@@ -19,10 +19,10 @@ from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, dsum, sql_dsum
 
 # ---------------------------------------------------------------------------
-# c61: A5 inline source + C7 interval overlap + C6 range theta + C8 as-of
+# c71: A5 inline source + C7 interval overlap + C6 range theta + C8 as-of
 # ---------------------------------------------------------------------------
 
-_C61_WINDOWS = [
+_C71_WINDOWS = [
     # (win_id, win_start, win_end, min_price)
     (1, "1993-02-01", "1993-07-01", 50000.0),
     (2, "1994-01-15", "1994-03-01", 120000.0),
@@ -30,17 +30,17 @@ _C61_WINDOWS = [
     (4, "1997-03-10", "1997-11-20", 20000.0),
 ]
 
-_C61_VALUES = ", ".join(
+_C71_VALUES = ", ".join(
     f"({i}, TIMESTAMP '{s} 00:00:00', TIMESTAMP '{e} 00:00:00', {p})"
-    for (i, s, e, p) in _C61_WINDOWS
+    for (i, s, e, p) in _C71_WINDOWS
 )
 
 
 @query(
-    "c61_inline_window_asof",
+    "c71_inline_window_asof",
     sql=f"""
     WITH w(win_id, win_start, win_end, min_price) AS (
-      VALUES {_C61_VALUES}
+      VALUES {_C71_VALUES}
     ),
     ov AS (
       SELECT o.o_orderkey, o.o_totalprice, w.win_id, w.win_start
@@ -63,7 +63,7 @@ _C61_VALUES = ", ".join(
     tier="T2",
     survey="A5,C6,C7,C8,D1",
 )
-def c61_inline_window_asof(spark, sf_dir):
+def c71_inline_window_asof(spark, sf_dir):
     """Maintenance-window attribution in one pipeline: an INLINE window
     catalog (A5), interval-overlap join of each order's 30-day service
     period against the windows (C7), a price-floor theta predicate (C6),
@@ -72,7 +72,7 @@ def c61_inline_window_asof(spark, sf_dir):
     a per-window rollup. Small dim side stays a broadcast; the order
     side never shuffles more than the matched rows."""
     w = spark.createDataFrame(
-        [(i, s, e, p) for (i, s, e, p) in _C61_WINDOWS],
+        [(i, s, e, p) for (i, s, e, p) in _C71_WINDOWS],
         "win_id int, win_start string, win_end string, min_price double",
     ).select(
         "win_id",
@@ -155,7 +155,7 @@ def d52_pivot_unpivot_roundtrip(spark, sf_dir):
 
 
 @query(
-    "k57_monthly_latest_gapfill",
+    "k45_monthly_latest_gapfill",
     sql="""
     WITH m AS (
       SELECT o_custkey, date_trunc('month', o_orderdate) AS mth,
@@ -200,7 +200,7 @@ def d52_pivot_unpivot_roundtrip(spark, sf_dir):
     tier="T2",
     survey="K4,K5,D11,E3",
 )
-def k57_monthly_latest_gapfill(spark, sf_dir):
+def k45_monthly_latest_gapfill(spark, sf_dir):
     """Monthly reading pipeline: keep-latest record per (customer,
     month) — newest o_orderkey wins (K5, via the hash-agg fast path of
     dedupe_keep_latest_by semantics expressed with the window form for

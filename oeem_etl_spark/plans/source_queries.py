@@ -349,7 +349,7 @@ def a15_python_datasource(spark, sf_dir):
 
 
 @query(
-    "a16_schema_evolution",
+    "a34_schema_evolution",
     sql="""
     SELECT event_id, user_id,
            CASE WHEN event_id % 2 = 0 THEN NULL ELSE event_type END AS event_type
@@ -358,7 +358,7 @@ def a15_python_datasource(spark, sf_dir):
     tier="T2",
     survey="A1,A6,B6",
 )
-def a16_schema_evolution(spark, sf_dir):
+def a34_schema_evolution(spark, sf_dir):
     """Schema-evolution read (mergeSchema): an early batch written before a
     column existed and a later batch carrying it land in one dataset
     directory; the merged scan unions the schemas and nulls the missing
@@ -936,7 +936,7 @@ def a16_json_drop_page(spark, sf_dir):
 
 
 @query(
-    "a17_csv_dim_enrich",
+    "a35_csv_dim_enrich",
     sql="""
     SELECT z.zone, COUNT(*) AS n_nations,
            MIN(n.n_name) AS first_nation
@@ -949,7 +949,7 @@ def a16_json_drop_page(spark, sf_dir):
     tier="T2",
     survey="A7,A5,C9",
 )
-def a17_csv_dim_enrich(spark, sf_dir):
+def a35_csv_dim_enrich(spark, sf_dir):
     """CSV sink roundtrip (A7) + in-memory literal dim (A5) broadcast-joined
     (C9): the staged-extract-enriched-by-config shape. The dim is a literal
     DataFrame, never a shuffle side."""
@@ -976,7 +976,7 @@ def a17_csv_dim_enrich(spark, sf_dir):
 
 
 @query(
-    "a18_fetch_upload_stats",
+    "a37_fetch_upload_stats",
     sql="""
     SELECT event_type, COUNT(*) AS n_events,
            ROUND(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) / 1000000.0, 6)
@@ -987,7 +987,7 @@ def a17_csv_dim_enrich(spark, sf_dir):
     tier="T2",
     survey="A11,A12",
 )
-def a18_fetch_upload_stats(spark, sf_dir):
+def a37_fetch_upload_stats(spark, sf_dir):
     """Second fetch→upload pipeline next to a14, rotated onto different
     axes: shards keyed by event TYPE (skewed shard sizes, unlike a14's
     near-uniform user buckets), two injected failures per shard/chunk
@@ -1060,7 +1060,7 @@ def a18_fetch_upload_stats(spark, sf_dir):
 
 
 @query(
-    "a31_orc_roundtrip",
+    "a38_orc_roundtrip",
     sql="""
     SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
     FROM orders WHERE o_orderkey <= 800
@@ -1068,7 +1068,7 @@ def a18_fetch_upload_stats(spark, sf_dir):
     tier="T2",
     survey="A1,A6",
 )
-def a31_orc_roundtrip(spark, sf_dir):
+def a38_orc_roundtrip(spark, sf_dir):
     """ORC sink + ORC scan (Spark-native columnar alternative to parquet;
     readers.scan_orc / writers.write_orc were operator-only until now).
     The oracle reads the same slice straight from parquet, so the check
@@ -1078,6 +1078,6 @@ def a31_orc_roundtrip(spark, sf_dir):
         .where(F.col("o_orderkey") <= 800)
         .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
     )
-    path = os.path.join(_TMP, "a31_orc")
+    path = os.path.join(_TMP, "a38_orc")
     writers.write_orc(sub, path)
     return readers.scan_orc(spark, path)

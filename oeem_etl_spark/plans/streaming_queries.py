@@ -510,7 +510,7 @@ def i12_stream_outer_join(spark, sf_dir):
 
 
 @query(
-    "i13_replay_dedup_sliding",
+    "i17_replay_dedup_sliding",
     sql=f"""
     WITH cand AS (
       SELECT unnest([time_bucket(INTERVAL '30 minutes', {_CAST_TS}),
@@ -525,7 +525,7 @@ def i12_stream_outer_join(spark, sf_dir):
     tier="T3",
     survey="I5,I2",
 )
-def i13_replay_dedup_sliding(spark, sf_dir):
+def i17_replay_dedup_sliding(spark, sf_dir):
     """Chained stateful operators — at-least-once ingest made exactly-once:
     the source is read TWICE (two independent file-stream instances
     unioned = a simulated replayed/duplicated feed), I5 streaming dedup on

@@ -58,6 +58,20 @@ def test_order_prefix_rotates():
     assert never >= 30, f"only {never} never-driver-checked queries in the 50-prefix"
 
 
+def test_query_id_prefix_unique():
+    # VERDICT r6 "What's wrong" #2: the id-prefix convention is one id
+    # (the token before the first underscore, e.g. "c71", "l8k") per
+    # query. Two queries sharing an id silently broke the convention in
+    # r6 (c61_*); keep it enforced so tooling can assume uniqueness.
+    import collections
+
+    from oeem_etl_spark.plans import registry
+
+    ids = collections.Counter(n.split("_", 1)[0] for n in registry.all_queries())
+    dups = {k: v for k, v in ids.items() if v > 1}
+    assert not dups, f"duplicate query-id prefixes: {sorted(dups)}"
+
+
 def test_rows_only_manifest_in_sync():
     # tools/rows_only_manifest.json is the driver's no_oracle allowlist;
     # gen_manifest.build() raises if it disagrees with the registry.

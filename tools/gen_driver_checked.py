@@ -18,6 +18,19 @@ from pathlib import Path
 
 REPO = Path(__file__).resolve().parents[1]
 
+# Queries renamed after a driver check (r7: id-prefix uniqueness sweep,
+# VERDICT r6 "What's wrong" #2). The CORRECTNESS_r{N}.json artifacts keep
+# the historical name; map it forward so certification history carries.
+RENAMES = {
+    "a16_schema_evolution": "a34_schema_evolution",
+    "a17_csv_dim_enrich": "a35_csv_dim_enrich",
+    "a18_fetch_upload_stats": "a37_fetch_upload_stats",
+    "a31_orc_roundtrip": "a38_orc_roundtrip",
+    "i13_replay_dedup_sliding": "i17_replay_dedup_sliding",
+    "k57_monthly_latest_gapfill": "k45_monthly_latest_gapfill",
+    "c61_inline_window_asof": "c71_inline_window_asof",
+}
+
 
 def main() -> None:
     checked: dict[str, list[int]] = {}
@@ -27,7 +40,7 @@ def main() -> None:
             continue
         rnd = int(m.group(1))
         for name in json.loads(f.read_text()):
-            checked.setdefault(name, []).append(rnd)
+            checked.setdefault(RENAMES.get(name, name), []).append(rnd)
     out = REPO / "tools" / "driver_checked.json"
     out.write_text(json.dumps(checked, indent=1, sort_keys=True) + "\n")
     print(f"{len(checked)} queries ever driver-checked -> {out}")

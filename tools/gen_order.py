@@ -46,15 +46,9 @@ PREFIX = 50  # the driver's observed per-round certification cap
 # rows-only -> oracle promotion gets a slot so its new oracle is
 # driver-certified the same round it lands (l29b/l3c early-r6; l2/l31b/
 # i10 via the xxh64-in-SQL machinery plus the new l43b twin, late-r6).
-FORCE_INCLUDE = [
-    "l29b_semantic_dedup_bounded",
-    "l3c_ivf_topk",
-    "l2_minhash_lsh_dedup",
-    "l31b_cms_estimates",
-    "i10_streaming_cms",
-    "l43b_pca_power_fixed",
-    "l3b_ann_lsh_topk",
-]
+# r7: empty — no pending promotions; the whole prefix rotates to
+# never-driver-checked queries (VERDICT r6 task #2).
+FORCE_INCLUDE: list[str] = []
 
 
 def main() -> None:
