@@ -189,6 +189,14 @@ def main() -> None:
     recorded_total = sum(DUCKDB_REF_RECORDED.values())
     # Only meaningful at the recorded sf; at other sfs report raw only.
     noise_factor = round(ref_total / recorded_total, 4) if abs(sf - 0.1) < 1e-9 else None
+    # Protocol change (r7, VERDICT r6 "What's wrong" #3): clamp the
+    # normalization divisor to >=1.0. The noise factor exists to excuse a
+    # CONTENDED box (ref queries inflate with the Spark numbers); a box
+    # that happens to beat the anchor (nf<1) must read as at-anchor, not
+    # inflate the Spark total — in r6 an nf of 0.9421 turned the best-ever
+    # raw reading (4.92 s) into a +6% "regression" (5.22 normalized). The
+    # raw nf is still reported for trend analysis.
+    norm_divisor = max(noise_factor, 1.0) if noise_factor else None
 
     value = round(sum(timings.values()), 4)
     out = {
@@ -207,9 +215,10 @@ def main() -> None:
             "total": round(ref_total, 4),
             "recorded_total": recorded_total,
             "noise_factor": noise_factor,
+            "norm_divisor": norm_divisor,
         },
         "normalized_value": (
-            round(value / noise_factor, 4) if noise_factor and noise_factor > 0 else None
+            round(value / norm_divisor, 4) if norm_divisor else None
         ),
     }
     print(json.dumps(out))
