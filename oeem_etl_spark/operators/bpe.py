@@ -34,22 +34,33 @@ END_MARK = "</w>"  # end-of-word symbol, per the original formulation
 WORD_RE = "[a-z]+"
 
 
-def word_freq(docs: DataFrame, text_col: str = "text", top_words: int | None = None) -> DataFrame:
+def word_freq(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_words: int | None = None,
+    max_word_len: int | None = None,
+) -> DataFrame:
     """Corpus -> (word, freq) — the single corpus-sized pass.
 
     ``top_words`` bounds the training vocabulary (freq desc, word asc —
     total order) the way production BPE trainers do; top-k is a
     TakeOrdered, not a global sort.
+
+    ``max_word_len`` drops longer words before training — the standard
+    production guard (cf. WordPiece's max_input_chars_per_word): one
+    adversarial megabyte-long "word" in a crawl corpus would otherwise
+    ride every merge round as a vocabulary row whose symbol array is
+    word-sized, and whose word string is the per-round shuffle/window
+    key. The filter is applied pre-aggregation, map-side.
     """
-    wf = (
-        docs.select(
-            F.explode(
-                F.regexp_extract_all(F.lower(text_col), F.lit(WORD_RE), 0)
-            ).alias("word")
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower(text_col), F.lit(WORD_RE), 0)
+        ).alias("word")
     )
+    if max_word_len is not None:
+        words = words.where(F.length("word") <= max_word_len)
+    wf = words.groupBy("word").agg(F.count(F.lit(1)).alias("freq"))
     if top_words is not None:
         wf = wf.orderBy(F.desc("freq"), "word").limit(top_words)
     return wf
@@ -72,13 +83,21 @@ def top_pair(words: DataFrame) -> tuple[str, str, int] | None:
     One job; the result is a single driver-held row. Ties break on
     (left asc, right asc) so training is deterministic everywhere.
     """
+    # The size >= 2 guard matters on adversarial corpora: a word can fully
+    # merge into ONE symbol (e.g. a high-frequency short word after a few
+    # rounds), and Spark's sequence(1, 0) counts DOWN to [1, 0], making
+    # element_at(syms, 2) throw under ANSI. Found by the hostile-text
+    # sweep (plans/hostile_queries.py x3); pinned in
+    # tests/test_hostile_text.py.
     pairs = words.select(
         "freq",
         F.explode(
             F.expr(
-                "transform(sequence(1, size(syms) - 1),"
+                "CASE WHEN size(syms) >= 2 THEN"
+                " transform(sequence(1, size(syms) - 1),"
                 " i -> struct(element_at(syms, i) AS l,"
                 "             element_at(syms, i + 1) AS r))"
+                " ELSE CAST(array() AS array<struct<l:string,r:string>>) END"
             )
         ).alias("p"),
     ).select("freq", "p.l", "p.r")
@@ -123,6 +142,7 @@ def bpe_train(
     n_merges: int,
     text_col: str = "text",
     top_words: int | None = None,
+    max_word_len: int | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE merges; return (merge table, final word df).
 
@@ -140,7 +160,7 @@ def bpe_train(
     # regression); the repartition shuffle moves only vocab-sized rows.
     parts = 1 + (top_words or 1_000_000) // 1_000_000
     words = (
-        initial_symbols(word_freq(docs, text_col, top_words))
+        initial_symbols(word_freq(docs, text_col, top_words, max_word_len))
         .repartition(parts)
         .localCheckpoint()
     )

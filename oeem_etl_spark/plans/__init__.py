@@ -24,5 +24,7 @@ def load_all() -> None:
         breadth3_queries,
         breadth4_queries,
         breadth5_queries,
+        breadth6_queries,
+        hostile_queries,
         scale_queries,
     )

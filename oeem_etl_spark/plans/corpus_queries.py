@@ -612,11 +612,25 @@ def _merge_round(i: int, src: str, dst: str, pfx: str) -> str:
     )"""
 
 
-def _bpe_cte(n_merges: int = _BPE_MERGES, top_words: int = _BPE_TOP_WORDS) -> str:
+def _bpe_cte(
+    n_merges: int = _BPE_MERGES,
+    top_words: int = _BPE_TOP_WORDS,
+    src: str = "documents",
+    max_word_len: int | None = None,
+    pre_ctes: str = "",
+) -> str:
+    """Unrolled BPE-training CTE chain over the ``text`` column of ``src``.
+
+    ``max_word_len`` mirrors bpe.word_freq's adversarial-input guard;
+    ``pre_ctes`` lets a caller prepend its own CTEs (e.g. an inline
+    hostile-corpus VALUES table) before the chain."""
+    cap = f"WHERE length(word) <= {max_word_len}" if max_word_len else ""
     parts = [
         f"""toks AS MATERIALIZED (
-      SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
-      FROM documents
+      SELECT word FROM (
+        SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS word
+        FROM {src}
+      ) {cap}
     ),
     wf AS MATERIALIZED (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq FROM toks
@@ -641,7 +655,7 @@ def _bpe_cte(n_merges: int = _BPE_MERGES, top_words: int = _BPE_TOP_WORDS) -> st
     b{i} AS MATERIALIZED (SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1),
     {_merge_round(i, f"w{p}", f"w{i}", "")}"""
         )
-    return "WITH " + ",\n    ".join(parts)
+    return "WITH " + pre_ctes + ",\n    ".join(parts)
 
 
 def _bpe_apply_cte(where: str, n_merges: int = _BPE_MERGES) -> str:

@@ -45,41 +45,52 @@ def l1_exact_dedup(spark, sf_dir):
     )
 
 
-def _l2_sql() -> str:
-    """Full value oracle for the PRODUCTION minhash pipeline (promoted
-    from rows-only this round): plans/xxh64_sql.py reproduces Spark's
-    xxhash64 over arbitrary UTF-8 bytes bit-for-bit in DuckDB, so the
-    engine-native hash family — shingle hashes AND the banded bucket
-    hashes — is no longer oracle-opaque. Unrolls: distinct-shingle
-    xxh64 mod Mersenne -> 64 multiply-add permutation mins -> 16 bands
-    of 4 joined ',' -> xxh64 bucket of each band string -> bucket-equality
-    candidates -> exact shingle-Jaccard >= 0.8 -> recursive-CTE min-label
-    components -> drop every node whose label differs (keep cluster min),
-    mirroring dedup.minhash_lsh_dedup exactly.  Both hash chains run per
-    DISTINCT value (shingle / band string), then join back to rows."""
+def minhash_oracle_sql(
+    docs_src: str = "documents",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.8,
+    pre_ctes: str = "",
+    shingle_max_len: int = 64,
+    band_max_len: int = 64,
+) -> str:
+    """Parametrized form of the l2 oracle (see _l2_sql docstring) so other
+    corpora — notably the hostile-text inline fixture in
+    plans/hostile_queries.py — can value-check dedup.minhash_lsh_dedup at
+    any (num_perm, bands, shingle_k, threshold) setting. ``pre_ctes``
+    (must end with a comma) lets the caller prepend an inline VALUES
+    table; ``docs_src`` must expose (doc_id, text) and the final SELECT
+    returns the surviving doc_ids ordered."""
     from oeem_etl_spark.operators.dedup import _MERSENNE_P, _PERM_A, _PERM_B
 
     P = _MERSENNE_P
+    rpb = num_perm // bands
+    assert rpb * bands == num_perm
     mins = ",\n           ".join(
-        f"MIN((hv*{_PERM_A[p]}+{_PERM_B[p]})%{P}) AS m{p}" for p in range(64)
+        f"MIN((hv*{_PERM_A[p]}+{_PERM_B[p]})%{P}) AS m{p}"
+        for p in range(num_perm)
     )
     band_case = " ".join(
         "WHEN {b} THEN {expr}".format(
             b=b,
-            expr="||','||".join(f"CAST(m{4 * b + j} AS VARCHAR)" for j in range(4)),
+            expr="||','||".join(
+                f"CAST(m{rpb * b + j} AS VARCHAR)" for j in range(rpb)
+            ),
         )
-        for b in range(16)
+        for b in range(bands)
     )
-    band_vals = ",".join(f"({b})" for b in range(16))
+    band_vals = ",".join(f"({b})" for b in range(bands))
+    sh_expr = " || ' ' || ".join(f"t[i+{j}]" for j in range(shingle_k))
     return f"""
-    WITH RECURSIVE tk AS (
-      SELECT doc_id, str_split(text, ' ') AS t FROM documents
+    WITH RECURSIVE {pre_ctes}tk AS (
+      SELECT doc_id, str_split(text, ' ') AS t FROM {docs_src}
     ),
     sh AS MATERIALIZED (
       SELECT doc_id,
-             CASE WHEN len(t) >= 3 THEN list_distinct(list_transform(
-                    generate_series(1, len(t) - 2),
-                    i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+             CASE WHEN len(t) >= {shingle_k} THEN list_distinct(list_transform(
+                    generate_series(1, len(t) - {shingle_k - 1}),
+                    i -> {sh_expr}))
                   -- COALESCE mirrors Spark: concat_ws over a NULL token
                   -- array returns '' (never NULL), so a NULL-text doc
                   -- gets the [''] singleton shingle set on BOTH sides
@@ -87,7 +98,7 @@ def _l2_sql() -> str:
       FROM tk
     ),
     us AS (SELECT DISTINCT unnest(s) AS sg FROM sh),
-    {xxh64_sql.xxh64_bytes_cte('us', 'sg', prefix='hs')},
+    {xxh64_sql.xxh64_bytes_cte('us', 'sg', prefix='hs', max_len=shingle_max_len)},
     hvt AS MATERIALIZED (SELECT sg, ((hs_xxh % {P}) + {P}) % {P} AS hv FROM hsf),
     ds AS (SELECT doc_id, unnest(s) AS sg FROM sh),
     dh AS (SELECT d.doc_id, h.hv FROM ds d JOIN hvt h USING (sg)),
@@ -101,7 +112,7 @@ def _l2_sql() -> str:
       FROM sig CROSS JOIN (VALUES {band_vals}) bb(b)
     ),
     ub AS (SELECT DISTINCT bs FROM bstr),
-    {xxh64_sql.xxh64_bytes_cte('ub', 'bs', prefix='hb')},
+    {xxh64_sql.xxh64_bytes_cte('ub', 'bs', prefix='hb', max_len=band_max_len)},
     bkt AS MATERIALIZED (SELECT bstr.doc_id, bstr.band, hbf.hb_xxh AS bucket
             FROM bstr JOIN hbf USING (bs)),
     cand AS (
@@ -114,7 +125,7 @@ def _l2_sql() -> str:
       FROM cand c JOIN sh sa ON sa.doc_id = c.ka
                   JOIN sh sb ON sb.doc_id = c.kb
       WHERE CAST(len(list_intersect(sa.s, sb.s)) AS DOUBLE)
-            / len(list_distinct(sa.s || sb.s)) >= 0.8
+            / len(list_distinct(sa.s || sb.s)) >= {threshold}
     ),
     e AS MATERIALIZED (SELECT a, b FROM e0 UNION SELECT b, a FROM e0),
     nodes AS (SELECT DISTINCT a AS node FROM e),
@@ -125,6 +136,22 @@ def _l2_sql() -> str:
     ),
     lab AS (SELECT node, MIN(lbl) AS label FROM r GROUP BY node),
     doomed AS (SELECT node AS doc_id FROM lab WHERE node <> label)
+    """
+
+
+def _l2_sql() -> str:
+    """Full value oracle for the PRODUCTION minhash pipeline (promoted
+    from rows-only this round): plans/xxh64_sql.py reproduces Spark's
+    xxhash64 over arbitrary UTF-8 bytes bit-for-bit in DuckDB, so the
+    engine-native hash family — shingle hashes AND the banded bucket
+    hashes — is no longer oracle-opaque. Unrolls: distinct-shingle
+    xxh64 mod Mersenne -> 64 multiply-add permutation mins -> 16 bands
+    of 4 joined ',' -> xxh64 bucket of each band string -> bucket-equality
+    candidates -> exact shingle-Jaccard >= 0.8 -> recursive-CTE min-label
+    components -> drop every node whose label differs (keep cluster min),
+    mirroring dedup.minhash_lsh_dedup exactly.  Both hash chains run per
+    DISTINCT value (shingle / band string), then join back to rows."""
+    return minhash_oracle_sql() + """
     SELECT d.doc_id, d.lang, d.source
     FROM documents d ANTI JOIN doomed USING (doc_id)
     """

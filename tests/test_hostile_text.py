@@ -1,0 +1,129 @@
+"""Hostile-text sweep (VERDICT r6 task #8): the operator paths a crawl
+corpus stresses first — xxh64 bytes, shingles, BPE, substring dedup —
+driven with empty strings, NULs, 4-byte UTF-8, combining marks, and
+100k-char single-token docs. The registry twins live in
+plans/hostile_queries.py (x1-x5, full DuckDB oracles); these tests pin
+the operator-level behavior and the regression the sweep found."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from oeem_etl_spark.operators import bpe, dedup
+from oeem_etl_spark.plans.hostile_queries import HOSTILE_DOCS
+from oeem_etl_spark.plans.xxh64_sql import py_xxh64_bytes
+
+
+def _hostile_df(spark):
+    return spark.createDataFrame(HOSTILE_DOCS, "doc_id int, text string")
+
+
+def test_top_pair_single_symbol_word(spark):
+    # Regression (found by x3): a word whose symbols fully merged to ONE
+    # element made top_pair's pair-explode evaluate sequence(1, 0) —
+    # which Spark generates DESCENDING as [1, 0] — and element_at(syms,
+    # 2) threw under ANSI. Single-symbol words must contribute no pairs.
+    words = spark.createDataFrame(
+        [("tok", 50, ["tok</w>"]), ("ab", 3, ["a", "b</w>"])],
+        "word string, freq long, syms array<string>",
+    )
+    assert bpe.top_pair(words) == ("a", "b</w>", 3)
+    only_merged = spark.createDataFrame(
+        [("tok", 50, ["tok</w>"])], "word string, freq long, syms array<string>"
+    )
+    assert bpe.top_pair(only_merged) is None
+
+
+def test_word_freq_max_word_len_guard(spark):
+    docs = _hostile_df(spark)
+    words = bpe.word_freq(docs, "text", max_word_len=64)
+    longest = words.agg(F.max(F.length("word"))).collect()[0][0]
+    assert longest is not None and longest <= 64
+    # without the guard the 100k-char word rides into the vocabulary
+    unguarded = bpe.word_freq(docs, "text")
+    assert unguarded.agg(F.max(F.length("word"))).collect()[0][0] == 100_000
+
+
+def test_shingles_degenerate_docs(spark):
+    # empty / whitespace / NULL text all collapse to a singleton shingle
+    # set (the [''] convention the l2/x2 oracles mirror), never NULL.
+    df = spark.createDataFrame(
+        [(1, ""), (2, " "), (3, None)], "doc_id int, text string"
+    )
+    rows = df.select(
+        "doc_id", dedup.shingles("text", 3).alias("s")
+    ).orderBy("doc_id").collect()
+    assert rows[0]["s"] == [""]
+    assert rows[1]["s"] == [" "]
+    assert rows[2]["s"] == [""]
+
+
+def test_xxh64_hostile_bytes():
+    # The pure-Python mirror (pinned against F.xxhash64 in
+    # tests/test_xxh64_sql.py) on the hostile byte shapes: NUL-bearing
+    # and 4-byte-UTF-8 inputs are ordinary bytes to XXH64.
+    def signed(u: int) -> int:
+        return u - (1 << 64) if u >= 1 << 63 else u
+
+    known_empty = py_xxh64_bytes(b"")
+    # F.xxhash64('') in Spark (py_xxh64_bytes returns the unsigned form)
+    assert signed(known_empty) == -7444071767201028348
+    assert py_xxh64_bytes(b"\x00") != known_empty
+    assert py_xxh64_bytes("\U0001f30d".encode()) == py_xxh64_bytes(
+        b"\xf0\x9f\x8c\x8d"
+    )
+
+
+def test_substring_dedup_hostile_rebuild(spark):
+    # NUL / emoji tokens survive the rebuild byte-exactly; the 100k
+    # single-token doc (< window tokens) is untouched; duplicated spans
+    # across the repetition docs are cut from the non-canonical copy.
+    docs = _hostile_df(spark).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    out = {
+        r["doc_id"]: r
+        for r in dedup.substring_dedup(
+            docs, "doc_id", "text", window=3, min_docs=2, hash_windows=False
+        ).collect()
+    }
+    assert out[5]["text_deduped"] == "a\x00b nul\x00mid token"
+    assert out[9]["text_deduped"] == "x" * 100_000
+    assert out[11]["dup_words"] == 0  # canonical copy keeps its text
+    assert out[12]["text_deduped"] == "" and out[12]["dup_words"] == 12
+    assert out[13]["text_deduped"] == "und again"
+    assert out[14]["text_deduped"] == "tail" and out[14]["dup_words"] == 20
+
+
+def test_minhash_dedup_hostile_survivors(spark):
+    docs = _hostile_df(spark).where(
+        F.col("text").isNull() | (F.octet_length("text") <= 96)
+    )
+    survivors = {
+        r["doc_id"]
+        for r in dedup.minhash_lsh_dedup(
+            docs, "doc_id", "text", threshold=0.5, num_perm=16, bands=4,
+            shingle_k=3, persist_intermediate=False,
+        ).collect()
+    }
+    # identical docs 11/12 MUST collapse to the smaller id; the empty and
+    # NULL docs share the [''] singleton shingle set and collapse to 1.
+    assert 11 in survivors and 12 not in survivors
+    assert 1 in survivors and 15 not in survivors
+
+
+@pytest.mark.parametrize("window", [2, 3])
+def test_duplicate_window_spans_empty_and_giant(spark, window):
+    # no windows from sub-window docs (empty, single 100k token) — and no
+    # crash: the posexplode arm must produce a typed empty array.
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "x" * 100_000), (3, None)], "doc_id int, text string"
+    )
+    assert (
+        dedup.duplicate_window_spans(
+            docs, "doc_id", "text", window=window, min_docs=2,
+            hash_windows=False,
+        ).count()
+        == 0
+    )

@@ -46,9 +46,17 @@ PREFIX = 50  # the driver's observed per-round certification cap
 # rows-only -> oracle promotion gets a slot so its new oracle is
 # driver-certified the same round it lands (l29b/l3c early-r6; l2/l31b/
 # i10 via the xxh64-in-SQL machinery plus the new l43b twin, late-r6).
-# r7: empty — no pending promotions; the whole prefix rotates to
-# never-driver-checked queries (VERDICT r6 task #2).
-FORCE_INCLUDE: list[str] = []
+# r7: the five hostile-text queries (VERDICT r6 task #8) land this round
+# and get driver-certified the round they land; all five are themselves
+# never-driver-checked, so the rotation target (>=45 first-timers) is
+# unaffected.
+FORCE_INCLUDE: list[str] = [
+    "x1_hostile_xxh64",
+    "x2_hostile_minhash_dedup",
+    "x3_hostile_bpe_train",
+    "x4_hostile_substring_dedup",
+    "x5_hostile_text_stats",
+]
 
 
 def main() -> None:
