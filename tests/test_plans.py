@@ -600,6 +600,43 @@ def test_j11_cogroup_plans_as_cogroup_not_join(spark, sf_dir):
     assert plan.count("hashpartitioning(user_id") == 2, plan
 
 
+def _plan_bounds():
+    import json
+    from pathlib import Path
+
+    path = Path(__file__).resolve().parents[1] / "tools" / "plan_bounds.json"
+    return json.loads(path.read_text())
+
+
+@pytest.mark.parametrize("name", sorted(_plan_bounds()))
+def test_headline_plan_within_recorded_bounds(spark, sf_dir, name):
+    """VERDICT r6 task #5 — the plan audit as a GATE, not an artifact:
+    every headline query's STATIC plan must stay within the structural
+    bounds committed in tools/plan_bounds.json — no new Python eval
+    nodes, shuffle-exchange count <= the recorded value, every parquet
+    scan at most as wide as recorded, and pushed filters still present
+    where recorded. A regression here is a silent scale cliff; after an
+    INTENTIONAL plan change, regenerate with
+    `python tools/plan_audit.py --bounds`."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    from plan_audit import static_bounds
+
+    bounds = _plan_bounds()[name]
+    q = registry.queries()[name]
+    got = static_bounds(plan_of(q(spark, sf_dir)))
+    assert got["python_evals"] <= bounds["python_evals"], got
+    assert got["shuffle_exchanges"] <= bounds["shuffle_exchanges"], got
+    for table, s in got["scans"].items():
+        ref = bounds["scans"].get(table)
+        assert ref is not None, f"new scan of {table}: {s}"
+        assert s["max_cols"] <= ref["max_cols"], (table, s, ref)
+        if ref["has_filters"]:
+            assert s["has_filters"], f"pushed filters lost on {table}"
+
+
 def test_label_propagation_rounds_are_checkpoint_backed(spark, sf_dir):
     # each round ends in localCheckpoint, so the returned frame's lineage is
     # a checkpoint scan, not the whole iterative join tree — the property

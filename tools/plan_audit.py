@@ -120,7 +120,78 @@ def audit(plan: str, executed: str) -> dict:
     }
 
 
+BENCH_HEADLINE = HEADLINE[:14]  # the BASELINE.md 14-query headline set
+
+
+def static_bounds(plan: str) -> dict:
+    """SF-independent structural invariants from a STATIC formatted plan
+    (no execution): shuffle-exchange count, Python eval nodes, per-table
+    scan width and pushed-filter presence. tests/test_plans.py replays
+    these against tools/plan_bounds.json (VERDICT r6 task #5) so a plan
+    regression fails CI the day it lands, instead of waiting for a human
+    to diff PLANS_r{N}.md."""
+    scans: dict[str, dict] = {}
+    for m in re.finditer(r"\(\d+\) Scan parquet\s*\n(.*?)(?=\n\(\d+\)|\Z)",
+                         plan, re.S):
+        block = m.group(0)
+        loc = re.search(r"Location:.*?([a-z]+)\.parquet", block)
+        rs = re.search(r"ReadSchema: struct<([^>]*)>", block)
+        pf = re.search(r"PushedFilters: \[([^\]]*)\]", block)
+        table = loc.group(1) if loc else "?"
+        n_cols = (
+            len(rs.group(1).split(",")) if rs and rs.group(1) else 0
+        )
+        prev = scans.setdefault(
+            table, {"max_cols": 0, "has_filters": False}
+        )
+        prev["max_cols"] = max(prev["max_cols"], n_cols)
+        prev["has_filters"] = prev["has_filters"] or bool(pf and pf.group(1))
+    return {
+        "shuffle_exchanges": len(re.findall(r"\(\d+\) Exchange", plan)),
+        "python_evals": len(
+            re.findall(
+                r"\(\d+\) (?:ArrowEvalPython|BatchEvalPython|MapInPandas|"
+                r"FlatMapGroupsInPandas|FlatMapGroupsInArrow|"
+                r"FlatMapCoGroupsInPandas)",
+                plan,
+            )
+        ),
+        "scans": scans,
+    }
+
+
+def gen_bounds(sf_dir: str) -> None:
+    """Record the CURRENT static-plan invariants of the 14 headline
+    queries into tools/plan_bounds.json (run after an intentional plan
+    change; the pytest gate compares against this file)."""
+    import json
+
+    from oeem_etl_spark import plans
+    from oeem_etl_spark.plans import registry
+    from oeem_etl_spark.session import get_session
+
+    plans.load_all()
+    spark = get_session("oeem-plan-bounds")
+    qs = registry.all_queries()
+    out = {}
+    for name in BENCH_HEADLINE:
+        df = qs[name].fn(spark, sf_dir)
+        import contextlib
+        import io
+
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        out[name] = static_bounds(buf.getvalue())
+    path = REPO / "tools" / "plan_bounds.json"
+    path.write_text(json.dumps(out, indent=1, sort_keys=True) + "\n")
+    print(f"wrote {path} ({len(out)} queries)")
+
+
 def main() -> None:
+    if len(sys.argv) > 1 and sys.argv[1] == "--bounds":
+        gen_bounds(sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01")
+        return
     out_path = REPO / (sys.argv[1] if len(sys.argv) > 1 else "PLANS_r05.md")
     from oeem_etl_spark import plans
     from oeem_etl_spark.plans import registry
