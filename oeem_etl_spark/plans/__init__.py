@@ -25,6 +25,7 @@ def load_all() -> None:
         breadth4_queries,
         breadth5_queries,
         breadth6_queries,
+        breadth7_queries,
         hostile_queries,
         scale_queries,
     )

@@ -134,6 +134,55 @@ def running_totals_state(df: DataFrame, key: str = "user_id", value_col: str = "
     )
 
 
+def latest_state(
+    df: DataFrame,
+    key: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+):
+    """I6 face: per-key LAST-WRITE tracker via applyInPandasWithState —
+    the change-data-capture state machine (current value per meter). The
+    winner is max (ts, id) — the id tiebreak makes replays deterministic
+    — and the state is three scalars per key, idempotent under replay.
+    Value is carried in exact integer micros (oracle: arg_max over the
+    same lexicographic order)."""
+    import pandas as pd  # noqa: F401  (worker-side import)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = f"{key} bigint, last_ts timestamp, last_value double"
+    state_schema = "ts_us bigint, id bigint, micros bigint"
+
+    def fn(key_tuple, pdf_iter, state):
+        import pandas as pd
+
+        ts_us, best_id, micros = state.get if state.exists else (None, None, None)
+        for pdf in pdf_iter:
+            if not len(pdf):
+                continue
+            # normalize whatever datetime64 unit Arrow delivered to µs
+            t = pdf[ts_col].values.astype("datetime64[us]").astype("int64")
+            t = pd.Series(t, index=pdf.index)
+            ids = pdf[id_col].astype("int64")
+            m = pdf[value_col].mul(1e6).round(0).astype("int64")
+            i = max(range(len(pdf)), key=lambda j: (int(t.iloc[j]), int(ids.iloc[j])))
+            cand = (int(t.iloc[i]), int(ids.iloc[i]), int(m.iloc[i]))
+            if ts_us is None or (cand[0], cand[1]) > (ts_us, best_id):
+                ts_us, best_id, micros = cand
+        state.update((ts_us, best_id, micros))
+        yield pd.DataFrame(
+            {
+                key: [key_tuple[0]],
+                "last_ts": [pd.Timestamp(ts_us * 1000)],
+                "last_value": [round(micros / 1e6, 6)],
+            }
+        )
+
+    return df.groupBy(key).applyInPandasWithState(
+        fn, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+
+
 def _agg_names(agged: DataFrame, n_grouping: int) -> list[str]:
     """Output names of the agg expressions of a ``groupBy(...).agg(...)``
     frame: every column after the ``n_grouping`` leading grouping columns.
