@@ -104,10 +104,21 @@ def main() -> None:
         return dense_ids(li, "k", buckets=64)
 
     def _copy_renamed_docs(sf_dir):
-        # scale_probe's convention: shifted doc_ids keep duplication
-        # copy-local so span volume scales with rows, not copies².
-        return spark.read.parquet(f"{sf_dir}/documents.parquet").select(
-            "doc_id", "text"
+        # scale_probe's convention: per-copy token renaming keeps
+        # duplication copy-local, so span volume scales with rows, not
+        # copies² (the production analogue: a 100× corpus has 100× the
+        # duplicated regions, not cross-shard collisions of one region).
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        copy = F.floor(F.col("doc_id") / F.lit(5000)).cast("string")
+        return docs.select(
+            "doc_id",
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda t: F.concat(F.lit("c"), copy, F.lit("_"), t),
+                ),
+                " ",
+            ).alias("text"),
         )
 
     def substring_spans_shape(sf_dir):
