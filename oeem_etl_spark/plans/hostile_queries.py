@@ -358,14 +358,22 @@ def x5_hostile_text_stats(spark, sf_dir):
     multi-space strings (Spark split and DuckDB string_split agree:
     '' -> [''], '   ' -> 4 empties), ASCII word extraction, NUL count,
     whitespace-only flag. NULL text propagates NULL everywhere."""
+    # size() wrapped in a null guard: under ANSI-off (hostile-config
+    # re-certification) legacy size(NULL) returns -1, not NULL — the
+    # guard keeps the NULL row's stats NULL in BOTH configs.
+    def nsize(c):
+        return F.when(F.col("text").isNull(), F.lit(None).cast("int")).otherwise(
+            F.size(c)
+        )
+
     return (
         _hostile_df(spark)
         .select(
             "doc_id",
             F.length("text").alias("n_chars"),
             F.octet_length("text").alias("n_bytes"),
-            F.size(F.split("text", " ")).alias("n_split"),
-            F.size(
+            nsize(F.split("text", " ")).alias("n_split"),
+            nsize(
                 F.regexp_extract_all(F.lower("text"), F.lit("[a-z]+"), F.lit(0))
             ).alias("n_ascii_words"),
             (
