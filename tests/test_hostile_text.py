@@ -113,6 +113,24 @@ def test_minhash_dedup_hostile_survivors(spark):
     assert 1 in survivors and 15 not in survivors
 
 
+def test_x5_stats_config_independent(spark, sf_dir):
+    # Regression pin (found by the r7 ANSI-off re-certification sweep):
+    # with spark.sql.ansi.enabled=false, legacy size(NULL) returns -1,
+    # which flipped the NULL-text row's split/word counts. The query
+    # guards size() behind an explicit null check — results must be
+    # identical under both configs.
+    from oeem_etl_spark.plans.hostile_queries import x5_hostile_text_stats
+
+    prev = spark.conf.get("spark.sql.ansi.enabled")
+    on = [tuple(r) for r in x5_hostile_text_stats(spark, sf_dir).collect()]
+    try:
+        spark.conf.set("spark.sql.ansi.enabled", "false")
+        off = [tuple(r) for r in x5_hostile_text_stats(spark, sf_dir).collect()]
+    finally:
+        spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert on == off
+
+
 @pytest.mark.parametrize("window", [2, 3])
 def test_duplicate_window_spans_empty_and_giant(spark, window):
     # no windows from sub-window docs (empty, single 100k token) — and no
