@@ -88,16 +88,17 @@ def top_pair(words: DataFrame) -> tuple[str, str, int] | None:
     # rounds), and Spark's sequence(1, 0) counts DOWN to [1, 0], making
     # element_at(syms, 2) throw under ANSI. Found by the hostile-text
     # sweep (plans/hostile_queries.py x3); pinned in
-    # tests/test_hostile_text.py.
-    pairs = words.select(
+    # tests/test_hostile_text.py. Guarded with a pre-FILTER, not a
+    # CASE WHEN around the transform: single-symbol words contribute no
+    # pairs either way, and the filter keeps the per-round hot expression
+    # unwrapped (VERDICT r7 watch-item on l64_bpe_train).
+    pairs = words.where(F.size("syms") >= 2).select(
         "freq",
         F.explode(
             F.expr(
-                "CASE WHEN size(syms) >= 2 THEN"
-                " transform(sequence(1, size(syms) - 1),"
+                "transform(sequence(1, size(syms) - 1),"
                 " i -> struct(element_at(syms, i) AS l,"
                 "             element_at(syms, i + 1) AS r))"
-                " ELSE CAST(array() AS array<struct<l:string,r:string>>) END"
             )
         ).alias("p"),
     ).select("freq", "p.l", "p.r")

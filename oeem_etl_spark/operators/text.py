@@ -347,7 +347,16 @@ def bm25_scores(
     """
     terms = [str(t) for t in query_terms]
     k = F.col(key)
-    dl = df.select(k, F.size(tokenize(text_col)).alias("dl"))
+    # NULL text counts as an empty document (dl = 0, still in N/avgdl) —
+    # spelled as an explicit isNull branch, NOT bare size(), because
+    # legacy non-ANSI sessions make size(NULL) return -1 and would skew
+    # avgdl config-dependently (the x5 hostile-stats lesson applied here).
+    dl = df.select(
+        k,
+        F.when(F.col(text_col).isNull(), F.lit(0))
+        .otherwise(F.size(tokenize(text_col)))
+        .alias("dl"),
+    )
     stats = dl.agg(
         F.count(F.lit(1)).alias("__n"), F.sum("dl").alias("__sum_dl")
     )

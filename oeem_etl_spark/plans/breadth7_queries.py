@@ -171,14 +171,20 @@ def i62_stream_last_write(spark, sf_dir):
 
     sdf = events_stream(spark, sf_dir).where(F.col("user_id") <= 150)
     updates = ops.latest_state(sdf)
-    drained = harness.run_available_now(updates, "update")
-    w = Window.partitionBy("user_id").orderBy(
-        F.col("last_ts").desc(), F.col("last_value").desc()
-    )
+    # Drain through the batch-ordinal capture sink: the final emission per
+    # key is the LAST batch's row (max _batch_id), which stays correct even
+    # if the source drains in several micro-batches where a payload-column
+    # tiebreak would not (the op's winner is max(ts, event_id), not
+    # max(ts, value)).
+    path = os.path.join(_TMP, f"i62_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    harness.foreach_batch_capture(updates, path)
+    drained = spark.read.parquet(path)
+    w = Window.partitionBy("user_id").orderBy(F.col("_batch_id").desc())
     return (
         drained.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .drop("rn")
+        .drop("rn", "_batch_id")
         .select(
             "user_id",
             F.col("last_ts").cast("timestamp_ntz").alias("last_ts"),

@@ -387,3 +387,285 @@ def x5_hostile_text_stats(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x6: SymSpell fuzzy join on hostile names
+# ---------------------------------------------------------------------------
+
+# Fuzzy-join corpus: single-byte code points ONLY (ASCII + NUL). Probed
+# 2026-08-16: DuckDB's levenshtein is BYTE-level (utf8proc strings compared
+# bytewise) while Spark's is CODE-POINT-level — 'é' vs 'é' is 2 in
+# Spark, 3 in DuckDB; a 4-byte emoji insert is 1 vs 4. A cross-engine value
+# oracle therefore requires byte==codepoint names; the multi-byte behavior
+# is pinned Spark-side in tests/test_hostile_text.py (SymSpell candidates ==
+# Spark's own brute force on emoji/fullwidth/combining names).
+_FUZZY_NAMES: list[tuple[int, str | None]] = [
+    (1, "meter-001"),
+    (2, "meter-01"),      # deletion of 1 -> dist 1
+    (3, "meter-002"),     # substitution vs 1 -> dist 1
+    (4, "metre-001"),     # transposition vs 1 -> levenshtein 2: excluded
+    (5, "a\x00b"),        # NUL inside the join key
+    (6, "ab"),            # NUL deletion -> dist 1 vs 5
+    (7, "a\x00c"),        # NUL-adjacent substitution -> dist 1 vs 5
+    (8, ""),              # empty string (deletion_variants guard path)
+    (9, "x"),             # dist 1 vs empty
+    (10, "x" * 100),      # long token (fan-out = len+1 variants)
+    (11, "x" * 100 + "y"),  # dist 1 vs 10
+    (12, "o'brien"),      # quote char (SQL-literal escaping path)
+    (13, "obrien"),       # dist 1 vs 12
+    (14, None),           # NULL name: no variants, no matches
+]
+
+
+def _names_values() -> str:
+    return ", ".join(f"({i}, {_sql_text_lit(s)})" for i, s in _FUZZY_NAMES)
+
+
+@query(
+    "x6_hostile_fuzzy_join",
+    sql=f"""
+    WITH fnames(id, name) AS (VALUES {_names_values()}),
+    nn AS (SELECT * FROM fnames WHERE name IS NOT NULL)
+    SELECT a.id AS a_id, b.id AS b_id,
+           CAST(levenshtein(a.name, b.name) AS INTEGER) AS dist
+    FROM nn a, nn b
+    WHERE a.id < b.id AND levenshtein(a.name, b.name) <= 1
+    ORDER BY a_id, b_id
+    """,
+    tier="T2",
+    survey="H3,H9,A5,B6",
+)
+def x6_hostile_fuzzy_join(spark, sf_dir):
+    """operators/text.fuzzy_join (SymSpell deletion-neighborhood candidates,
+    hash-equi-join, levenshtein verify — never the all-pairs square) on
+    hostile join keys: NUL bytes inside names (variant generation and the
+    hash join both carry them), the empty string (the deletion_variants
+    sequence(1,0) guard path), 100-char tokens (bounded len+1 fan-out),
+    quote characters (SQL-literal escaping), and a NULL name (no variants
+    -> never matches; levenshtein(NULL,·) is NULL-filtered on both
+    engines). The oracle is the brute-force quadratic. Corpus restricted
+    to 1-byte code points: DuckDB levenshtein is byte-level, Spark's
+    code-point-level (probed — they diverge on emoji/combining marks);
+    the unicode face is pinned Spark-side in tests/test_hostile_text.py.
+    IDs only in the output: NUL-bearing names never cross the driver's
+    pandas canonicalization."""
+    from oeem_etl_spark.operators.text import fuzzy_join
+
+    names = spark.createDataFrame(_FUZZY_NAMES, "id int, name string")
+    left = names.select(F.col("id").alias("a_id"), F.col("name").alias("a_name"))
+    right = names.select(F.col("id").alias("b_id"), F.col("name").alias("b_name"))
+    return (
+        fuzzy_join(left, right, "a_name", "b_name", max_dist=1)
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", F.col("dist").cast("int").alias("dist"))
+        .orderBy("a_id", "b_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x7: inverted-index phrase + conjunctive search on hostile text
+# ---------------------------------------------------------------------------
+
+_X7_PHRASE = ["the", "quick", "brown"]
+_X7_CONJ = ["nul\x00mid", "token"]
+
+
+@query(
+    "x7_hostile_inverted_search",
+    sql=f"""
+    WITH {_DOCS_CTE}p AS (
+      SELECT doc_id, w AS term, CAST(pos - 1 AS BIGINT) AS pos
+      FROM (
+        SELECT doc_id,
+               unnest(string_split(lower(text), ' ')) AS w,
+               unnest(range(1, len(string_split(text, ' ')) + 1)) AS pos
+        FROM hdocs WHERE text IS NOT NULL
+      )
+    ),
+    slots AS (
+      SELECT * FROM (VALUES {", ".join(f"({_sql_text_lit(t)}, {i})" for i, t in enumerate(_X7_PHRASE))})
+        AS t(term, slot)
+    ),
+    votes AS (
+      SELECT p.doc_id, p.pos - s.slot AS anchor, s.slot
+      FROM p JOIN slots s USING (term)
+    ),
+    hits AS (
+      SELECT doc_id, anchor FROM votes GROUP BY doc_id, anchor
+      HAVING COUNT(DISTINCT slot) = {len(_X7_PHRASE)}
+    ),
+    phr AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS val
+      FROM hits GROUP BY doc_id
+    ),
+    conj AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS val
+      FROM p WHERE term IN ({", ".join(_sql_text_lit(t) for t in _X7_CONJ)})
+      GROUP BY doc_id HAVING COUNT(DISTINCT term) = {len(_X7_CONJ)}
+    ),
+    emp AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS val
+      FROM p WHERE term = '' GROUP BY doc_id
+    )
+    SELECT 'conj' AS face, doc_id, val FROM conj
+    UNION ALL SELECT 'empty', doc_id, val FROM emp
+    UNION ALL SELECT 'phrase', doc_id, val FROM phr
+    ORDER BY face, doc_id
+    """,
+    tier="T2",
+    survey="L12,L5,H9,A5,B6",
+)
+def x7_hostile_inverted_search(spark, sf_dir):
+    """operators/search.py on the hostile corpus, three retrieval faces
+    over ONE postings build: positional phrase search for 'the quick
+    brown' (docs 11-13; anchor-vote plan), conjunctive AND-retrieval for
+    a NUL-EMBEDDED term pair (doc 5 — the IN-list filter, broadcast slot
+    join and hash agg all carry the NUL through), and retrieval of the
+    EMPTY term (split-on-space artifacts: '' -> [''], ' ' -> ['',''],
+    whitespace-only -> 4 empties — exactly what a crawl corpus feeds an
+    unguarded tokenizer). NULL text contributes no postings (posexplode
+    of NULL = no rows; the oracle mirrors with IS NOT NULL)."""
+    from oeem_etl_spark.operators import search
+
+    postings = search.build_postings(_hostile_df(spark)).localCheckpoint()
+    phr = search.phrase_search(postings, _X7_PHRASE).select(
+        F.lit("phrase").alias("face"), "doc_id", F.col("n_matches").alias("val")
+    )
+    conj = search.conjunctive_search(postings, _X7_CONJ).select(
+        F.lit("conj").alias("face"), "doc_id", F.col("n_occurrences").alias("val")
+    )
+    emp = search.conjunctive_search(postings, [""]).select(
+        F.lit("empty").alias("face"), "doc_id", F.col("n_occurrences").alias("val")
+    )
+    return conj.unionByName(emp).unionByName(phr).orderBy("face", "doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x8: BM25 ranked retrieval on hostile text
+# ---------------------------------------------------------------------------
+
+_X8_TERMS = ["again", "und", "nul\x00mid", "emoji"]
+
+
+@query(
+    "x8_hostile_bm25",
+    sql=f"""
+    WITH {_DOCS_CTE}dl AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN 0
+                  ELSE len(string_split(text, ' ')) END AS dl
+      FROM hdocs
+    ), stats AS (
+      SELECT COUNT(*) AS n, SUM(dl) AS sum_dl FROM dl
+    ), hits AS (
+      SELECT doc_id, tok AS term, COUNT(*) AS tf FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM hdocs
+      ) WHERE tok IN ({", ".join(_sql_text_lit(t) for t in _X8_TERMS)})
+      GROUP BY doc_id, tok
+    ), dfreq AS (
+      SELECT term, COUNT(DISTINCT doc_id) AS df FROM hits GROUP BY term
+    )
+    SELECT h.doc_id,
+           COUNT(*) AS n_hit_terms,
+           ROUND(SUM(CAST(ROUND(
+             (ln(1.0 + (n - df + 0.5) / (df + 0.5))
+              * (tf * (1.2 + 1.0))
+              / (tf + 1.2 * (0.25 + 0.75 * (dl / (sum_dl / n)))))
+             * 1000000.0) AS BIGINT)) / 1000000.0, 6) AS score
+    FROM hits h JOIN dfreq USING (term) JOIN dl USING (doc_id)
+    CROSS JOIN stats
+    GROUP BY h.doc_id
+    ORDER BY doc_id
+    """,
+    tier="T2",
+    survey="L6,L5,H5,A5,B6",
+)
+def x8_hostile_bm25(spark, sf_dir):
+    """operators/text.bm25_scores over the hostile corpus: query terms
+    include a NUL-embedded token ('nul\\x00mid' — map-side IN-list prune,
+    df join and micros-quantized partials all NUL-clean) plus 'again'/
+    'und' (the near-dup trio 11-13, exercising tf>1) and 'emoji' (doc 6).
+    The NULL-text row rides the corpus statistics as an EMPTY document
+    (dl=0, still in N and avgdl) via an explicit isNull branch — bare
+    size() would have made avgdl config-dependent under legacy
+    size(NULL)=-1 sessions (the x5 ANSI-off lesson, now guarded inside
+    the operator); the 100k-char doc is a dl=1 document that shifts
+    avgdl identically on both engines."""
+    from oeem_etl_spark.operators.text import bm25_scores
+
+    out = bm25_scores(_hostile_df(spark), "doc_id", "text", _X8_TERMS)
+    return out.select("doc_id", "n_hit_terms", "score").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# x9: cross-document boilerplate n-grams on hostile text
+# ---------------------------------------------------------------------------
+
+_X9_N = 3  # 3-grams: docs 10/14 share the 'tok tok tok' window family
+
+
+@query(
+    "x9_hostile_boilerplate",
+    sql=f"""
+    WITH {_DOCS_CTE}w AS (
+      SELECT doc_id,
+             CASE WHEN text IS NULL THEN CAST([] AS VARCHAR[])
+                  ELSE str_split(text, ' ') END AS words
+      FROM hdocs
+    ), g AS (
+      SELECT DISTINCT doc_id,
+             array_to_string(list_slice(words, i, i + {_X9_N - 1}), ' ') AS gram
+      FROM w, UNNEST(range(1, len(words) - {_X9_N - 2})) AS t(i)
+    ), df AS (
+      SELECT gram, COUNT(*) AS df_docs FROM g GROUP BY gram
+    )
+    SELECT g.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_grams,
+           ROUND(SUM(CASE WHEN df.df_docs >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS boiler_frac
+    FROM g JOIN df USING (gram)
+    GROUP BY g.doc_id
+    ORDER BY doc_id
+    """,
+    tier="T2",
+    survey="L7,L5,H9,A5,B6",
+)
+def x9_hostile_boilerplate(spark, sf_dir):
+    """The l58 cross-document boilerplate signal (repeated word n-grams,
+    the C4/RefinedWeb pruning rule) at 3-grams over the hostile corpus:
+    the repeated-window docs 10/14 and the near-dup trio 11-13 light up
+    as boilerplate (df >= 2), NUL- and emoji-bearing grams group-by
+    cleanly as opaque bytes, sub-3-token docs (empty/whitespace/NUL/100k
+    single-token) produce NO grams and drop out on both engines, and
+    NULL text maps to an explicit empty token array (the guarded path a
+    bare str_split would NULL-poison)."""
+    from oeem_etl_spark.operators.text import ngrams_from_tokens
+
+    toks = F.when(
+        F.col("text").isNull(), F.array().cast("array<string>")
+    ).otherwise(F.split("text", " "))
+    g = (
+        _hostile_df(spark)
+        .select("doc_id", toks.alias("words"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(ngrams_from_tokens(F.col("words"), _X9_N))
+            ).alias("gram"),
+        )
+    )
+    df_docs = g.groupBy("gram").agg(F.count(F.lit(1)).alias("df_docs"))
+    return (
+        g.join(df_docs, "gram")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.round(
+                F.sum(F.when(F.col("df_docs") >= 2, 1).otherwise(0))
+                / F.count(F.lit(1)),
+                6,
+            ).alias("boiler_frac"),
+        )
+        .orderBy("doc_id")
+    )

@@ -83,6 +83,39 @@ def foreach_batch_to_parquet(sdf: DataFrame, path: str, timeout_s: int = 300) ->
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def foreach_batch_capture(sdf: DataFrame, path: str, timeout_s: int = 300) -> None:
+    """A10 sink variant that RECORDS THE BATCH ORDINAL: each micro-batch
+    appends to parquet with a ``_batch_id`` column. Update-mode stateful
+    operators re-emit a key's row every batch it changes in; the sink's
+    consumer must keep the LAST batch's row per key — the memory sink
+    loses that ordering, so tie-breaking on payload columns silently
+    depends on single-batch drains (ADVICE r7 #1). With the ordinal
+    recorded, "final emission per key" is ``max(_batch_id)`` regardless
+    of how many micro-batches the source drains in."""
+    ckpt = _mkdtemp_ckpt("oeem_ckpt_cap_")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import functions as F
+
+        batch_df.withColumn("_batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(path)
+
+    try:
+        q = (
+            sdf.writeStream.foreachBatch(sink)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(timeout_s):
+            q.stop()
+            raise TimeoutError(f"foreachBatch capture sink exceeded {timeout_s}s")
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def assert_batch_equivalent(
     spark: SparkSession,
     transform,

@@ -145,3 +145,48 @@ def test_duplicate_window_spans_empty_and_giant(spark, window):
         ).count()
         == 0
     )
+
+
+def test_fuzzy_join_unicode_symspell_matches_bruteforce(spark):
+    """x6's oracle corpus is restricted to 1-byte code points because
+    DuckDB's levenshtein is byte-level while Spark's is code-point-level
+    (probed 2026-08-16: 'é'+combining vs precomposed 'é' is 2 vs 3;
+    one 4-byte emoji insert is 1 vs 4). This pins the MULTI-BYTE face
+    Spark-internally: SymSpell deletion-neighborhood candidates + verify
+    must equal Spark's own brute-force quadratic on emoji / fullwidth /
+    combining-mark names."""
+    from pyspark.sql import functions as F
+
+    from oeem_etl_spark.operators.text import fuzzy_join
+
+    globe = "\U0001f30d"
+    names = [
+        (1, f"{globe}meter"),
+        (2, "meter"),            # emoji deletion -> dist 1
+        (3, f"{globe}meters"),   # dist 1 vs 1
+        (4, "ｆｕｌｌ"),          # fullwidth
+        (5, "ｆｕｌ"),            # dist 1 vs 4
+        (6, "café"),       # e + combining acute
+        (7, "café"),             # precomposed: dist 2 vs 6 (é != e,´)
+        (8, "cafe"),             # dist 1 vs both 6 and 7
+    ]
+    df = spark.createDataFrame(names, "id int, name string")
+    left = df.select(F.col("id").alias("a_id"), F.col("name").alias("a_name"))
+    right = df.select(F.col("id").alias("b_id"), F.col("name").alias("b_name"))
+    got = sorted(
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in fuzzy_join(left, right, "a_name", "b_name", max_dist=1)
+        .where(F.col("a_id") < F.col("b_id"))
+        .collect()
+    )
+    brute = sorted(
+        (r["a_id"], r["b_id"], r["dist"])
+        for r in left.crossJoin(right)
+        .withColumn("dist", F.levenshtein("a_name", "b_name"))
+        .where((F.col("a_id") < F.col("b_id")) & (F.col("dist") <= 1))
+        .collect()
+    )
+    assert got == brute
+    assert (1, 2, 1) in got and (4, 5, 1) in got and (6, 8, 1) in got
+    # precomposed é vs e+combining is TWO code-point edits in Spark
+    assert not any(a == 6 and b == 7 for a, b, _ in got)

@@ -383,3 +383,45 @@ def test_python_stream_source_incremental_offsets(spark, tmp_path):
     counts = got.groupby("trace_id").size()
     assert sorted(counts.index) == ["0", "1", "2", "3", "4"]
     assert (counts == 24).all(), counts.to_dict()
+
+
+def test_latest_state_multi_batch_capture(spark, tmp_path):
+    """I6 last-write face under a MULTI-batch drain (ADVICE r7 #1): the
+    winner is max(ts, event_id), so a later batch can re-emit a key at the
+    SAME last_ts with a SMALLER value. 'Final emission per key' must come
+    from the batch ordinal (foreach_batch_capture), not a payload-column
+    tiebreak — (last_ts DESC, last_value DESC) would resurrect the stale
+    9.0 here."""
+    d = str(tmp_path / "lw")
+    os.makedirs(d, exist_ok=True)
+    # batch0: (event_id 5, ts 10:00, value 9.0); batch1 adds (event_id 7,
+    # ts 10:00, value 3.0) -> winner by (ts, id) is id 7, value 3.0.
+    _write_ordered_files(
+        spark,
+        d,
+        [[(5, "2024-01-01 10:00:00", 1)], [(7, "2024-01-01 10:00:00", 1)]],
+    )
+    schema = "id long, user_id long, ts timestamp"
+    # Values sit on exact half-micro boundaries, which also pins the
+    # half-AWAY-from-zero micros quantization (ADVICE r7 #2): 9.0000005 ->
+    # 9.000001 (numpy half-to-even would give 9.0) and 0.0000025 -> 3e-06
+    # (half-to-even would give 2e-06).
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/batch*")
+        .withColumn(
+            "value", F.when(F.col("id") == 5, 9.0000005).otherwise(0.0000025)
+        )
+        .withColumnRenamed("id", "event_id")
+    )
+    out = str(tmp_path / "lw_out")
+    harness.foreach_batch_capture(ops.latest_state(sdf), out)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2  # the key re-emitted in both batches
+    final = max(rows, key=lambda r: r["_batch_id"])
+    assert (final["user_id"], final["last_value"]) == (1, 3e-06)
+    # the stale emission carries the larger value: the payload tiebreak
+    # really would have picked the wrong row
+    stale = min(rows, key=lambda r: r["_batch_id"])
+    assert stale["last_value"] == 9.000001

@@ -49,14 +49,10 @@ PREFIX = 50  # the driver's observed per-round certification cap
 # r7: the five hostile-text queries (VERDICT r6 task #8) land this round
 # and get driver-certified the round they land; all five are themselves
 # never-driver-checked, so the rotation target (>=45 first-timers) is
-# unaffected.
-FORCE_INCLUDE: list[str] = [
-    "x1_hostile_xxh64",
-    "x2_hostile_minhash_dedup",
-    "x3_hostile_bpe_train",
-    "x4_hostile_substring_dedup",
-    "x5_hostile_text_stats",
-]
+# unaffected. r8: x1-x5 are now driver-certified (CORRECTNESS_r07) —
+# cleared per VERDICT r7 task #1; the new x6-x9 hostile queries are
+# never-checked so rotation picks them naturally without forcing.
+FORCE_INCLUDE: list[str] = []
 
 
 def main() -> None:
