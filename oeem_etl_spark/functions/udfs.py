@@ -45,6 +45,18 @@ def max_value(v: pd.Series) -> float:
     return v.max()
 
 
+@F.pandas_udf(Ty.LongType())
+def micros_total(v: pd.Series) -> int:
+    """Vectorized grouped-agg pandas UDF (J5): exact integer-micros sum —
+    each value quantized half-AWAY-from-zero (ROUND parity; numpy .round
+    is half-to-even), summed as int64. Order-independent and oracle-exact,
+    the dsum discipline inside an Arrow-batched UDAF."""
+    import numpy as np
+
+    a = v.to_numpy("float64")
+    return int((np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5)).astype("int64").sum())
+
+
 def rebase_per_group(df: DataFrame, key: str, col: str, out: str) -> DataFrame:
     """Grouped-map applyInPandas (J3): subtract the group minimum — the
     reference's per-trace transform idiom. Schema is declared explicitly;

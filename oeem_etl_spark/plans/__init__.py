@@ -26,6 +26,7 @@ def load_all() -> None:
         breadth5_queries,
         breadth6_queries,
         breadth7_queries,
+        breadth8_queries,
         hostile_queries,
         scale_queries,
     )

@@ -120,10 +120,16 @@ def running_totals_state(df: DataFrame, key: str = "user_id", value_col: str = "
     def fn(key_tuple, pdf_iter, state):
         import pandas as pd
 
+        import numpy as np
+
         n, micros = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            micros += int(pdf[value_col].mul(1e6).round(0).astype("int64").sum())
+            # half-away-from-zero micros (ROUND parity; .round is half-even)
+            v = pdf[value_col].to_numpy("float64")
+            micros += int(
+                (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).astype("int64").sum()
+            )
         state.update((int(n), int(micros)))
         yield pd.DataFrame(
             {key: [key_tuple[0]], "n_events": [n], "total_value": [round(micros / 1e6, 6)]}
@@ -325,10 +331,16 @@ def tiered_totals_state(
     def fn(key_tuple, pdf_iter, state):
         import pandas as pd
 
+        import numpy as np
+
         n, micros = state.get if state.exists else (0, 0)
         for pdf in pdf_iter:
             n += len(pdf)
-            micros += int(pdf[value_col].mul(1e6).round(0).astype("int64").sum())
+            # half-away-from-zero micros (ROUND parity; .round is half-even)
+            v = pdf[value_col].to_numpy("float64")
+            micros += int(
+                (np.sign(v) * np.floor(np.abs(v) * 1e6 + 0.5)).astype("int64").sum()
+            )
         state.update((int(n), int(micros)))
         t1 = min(micros, b1_micros)
         t2 = min(micros, b2_micros) - t1

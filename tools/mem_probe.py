@@ -55,17 +55,41 @@ def stage_metrics(ui: str) -> dict[int, dict]:
     }
 
 
+_METRIC_KEYS = ("shuffle_write", "shuffle_read", "mem_spill", "disk_spill")
+
+
+def _settled_metrics(ui: str, timeout_s: float = 15.0) -> dict[int, dict]:
+    """Poll the REST store until two consecutive snapshots agree (stage
+    COUNT and metric VALUES) — the async store can lag the job end, and a
+    fixed 1 s sleep silently undercounted late-settling stages."""
+    prev = stage_metrics(ui)
+    deadline = time.monotonic() + timeout_s
+    while time.monotonic() < deadline:
+        time.sleep(0.5)
+        cur = stage_metrics(ui)
+        if cur == prev:
+            return cur
+        prev = cur
+    return prev
+
+
 def run_probe(spark, ui: str, fn) -> dict:
-    before = stage_metrics(ui)
+    before = _settled_metrics(ui)
     t0 = time.perf_counter()
     rows = fn().count()
     sec = time.perf_counter() - t0
-    # the REST store is async-ish; give it a beat to settle
-    time.sleep(1.0)
-    after = stage_metrics(ui)
+    after = _settled_metrics(ui)
+    # Diff per-stage metric VALUES, not new-stage-ids-only (ADVICE r7 #4):
+    # resubmitted/reused stage ids (same stageId re-attempted, or a
+    # skipped-then-materialized exchange) carry metric DELTAS under an id
+    # present in 'before' and were previously dropped. max(after-before, 0)
+    # guards the store evicting/resetting an old stage between snapshots.
     delta = {
-        k: sum(v[k] for sid, v in after.items() if sid not in before)
-        for k in ("shuffle_write", "shuffle_read", "mem_spill", "disk_spill")
+        k: sum(
+            max(v[k] - before.get(sid, {}).get(k, 0), 0)
+            for sid, v in after.items()
+        )
+        for k in _METRIC_KEYS
     }
     return {"rows": rows, "sec": round(sec, 2), **delta}
 
