@@ -1244,3 +1244,661 @@ def g30_sampled_catalog_audit(spark, sf_dir):
         )
         .orderBy("p_partkey")
     )
+
+
+# ---------------------------------------------------------------------------
+# a62: A3 json + A4 text + K1 standardize + B5 cast + B7 drop + H1 strings
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a62_order_feed_standardize",
+    sql="""
+    WITH js AS (
+      SELECT o_orderstatus AS grade, o_totalprice AS price
+      FROM orders WHERE o_orderkey <= 400
+    ),
+    tx AS (
+      SELECT upper(o_orderpriority) AS grade, o_totalprice AS price
+      FROM orders WHERE o_orderkey > 400 AND o_orderkey <= 800
+    ),
+    u AS (SELECT * FROM js UNION ALL SELECT * FROM tx)
+    SELECT grade, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(price * 1000000) AS BIGINT)) AS BIGINT)
+             AS total_micros
+    FROM u GROUP BY grade ORDER BY grade
+    """,
+    tier="T2",
+    survey="A3,A4,K1,B5,B7,H1",
+)
+def a62_order_feed_standardize(spark, sf_dir):
+    """Two raw order feeds standardized to ONE canonical schema (a56
+    walks the documents/log pair): a JSON-lines extract of early orders
+    is scanned back (A3), later orders arrive as pipe-delimited TEXT
+    lines with sloppy casing/padding (A4) parsed by split + trim + upper
+    (H1), both map through standardize_schema (K1 — rename/cast/reorder;
+    the string->double price cast is B5, unmapped raw columns drop by
+    construction, B7) and union into the per-grade micros rollup. Prices
+    survive BOTH round trips bit-exactly (shortest-repr doubles)."""
+    from oeem_etl_spark.operators.timeseries import standardize_schema
+
+    root = os.path.join(_TMP, f"a62_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    jdir = os.path.join(root, "json")
+    tdir = os.path.join(root, "text")
+
+    orders = T(spark, sf_dir, "orders")
+    orders.where(F.col("o_orderkey") <= 400).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    ).coalesce(1).write.mode("overwrite").json(jdir)
+    orders.where(
+        (F.col("o_orderkey") > 400) & (F.col("o_orderkey") <= 800)
+    ).select(
+        F.concat(
+            F.col("o_orderkey").cast("string"),
+            F.lit("|  "),
+            F.lower("o_orderpriority"),
+            F.lit("  |"),
+            F.col("o_totalprice").cast("string"),
+        ).alias("value")
+    ).coalesce(1).write.mode("overwrite").text(tdir)
+
+    js_raw = spark.read.schema(
+        "o_orderkey long, o_orderstatus string, o_totalprice double"
+    ).json(jdir)
+    js = standardize_schema(
+        js_raw,
+        {"grade": ("o_orderstatus", None), "price": ("o_totalprice", "double")},
+    )
+    tx_raw = spark.read.text(tdir).select(
+        F.split("value", "\\|").alias("f")
+    ).select(
+        F.element_at("f", 1).alias("raw_key"),
+        F.upper(F.trim(F.element_at("f", 2))).alias("raw_grade"),
+        F.element_at("f", 3).alias("raw_price"),
+    )
+    tx = standardize_schema(
+        tx_raw, {"grade": ("raw_grade", None), "price": ("raw_price", "double")}
+    )
+    return (
+        js.unionByName(tx)
+        .groupBy("grade")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.round(F.col("price") * 1_000_000).cast("long")).alias(
+                "total_micros"
+            ),
+        )
+        .orderBy("grade")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h80: H12 json + H11 struct + H10 map + H7 arrays over event props
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "h80_props_collection_profile",
+    sql="""
+    WITH ev AS (
+      SELECT user_id, event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events WHERE user_id <= 200
+    ),
+    per_type AS (
+      SELECT user_id, event_type, MAX(k) AS mk
+      FROM ev GROUP BY user_id, event_type
+    )
+    SELECT p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           MAX(CASE WHEN p.event_type = 'view' THEN p.mk END) AS view_k,
+           (SELECT list_slice(list_sort(list(DISTINCT e.k), 'DESC'), 1, 3)
+            FROM ev e WHERE e.user_id = p.user_id) AS top_ks
+    FROM per_type p
+    GROUP BY p.user_id ORDER BY p.user_id
+    """,
+    tier="T2",
+    survey="H12,H11,H10,H7",
+)
+def h80_props_collection_profile(spark, sf_dir):
+    """Collection-function profile over the event props blob (h70 walks
+    the try_/set-algebra face): the JSON payload's k extracts per event
+    (H12), rides inside a STRUCT whose fields are accessed downstream
+    (H11), per-user (type -> max k) entries build a real MAP queried with
+    element_at for the 'view' key (H10), and the distinct-k array is
+    sorted DESC and sliced to the top 3 (H7). Map/struct stay internal —
+    the output is scalars + one sorted array, hashable on both engines."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 200)
+        .select(
+            "user_id",
+            F.struct(
+                F.col("event_type").alias("etype"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            ).alias("s"),
+        )
+        .select("user_id", F.col("s.etype").alias("event_type"), F.col("s.k").alias("k"))
+    )
+    per_type = ev.groupBy("user_id", "event_type").agg(F.max("k").alias("mk"))
+    mapped = per_type.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_types"),
+        F.map_from_entries(
+            F.array_sort(F.collect_list(F.struct("event_type", "mk")))
+        ).alias("m"),
+    )
+    arrs = ev.groupBy("user_id").agg(
+        F.slice(
+            F.sort_array(F.collect_set("k"), asc=False), 1, 3
+        ).alias("top_ks")
+    )
+    return (
+        mapped.join(arrs, "user_id")
+        .select(
+            "user_id",
+            "n_types",
+            F.element_at("m", "view").alias("view_k"),
+            "top_ks",
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# e40: E4 first/nth over frame + D5 collect + D9 rollup + D11 distinct
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "e40_user_frame_rollup",
+    sql=f"""
+    WITH daily AS (
+      SELECT user_id, CAST(date_trunc('day', {_CAST_TS}) AS TIMESTAMP) AS day,
+             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS micros
+      FROM events WHERE user_id <= 80
+      GROUP BY user_id, day
+    ),
+    framed AS (
+      SELECT user_id,
+             first_value(day) OVER w AS first_day,
+             nth_value(micros, 2) OVER w AS second_micros
+      FROM daily
+      WINDOW w AS (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ),
+    per_user AS (
+      SELECT d.user_id, COUNT(*) AS n_days,
+             MAX(f.first_day) AS first_day,
+             MAX(f.second_micros) AS second_micros
+      FROM daily d JOIN (SELECT DISTINCT * FROM framed) f USING (user_id)
+      GROUP BY d.user_id
+    ),
+    types AS (
+      SELECT user_id, list_sort(list(DISTINCT event_type)) AS etypes
+      FROM events WHERE user_id <= 80 GROUP BY user_id
+    )
+    SELECT p.user_id, CAST(SUM(p.n_days) AS BIGINT) AS n_days,
+           MIN(p.first_day) AS first_day,
+           MAX(p.second_micros) AS second_micros,
+           list_sort(list_distinct(flatten(list(t.etypes)))) AS etypes
+    FROM per_user p JOIN types t USING (user_id)
+    GROUP BY ROLLUP(p.user_id)
+    ORDER BY user_id NULLS FIRST
+    """,
+    tier="T2",
+    survey="E4,D5,D9,D11",
+)
+def e40_user_frame_rollup(spark, sf_dir):
+    """Frame functions under a ROLLUP: per user-day micros series, the
+    FULL-partition frame yields first_value(day) and nth_value(micros, 2)
+    (E4 — NULL for single-day users, surviving the rollup's MAX), the
+    distinct event-type set collects sorted per user (D5 over D11's
+    distinct build), and ROLLUP(user_id) (D9) adds the all-users total
+    row whose type array is the flattened distinct union. Output:
+    per-user rows + one NULL-keyed grand-total row."""
+    ev = T(spark, sf_dir, "events").where(F.col("user_id") <= 80)
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("micros"))
+    wfull = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    per_user = (
+        daily.select(
+            "user_id",
+            F.first("day").over(wfull).alias("first_day"),
+            F.nth_value("micros", 2).over(wfull).alias("second_micros"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.max("first_day").alias("first_day"),
+            F.max("second_micros").alias("second_micros"),
+        )
+    )
+    types = (
+        ev.select("user_id", "event_type")
+        .distinct()
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list("event_type")).alias("etypes"))
+    )
+    return (
+        per_user.join(types, "user_id")
+        .rollup("user_id")
+        .agg(
+            F.sum("n_days").alias("n_days"),
+            F.min("first_day").alias("first_day"),
+            F.max("second_micros").alias("second_micros"),
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("etypes")))
+            ).alias("etypes"),
+        )
+        .orderBy(F.col("user_id").asc_nulls_first())
+    )
+
+
+# ---------------------------------------------------------------------------
+# i74: I5 dedup + I2 sliding + I4 watermark, APPEND-mode drain
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i74_sliding_closed_windows",
+    sql=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id,
+             time_bucket(INTERVAL '3 hours', {_CAST_TS}) AS bk
+      FROM events
+    ),
+    cand AS (
+      SELECT unnest([bk, bk - INTERVAL '3 hours']) AS window_start, user_id
+      FROM d
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS active
+    FROM cand GROUP BY window_start
+    HAVING window_start + INTERVAL '6 hours' <=
+           (SELECT MAX(bk) - INTERVAL '10 minutes' FROM d)
+    ORDER BY window_start
+    """,
+    tier="T2",
+    survey="I2,I5,I4",
+)
+def i74_sliding_closed_windows(spark, sf_dir):
+    """Sliding windows in APPEND mode over a deduped stream (i63 walks
+    the update-mode drain): (user, 3h-bucket) pairs dedup on arrival
+    (I5), 6h/2-pane sliding windows count active user-buckets (I2), and
+    the 10-minute watermark (I4) means ONLY closed windows emit — the
+    drain needs no final-emission disambiguation at all, which is the
+    production posture for sliding rollups. Oracle: distinct pairs →
+    2-window expansion → closed-window HAVING."""
+    from oeem_etl_spark.streaming import harness, ops
+    from oeem_etl_spark.streaming.source import events_stream
+
+    sdf = events_stream(spark, sf_dir).withColumn(
+        "bk",
+        F.expr("timestampadd(HOUR, -(hour(ts) % 3), date_trunc('hour', ts))"),
+    )
+    deduped = ops.dedup_keys(sdf, ["user_id", "bk"])
+    out = ops.sliding_agg(
+        ops.with_watermark(deduped, "10 minutes", ts_col="bk"),
+        "6 hours",
+        "3 hours",
+        [],
+        [F.count(F.lit(1)).alias("active")],
+        ts_col="bk",
+    )
+    drained = harness.run_available_now(out, "append")
+    return drained.select("window_start", "active").orderBy("window_start")
+
+
+# ---------------------------------------------------------------------------
+# k131: K7 grid as-of align + D7 exact-mode approx percentile + C6 bands
+# ---------------------------------------------------------------------------
+
+_K131_BANDS = [(1, 0.0, 33.0), (2, 33.0, 35.0), (3, 35.0, 1e9)]
+_K131_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _K131_BANDS)
+
+
+@query(
+    "k131_grid_quantile_bands",
+    sql=f"""
+    WITH grid AS (
+      SELECT unnest(generate_series(TIMESTAMP '2023-12-31 00:00:00',
+                                    TIMESTAMP '2024-02-01 00:00:00',
+                                    INTERVAL '4 hours')) AS boundary
+    ),
+    al AS (
+      SELECT e.value, g.boundary AS slot
+      FROM events e ASOF JOIN grid g ON g.boundary <= {_CAST_TS}
+      WHERE e.value IS NOT NULL
+    ),
+    sl AS (
+      SELECT slot, quantile_disc(value, 0.5) AS p50 FROM al GROUP BY slot
+    ),
+    bands(band_id, lo, hi) AS (VALUES {_K131_BANDS_SQL})
+    SELECT b.band_id, CAST(COUNT(*) AS BIGINT) AS n_slots,
+           MIN(sl.p50) AS p50_min, MAX(sl.p50) AS p50_max
+    FROM sl JOIN bands b ON sl.p50 >= b.lo AND sl.p50 < b.hi
+    GROUP BY b.band_id ORDER BY b.band_id
+    """,
+    tier="T2",
+    survey="K7,D7,C6",
+)
+def k131_grid_quantile_bands(spark, sf_dir):
+    """Grid alignment + APPROX-percentile + tariff banding in one
+    pipeline: every reading as-of-aligns to its 4-hour grid boundary (K7,
+    keyless backward as-of against a generated boundary table), each
+    slot's median comes from percentile_approx in EXACT MODE (D7:
+    accuracy 1e6 >= any slot's row count makes the GK sketch store every
+    value and return the exact discrete quantile — probed equal to
+    DuckDB's quantile_disc), and slot medians RANGE-join into value bands
+    (C6). At 100 TB the same plan holds: the grid broadcasts, the
+    percentile state is bounded by accuracy, the band join broadcasts."""
+    from oeem_etl_spark.operators.relational import asof_join
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("ts", "value", F.lit(1).alias("__k"))
+    )
+    n_slots = 8 * 32 + 1  # 2023-12-31 .. 2024-02-01 inclusive, 4h steps
+    grid = spark.range(n_slots).select(
+        (
+            F.lit("2023-12-31 00:00:00").cast("timestamp")
+            + F.make_interval(hours=(F.col("id") * 4).cast("int"))
+        ).alias("boundary"),
+        F.lit(1).alias("__k"),
+    )
+    al = asof_join(
+        ev, grid, keys=["__k"], left_ts="ts", right_ts="boundary",
+        value_cols=["boundary"],
+    ).select(F.col("boundary").alias("slot"), "value")
+    sl = al.groupBy("slot").agg(
+        F.expr("percentile_approx(value, 0.5, 1000000)").alias("p50")
+    )
+    bands = spark.createDataFrame(
+        _K131_BANDS, "band_id int, lo double, hi double"
+    )
+    return (
+        sl.join(
+            F.broadcast(bands),
+            (F.col("p50") >= F.col("lo")) & (F.col("p50") < F.col("hi")),
+        )
+        .groupBy("band_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_slots"),
+            F.min("p50").alias("p50_min"),
+            F.max("p50").alias("p50_max"),
+        )
+        .orderBy("band_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# j70: J6 UDTF sessionizer + K11
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "j70_udtf_gap_sessions",
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, epoch_us({_CAST_TS}) AS tus
+      FROM events WHERE user_id <= 60
+    ),
+    m AS (
+      SELECT user_id, tus,
+             CASE WHEN tus - lag(tus) OVER w > 7200000000
+                    OR lag(tus) OVER w IS NULL THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus)
+    ),
+    i AS (
+      SELECT user_id, tus,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY tus
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    s AS (
+      SELECT user_id, MIN(tus) AS s_start, MAX(tus) AS s_end,
+             COUNT(*) AS n
+      FROM i GROUP BY user_id, sid
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(n) AS BIGINT) AS n_events,
+           CAST(MAX(s_end - s_start) AS BIGINT) AS max_span_us
+    FROM s GROUP BY user_id ORDER BY user_id
+    """,
+    tier="T3",
+    survey="J6,K11",
+)
+def j70_udtf_gap_sessions(spark, sf_dir):
+    """Sessionization through the USER-EXTENSION surface (K11 via J6): a
+    Python UDTF walks each user's sorted event-time array and EMITS one
+    row per 2-hour-gap session — the raw-payload→records parser shape,
+    reached via SQL LATERAL join like a real user extension would be.
+    Same gaps-and-islands truth as k73/k101, produced by the opposite
+    mechanism (imperative generator vs relational windows); the oracle is
+    the relational form, so the two provably agree."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="s_start bigint, s_end bigint, n int")
+    class GapSessions:
+        def eval(self, ts_sorted):
+            if not ts_sorted:
+                return
+            gap = 7_200_000_000  # 2h in µs
+            start = prev = ts_sorted[0]
+            n = 1
+            for t in ts_sorted[1:]:
+                if t - prev > gap:
+                    yield int(start), int(prev), n
+                    start, n = t, 0
+                prev = t
+                n += 1
+            yield int(start), int(prev), n
+
+    spark.udtf.register("oeem_gap_sessions", GapSessions)
+    (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 60)
+        .groupBy("user_id")
+        .agg(F.sort_array(F.collect_list(F.unix_micros("ts"))).alias("ts_arr"))
+        .createOrReplaceTempView("j70_users")
+    )
+    sess = spark.sql(
+        """
+        SELECT u.user_id, s.s_start, s.s_end, s.n
+        FROM j70_users u, LATERAL oeem_gap_sessions(u.ts_arr) s
+        """
+    )
+    return (
+        sess.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n").cast("long").alias("n_events"),
+            F.max(F.col("s_end") - F.col("s_start")).cast("long").alias(
+                "max_span_us"
+            ),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# m81: L10 co-occurrence degree + J5 UDAF + D11 distinct + L11 weighted pick
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "m81_cooccur_degree_pick",
+    sql="""
+    WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+    co AS (
+      SELECT a.event_type, CAST(COUNT(DISTINCT b.event_type) AS BIGINT)
+               AS co_degree
+      FROM ut a JOIN ut b
+        ON a.user_id = b.user_id AND a.event_type <> b.event_type
+      GROUP BY a.event_type
+    ),
+    micros AS (
+      SELECT event_type,
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS value_micros
+      FROM events GROUP BY event_type
+    ),
+    per_user AS (
+      SELECT event_type, user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY event_type, user_id
+    ),
+    picked AS (
+      SELECT event_type, user_id, n_events FROM (
+        SELECT event_type, user_id, n_events,
+               ROW_NUMBER() OVER (
+                 PARTITION BY event_type
+                 ORDER BY pow(
+                   CAST(CAST(concat('0x', substring(md5(concat(
+                     CAST(user_id AS VARCHAR), ':31')), 1, 8)) AS UBIGINT)
+                     AS DOUBLE) / 4294967296.0,
+                   1.0 / CAST(n_events AS DOUBLE)) DESC,
+                 user_id ASC
+               ) AS rn
+        FROM per_user
+      ) WHERE rn <= 2
+    )
+    SELECT p.event_type, p.user_id, p.n_events, c.co_degree, m.value_micros
+    FROM picked p JOIN co c USING (event_type) JOIN micros m USING (event_type)
+    ORDER BY event_type, user_id
+    """,
+    tier="T2",
+    survey="L10,J5,D11,L11",
+)
+def m81_cooccur_degree_pick(spark, sf_dir):
+    """Type-graph profile + activity-weighted audit sample: the
+    DISTINCT (user, type) edge set (D11) induces the type-type
+    co-occurrence graph (types sharing a user) whose per-type DEGREE is
+    the centrality face (L10); per-type exact micros ride the vectorized
+    grouped-agg UDAF (J5); and 2 audit users per type are picked by the
+    deterministic Efraimidis-Spirakis sample weighted by their event
+    count (L11)."""
+    from oeem_etl_spark.functions import udfs
+    from oeem_etl_spark.operators.splits import (
+        weighted_sample_without_replacement,
+    )
+
+    ev = T(spark, sf_dir, "events")
+    ut = ev.select("user_id", "event_type").distinct()
+    a = ut.alias("a")
+    b = ut.select(
+        F.col("user_id").alias("user_id_b"), F.col("event_type").alias("etype_b")
+    )
+    co = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("user_id_b"))
+            & (F.col("a.event_type") != F.col("etype_b")),
+        )
+        .groupBy(F.col("a.event_type").alias("event_type"))
+        .agg(F.count_distinct("etype_b").alias("co_degree"))
+    )
+    micros = ev.groupBy("event_type").agg(
+        udfs.micros_total(F.col("value")).alias("value_micros")
+    )
+    per_user = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    picked = weighted_sample_without_replacement(
+        per_user, key="user_id", weight="n_events", k=2,
+        group_by=["event_type"], seed=31,
+    )
+    return (
+        picked.join(co, "event_type")
+        .join(micros, "event_type")
+        .select(
+            "event_type", "user_id", "n_events", "co_degree", "value_micros"
+        )
+        .orderBy("event_type", "user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# h81: E4 frame nth + H1 strings + H13 try_divide + F2 page
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "h81_segment_frame_page",
+    sql="""
+    WITH c AS (
+      SELECT c_custkey, c_mktsegment, c_acctbal, c_nationkey,
+             upper(substring(c_name, 1, 3) ||
+                   lpad(CAST(c_nationkey AS VARCHAR), 3, '0')) AS key_tag
+      FROM customer WHERE c_custkey <= 500
+    ),
+    framed AS (
+      SELECT c_custkey, c_mktsegment, key_tag,
+             first_value(c_acctbal) OVER w AS seg_first_bal,
+             nth_value(c_acctbal, 3) OVER w AS seg_third_bal,
+             ROUND(c_acctbal / NULLIF(CAST(c_nationkey - 5 AS DOUBLE), 0), 6)
+               AS bal_ratio
+      FROM c
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND UNBOUNDED FOLLOWING)
+    )
+    SELECT * FROM framed
+    ORDER BY c_mktsegment, c_custkey
+    LIMIT 40 OFFSET 10
+    """,
+    tier="T1",
+    survey="E4,H1,H13,F2",
+)
+def h81_segment_frame_page(spark, sf_dir):
+    """Segment ledger page: per-market-segment FULL frames expose the
+    first and third account balances in custkey order (E4 first/nth over
+    an explicit frame), each row carries an upper/substring/lpad key tag
+    (H1) and a try_divide balance ratio whose divisor is GENUINELY zero
+    for nation 5 (H13 -> NULL, never a raise); page 2 of the ledger is
+    LIMIT 40 OFFSET 10 under a total order (F2)."""
+    c = (
+        T(spark, sf_dir, "customer")
+        .where(F.col("c_custkey") <= 500)
+        .select(
+            "c_custkey",
+            "c_mktsegment",
+            "c_acctbal",
+            "c_nationkey",
+            F.upper(
+                F.concat(
+                    F.substring("c_name", 1, 3),
+                    F.lpad(F.col("c_nationkey").cast("string"), 3, "0"),
+                )
+            ).alias("key_tag"),
+        )
+    )
+    w = (
+        Window.partitionBy("c_mktsegment")
+        .orderBy("c_custkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return (
+        c.select(
+            "c_custkey",
+            "c_mktsegment",
+            "key_tag",
+            F.first("c_acctbal").over(w).alias("seg_first_bal"),
+            F.nth_value("c_acctbal", 3).over(w).alias("seg_third_bal"),
+            F.round(
+                F.try_divide(
+                    F.col("c_acctbal"),
+                    (F.col("c_nationkey") - 5).cast("double"),
+                ),
+                6,
+            ).alias("bal_ratio"),
+        )
+        .orderBy("c_mktsegment", "c_custkey")
+        .offset(10)
+        .limit(40)
+    )
