@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 DIR100 = "/tmp/oeem_scale100"
+DIR10 = "/tmp/oeem_scale10"
 
 
 def stage_metrics(ui: str) -> dict[int, dict]:
@@ -150,13 +151,61 @@ def main() -> None:
             _copy_renamed_docs(sf_dir), "doc_id", "text", window=20
         )
 
+    # Pair-family shapes (VERDICT r7 task #6): the worst wall-clock 10×
+    # ratios in the repo (jacc_prefix_cc 4.64× pure / 3.86× hybrid,
+    # semantic-dedup's within-cluster pair stage). Both are bounded-by-
+    # design pair stages; this records the bytes/spill witness at 1×/10×
+    # so the "bounded pair stage" claim carries the same evidence grade
+    # as dense_ids/substring_spans. (10×, not 100×: qualifying pairs are
+    # copy-local by the token/embedding renaming, and the 100× corpus
+    # puts the quadratic-in-cluster verify stage out of local-mode reach
+    # — the per-pair-bytes flatness is the claim, visible at 10×.)
+    def jacc_prefix_cc_shape(sf_dir):
+        from oeem_etl_spark.operators.dedup import (
+            connected_components,
+            prefix_filter_jaccard_join,
+        )
+
+        renamed = _copy_renamed_docs(sf_dir).select("doc_id", "text")
+        pairs = prefix_filter_jaccard_join(renamed, "doc_id", "text", 0.5)
+        labels = connected_components(pairs.select("key_a", "key_b"))
+        return renamed.join(
+            labels.withColumnRenamed("node", "doc_id"), ["doc_id"], "left"
+        ).select(
+            "doc_id", F.coalesce("label", F.col("doc_id")).alias("canonical")
+        )
+
+    def semantic_dedup_shape(sf_dir):
+        # k ∝ N keeps expected cluster size constant (the l29 scale
+        # contract): 8 at 1×, 80 at 10×.
+        from oeem_etl_spark.operators.clustering import semantic_dedup_pairs
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        k = 8 if sf_dir == SF_DIR else 80
+        return semantic_dedup_pairs(
+            emb, "vec_id", "embedding", k=k, iters=2, threshold=0.35
+        )
+
     shapes = {
-        "dense_ids": dense_ids_shape,
-        "substring_spans": substring_spans_shape,
+        "dense_ids": (dense_ids_shape, [("1x", SF_DIR), ("100x", DIR100)]),
+        "substring_spans": (
+            substring_spans_shape,
+            [("1x", SF_DIR), ("100x", DIR100)],
+        ),
+        "jacc_prefix_cc": (jacc_prefix_cc_shape, [("1x", SF_DIR), ("10x", DIR10)]),
+        "semantic_dedup": (semantic_dedup_shape, [("1x", SF_DIR), ("10x", DIR10)]),
     }
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     results = []
-    for scale, sf_dir in (("1x", SF_DIR), ("100x", DIR100)):
-        for name, fn in shapes.items():
+    for name, (fn, scales) in shapes.items():
+        if only and name not in only:
+            continue
+        for scale, sf_dir in scales:
+            if not os.path.isdir(sf_dir):
+                print(f"skip {name}@{scale}: {sf_dir} missing", flush=True)
+                continue
             spark.catalog.clearCache()
             rec = run_probe(spark, ui, lambda: fn(sf_dir))
             rec.update({"shape": name, "scale": scale})
@@ -168,18 +217,18 @@ def main() -> None:
 
     if artifact:
         summary = {}
-        for name in shapes:
-            r1 = next(r for r in results if r["shape"] == name and r["scale"] == "1x")
-            r100 = next(
-                r for r in results if r["shape"] == name and r["scale"] == "100x"
-            )
+        for name, (fn, scales) in shapes.items():
+            recs = [r for r in results if r["shape"] == name]
+            if len(recs) < 2:
+                continue
+            r1, rn = recs[0], recs[-1]
             summary[name] = {
-                "bytes_ratio_100x": (
-                    round(r100["shuffle_write"] / r1["shuffle_write"], 1)
+                f"bytes_ratio_{rn['scale']}": (
+                    round(rn["shuffle_write"] / r1["shuffle_write"], 1)
                     if r1["shuffle_write"]
                     else None
                 ),
-                "spill_100x": r100["mem_spill"] + r100["disk_spill"],
+                f"spill_{rn['scale']}": rn["mem_spill"] + rn["disk_spill"],
             }
         Path(artifact).write_text(
             json.dumps({"results": results, "summary": summary}, indent=1) + "\n"

@@ -122,6 +122,31 @@ def audit(plan: str, executed: str) -> dict:
 
 BENCH_HEADLINE = HEADLINE[:14]  # the BASELINE.md 14-query headline set
 
+# The bounds GATE set (VERDICT r7 task #4): the 14 headline queries plus
+# every bench.py EXTRA — the expensive operators where a silent plan
+# regression would cost the most. Iterative queries (l2 signatures, l64
+# merge rounds, l63b Lloyd training) record their FINAL stage's static
+# plan only (lineage truncated by localCheckpoint, by design); their
+# iterated stage shapes are pinned by the SCALE probes instead.
+BOUNDS_SET = BENCH_HEADLINE + [
+    "l2_minhash_lsh_dedup",
+    "l3e_topk_arrow",
+    "l29_semantic_dedup",
+    "k23_calendarize",
+    "t21_waiting_supplier",
+    "h17_fuzzy_join",
+    "k34_nearest_station",
+    "k37_meter_pipeline",
+    "l50_neardup_canonical",
+    "k40_tiered_billing",
+    "d24b_weighted_median_bucketed",
+    "m10_touch_attribution",
+    "l62b_substring_dedup_text",
+    "l63b_pq_refined_topk",
+    "l64_bpe_train",
+    "t02_min_cost_supplier",
+]
+
 
 def static_bounds(plan: str) -> dict:
     """SF-independent structural invariants from a STATIC formatted plan
@@ -162,8 +187,9 @@ def static_bounds(plan: str) -> dict:
 
 def gen_bounds(sf_dir: str) -> None:
     """Record the CURRENT static-plan invariants of the 14 headline
-    queries into tools/plan_bounds.json (run after an intentional plan
-    change; the pytest gate compares against this file)."""
+    queries AND the 16 bench extras into tools/plan_bounds.json (run
+    after an intentional plan change; the pytest gate compares against
+    this file)."""
     import json
 
     from oeem_etl_spark import plans
@@ -174,7 +200,7 @@ def gen_bounds(sf_dir: str) -> None:
     spark = get_session("oeem-plan-bounds")
     qs = registry.all_queries()
     out = {}
-    for name in BENCH_HEADLINE:
+    for name in BOUNDS_SET:
         df = qs[name].fn(spark, sf_dir)
         import contextlib
         import io
