@@ -669,3 +669,117 @@ def x9_hostile_boilerplate(spark, sf_dir):
         )
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# x10: quality-signal tier (entropy / repetition / gate) on hostile text
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x10_hostile_quality_signals",
+    sql=f"""
+    WITH {_DOCS_CTE}h AS (
+      SELECT doc_id, COALESCE(text, '') AS text FROM hdocs
+    ),
+    c AS (
+      SELECT doc_id, regexp_extract_all(text, '.') AS cs,
+             len(regexp_extract_all(text, '.')) AS n
+      FROM h
+    ),
+    ent AS (
+      SELECT doc_id,
+             CAST(n AS BIGINT) AS n_chars,
+             CAST(len(list_distinct(cs)) AS BIGINT) AS n_distinct,
+             CASE WHEN n > 0 THEN ROUND(
+               list_sum(list_transform(list_distinct(cs), ch ->
+                 -len(list_filter(cs, x -> x = ch)) *
+                 CAST(ROUND(ln(len(list_filter(cs, x -> x = ch))
+                               / CAST(n AS DOUBLE)) * 1000000) AS BIGINT)))
+               / n / 1000000.0, 6)
+             ELSE 0.0 END AS char_entropy
+      FROM c
+    ),
+    d AS (SELECT doc_id, string_split(text, ' ') AS t FROM h),
+    tc AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt FROM (
+        SELECT doc_id, unnest(t) AS tok FROM d
+      ) GROUP BY doc_id, tok
+    ),
+    dup AS (
+      SELECT doc_id,
+             ROUND(CAST(COALESCE(SUM(cnt) FILTER (WHERE cnt > 1), 0)
+                        AS BIGINT) / SUM(cnt), 6) AS dup_token_frac
+      FROM tc GROUP BY doc_id
+    ),
+    bg AS (
+      SELECT doc_id, t[i] || ' ' || t[i + 1] AS bigram
+      FROM d, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) s
+      WHERE len(t) >= 2
+    ),
+    bc AS (
+      SELECT doc_id, bigram, COUNT(*) AS cnt FROM bg GROUP BY doc_id, bigram
+    ),
+    bstat AS (
+      SELECT doc_id, ROUND(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_bigram_frac
+      FROM bc GROUP BY doc_id
+    ),
+    gate AS (
+      SELECT doc_id, 1 AS passes FROM h
+      WHERE length(text) >= 5
+        AND len(string_split(text, ' ')) >= 3
+        AND CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+            / len(string_split(text, ' ')) >= 0.3
+    )
+    SELECT e.doc_id, e.n_chars, e.n_distinct, e.char_entropy,
+           dup.dup_token_frac, bstat.top_bigram_frac,
+           COALESCE(gate.passes, 0) AS passes
+    FROM ent e
+    JOIN dup USING (doc_id)
+    LEFT JOIN bstat USING (doc_id)
+    LEFT JOIN gate USING (doc_id)
+    ORDER BY doc_id
+    """,
+    tier="T2",
+    survey="L7,H8,H5,A5,B6",
+)
+def x10_hostile_quality_signals(spark, sf_dir):
+    """The quality-scoring tier (the signals a crawl pipeline gates on
+    FIRST) over the hostile corpus: char_entropy's row-local lambda fold
+    (H8) handles the 100k-single-char doc (1 distinct char -> entropy
+    exactly 0.0 — the single-char-spam detector firing as designed),
+    NUL/emoji/combining characters count as code points on both engines
+    ('.' is code-point-wise in Java regex AND RE2); repetition signals
+    mark the 'tok tok tok' docs (dup_token_frac ~0.97); and the l13
+    quality gate fails exactly the empty/whitespace/NUL/single-token/
+    boilerplate rows while passing the prose docs. NULL text is
+    pre-coalesced to '' (the x4 convention; x5 pins NULL propagation).
+    Everything is exact integer/micros arithmetic — no float-order risk."""
+    from oeem_etl_spark.operators.text import (
+        char_entropy,
+        quality_filter,
+        repetition_signals,
+    )
+
+    docs = _hostile_df(spark).select(
+        "doc_id", F.coalesce("text", F.lit("")).alias("text")
+    )
+    ent = char_entropy(docs, "doc_id", "text")
+    rep = repetition_signals(docs, "doc_id", "text")
+    gate = quality_filter(
+        docs, "text", min_chars=5, min_tokens=3, min_distinct_ratio=0.3
+    ).select("doc_id", F.lit(1).alias("passes"))
+    return (
+        ent.join(rep, "doc_id")
+        .join(gate, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chars",
+            "n_distinct",
+            "char_entropy",
+            "dup_token_frac",
+            "top_bigram_frac",
+            F.coalesce("passes", F.lit(0)).alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
