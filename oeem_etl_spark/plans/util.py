@@ -31,7 +31,14 @@ Rounding parity note: ``F.round`` (Spark), ``ROUND`` (DuckDB) and the
 decimal cast all round half-away-from-zero on the double's exact value, so
 the quantization step is bit-identical across engines; exact half-way
 ties at the ``scale``-th digit are the only divergence risk and have
-measure ~0 for real-valued data.
+measure ~0 for real-valued data. CAVEAT (found by a61, round 8): that
+measure-zero argument fails for DERIVED money — 2dp prices × 1.1 land on
+3-decimal ``.xx5`` representational ties where Spark rounds the shortest
+DECIMAL repr (BigDecimal.valueOf → HALF_UP: 283256.85·1.1 → 311582.54)
+while DuckDB rounds the BINARY value (→ .53). Never oracle-compare
+``ROUND(f(x), n)`` where f can manufacture ties; compute in exact integer
+cents instead — ``(cents*11 + 5) div 10`` — pinned in
+tests/test_misc.py::test_round_tie_divergence_engine_note.
 """
 
 from __future__ import annotations

@@ -295,3 +295,47 @@ def test_theta_algebra_matches_exact_sets(spark):
     assert close(row["n_either"], len(clicks | buys))
     assert close(row["n_both"], len(clicks & buys))
     assert close(row["n_click_only"], len(clicks - buys))
+
+
+def test_round_tie_divergence_engine_note(spark, duck):
+    """ENGINE NOTE (found by a61's first draft): Spark's round() on
+    DOUBLE applies HALF_UP to the value's SHORTEST DECIMAL REPR
+    (BigDecimal.valueOf), DuckDB's round() to the BINARY value — on
+    3-decimal .xx5 ties manufactured by money*1.1 they legitimately
+    disagree (283256.85*1.1 reprs as 311582.535 but the double is below
+    the tie). Oracle queries must therefore never compare ROUND(x, n)
+    outputs where x can land on a representational tie; the a61 idiom is
+    exact integer cents: (cents*11 + 5) // 10."""
+    from pyspark.sql import functions as F
+
+    v = 283256.85
+    s = (
+        spark.range(1)
+        .select(F.round(F.lit(v) * 1.1, 2).alias("r"))
+        .collect()[0]["r"]
+    )
+    d = duck.execute("SELECT ROUND(? * 1.1, 2)", [v]).fetchone()[0]
+    assert s == 311582.54 and d == 311582.53  # the documented divergence
+    # the cents idiom agrees exactly on both engines
+    # Spark parses bare decimal literals as DecimalType — cast the input
+    # to DOUBLE (a61 uses the o_totalprice DOUBLE column) and the output
+    # too, so the comparison is double-vs-double
+    s2 = (
+        spark.range(1)
+        .select(
+            F.expr(
+                f"CAST(((CAST(ROUND(CAST({v!r} AS DOUBLE) * 100) AS BIGINT)"
+                " * 11 + 5) div 10) / 100.0 AS DOUBLE)"
+            ).alias("r")
+        )
+        .collect()[0]["r"]
+    )
+    # bare // 10 / 100.0 yields DECIMAL in DuckDB (the a61 oracle's CASE
+    # coerces to DOUBLE via the other branch) — normalize for the compare
+    d2 = float(
+        duck.execute(
+            f"SELECT ((CAST(ROUND({v!r} * 100) AS BIGINT) * 11 + 5) // 10)"
+            " / 100.0"
+        ).fetchone()[0]
+    )
+    assert s2 == d2 == 311582.54
