@@ -215,23 +215,33 @@ def main() -> None:
         bands = json.loads(bands_file.read_text())
         tol = float(bands.get("tolerance", 1.5))
         outliers = {}
-        checked = 0
+        ratios = []
         for name, med in medians.items():
             b = bands.get("queries", {}).get(name)
-            if not b:
+            if not b or not b["median"]:
                 continue
-            checked += 1
-            ratio = round(med / b["median"], 4) if b["median"] else None
-            if ratio is not None and (ratio > tol or ratio < 1.0 / tol):
+            ratio = round(med / b["median"], 4)
+            ratios.append(ratio)
+            if ratio > tol or ratio < 1.0 / tol:
                 outliers[name] = {
                     "median": med,
                     "band_median": b["median"],
                     "ratio": ratio,
                 }
+        # median ratio over ALL checked queries: uniform inflation (every
+        # ratio ≈ median_ratio) is the BOX-NOISE signature; a genuine plan
+        # regression sticks out far above it. Adjudication rule: a flagged
+        # query is suspicious iff ratio / median_ratio > tolerance.
+        med_ratio = sorted(ratios)[len(ratios) // 2] if ratios else None
+        for o in outliers.values():
+            o["vs_box"] = (
+                round(o["ratio"] / med_ratio, 4) if med_ratio else None
+            )
         band_check = {
             "recorded_round": bands.get("round"),
             "tolerance": tol,
-            "checked": checked,
+            "checked": len(ratios),
+            "median_ratio": med_ratio,
             "outliers": outliers,
         }
 
