@@ -1367,7 +1367,8 @@ def a62_order_feed_standardize(spark, sf_dir):
     SELECT p.user_id,
            CAST(COUNT(*) AS BIGINT) AS n_types,
            MAX(CASE WHEN p.event_type = 'view' THEN p.mk END) AS view_k,
-           (SELECT list_slice(list_sort(list(DISTINCT e.k), 'DESC'), 1, 3)
+           (SELECT array_to_string(
+              list_slice(list_sort(list(DISTINCT e.k), 'DESC'), 1, 3), ',')
             FROM ev e WHERE e.user_id = p.user_id) AS top_ks
     FROM per_type p
     GROUP BY p.user_id ORDER BY p.user_id
@@ -1402,9 +1403,15 @@ def h80_props_collection_profile(spark, sf_dir):
             F.array_sort(F.collect_list(F.struct("event_type", "mk")))
         ).alias("m"),
     )
+    # joined to a flat string: the driver's pandas canonicalizer cannot
+    # sort/hash nested columns (tests/test_oracle.py enforces this)
     arrs = ev.groupBy("user_id").agg(
-        F.slice(
-            F.sort_array(F.collect_set("k"), asc=False), 1, 3
+        F.array_join(
+            F.transform(
+                F.slice(F.sort_array(F.collect_set("k"), asc=False), 1, 3),
+                lambda x: x.cast("string"),
+            ),
+            ",",
         ).alias("top_ks")
     )
     return (
@@ -1429,7 +1436,10 @@ def h80_props_collection_profile(spark, sf_dir):
     sql=f"""
     WITH daily AS (
       SELECT user_id, CAST(date_trunc('day', {_CAST_TS}) AS TIMESTAMP) AS day,
-             SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS micros
+             -- DuckDB SUM(BIGINT) widens to HUGEINT (pandas kind 'f'):
+             -- cast back so the dtype matches Spark's long
+             CAST(SUM(CAST(ROUND(value * 1000000) AS BIGINT)) AS BIGINT)
+               AS micros
       FROM events WHERE user_id <= 80
       GROUP BY user_id, day
     ),
@@ -1454,8 +1464,10 @@ def h80_props_collection_profile(spark, sf_dir):
     )
     SELECT p.user_id, CAST(SUM(p.n_days) AS BIGINT) AS n_days,
            MIN(p.first_day) AS first_day,
-           MAX(p.second_micros) AS second_micros,
-           list_sort(list_distinct(flatten(list(t.etypes)))) AS etypes
+           CAST(MAX(p.second_micros) AS BIGINT) AS second_micros,
+           array_to_string(
+             list_sort(list_distinct(flatten(list(t.etypes)))), ',')
+             AS etypes
     FROM per_user p JOIN types t USING (user_id)
     GROUP BY ROLLUP(p.user_id)
     ORDER BY user_id NULLS FIRST
@@ -1506,8 +1518,13 @@ def e40_user_frame_rollup(spark, sf_dir):
             F.sum("n_days").alias("n_days"),
             F.min("first_day").alias("first_day"),
             F.max("second_micros").alias("second_micros"),
-            F.sort_array(
-                F.array_distinct(F.flatten(F.collect_list("etypes")))
+            # flat string — nested columns can't cross the driver's
+            # pandas canonicalizer (tests/test_oracle.py enforces this)
+            F.array_join(
+                F.sort_array(
+                    F.array_distinct(F.flatten(F.collect_list("etypes")))
+                ),
+                ",",
             ).alias("etypes"),
         )
         .orderBy(F.col("user_id").asc_nulls_first())
