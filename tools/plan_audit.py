@@ -75,6 +75,14 @@ HEADLINE = [
     "d7b_histogram_percentile",
     "h63_struct_argmax",
     "d15b_hll_register_rollup",
+    # r8 breadth additions with scale-interesting shapes: overlapping-band
+    # range join + same-band self-join, type-graph co-occurrence join,
+    # Arrow-feature kNN over the doc corpus, grid as-of + exact-mode
+    # approx-percentile banding
+    "c80_price_band_overlap_audit",
+    "m81_cooccur_degree_pick",
+    "l130_embed_knn_tfidf",
+    "k131_grid_quantile_bands",
 ]
 
 
