@@ -425,3 +425,52 @@ def test_latest_state_multi_batch_capture(spark, tmp_path):
     # really would have picked the wrong row
     stale = min(rows, key=lambda r: r["_batch_id"])
     assert stale["last_value"] == 9.000001
+
+
+def test_dedup_sliding_append_multi_batch(spark, tmp_path):
+    """i74's chain under a REAL multi-batch drain: (user, 3h-bucket)
+    dedup state persists across micro-batches (the batch-1 duplicate of
+    a batch-0 pair must NOT bump any window), and append-mode sliding
+    windows emit exactly the watermark-closed set at termination —
+    including windows whose data arrived before the watermark advanced
+    past their end (cross-batch accumulation)."""
+    d = str(tmp_path / "dsl")
+    os.makedirs(d, exist_ok=True)
+    _write_ordered_files(
+        spark,
+        d,
+        [
+            [(1, "2024-01-02 01:00:00", 1), (2, "2024-01-02 02:00:00", 1)],
+            [
+                (3, "2024-01-02 01:30:00", 1),  # duplicate (user1, bk 00:00)
+                (4, "2024-01-02 03:30:00", 1),
+                (5, "2024-01-02 09:10:00", 2),
+            ],
+        ],
+    )
+    schema = "id long, user_id long, ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/batch*")
+        .withColumn(
+            "bk",
+            F.expr("timestampadd(HOUR, -(hour(ts) % 3), date_trunc('hour', ts))"),
+        )
+    )
+    deduped = ops.dedup_keys(sdf, ["user_id", "bk"])
+    out = ops.sliding_agg(
+        ops.with_watermark(deduped, "10 minutes", ts_col="bk"),
+        "6 hours",
+        "3 hours",
+        [],
+        [F.count(F.lit(1)).alias("active")],
+        ts_col="bk",
+    )
+    rows = harness.run_available_now(out, "append").collect()
+    got = {r["window_start"].strftime("%d %H:%M"): r["active"] for r in rows}
+    # final watermark = max(bk) - 10min = 09:00 - 10min = 08:50; windows
+    # close when start + 6h <= 08:50: the 21:00(Jan 1) and 00:00 windows.
+    # 00:00 counts TWO deduped pairs (user1@00:00 — batch-1 row 3 absorbed
+    # by state — and user1@03:00); the 03:00/06:00/09:00 windows withhold.
+    assert got == {"01 21:00": 1, "02 00:00": 2}, got
