@@ -474,3 +474,46 @@ def test_dedup_sliding_append_multi_batch(spark, tmp_path):
     # 00:00 counts TWO deduped pairs (user1@00:00 — batch-1 row 3 absorbed
     # by state — and user1@03:00); the 03:00/06:00/09:00 windows withhold.
     assert got == {"01 21:00": 1, "02 00:00": 2}, got
+
+
+def test_session_append_merges_across_batches(spark, tmp_path):
+    """i70's chain under a multi-batch drain: a batch-1 event inside the
+    gap of a batch-0 OPEN session must MERGE into it (session-window
+    state), and append mode emits exactly the sessions whose end (last
+    event + gap) passed the final watermark."""
+    d = str(tmp_path / "sess")
+    os.makedirs(d, exist_ok=True)
+    _write_ordered_files(
+        spark,
+        d,
+        [
+            [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 10:10:00", 1)],
+            [
+                (3, "2024-01-01 10:30:00", 1),  # merges into the open session
+                (4, "2024-01-01 12:00:00", 1),
+                (5, "2024-01-01 12:30:00", 2),
+            ],
+        ],
+    )
+    schema = "id long, user_id long, ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/batch*")
+    )
+    out = ops.session_agg(
+        ops.with_watermark(sdf, "10 minutes"),
+        "30 minutes",
+        ["user_id"],
+        [F.count(F.lit(1)).alias("n")],
+    )
+    rows = harness.run_available_now(out, "append").collect()
+    got = {
+        (r["user_id"], r["session_start"].strftime("%H:%M"),
+         r["session_end"].strftime("%H:%M")): r["n"]
+        for r in rows
+    }
+    # final watermark 12:30 - 10min = 12:20: only user1's MERGED morning
+    # session (10:00 .. 10:30+30min = 11:00, THREE events across the two
+    # batches) has closed; the 12:00 and 12:30 sessions withhold.
+    assert got == {(1, "10:00", "11:00"): 3}, got
