@@ -274,9 +274,17 @@ def main() -> None:
         "normalized_value_unclamped": (
             round(value / noise_factor, 4) if noise_factor else None
         ),
-        "medians": medians,
-        "band_check": band_check,
     }
+    # Medians + band_check live in an ARTIFACT, not the machine line:
+    # appending them to the printed JSON in r8 grew the line past the
+    # driver's tail capture and truncated it mid-line (BENCH_r08 parsed:
+    # null — VERDICT r8 "what's wrong" #1). The printed line carries only
+    # the r7-era gate fields; adjudication detail goes to disk.
+    detail_file = Path(__file__).resolve().parent / "artifacts" / "BENCH_DETAIL_latest.json"
+    detail_file.parent.mkdir(exist_ok=True)
+    detail_file.write_text(
+        json.dumps({**out, "medians": medians, "band_check": band_check}, indent=1)
+    )
     print(json.dumps(out))
 
 

@@ -50,10 +50,14 @@ def micros_total(v: pd.Series) -> int:
     """Vectorized grouped-agg pandas UDF (J5): exact integer-micros sum —
     each value quantized half-AWAY-from-zero (ROUND parity; numpy .round
     is half-to-even), summed as int64. Order-independent and oracle-exact,
-    the dsum discipline inside an Arrow-batched UDAF."""
+    the dsum discipline inside an Arrow-batched UDAF. Non-finite values
+    (NULL -> NaN in the Arrow batch, inf) are dropped first, matching SQL
+    SUM's null-skipping — without the filter astype('int64') silently
+    turns NaN into INT64_MIN (ADVICE r8)."""
     import numpy as np
 
     a = v.to_numpy("float64")
+    a = a[np.isfinite(a)]
     return int((np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5)).astype("int64").sum())
 
 

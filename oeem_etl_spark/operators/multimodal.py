@@ -324,6 +324,59 @@ def image_features(df: DataFrame) -> DataFrame:
     return df.mapInPandas(fn, schema)
 
 
+def try_image_features(df: DataFrame) -> DataFrame:
+    """Fault-tolerant :func:`image_features`: per-ROW try-decode with an
+    error class instead of a task failure. On a 100 TB crawl corpus some
+    payloads are truncated mid-chunk, carry lying headers, are zero
+    bytes, or are formats without a decoder — one such row must cost one
+    output row, never a 10-hour job. Emits
+    (asset_id, status, width, height, mean_r, mean_g, mean_b, n_bytes);
+    decode columns are NULL unless status = 'ok'.
+
+    status classes: 'ok' (decoded), 'empty' (NULL or zero-byte payload),
+    'unsupported' (decode_image's directed NotImplementedError — magic
+    with no pure-Python decoder), 'corrupt' (any other decode error:
+    truncated stream, bad IDAT size for the declared dimensions,
+    malformed chunks). The split matters operationally: 'unsupported' is
+    a capability gap to route elsewhere, 'corrupt' is data loss to
+    quarantine."""
+    schema = (
+        "asset_id long, status string, width int, height int, "
+        "mean_r double, mean_g double, mean_b double, n_bytes long"
+    )
+    cols = [
+        "asset_id", "status", "width", "height",
+        "mean_r", "mean_g", "mean_b", "n_bytes",
+    ]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, content in zip(pdf["asset_id"], pdf["content"]):
+                nb = 0 if content is None else len(content)
+                if nb == 0:
+                    rows.append((aid, "empty", None, None, None, None, None, nb))
+                    continue
+                try:
+                    w, h, px = decode_image(bytes(content))
+                    mr, mg, mb = px.astype(np.float64).mean(axis=(0, 1))
+                    rows.append(
+                        (aid, "ok", w, h,
+                         round(mr, 6), round(mg, 6), round(mb, 6), nb)
+                    )
+                except NotImplementedError:
+                    rows.append(
+                        (aid, "unsupported", None, None, None, None, None, nb)
+                    )
+                except Exception:
+                    rows.append(
+                        (aid, "corrupt", None, None, None, None, None, nb)
+                    )
+            yield pd.DataFrame(rows, columns=cols)
+
+    return df.mapInPandas(fn, schema)
+
+
 def audio_features(df: DataFrame) -> DataFrame:
     """REAL audio decode + feature extraction (WAV PCM payloads): emits
     (asset_id, sample_rate, n_channels, duration_s, mean_abs, rms).

@@ -1635,7 +1635,11 @@ def k131_grid_quantile_bands(spark, sf_dir):
         .where(F.col("value").isNotNull())
         .select("ts", "value", F.lit(1).alias("__k"))
     )
-    n_slots = 8 * 32 + 1  # 2023-12-31 .. 2024-02-01 inclusive, 4h steps
+    # 2023-12-31 .. 2024-02-01 inclusive at 4h steps: 32 days * 6
+    # boundaries/day + 1 = 193, matching the oracle's generate_series
+    # exactly (ADVICE r8: the old 8*32+1=257 grid extended ~10 days past
+    # the oracle's and would silently diverge once events reach Feb).
+    n_slots = 6 * 32 + 1
     grid = spark.range(n_slots).select(
         (
             F.lit("2023-12-31 00:00:00").cast("timestamp")

@@ -35,6 +35,7 @@ from oeem_etl_spark.operators import bpe, dedup
 from oeem_etl_spark.plans import xxh64_sql
 from oeem_etl_spark.plans.llm_queries import minhash_oracle_sql
 from oeem_etl_spark.plans.registry import query
+from oeem_etl_spark.plans.util import T
 
 # ---------------------------------------------------------------------------
 # The hostile corpus. One list, shared verbatim by the Spark side
@@ -780,6 +781,126 @@ def x10_hostile_quality_signals(spark, sf_dir):
             "dup_token_frac",
             "top_bigram_frac",
             F.coalesce("passes", F.lit(0)).alias("passes"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# x11: hostile BINARY tier — try-decode over broken image payloads
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "x11_hostile_image_decode",
+    sql="""
+    SELECT doc_id,
+           CASE doc_id % 6
+             WHEN 0 THEN 'ok'          -- valid two-tone PNG
+             WHEN 1 THEN 'corrupt'     -- PNG truncated mid-chunk
+             WHEN 2 THEN 'corrupt'     -- IHDR lies: height doubled
+             WHEN 3 THEN 'empty'       -- zero-byte payload
+             WHEN 4 THEN 'unsupported' -- magic with no decoder
+             ELSE 'ok' END AS status,  -- valid solid-color BMP
+           CASE WHEN doc_id % 6 = 0 THEN CAST(5 + doc_id % 4 AS INT)
+                WHEN doc_id % 6 = 5 THEN CAST(4 AS INT) END AS width,
+           CASE WHEN doc_id % 6 = 0 THEN CAST(4 + 2 * (doc_id % 3) AS INT)
+                WHEN doc_id % 6 = 5 THEN CAST(3 AS INT) END AS height,
+           CASE WHEN doc_id % 6 = 0 THEN
+                  ROUND((CAST(doc_id % 256 AS DOUBLE)
+                         + CAST((doc_id * 7) % 256 AS DOUBLE)) / 2, 6)
+                WHEN doc_id % 6 = 5 THEN
+                  ROUND(CAST(doc_id % 256 AS DOUBLE), 6) END AS mean_r,
+           CASE WHEN doc_id % 6 = 0 THEN
+                  ROUND((CAST((2 * doc_id) % 256 AS DOUBLE)
+                         + CAST((doc_id * 11) % 256 AS DOUBLE)) / 2, 6)
+                WHEN doc_id % 6 = 5 THEN
+                  ROUND(CAST((2 * doc_id) % 256 AS DOUBLE), 6) END AS mean_g,
+           CASE WHEN doc_id % 6 = 0 THEN
+                  ROUND((CAST((3 * doc_id) % 256 AS DOUBLE)
+                         + CAST((doc_id * 13) % 256 AS DOUBLE)) / 2, 6)
+                WHEN doc_id % 6 = 5 THEN
+                  ROUND(CAST((3 * doc_id) % 256 AS DOUBLE), 6) END AS mean_b
+    FROM documents WHERE doc_id < 36
+    ORDER BY doc_id
+    """,
+    tier="T3",
+    survey="L8,J4,A5",
+)
+def x11_hostile_image_decode(spark, sf_dir):
+    """The hostile-BINARY tier (VERDICT r8 task #5): the x1-x10 idea —
+    adversarial inputs with a full value oracle — driven through the
+    image decode path. Six payload kinds per doc_id % 6: (0) a valid
+    l8f-style two-tone RGBA PNG; (1) the same PNG truncated to half its
+    bytes (zlib stream cut mid-chunk); (2) the same PNG with its IHDR
+    HEIGHT field doubled and the chunk CRC re-stamped — a lying header
+    that parses but fails the decoded-size invariant; (3) a zero-byte
+    payload; (4) sixteen bytes of junk whose magic matches no decoder;
+    (5) a valid solid-color 24-bit BMP. try_image_features
+    (operators/multimodal.py) classifies each row instead of failing the
+    task — at 100 TB one bad crawl byte must cost one quarantined row,
+    never the job. The oracle recomputes every status and every decoded
+    dimension/channel-mean symbolically from the doc_id formulas."""
+    import struct
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.operators import imagecodec, multimodal
+
+    docs = T(spark, sf_dir, "documents").where(F.col("doc_id") < 36).select("doc_id")
+
+    def _two_tone_png(d: int) -> bytes:
+        w, h = 5 + d % 4, 4 + 2 * (d % 3)
+        px = np.zeros((h, w, 4), dtype=np.uint8)
+        px[: h // 2, :, :3] = [d % 256, (2 * d) % 256, (3 * d) % 256]
+        px[h // 2 :, :, :3] = [(7 * d) % 256, (11 * d) % 256, (13 * d) % 256]
+        px[:, :, 3] = 255
+        return imagecodec.encode_png(px)
+
+    def _lying_height(buf: bytes) -> bytes:
+        # IHDR body starts at 16 (8 sig + 4 len + 4 type); height is
+        # body[4:8]. Double it and re-stamp the CRC so the file is
+        # chunk-valid — only the decoded-size invariant can catch it.
+        (h,) = struct.unpack(">I", buf[20:24])
+        body = buf[16:20] + struct.pack(">I", h * 2) + buf[24:29]
+        crc = struct.pack(">I", zlib.crc32(b"IHDR" + body) & 0xFFFFFFFF)
+        return buf[:16] + body + crc + buf[33:]
+
+    def encode(batches):
+        for pdf in batches:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                kind = d % 6
+                if kind == 0:
+                    payload = _two_tone_png(d)
+                elif kind == 1:
+                    buf = _two_tone_png(d)
+                    payload = buf[: max(12, len(buf) // 2)]
+                elif kind == 2:
+                    payload = _lying_height(_two_tone_png(d))
+                elif kind == 3:
+                    payload = b""
+                elif kind == 4:
+                    payload = bytes([1, d % 256, 255, 254]) * 4
+                else:
+                    px = np.zeros((3, 4, 3), dtype=np.uint8)
+                    px[:, :] = [d % 256, (2 * d) % 256, (3 * d) % 256]
+                    payload = imagecodec.encode_bmp(px)
+                rows.append((d, payload))
+            yield pd.DataFrame(rows, columns=["doc_id", "payload"])
+
+    encoded = docs.mapInPandas(encode, "doc_id long, payload binary")
+    assets = multimodal.to_multimodal(
+        encoded, "doc_id", "payload", "application/octet-stream"
+    )
+    return (
+        multimodal.try_image_features(assets)
+        .select(
+            F.col("asset_id").alias("doc_id"),
+            "status", "width", "height", "mean_r", "mean_g", "mean_b",
         )
         .orderBy("doc_id")
     )

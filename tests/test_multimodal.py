@@ -748,3 +748,32 @@ def test_thumbnail_box_average_exact(spark):
 
     with pytest.raises(Exception, match="integer block factors"):
         mm.thumbnail_box(assets, 3, 3).collect()
+
+
+def test_try_image_features_classifies(spark):
+    """try_image_features (x11's operator): per-row status classes
+    instead of task failure — ok / empty (NULL or b'') / unsupported
+    (directed NotImplementedError) / corrupt (any other decode error)."""
+    solid = np.zeros((3, 4, 3), dtype=np.uint8)
+    solid[:, :] = [10, 20, 30]
+    png = ic.encode_png(solid)
+    rows = [
+        (0, bytearray(png)),                    # ok
+        (1, bytearray(png[: len(png) // 2])),   # truncated -> corrupt
+        (2, bytearray(b"")),                    # zero-byte -> empty
+        (3, None),                              # NULL payload -> empty
+        (4, bytearray(b"ID3\x04" * 4)),         # mp3 magic -> unsupported
+        (5, bytearray(b"\x89PNG\r\n\x1a\nnope")),  # sig-only PNG -> corrupt
+    ]
+    df = spark.createDataFrame(rows, "id long, raw binary")
+    assets = mm.to_multimodal(df, "id", "raw", "application/octet-stream")
+    got = {
+        r["asset_id"]: (r["status"], r["width"], r["mean_r"])
+        for r in mm.try_image_features(assets).collect()
+    }
+    assert got[0] == ("ok", 4, 10.0)
+    assert got[1][0] == "corrupt" and got[1][1] is None
+    assert got[2] == ("empty", None, None)
+    assert got[3] == ("empty", None, None)
+    assert got[4][0] == "unsupported"
+    assert got[5][0] == "corrupt"

@@ -517,3 +517,54 @@ def test_session_append_merges_across_batches(spark, tmp_path):
     # session (10:00 .. 10:30+30min = 11:00, THREE events across the two
     # batches) has closed; the 12:00 and 12:30 sessions withhold.
     assert got == {(1, "10:00", "11:00"): 3}, got
+
+
+def test_quantize_micros_half_away_from_zero():
+    """VERDICT r8 task #4: ONE quantization form across all state paths.
+    The helper must round .5 ties AWAY from zero (Spark/DuckDB ROUND),
+    where numpy .round / pandas .round(0) go half-to-even — 0.0000005
+    and 1.5e-6-style ties are exactly where the old TWS/extremes
+    .round(0) path diverged from the v1 operators."""
+    import numpy as np
+
+    got = ops.quantize_micros([0.0000005, 0.0000015, -0.0000005, -0.0000025, 2.5e-6])
+    assert got.tolist() == [1, 2, -1, -3, 3]
+    # numpy half-even would give [0, 2, 0, -2, 2] — assert we differ
+    assert np.round(np.array([0.0000005]) * 1e6).astype("int64").tolist() == [0]
+    # exact values pass through
+    assert ops.quantize_micros([1.25, -3.5]).tolist() == [1_250_000, -3_500_000]
+
+
+def test_sum_micros_skips_non_finite():
+    """ADVICE r8: astype('int64') maps NaN to INT64_MIN silently; the sum
+    paths must skip NULL/NaN like SQL SUM instead."""
+    import numpy as np
+
+    assert ops.sum_micros([1.0, float("nan"), 2.0]) == 3_000_000
+    assert ops.sum_micros([float("nan"), float("inf")]) == 0
+    assert ops.sum_micros([]) == 0
+    # sanity: the failure mode we are guarding against
+    assert np.array([np.nan]).astype("int64")[0] == np.iinfo("int64").min
+
+
+def test_latest_state_tie_break_order_independent(spark, tmp_path):
+    """ADVICE r8: on a FULL (ts, id) tie with different values, the winner
+    must not depend on batch row order. The 3-level lexsort key
+    (ts, id, micros) picks the max quantized value deterministically."""
+    rows_a = [
+        (7, "2024-01-01 10:00:00", 1.5),
+        (7, "2024-01-01 10:00:00", 9.5),  # same (ts, id), larger value
+    ]
+    for order in (rows_a, rows_a[::-1]):
+        df = spark.createDataFrame(
+            [(r[0], r[1], r[2], 1) for r in order],
+            "event_id long, ts string, value double, user_id long",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        d = str(tmp_path / f"tie{order[0][2]}")
+        df.coalesce(1).write.mode("overwrite").parquet(d)
+        sdf = spark.readStream.schema(df.schema).parquet(d)
+        out_dir = str(tmp_path / f"out{order[0][2]}")
+        harness.foreach_batch_capture(ops.latest_state(sdf), out_dir)
+        got = spark.read.parquet(out_dir).collect()
+        assert len(got) == 1
+        assert got[0]["last_value"] == 9.5, (order, got)

@@ -550,6 +550,94 @@ def shapes(spark, sf_dir):
             .limit(64)
         )
 
+    def c81_chain():
+        # VERDICT r8 task #6: the breadth8 combo CHAIN (c81's
+        # window -> interval-overlap -> as-of -> full-outer reconcile ->
+        # join-back -> agg), unfiltered over the SCALED orders table.
+        # Every stage is rows-linear by design: the two campaign joins
+        # broadcast a 4-row dim, the reconcile full-outer shuffles on
+        # (o_orderkey, campaign_id) whose cardinality ~ rows, and the
+        # windows partition by o_custkey (10x rows/customer at 10x).
+        from pyspark.sql import Window
+
+        from oeem_etl_spark.operators.relational import (
+            asof_join,
+            interval_overlap_join,
+        )
+
+        camps = [
+            (1, "1996-01-01", "1996-07-01"),
+            (2, "1997-01-01", "1998-01-01"),
+            (3, "1999-06-01", "2000-01-01"),
+            (4, "2000-06-01", "2002-01-01"),
+        ]
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        wf = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        o = o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.first("o_orderdate").over(
+                wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cohort_start"),
+            F.coalesce(
+                F.lead("o_orderdate").over(wf),
+                F.lit("2002-01-01").cast("timestamp"),
+            ).alias("next_date"),
+        )
+        camp = spark.createDataFrame(
+            camps, "campaign_id int, c_start string, c_end string"
+        ).select(
+            "campaign_id",
+            F.col("c_start").cast("timestamp").alias("c_start"),
+            F.col("c_end").cast("timestamp").alias("c_end"),
+        )
+        ov = interval_overlap_join(
+            o.select("o_orderkey", "o_orderdate", "next_date"),
+            camp, "o_orderdate", "next_date", "c_start", "c_end",
+        ).select("o_orderkey", "campaign_id")
+        asf = asof_join(
+            o.select("o_orderkey", "o_orderdate", F.lit(1).alias("g")),
+            camp.select(F.lit(1).alias("g"), "c_start", "campaign_id"),
+            keys=["g"], left_ts="o_orderdate", right_ts="c_start",
+            value_cols=["campaign_id"],
+        ).select(
+            "o_orderkey",
+            F.coalesce("campaign_id", F.lit(0)).alias("campaign_id"),
+        )
+        a = ov.withColumn("in_overlap", F.lit(1)).alias("a")
+        b = asf.withColumn("in_asof", F.lit(1)).alias("b")
+        rec = a.join(
+            b,
+            (F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+            & (F.col("a.campaign_id") == F.col("b.campaign_id")),
+            "full_outer",
+        ).select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.coalesce(F.col("a.campaign_id"), F.col("b.campaign_id")).alias(
+                "campaign_id"
+            ),
+            F.coalesce(F.col("a.in_overlap"), F.lit(0)).alias("in_overlap"),
+            F.coalesce(F.col("b.in_asof"), F.lit(0)).alias("in_asof"),
+        )
+        return (
+            rec.join(o.select("o_orderkey", "o_orderdate", "cohort_start"),
+                     "o_orderkey")
+            .groupBy("campaign_id", "in_overlap", "in_asof")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") == F.col("cohort_start"), 1
+                    ).otherwise(0)
+                ).alias("n_first"),
+            )
+        )
+
     def pca_moments():
         # l43b's exact-integer moment pass (the SHIPPED closure —
         # decomp.moment_partials_fn — so the probe can never drift from
@@ -592,6 +680,7 @@ def shapes(spark, sf_dir):
         "hll_registers": hll_registers,
         "kmv_sample": kmv_sample,
         "pca_moments": pca_moments,
+        "c81_chain": c81_chain,
     }
 
 
