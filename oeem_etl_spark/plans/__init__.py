@@ -27,6 +27,7 @@ def load_all() -> None:
         breadth6_queries,
         breadth7_queries,
         breadth8_queries,
+        breadth9_queries,
         hostile_queries,
         scale_queries,
     )
