@@ -1392,3 +1392,561 @@ def l134_bpe_compression_profile(spark, sf_dir):
         )
         .orderBy("lang")
     )
+
+
+# ---------------------------------------------------------------------------
+# i75: A9 stream source + I7 stream-static join + I1 tumbling + A10 sink
+# ---------------------------------------------------------------------------
+
+_I75_FACTORS = [("view", 2), ("click", 3), ("purchase", 5),
+                ("signup", 1), ("error", 0)]
+_I75_FACTORS_SQL = ", ".join(f"('{t}', {f})" for t, f in _I75_FACTORS)
+
+
+@query(
+    "i75_stream_enrich_daily",
+    sql=f"""
+    WITH conv(event_type, pts) AS (VALUES {_I75_FACTORS_SQL})
+    SELECT CAST(date_trunc('day', {_CAST_TS}) AS TIMESTAMP) AS window_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(c.pts) AS BIGINT) AS points
+    FROM events e JOIN conv c USING (event_type)
+    WHERE c.pts > 0
+    GROUP BY window_start
+    ORDER BY window_start
+    """,
+    tier="T3",
+    survey="A9,A10,I1,I7,I8",
+)
+def i75_stream_enrich_daily(spark, sf_dir):
+    """The enrich-then-window streaming topology END-TO-END through a
+    foreachBatch sink: the events directory streams in (A9), each
+    micro-batch joins the static per-type points dim — re-planned and
+    broadcast per batch, so dimension updates would take effect mid-
+    stream (I7) — zero-point rows drop, daily tumbling windows count and
+    total the points (I1), and COMPLETE-mode emissions land through the
+    batch-ordinal foreachBatch parquet capture (A10/I8); the final
+    batch's rows are the answer. Integer points, no float path at all."""
+    from oeem_etl_spark.streaming import harness, ops
+    from oeem_etl_spark.streaming.source import events_stream
+
+    conv = spark.createDataFrame(_I75_FACTORS, "event_type string, pts int")
+    sdf = events_stream(spark, sf_dir)
+    enriched = ops.enrich(sdf, F.broadcast(conv), "event_type").where(
+        F.col("pts") > 0
+    )
+    out = ops.tumbling_agg(
+        enriched,
+        "1 day",
+        [],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("pts").cast("long").alias("points"),
+        ],
+    )
+    path = os.path.join(_TMP, f"i75_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    harness.foreach_batch_capture(out, path)
+    drained = spark.read.parquet(path)
+    last_batch = drained.agg(F.max("_batch_id").alias("b"))
+    return (
+        drained.join(F.broadcast(last_batch), F.col("_batch_id") == F.col("b"))
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "points",
+        )
+        .orderBy("window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i76: I5 streaming dedup + I2 sliding window
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i76_dedup_sliding_typed",
+    sql=f"""
+    WITH d AS (
+      SELECT DISTINCT user_id, event_type,
+             time_bucket(INTERVAL '30 minutes', {_CAST_TS}) AS hb
+      FROM events
+    ),
+    cand AS (
+      SELECT event_type,
+             unnest([time_bucket(INTERVAL '90 minutes', hb),
+                     time_bucket(INTERVAL '90 minutes', hb)
+                       - INTERVAL '90 minutes']) AS window_start
+      FROM d
+    ),
+    w AS (
+      SELECT event_type, window_start, COUNT(*) AS active_keys
+      FROM cand
+      WHERE window_start + INTERVAL '180 minutes'
+            > window_start + INTERVAL '1 us'
+      GROUP BY event_type, window_start
+    )
+    SELECT event_type, window_start, CAST(active_keys AS BIGINT)
+             AS active_keys
+    FROM w ORDER BY event_type, window_start
+    """,
+    tier="T3",
+    survey="I2,I5,I8",
+)
+def i76_dedup_sliding_typed(spark, sf_dir):
+    """Streaming dedup feeding TYPED sliding windows: state first dedups
+    (user, type, 30-min bucket) activity keys (I5), then 3-hour windows
+    sliding every 90 minutes count each type's distinct active keys
+    (I2) — each deduped key lands in exactly 180/90 = 2 windows, which
+    is what the oracle's two-slot unnest replays. Differs from the
+    i41 face in grain (30-min keys), slide ratio, and the per-type
+    grouping that makes the window state (window x type)-keyed."""
+    from oeem_etl_spark.streaming import harness, ops
+    from oeem_etl_spark.streaming.source import events_stream
+
+    sdf = events_stream(spark, sf_dir).select(
+        "user_id",
+        "event_type",
+        F.date_trunc("minute", F.col("ts")).alias("m"),
+    ).select(
+        "user_id",
+        "event_type",
+        # 30-minute bucket: floor minutes to 0/30
+        F.timestamp_seconds(
+            (F.unix_timestamp("m") / 1800).cast("long") * 1800
+        ).alias("hb"),
+    )
+    deduped = ops.dedup_keys(sdf, ["user_id", "event_type", "hb"])
+    out = ops.sliding_agg(
+        deduped,
+        "180 minutes",
+        "90 minutes",
+        ["event_type"],
+        [F.count(F.lit(1)).alias("active_keys")],
+        ts_col="hb",
+    )
+    return (
+        harness.run_available_now(out, "complete")
+        .select(
+            "event_type",
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "active_keys",
+        )
+        .orderBy("event_type", "window_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i77: I6 extremes state + D4 ordered first/last reconcile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i77_extremes_firstlast",
+    sql=f"""
+    WITH b AS (
+      SELECT user_id, {_CAST_TS} AS ts, event_id, value FROM events
+      WHERE user_id <= 80 AND value IS NOT NULL
+    ),
+    ex AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+             ROUND(MIN(value), 6) AS min_value,
+             ROUND(MAX(value), 6) AS max_value
+      FROM b GROUP BY user_id
+    ),
+    fl AS (
+      SELECT user_id,
+             first(ROUND(value, 6) ORDER BY ts, event_id) AS first_value,
+             first(ROUND(value, 6) ORDER BY ts DESC, event_id DESC)
+               AS last_value
+      FROM b GROUP BY user_id
+    )
+    SELECT ex.user_id, ex.n_events, ex.min_value, ex.max_value,
+           fl.first_value, fl.last_value,
+           CAST(fl.first_value = ex.min_value
+                OR fl.first_value = ex.max_value AS BOOLEAN) AS first_is_extreme
+    FROM ex JOIN fl USING (user_id)
+    ORDER BY ex.user_id
+    """,
+    tier="T3",
+    survey="I6,D4,I8",
+)
+def i77_extremes_firstlast(spark, sf_dir):
+    """Streaming bounds tracker RECONCILED with ordered first/last: the
+    per-user (min, max, count) envelope accumulates through
+    applyInPandasWithState in exact micros (I6 — idempotent under
+    replay), drains in update mode, and joins the batch-side
+    deterministic first/last observation per user — row_number over
+    (ts, event_id), never bare F.first on an unsorted group (D4). The
+    reconcile column asks whether the FIRST reading was already an
+    envelope edge; the oracle recomputes everything with arg_min/arg_max
+    over the same composite order."""
+    from oeem_etl_spark.streaming import harness, ops
+    from oeem_etl_spark.streaming.source import events_stream
+
+    sdf = events_stream(spark, sf_dir).where(
+        (F.col("user_id") <= 80) & F.col("value").isNotNull()
+    )
+    updates = ops.extremes_state(sdf)
+    path = os.path.join(_TMP, f"i77_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(path, ignore_errors=True)
+    harness.foreach_batch_capture(updates, path)
+    drained = spark.read.parquet(path)
+    wlast = Window.partitionBy("user_id").orderBy(F.col("_batch_id").desc())
+    ex = (
+        drained.withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "n_events",
+            F.round("min_value", 6).alias("min_value"),
+            F.round("max_value", 6).alias("max_value"),
+        )
+    )
+    b = (
+        T(spark, sf_dir, "events")
+        .where((F.col("user_id") <= 80) & F.col("value").isNotNull())
+        .select("user_id", "ts", "event_id", F.round("value", 6).alias("v"))
+    )
+    wasc = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wdesc = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    fl = (
+        b.select(
+            "user_id",
+            F.first("v").over(wasc).alias("first_value"),
+            F.first("v").over(wdesc).alias("last_value"),
+            F.row_number().over(wasc).alias("rn"),
+        )
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return (
+        ex.join(fl, "user_id")
+        .select(
+            "user_id",
+            "n_events",
+            "min_value",
+            "max_value",
+            "first_value",
+            "last_value",
+            (
+                (F.col("first_value") == F.col("min_value"))
+                | (F.col("first_value") == F.col("max_value"))
+            ).alias("first_is_extreme"),
+        )
+        .orderBy("user_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# i78: I3 session windows + K11 behavioral session profile
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "i78_user_session_profile",
+    sql=f"""
+    WITH e AS (
+      SELECT user_id, {_CAST_TS} AS ts,
+             CAST(round(COALESCE(value, 0) * 1000000) AS BIGINT) AS vm
+      FROM events WHERE user_id <= 100
+    ),
+    m AS (
+      SELECT user_id, ts, vm,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w > INTERVAL '2 hours'
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    i AS (
+      SELECT user_id, ts, vm,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m
+    ),
+    s AS (
+      SELECT user_id, sid,
+             MIN(ts) AS session_start,
+             MAX(ts) + INTERVAL '2 hours' AS session_end,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(vm) AS BIGINT) AS vm_total
+      FROM i GROUP BY user_id, sid
+    )
+    SELECT user_id, CAST(session_start AS TIMESTAMP) AS session_start,
+           CAST(epoch_us(session_end) - epoch_us(session_start) AS BIGINT)
+             AS dur_us,
+           n, vm_total
+    FROM s WHERE n >= 3
+    ORDER BY user_id, session_start
+    """,
+    tier="T3",
+    survey="I3,K11,I8",
+)
+def i78_user_session_profile(spark, sf_dir):
+    """Per-USER session profiles via native session windows (I3): 2-hour
+    gap sessionization of each user's event stream, per-session exact
+    micros total, duration (window end = last event + gap, Spark's
+    session_window contract, which the oracle rebuilds with the
+    gaps-and-islands idiom), and a >= 3-events engagement gate — the
+    behavioral session-quality profile (K11). Batch-mode session_window
+    here; the same transformation drains under availableNow in the i70
+    family, which certifies batch-stream equivalence of the operator."""
+    ev = (
+        T(spark, sf_dir, "events")
+        .where(F.col("user_id") <= 100)
+        .select(
+            "user_id",
+            "ts",
+            F.round(F.coalesce("value", F.lit(0.0)) * 1_000_000)
+            .cast("long")
+            .alias("vm"),
+        )
+    )
+    sw = F.session_window("ts", "2 hours")
+    agged = ev.groupBy(sw.alias("w"), "user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("vm").alias("vm_total"),
+    )
+    return (
+        agged.where(F.col("n") >= 3)
+        .select(
+            "user_id",
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            (
+                F.unix_micros(F.col("w.end"))
+                - F.unix_micros(F.col("w.start"))
+            ).alias("dur_us"),
+            "n",
+            "vm_total",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a63: A3 ndjson + A4 text log DUAL-PARSE reconcile + K1/K2 + B7
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a63_dual_feed_reconcile",
+    sql=f"""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_vm,
+           CAST(0 AS BIGINT) AS n_disagree
+    FROM events
+    WHERE event_id <= 4000 AND value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type
+    """,
+    tier="T3",
+    survey="A3,A4,K2,K1,B7,C1",
+)
+def a63_dual_feed_reconcile(spark, sf_dir):
+    """DUAL-PARSE reconciliation (the ingest-integrity audit a56's union
+    face never runs): the SAME event slice is exported twice — NDJSON
+    (A3) and a pipe-delimited raw text log whose fields come back out
+    through regexp_extract (A4) with the timestamp re-parsed by an
+    explicit strptime format (K2) — both feeds standardized to the
+    canonical (event_id, event_type, vm) schema (K1) with every staging
+    column dropped (B7), then inner-joined on event_id and counted for
+    DISAGREEMENT. The oracle pins n_disagree = 0: a lossy render, a
+    regex off by one, or a timestamp that doesn't round-trip all break
+    the zero."""
+    from oeem_etl_spark.operators.timeseries import standardize_schema
+
+    root = os.path.join(_TMP, f"a63_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    jdir, tdir = os.path.join(root, "json"), os.path.join(root, "text")
+
+    ev = (
+        T(spark, sf_dir, "events")
+        .where((F.col("event_id") <= 4000) & F.col("value").isNotNull())
+        .select(
+            "event_id",
+            "event_type",
+            "ts",
+            F.round(F.col("value") * 1_000_000).cast("long").alias("vm"),
+        )
+    )
+    ev.write.mode("overwrite").json(jdir)
+    ev.select(
+        F.concat_ws(
+            "|",
+            F.col("event_id").cast("string"),
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+            "event_type",
+            F.col("vm").cast("string"),
+        ).alias("value")
+    ).write.mode("overwrite").text(tdir)
+
+    js_raw = spark.read.schema(
+        "event_id string, event_type string, ts timestamp, vm string"
+    ).json(jdir)
+    js = standardize_schema(
+        js_raw,
+        {
+            "event_id": ("event_id", "long"),
+            "event_type": ("event_type", None),
+            "vm": ("vm", "long"),
+        },
+    )
+    tx_raw = spark.read.text(tdir)
+    pat = r"^(\d+)\|([^|]+)\|([^|]+)\|(-?\d+)$"
+    tx = tx_raw.select(
+        F.regexp_extract("value", pat, 1).cast("long").alias("event_id"),
+        F.to_timestamp(
+            F.regexp_extract("value", pat, 2), "yyyy-MM-dd HH:mm:ss.SSSSSS"
+        ).alias("ts"),
+        F.regexp_extract("value", pat, 3).alias("event_type"),
+        F.regexp_extract("value", pat, 4).cast("long").alias("vm"),
+    )
+    tx = standardize_schema(
+        tx,
+        {
+            "event_id": ("event_id", None),
+            "t_type": ("event_type", None),
+            "t_vm": ("vm", None),
+        },
+    )
+    joined = js.join(tx, "event_id")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("vm").alias("sum_vm"),
+            F.sum(
+                F.when(
+                    (F.col("event_type") != F.col("t_type"))
+                    | (F.col("vm") != F.col("t_vm")),
+                    1,
+                ).otherwise(0)
+            ).alias("n_disagree"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# a64: A11 fetch + A2 csv scan + B1/B5 parse + A7 csv sink + A12 upload
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "a64_orders_csv_pipeline",
+    sql=f"""
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    WHERE o_custkey <= 300 AND o_orderdate >= TIMESTAMP '1995-01-01'
+    GROUP BY priority ORDER BY priority
+    """,
+    tier="T3",
+    survey="A11,A2,A7,A12,B1,B5,B3",
+)
+def a64_orders_csv_pipeline(spark, sf_dir):
+    """The full raw-CSV ingest loop on the ORDERS feed (a45 walks
+    documents and never re-reads its sink; this face round-trips BOTH
+    CSV directions): shards land through the flaky fetch transport with
+    retry + skip-on-exists (A11), parse with an all-string schema then
+    rename/cast — price to cents, date string to timestamp (B1+B5) —
+    filter the 1995+ window (B3), rewrite the CLEANED feed through the
+    CSV sink with headers (A7), re-read THAT with an explicit typed
+    schema (A2 — proving the sink emits what the scanner parses), roll
+    up per priority, and push through the flaky chunked datastore with
+    idempotency keys (A12). The returned frame is the datastore's final
+    state."""
+    from oeem_etl_spark.sources import fetch as fx
+    from oeem_etl_spark.sources import upload as up
+
+    root = os.path.join(_TMP, f"a64_{os.path.basename(sf_dir.rstrip('/'))}")
+    shutil.rmtree(root, ignore_errors=True)
+    remote = os.path.join(root, "remote")
+    fstate = os.path.join(root, "fstate")
+    ustate = os.path.join(root, "ustate")
+    landing = os.path.join(root, "landing")
+    clean_dir = os.path.join(root, "clean")
+    dsroot = os.path.join(root, "ds")
+    for d in (remote, fstate, ustate):
+        os.makedirs(d, exist_ok=True)
+
+    o = (
+        T(spark, sf_dir, "orders")
+        .where(F.col("o_custkey") <= 300)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.col("o_totalprice").cast("string").alias("price_raw"),
+            F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss").alias(
+                "date_raw"
+            ),
+        )
+    )
+    o.repartition(3).write.mode("overwrite").option("header", True).csv(remote)
+    shards = sorted(
+        f
+        for f in os.listdir(remote)
+        if f.endswith(".csv") and not f.startswith(("_", "."))
+    )
+    tasks = spark.createDataFrame(
+        [(s, s) for s in shards], "task_id string, uri string"
+    )
+    ffactory = functools.partial(
+        fx.local_flaky_fetcher, remote=remote, fail_times=1, state_dir=fstate
+    )
+    statuses = {
+        r["status"]
+        for r in fx.fetch_to_landing(tasks, ffactory, landing).collect()
+    }
+    assert statuses <= {"fetched", "skipped"}
+
+    raw = spark.read.option("header", True).schema(
+        "o_orderkey string, o_orderpriority string, "
+        "price_raw string, date_raw string"
+    ).csv(landing)
+    clean = (
+        raw.withColumnRenamed("o_orderpriority", "priority")
+        .withColumn(
+            "cents", F.round(F.col("price_raw").cast("double") * 100).cast("long")
+        )
+        .withColumn("odate", F.col("date_raw").cast("timestamp"))
+        .where(F.col("odate") >= F.lit("1995-01-01").cast("timestamp"))
+        .select("o_orderkey", "priority", "cents", "odate")
+    )
+    clean.select(
+        "o_orderkey",
+        "priority",
+        F.col("cents").cast("string").alias("cents"),
+    ).write.mode("overwrite").option("header", True).csv(clean_dir)
+
+    typed = spark.read.option("header", True).schema(
+        "o_orderkey long, priority string, cents long"
+    ).csv(clean_dir)
+    agg = typed.groupBy("priority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("revenue_cents"),
+    )
+    ufactory = functools.partial(
+        up.local_flaky_datastore, root=dsroot, fail_times=1, state_dir=ustate
+    )
+    up.bulk_upload(
+        agg.withColumn("seq", F.lit(1)),
+        ufactory,
+        epoch_id=0,
+        batch_size=2,
+        max_attempts=4,
+    )
+    state = up.FilesystemDatastore(dsroot).state("priority", "seq")
+    rows = [
+        (str(v["priority"]), int(v["n_orders"]), int(v["revenue_cents"]))
+        for v in state.values()
+    ]
+    return spark.createDataFrame(
+        rows, "priority string, n_orders long, revenue_cents long"
+    ).orderBy("priority")
