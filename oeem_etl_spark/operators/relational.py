@@ -190,6 +190,51 @@ def interval_overlap_join(
     return left.alias("l").join(right.alias("r"), cond, how)
 
 
+def asof_align_broadcast(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_ts: str,
+    value_cols: Sequence[str],
+    how: str = "left",
+) -> DataFrame:
+    """KEYLESS backward as-of against a SMALL boundary table (§2.C8's
+    grid-alignment face) as a broadcast single-match interval join.
+
+    :func:`asof_join` with a constant key is correct but funnels EVERY
+    left row through one window partition (the r9 mem probe measured the
+    c81 chain's shuffle read at 13× its write from exactly this) — fine
+    at fixture scale, a single-task bottleneck at 100 TB. When the right
+    side is dimension-sized (a time grid, campaign starts), the scalable
+    plan is: give each boundary its successor via one dim-sized window,
+    broadcast, and join on the half-open interval
+    ``right_ts <= left_ts < next_boundary`` — exactly one match per left
+    row, no shuffle of the left side at all, fully parallel.
+
+    Semantics equal ``asof_join(..., allow_exact=True,
+    direction="backward")`` on a deduplicated right side; left rows
+    before the first boundary get NULL values (how="left")."""
+    w = Window.orderBy(right_ts)  # dim-sized: the single partition is the point
+    r = (
+        right.withColumn(
+            "__next",
+            F.coalesce(
+                F.lead(right_ts).over(w),
+                F.lit("9999-01-01").cast(right.schema[right_ts].dataType),
+            ),
+        )
+        .alias("r")
+    )
+    l = left.alias("l")
+    cond = (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")) & (
+        F.col(f"l.{left_ts}") < F.col("r.__next")
+    )
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in value_cols if c not in left.columns
+    ]
+    return l.join(F.broadcast(r), cond, how).select(*keep)
+
+
 def merge_upsert(
     target: DataFrame,
     delta: DataFrame,

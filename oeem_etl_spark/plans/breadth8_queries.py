@@ -244,7 +244,7 @@ def c81_campaign_attribution_reconcile(spark, sf_dir):
     found-by-overlap, found-by-asof): order count and how many were the
     customer's first order."""
     from oeem_etl_spark.operators.relational import (
-        asof_join,
+        asof_align_broadcast,
         interval_overlap_join,
     )
 
@@ -284,12 +284,9 @@ def c81_campaign_attribution_reconcile(spark, sf_dir):
         "c_end",
     ).select("o_orderkey", "campaign_id")
 
-    asf = asof_join(
-        o.select("o_orderkey", "o_orderdate", F.lit(1).alias("g")),
-        camp.select(
-            F.lit(1).alias("g"), F.col("c_start"), F.col("campaign_id")
-        ),
-        keys=["g"],
+    asf = asof_align_broadcast(
+        o.select("o_orderkey", "o_orderdate"),
+        camp.select("c_start", "campaign_id"),
         left_ts="o_orderdate",
         right_ts="c_start",
         value_cols=["campaign_id"],
@@ -1621,19 +1618,22 @@ _K131_BANDS_SQL = ", ".join(f"({b}, {lo}, {hi})" for b, lo, hi in _K131_BANDS)
 def k131_grid_quantile_bands(spark, sf_dir):
     """Grid alignment + APPROX-percentile + tariff banding in one
     pipeline: every reading as-of-aligns to its 4-hour grid boundary (K7,
-    keyless backward as-of against a generated boundary table), each
+    keyless backward as-of against a generated boundary table — via the
+    BROADCAST single-match interval join, not the constant-key window
+    that funnels the fact through one partition; r9 probe finding), each
     slot's median comes from percentile_approx in EXACT MODE (D7:
     accuracy 1e6 >= any slot's row count makes the GK sketch store every
     value and return the exact discrete quantile — probed equal to
     DuckDB's quantile_disc), and slot medians RANGE-join into value bands
-    (C6). At 100 TB the same plan holds: the grid broadcasts, the
-    percentile state is bounded by accuracy, the band join broadcasts."""
-    from oeem_etl_spark.operators.relational import asof_join
+    (C6). At 100 TB the same plan holds: the grid broadcasts, the fact
+    side never shuffles for the alignment, the percentile state is
+    bounded by accuracy, the band join broadcasts."""
+    from oeem_etl_spark.operators.relational import asof_align_broadcast
 
     ev = (
         T(spark, sf_dir, "events")
         .where(F.col("value").isNotNull())
-        .select("ts", "value", F.lit(1).alias("__k"))
+        .select("ts", "value")
     )
     # 2023-12-31 .. 2024-02-01 inclusive at 4h steps: 32 days * 6
     # boundaries/day + 1 = 193, matching the oracle's generate_series
@@ -1645,11 +1645,9 @@ def k131_grid_quantile_bands(spark, sf_dir):
             F.lit("2023-12-31 00:00:00").cast("timestamp")
             + F.make_interval(hours=(F.col("id") * 4).cast("int"))
         ).alias("boundary"),
-        F.lit(1).alias("__k"),
     )
-    al = asof_join(
-        ev, grid, keys=["__k"], left_ts="ts", right_ts="boundary",
-        value_cols=["boundary"],
+    al = asof_align_broadcast(
+        ev, grid, left_ts="ts", right_ts="boundary", value_cols=["boundary"]
     ).select(F.col("boundary").alias("slot"), "value")
     sl = al.groupBy("slot").agg(
         F.expr("percentile_approx(value, 0.5, 1000000)").alias("p50")

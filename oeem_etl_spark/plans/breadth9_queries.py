@@ -625,7 +625,7 @@ def c82_period_fill_reconcile(spark, sf_dir):
     as gaps whose as-of count forward-fills from August (E4, the
     last-known-report carry) while the overlap count zero-fills."""
     from oeem_etl_spark.operators.relational import (
-        asof_join,
+        asof_align_broadcast,
         interval_overlap_join,
     )
 
@@ -658,10 +658,9 @@ def c82_period_fill_reconcile(spark, sf_dir):
         .agg(F.count(F.lit(1)).alias("n_overlap"))
     )
     asf = (
-        asof_join(
-            o.select("o_orderkey", "o_orderdate", F.lit(1).alias("g")),
-            periods.select(F.lit(1).alias("g"), "p_start", "period_id"),
-            keys=["g"],
+        asof_align_broadcast(
+            o.select("o_orderkey", "o_orderdate"),
+            periods.select("p_start", "period_id"),
             left_ts="o_orderdate",
             right_ts="p_start",
             value_cols=["period_id"],
@@ -743,7 +742,7 @@ def k132_normalized_slot_p90_bands(spark, sf_dir):
     p90s band-join through a theta predicate (C6). Grid has 45
     boundaries (44*18h = 33 days exactly), matching generate_series's
     inclusive end."""
-    from oeem_etl_spark.operators.relational import asof_join
+    from oeem_etl_spark.operators.relational import asof_align_broadcast
 
     conv = spark.createDataFrame(
         _K132_FACTORS, "event_type string, factor double"
@@ -766,15 +765,9 @@ def k132_normalized_slot_p90_bands(spark, sf_dir):
             F.lit("2023-12-30 00:00:00").cast("timestamp")
             + F.make_interval(hours=(F.col("id") * 18).cast("int"))
         ).alias("boundary"),
-        F.lit(1).alias("__k"),
     )
-    al = asof_join(
-        ev.withColumn("__k", F.lit(1)),
-        grid,
-        keys=["__k"],
-        left_ts="ts",
-        right_ts="boundary",
-        value_cols=["boundary"],
+    al = asof_align_broadcast(
+        ev, grid, left_ts="ts", right_ts="boundary", value_cols=["boundary"]
     ).select("event_type", F.col("boundary").alias("slot"), "nvm")
     sl = al.groupBy("event_type", "slot").agg(
         F.expr("percentile_approx(nvm, 0.9, 1000000)").alias("p90")

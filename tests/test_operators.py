@@ -1026,3 +1026,52 @@ def test_substring_dedup_window_guard(spark):
     df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         dedup.duplicate_window_spans(df, "doc_id", "text", window=1)
+
+
+def test_asof_align_broadcast_equals_keyless_asof_join(spark):
+    """The r9 scale finding: a constant-key asof_join funnels the fact
+    side through ONE window partition; asof_align_broadcast is the
+    broadcast interval-join replacement for dimension-sized right sides.
+    Pin value-equality on the edges: rows BEFORE the first boundary
+    (NULL), exactly ON a boundary (inclusive), between, and after the
+    last boundary."""
+    from oeem_etl_spark.operators.relational import (
+        asof_align_broadcast,
+        asof_join,
+    )
+
+    left = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(
+            ["2023-12-31 23:59:59", "2024-01-01 00:00:00",
+             "2024-01-01 07:12:00", "2024-01-02 00:00:00",
+             "2024-03-01 00:00:00"])],
+        "id long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    grid = spark.createDataFrame(
+        [(t,) for t in ["2024-01-01 00:00:00", "2024-01-01 06:00:00",
+                        "2024-01-02 00:00:00"]],
+        "boundary string",
+    ).withColumn("boundary", F.col("boundary").cast("timestamp"))
+
+    got = {
+        r["id"]: r["boundary"]
+        for r in asof_align_broadcast(
+            left, grid, "ts", "boundary", ["boundary"]
+        ).collect()
+    }
+    want = {
+        r["id"]: r["boundary"]
+        for r in asof_join(
+            left.withColumn("__k", F.lit(1)),
+            grid.withColumn("__k", F.lit(1)),
+            keys=["__k"],
+            left_ts="ts",
+            right_ts="boundary",
+            value_cols=["boundary"],
+        ).collect()
+    }
+    assert got == want, (got, want)
+    assert got[0] is None  # before the first boundary
+    assert str(got[1]) == "2024-01-01 00:00:00"  # exact boundary inclusive
+    assert str(got[2]) == "2024-01-01 06:00:00"
+    assert str(got[4]) == "2024-01-02 00:00:00"  # after last boundary

@@ -186,6 +186,92 @@ def main() -> None:
             emb, "vec_id", "embedding", k=k, iters=2, threshold=0.35
         )
 
+    def c81_chain_shape(sf_dir):
+        # the breadth8 combo CHAIN (VERDICT r8 task #6): window ->
+        # interval-overlap -> as-of -> full-outer reconcile -> join-back.
+        # Shuffles: two windows + the reconcile join, all keyed on
+        # rows-linear keys; the campaign dims broadcast. The witness is
+        # flat per-row reconcile bytes and zero spill at 10×.
+        from pyspark.sql import Window
+
+        from oeem_etl_spark.operators.relational import (
+            asof_align_broadcast,
+            interval_overlap_join,
+        )
+
+        camps = [
+            (1, "1996-01-01", "1996-07-01"),
+            (2, "1997-01-01", "1998-01-01"),
+            (3, "1999-06-01", "2000-01-01"),
+            (4, "2000-06-01", "2002-01-01"),
+        ]
+        o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+            "o_orderkey", "o_custkey", "o_orderdate"
+        )
+        wf = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        o = o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderdate",
+            F.first("o_orderdate").over(
+                wf.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cohort_start"),
+            F.coalesce(
+                F.lead("o_orderdate").over(wf),
+                F.lit("2002-01-01").cast("timestamp"),
+            ).alias("next_date"),
+        )
+        camp = spark.createDataFrame(
+            camps, "campaign_id int, c_start string, c_end string"
+        ).select(
+            "campaign_id",
+            F.col("c_start").cast("timestamp").alias("c_start"),
+            F.col("c_end").cast("timestamp").alias("c_end"),
+        )
+        ov = interval_overlap_join(
+            o.select("o_orderkey", "o_orderdate", "next_date"),
+            camp, "o_orderdate", "next_date", "c_start", "c_end",
+        ).select("o_orderkey", "campaign_id")
+        asf = asof_align_broadcast(
+            o.select("o_orderkey", "o_orderdate"),
+            camp.select("c_start", "campaign_id"),
+            left_ts="o_orderdate", right_ts="c_start",
+            value_cols=["campaign_id"],
+        ).select(
+            "o_orderkey",
+            F.coalesce("campaign_id", F.lit(0)).alias("campaign_id"),
+        )
+        a = ov.withColumn("in_overlap", F.lit(1)).alias("a")
+        b = asf.withColumn("in_asof", F.lit(1)).alias("b")
+        rec = a.join(
+            b,
+            (F.col("a.o_orderkey") == F.col("b.o_orderkey"))
+            & (F.col("a.campaign_id") == F.col("b.campaign_id")),
+            "full_outer",
+        ).select(
+            F.coalesce(F.col("a.o_orderkey"), F.col("b.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.coalesce(F.col("a.campaign_id"), F.col("b.campaign_id")).alias(
+                "campaign_id"
+            ),
+            F.coalesce(F.col("a.in_overlap"), F.lit(0)).alias("in_overlap"),
+            F.coalesce(F.col("b.in_asof"), F.lit(0)).alias("in_asof"),
+        )
+        return (
+            rec.join(o.select("o_orderkey", "o_orderdate", "cohort_start"),
+                     "o_orderkey")
+            .groupBy("campaign_id", "in_overlap", "in_asof")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(
+                    F.when(
+                        F.col("o_orderdate") == F.col("cohort_start"), 1
+                    ).otherwise(0)
+                ).alias("n_first"),
+            )
+        )
+
     shapes = {
         "dense_ids": (dense_ids_shape, [("1x", SF_DIR), ("100x", DIR100)]),
         "substring_spans": (
@@ -194,6 +280,7 @@ def main() -> None:
         ),
         "jacc_prefix_cc": (jacc_prefix_cc_shape, [("1x", SF_DIR), ("10x", DIR10)]),
         "semantic_dedup": (semantic_dedup_shape, [("1x", SF_DIR), ("10x", DIR10)]),
+        "c81_chain": (c81_chain_shape, [("1x", SF_DIR), ("10x", DIR10)]),
     }
     only = None
     if "--only" in sys.argv:

@@ -561,7 +561,7 @@ def shapes(spark, sf_dir):
         from pyspark.sql import Window
 
         from oeem_etl_spark.operators.relational import (
-            asof_join,
+            asof_align_broadcast,
             interval_overlap_join,
         )
 
@@ -598,10 +598,10 @@ def shapes(spark, sf_dir):
             o.select("o_orderkey", "o_orderdate", "next_date"),
             camp, "o_orderdate", "next_date", "c_start", "c_end",
         ).select("o_orderkey", "campaign_id")
-        asf = asof_join(
-            o.select("o_orderkey", "o_orderdate", F.lit(1).alias("g")),
-            camp.select(F.lit(1).alias("g"), "c_start", "campaign_id"),
-            keys=["g"], left_ts="o_orderdate", right_ts="c_start",
+        asf = asof_align_broadcast(
+            o.select("o_orderkey", "o_orderdate"),
+            camp.select("c_start", "campaign_id"),
+            left_ts="o_orderdate", right_ts="c_start",
             value_cols=["campaign_id"],
         ).select(
             "o_orderkey",
