@@ -526,15 +526,16 @@ def k56_dedupe_latest_reading(spark, sf_dir):
 )
 def k57_align_month_windows(spark, sf_dir):
     """Interval alignment, second face: events align to month starts via
-    the keyless as-of join (k7 aligns to project periods); events before
-    the first boundary keep a NULL label (LEFT as-of semantics)."""
-    from oeem_etl_spark.operators.relational import asof_join
+    the keyless as-of (k7 aligns to project periods); events before the
+    first boundary keep a NULL label (LEFT as-of semantics). Broadcast
+    interval-join form (asof_align_broadcast): the month dim broadcasts,
+    the fact side never shuffles for the alignment."""
+    from oeem_etl_spark.operators.relational import asof_align_broadcast
 
     ev = (
         T(spark, sf_dir, "events")
         .where(F.col("event_id") <= 3000)
         .select("event_id", "ts")
-        .withColumn("__k", F.lit(1))
     )
     months = spark.createDataFrame(
         [("m1", "2024-01-01"), ("m2", "2024-02-01"), ("m3", "2024-03-01")],
@@ -542,16 +543,13 @@ def k57_align_month_windows(spark, sf_dir):
     ).select(
         "month_label",
         F.col("boundary_s").cast("timestamp").alias("boundary"),
-        F.lit(1).alias("__k"),
     )
-    out = asof_join(
+    out = asof_align_broadcast(
         ev,
         months,
-        keys=["__k"],
         left_ts="ts",
         right_ts="boundary",
         value_cols=["month_label"],
-        allow_exact=True,
     )
     return out.select("event_id", "month_label")
 

@@ -176,10 +176,14 @@ def k4_fill_gaps(spark, sf_dir):
 )
 def k7_interval_align(spark, sf_dir):
     """Map each record onto its project period (baseline/reporting split)
-    via a keyless as-of join against period boundaries."""
-    ev = T(spark, sf_dir, "events").select("event_id", "ts").withColumn(
-        "__k", F.lit(1)
-    )
+    via a keyless as-of against period boundaries — the BROADCAST
+    single-match interval join (asof_align_broadcast): the dim-sized
+    boundary table broadcasts and the fact side never shuffles (the r9
+    probe showed the constant-key asof_join window funneling every fact
+    row through one partition)."""
+    from oeem_etl_spark.operators.relational import asof_align_broadcast
+
+    ev = T(spark, sf_dir, "events").select("event_id", "ts")
     periods = spark.createDataFrame(
         [
             ("baseline", "2024-01-01"),
@@ -190,16 +194,13 @@ def k7_interval_align(spark, sf_dir):
     ).select(
         "period_label",
         F.col("boundary_s").cast("timestamp").alias("boundary"),
-        F.lit(1).alias("__k"),
     )
-    out = asof_join(
+    out = asof_align_broadcast(
         ev,
         periods,
-        keys=["__k"],
         left_ts="ts",
         right_ts="boundary",
         value_cols=["period_label"],
-        allow_exact=True,
     )
     return out.select("event_id", "period_label")
 
