@@ -48,7 +48,15 @@ def pagerank(
     to ~10^6 nodes; beyond that drop to 9 — the bound is |sum of
     micros| < 2^63).
     """
-    e = edges.select("src", "dst").distinct()
+    from pyspark.storagelevel import StorageLevel
+
+    # The edge set is referenced by EVERY iteration's contribution join
+    # plus outdeg/nodes — unpersisted, each reference re-executes the
+    # caller's whole edge-building subtree (the r9 plan audit measured
+    # m82's 2-iteration plan at 63 edge-subtree scans / 126 exchanges).
+    # Persist once, truncate the final lineage, release (the
+    # label_propagation discipline, graph.py:205).
+    e = edges.select("src", "dst").distinct().persist(StorageLevel.MEMORY_AND_DISK)
     if nodes is None:
         nodes = (
             e.select(F.col("src").alias("node"))
@@ -96,6 +104,11 @@ def pagerank(
         )
         if checkpoint_every and (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
+    # materialize before releasing the edge cache (same shape as
+    # label_propagation's exit): the returned frame's lineage is a
+    # checkpoint scan, not iterations-deep join layers.
+    ranks = ranks.localCheckpoint(eager=True)
+    e.unpersist()
     return ranks
 
 

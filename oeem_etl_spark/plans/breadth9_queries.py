@@ -460,16 +460,20 @@ def k46_dedupe_resample_fill(spark, sf_dir):
     key (user, ts) by event_id — the upload-upsert dedupe (K5/D12) —
     then resample the survivors to hourly buckets in exact integer
     micros (K3), then densify each user's span and forward-fill the
-    hourly total across gaps (K4/E4). Three stages, ONE shuffle key
-    (user_id) end-to-end: the dedupe window, the resample agg, and the
-    fill window all partition by user, so at 100 TB the chain is one
-    exchange plus per-partition work."""
+    hourly total across gaps (K4/E4). Every stage clusters on a
+    user_id-PREFIXED key ((user_id, ts) dedupe window, (user_id, bucket)
+    resample, user_id fill), so ONE leading repartition("user_id")
+    satisfies all of their clustering requirements (HashPartitioning on
+    a key subset) and the measured plan pays one reused hash exchange +
+    the grid broadcast instead of four exchanges — the co-partitioned
+    chain a 100 TB meter pipeline needs."""
     from oeem_etl_spark.operators.timeseries import fill_gaps, resample_interval
 
     ev = (
         T(spark, sf_dir, "events")
         .where((F.col("user_id") <= 40) & F.col("value").isNotNull())
         .select("user_id", "ts", "value", "event_id")
+        .repartition("user_id")
     )
     w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
     dd = (

@@ -83,6 +83,21 @@ HEADLINE = [
     "m81_cooccur_degree_pick",
     "l130_embed_knn_tfidf",
     "k131_grid_quantile_bands",
+    # r9 breadth additions with scale-interesting shapes: time-range
+    # self-join + semi/anti gates, bloom-pruned rollup, the one-exchange
+    # dedupe->resample->fill chain, broadcast grid-align + normalize +
+    # p90 bands, period reconcile with carry-forward, conjunctive-search
+    # + weighted sample, hash-embed weighted kNN, co-purchase pagerank
+    # + micros UDAF, and the hostile try-decode batch
+    "c34_preceding_views_gate",
+    "c35_bloom_brand_rollup",
+    "k46_dedupe_resample_fill",
+    "k132_normalized_slot_p90_bands",
+    "c82_period_fill_reconcile",
+    "l132_search_sample_headline",
+    "l133_embed_weighted_knn",
+    "m82_copurchase_rank_rollup",
+    "x11_hostile_image_decode",
 ]
 
 
