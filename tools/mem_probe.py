@@ -272,6 +272,55 @@ def main() -> None:
             )
         )
 
+
+    def k46_chain_shape(sf_dir):
+        # the r9 co-partitioned meter chain at bytes level: the leading
+        # repartition(user-key) is the ONLY hash exchange; the witness is
+        # input-linear shuffle write and zero spill while the gap-fill
+        # grid multiplies OUTPUT rows ~19x past the input.
+        from pyspark.sql import Window
+
+        from oeem_etl_spark.operators.timeseries import (
+            fill_gaps,
+            resample_interval,
+        )
+
+        base_max = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .agg(F.max("o_orderkey"))
+            .first()[0]
+            + 1
+        )
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(
+                (
+                    (F.col("o_orderkey") / F.lit(base_max)).cast("long")
+                    * 200_000
+                    + F.col("o_custkey")
+                ).alias("o_custkey"),
+                "o_orderdate",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+                "o_orderkey",
+            )
+            .repartition("o_custkey")
+        )
+        w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+            F.col("o_orderkey").desc()
+        )
+        dd = (
+            o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn", "o_orderkey")
+        )
+        daily = resample_interval(
+            dd, keys=["o_custkey"], ts="o_orderdate", freq="day",
+            aggs=[F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")],
+        )
+        return fill_gaps(
+            daily, keys=["o_custkey"], bucket="bucket", value="c", freq="day"
+        )
+
     shapes = {
         "dense_ids": (dense_ids_shape, [("1x", SF_DIR), ("100x", DIR100)]),
         "substring_spans": (
@@ -281,6 +330,7 @@ def main() -> None:
         "jacc_prefix_cc": (jacc_prefix_cc_shape, [("1x", SF_DIR), ("10x", DIR10)]),
         "semantic_dedup": (semantic_dedup_shape, [("1x", SF_DIR), ("10x", DIR10)]),
         "c81_chain": (c81_chain_shape, [("1x", SF_DIR), ("10x", DIR10)]),
+        "k46_chain": (k46_chain_shape, [("1x", SF_DIR), ("10x", DIR10)]),
     }
     only = None
     if "--only" in sys.argv:

@@ -168,6 +168,16 @@ BOUNDS_SET = BENCH_HEADLINE + [
     "l63b_pq_refined_topk",
     "l64_bpe_train",
     "t02_min_cost_supplier",
+    # r9 additions: pin the round's intentional plan fixes so they can't
+    # silently regress — the broadcast keyless as-of (fact side must NOT
+    # shuffle for the alignment), the co-partitioned k46 chain, and
+    # pagerank's checkpoint-backed result (m82 was 126 exchanges before
+    # the edge persist).
+    "k131_grid_quantile_bands",
+    "c81_campaign_attribution_reconcile",
+    "k46_dedupe_resample_fill",
+    "m82_copurchase_rank_rollup",
+    "k7_interval_align",
 ]
 
 

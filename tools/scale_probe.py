@@ -638,6 +638,61 @@ def shapes(spark, sf_dir):
             )
         )
 
+
+    def k46_chain():
+        # the r9 co-partitioned meter chain (dedupe keep-latest ->
+        # hourly resample -> gap fill): one leading repartition(user_id)
+        # satisfies every stage's clustering, so cost must track the
+        # scan + ONE exchange of the input rows. Uses the scaled orders
+        # table keyed by custkey (events has no 10x copy): same chain,
+        # per-customer daily buckets.
+        from pyspark.sql import Window
+
+        from oeem_etl_spark.operators.timeseries import (
+            fill_gaps,
+            resample_interval,
+        )
+
+        # per-copy key: scaled copies shift o_orderkey but reuse
+        # o_custkey, so a bare custkey grid would NOT grow with copies
+        # (span x keys constant). Recover the copy index from the key
+        # shift so 10x rows -> 10x keys, each with the 1x span.
+        base_max = (
+            spark.read.parquet(f"{SF_DIR}/orders.parquet")
+            .agg(F.max("o_orderkey"))
+            .first()[0]
+            + 1
+        )
+        o = (
+            spark.read.parquet(f"{sf_dir}/orders.parquet")
+            .select(
+                (
+                    (F.col("o_orderkey") / F.lit(base_max)).cast("long")
+                    * 200_000
+                    + F.col("o_custkey")
+                ).alias("o_custkey"),
+                "o_orderdate",
+                F.round(F.col("o_totalprice") * 100).cast("long").alias("cents"),
+                "o_orderkey",
+            )
+            .repartition("o_custkey")
+        )
+        w = Window.partitionBy("o_custkey", "o_orderdate").orderBy(
+            F.col("o_orderkey").desc()
+        )
+        dd = (
+            o.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .drop("rn", "o_orderkey")
+        )
+        daily = resample_interval(
+            dd, keys=["o_custkey"], ts="o_orderdate", freq="day",
+            aggs=[F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")],
+        )
+        return fill_gaps(
+            daily, keys=["o_custkey"], bucket="bucket", value="c", freq="day"
+        )
+
     def pca_moments():
         # l43b's exact-integer moment pass (the SHIPPED closure —
         # decomp.moment_partials_fn — so the probe can never drift from
@@ -681,6 +736,7 @@ def shapes(spark, sf_dir):
         "kmv_sample": kmv_sample,
         "pca_moments": pca_moments,
         "c81_chain": c81_chain,
+        "k46_chain": k46_chain,
     }
 
 
