@@ -1445,9 +1445,16 @@ def i75_stream_enrich_daily(spark, sf_dir):
     shutil.rmtree(path, ignore_errors=True)
     harness.foreach_batch_capture(out, path)
     drained = spark.read.parquet(path)
-    last_batch = drained.agg(F.max("_batch_id").alias("b"))
+    # update-mode contract: keep the LAST batch's row PER WINDOW (a
+    # window not updated in the final micro-batch would vanish under a
+    # global last-batch filter — caught by the r9 2-batch pin,
+    # tests/test_streaming.py::test_enrich_tumbling_multi_batch_capture)
+    wlast = Window.partitionBy("window_start").orderBy(
+        F.col("_batch_id").desc()
+    )
     return (
-        drained.join(F.broadcast(last_batch), F.col("_batch_id") == F.col("b"))
+        drained.withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
         .select(
             F.col("window_start").cast("timestamp_ntz").alias("window_start"),
             "n_events",

@@ -568,3 +568,116 @@ def test_latest_state_tie_break_order_independent(spark, tmp_path):
         got = spark.read.parquet(out_dir).collect()
         assert len(got) == 1
         assert got[0]["last_value"] == 9.5, (order, got)
+
+
+def test_enrich_tumbling_multi_batch_capture(spark, tmp_path):
+    """i75's chain under a 2-batch drain: the stream-static enrich joins
+    EACH micro-batch against the dim, complete-mode tumbling counts grow
+    across batches, and the foreachBatch capture's LAST batch equals the
+    batch-mode aggregate over all input — the chain's exactly-the-batch-
+    answer contract beyond the single-batch oracle run."""
+    from oeem_etl_spark.streaming import harness, ops
+
+    d = str(tmp_path / "enrich")
+    os.makedirs(d, exist_ok=True)
+    _write_ordered_files(
+        spark,
+        d,
+        [
+            [(1, "2024-01-01 10:00:00", 1), (2, "2024-01-01 11:00:00", 2)],
+            [(3, "2024-01-02 09:00:00", 1), (4, "2024-01-01 23:00:00", 3)],
+        ],
+    )
+    schema = "id long, user_id long, ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/batch*")
+    )
+    dim = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 0)], "user_id long, pts int"
+    )
+    enriched = ops.enrich(sdf, F.broadcast(dim), "user_id").where(
+        F.col("pts") > 0
+    )
+    out = ops.tumbling_agg(
+        enriched,
+        "1 day",
+        [],
+        [F.count(F.lit(1)).alias("n"), F.sum("pts").alias("pts")],
+    )
+    cap = str(tmp_path / "cap")
+    harness.foreach_batch_capture(out, cap)
+    drained = spark.read.parquet(cap)
+    # update-mode consumer contract: last batch PER WINDOW (a global
+    # last-batch filter drops windows the final micro-batch didn't touch
+    # — the i75 bug this test caught)
+    from pyspark.sql import Window
+
+    wlast = Window.partitionBy("window_start").orderBy(
+        F.col("_batch_id").desc()
+    )
+    final = (
+        drained.withColumn("rn", F.row_number().over(wlast))
+        .where(F.col("rn") == 1)
+    )
+    got = {
+        str(r["window_start"]): (r["n"], r["pts"]) for r in final.collect()
+    }
+    # user 3's pts=0 row drops; day 1 has events 1 (10) + 2 (20); day 2
+    # has event 3 (10). Event 4 belongs to user 3 -> filtered.
+    assert got == {
+        "2024-01-01 00:00:00": (2, 30),
+        "2024-01-02 00:00:00": (1, 10),
+    }, got
+
+
+def test_dedup_sliding_typed_multi_batch(spark, tmp_path):
+    """i76's dedup->sliding chain across batches: a key duplicated in a
+    LATER batch must stay deduped by the streaming state (not re-counted
+    in its windows), while a genuinely new key adds to both of its
+    sliding windows."""
+    from oeem_etl_spark.streaming import harness, ops
+
+    d = str(tmp_path / "ds")
+    os.makedirs(d, exist_ok=True)
+    _write_ordered_files(
+        spark,
+        d,
+        [
+            [(1, "2024-01-01 10:00:00", 1)],
+            [(2, "2024-01-01 10:20:00", 1),   # same (user, 30-min bucket) -> dup
+             (3, "2024-01-01 10:40:00", 2)],  # new key, next bucket
+        ],
+    )
+    schema = "id long, user_id long, ts timestamp"
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/batch*")
+        .select(
+            "user_id",
+            F.timestamp_seconds(
+                (F.unix_timestamp("ts") / 1800).cast("long") * 1800
+            ).alias("hb"),
+        )
+    )
+    deduped = ops.dedup_keys(sdf, ["user_id", "hb"])
+    out = ops.sliding_agg(
+        deduped,
+        "60 minutes",
+        "30 minutes",
+        [],
+        [F.count(F.lit(1)).alias("n")],
+        ts_col="hb",
+    )
+    rows = harness.run_available_now(out, "complete").collect()
+    got = {str(r["window_start"]): r["n"] for r in rows}
+    # keys after dedup: (u1, 10:00) and (u2, 10:30). Each lands in two
+    # 60/30 windows; the duplicate (u1, 10:00-bucket) row from batch 1
+    # must NOT raise any count.
+    assert got == {
+        "2024-01-01 09:30:00": 1,
+        "2024-01-01 10:00:00": 2,
+        "2024-01-01 10:30:00": 1,
+    }, got
