@@ -46,19 +46,26 @@ def max_value(v: pd.Series) -> float:
 
 
 @F.pandas_udf(Ty.LongType())
-def micros_total(v: pd.Series) -> int:
+def micros_total(v: pd.Series) -> int | None:
     """Vectorized grouped-agg pandas UDF (J5): exact integer-micros sum —
-    each value quantized half-AWAY-from-zero (ROUND parity; numpy .round
-    is half-to-even), summed as int64. Order-independent and oracle-exact,
-    the dsum discipline inside an Arrow-batched UDAF. Non-finite values
-    (NULL -> NaN in the Arrow batch, inf) are dropped first, matching SQL
-    SUM's null-skipping — without the filter astype('int64') silently
-    turns NaN into INT64_MIN (ADVICE r8)."""
+    each value quantized half-AWAY-from-zero via the ONE shared quantizer
+    (streaming/ops.quantize_micros; ROUND parity — numpy .round is
+    half-to-even), summed as int64. Order-independent and oracle-exact,
+    the dsum discipline inside an Arrow-batched UDAF. SQL SUM semantics
+    exactly (r9 review): NULLs (Arrow NaN) skip; an all-NULL group
+    returns NULL, not 0; ±inf raises loudly instead of being silently
+    deleted or cast to INT64_MIN."""
     import numpy as np
 
+    from oeem_etl_spark.streaming.ops import quantize_micros
+
     a = v.to_numpy("float64")
-    a = a[np.isfinite(a)]
-    return int((np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5)).astype("int64").sum())
+    a = a[~np.isnan(a)]
+    if np.isinf(a).any():
+        raise ValueError("micros_total: non-finite (inf) value cannot quantize")
+    if not len(a):
+        return None
+    return int(quantize_micros(a).sum())
 
 
 def rebase_per_group(df: DataFrame, key: str, col: str, out: str) -> DataFrame:

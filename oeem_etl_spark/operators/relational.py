@@ -213,24 +213,24 @@ def asof_align_broadcast(
 
     Semantics equal ``asof_join(..., allow_exact=True,
     direction="backward")`` on a deduplicated right side; left rows
-    before the first boundary get NULL values (how="left")."""
+    before the first boundary get NULL values under ``how="left"`` and
+    DROP under ``how="inner"`` (DuckDB's bare ``ASOF JOIN``). The last
+    boundary's successor is NULL and the predicate treats NULL-next as
+    +infinity, so the operator works for ANY orderable ts type (numeric
+    epoch columns included — a typed literal sentinel would cast to
+    NULL there and silently unmatch the last boundary; r9 review
+    finding). ``value_cols`` take the RIGHT side's values even when a
+    same-named left column exists, matching asof_join's precedence."""
     w = Window.orderBy(right_ts)  # dim-sized: the single partition is the point
-    r = (
-        right.withColumn(
-            "__next",
-            F.coalesce(
-                F.lead(right_ts).over(w),
-                F.lit("9999-01-01").cast(right.schema[right_ts].dataType),
-            ),
-        )
-        .alias("r")
-    )
+    r = right.withColumn("__next", F.lead(right_ts).over(w)).alias("r")
+    lcols = [c for c in left.columns if c not in value_cols]
     l = left.alias("l")
     cond = (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}")) & (
-        F.col(f"l.{left_ts}") < F.col("r.__next")
+        F.col("r.__next").isNull()
+        | (F.col(f"l.{left_ts}") < F.col("r.__next"))
     )
-    keep = [F.col(f"l.{c}") for c in left.columns] + [
-        F.col(f"r.{c}") for c in value_cols if c not in left.columns
+    keep = [F.col(f"l.{c}") for c in lcols] + [
+        F.col(f"r.{c}") for c in value_cols
     ]
     return l.join(F.broadcast(r), cond, how).select(*keep)
 

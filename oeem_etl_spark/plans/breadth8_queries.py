@@ -1647,7 +1647,9 @@ def k131_grid_quantile_bands(spark, sf_dir):
         ).alias("boundary"),
     )
     al = asof_align_broadcast(
-        ev, grid, left_ts="ts", right_ts="boundary", value_cols=["boundary"]
+        ev, grid, left_ts="ts", right_ts="boundary", value_cols=["boundary"],
+        how="inner",  # oracle is a bare (inner) ASOF JOIN: events before
+        # the first boundary must DROP, not survive with a NULL slot
     ).select(F.col("boundary").alias("slot"), "value")
     sl = al.groupBy("slot").agg(
         F.expr("percentile_approx(value, 0.5, 1000000)").alias("p50")

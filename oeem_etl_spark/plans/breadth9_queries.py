@@ -771,7 +771,9 @@ def k132_normalized_slot_p90_bands(spark, sf_dir):
         ).alias("boundary"),
     )
     al = asof_align_broadcast(
-        ev, grid, left_ts="ts", right_ts="boundary", value_cols=["boundary"]
+        ev, grid, left_ts="ts", right_ts="boundary", value_cols=["boundary"],
+        how="inner",  # oracle is a bare (inner) ASOF JOIN: pre-grid
+        # events must DROP, not band-join through a NULL slot
     ).select("event_type", F.col("boundary").alias("slot"), "nvm")
     sl = al.groupBy("event_type", "slot").agg(
         F.expr("percentile_approx(nvm, 0.9, 1000000)").alias("p90")
@@ -988,12 +990,11 @@ def h82_props_shape_audit(spark, sf_dir):
             F.get_json_object("props", "$.k").cast("int").alias("k"),
         )
     )
-    a = ev.where(F.col("event_id") % 2 == 0).select(
-        "event_type", (F.col("k") / 10).cast("int").alias("cell")
-    ).distinct()
-    b = ev.where(F.col("event_id") % 2 == 1).select(
-        "event_type", (F.col("k") / 10).cast("int").alias("cell")
-    ).distinct()
+    # floor(k/10), not cast-truncate: DuckDB's // floors, so negative k
+    # would diverge under (k/10).cast('int') (truncates toward zero)
+    cell = F.floor(F.col("k") / 10).cast("int").alias("cell")
+    a = ev.where(F.col("event_id") % 2 == 0).select("event_type", cell).distinct()
+    b = ev.where(F.col("event_id") % 2 == 1).select("event_type", cell).distinct()
     common = a.intersect(b).groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_common_cells")
     )
@@ -1487,8 +1488,6 @@ def i75_stream_enrich_daily(spark, sf_dir):
     w AS (
       SELECT event_type, window_start, COUNT(*) AS active_keys
       FROM cand
-      WHERE window_start + INTERVAL '180 minutes'
-            > window_start + INTERVAL '1 us'
       GROUP BY event_type, window_start
     )
     SELECT event_type, window_start, CAST(active_keys AS BIGINT)

@@ -34,14 +34,21 @@ def quantize_micros(v):
 
 
 def sum_micros(v) -> int:
-    """Exact micros batch sum: drop non-finite values (SQL SUM skips
-    NULLs; Arrow delivers them as NaN), quantize half-away-from-zero,
-    sum as int64. Order-independent — the dsum discipline shared by
-    running_totals_state / tiered_totals_state / running_totals_tws."""
+    """Exact micros batch ACCUMULATOR sum: skip NaN (SQL SUM skips NULLs;
+    Arrow delivers them as NaN), quantize half-away-from-zero, sum as
+    int64. An all-NaN/empty batch contributes 0 — correct for a running
+    STATE accumulator (adding nothing); the SQL all-NULL-group → NULL
+    semantic belongs to the UDAF level (functions/udfs.micros_total).
+    ±inf is a genuine un-quantizable value, not a missing one — raise
+    loudly instead of silently deleting it (r9 review finding: the
+    original isfinite filter masked inf as if it were NULL)."""
     import numpy as np
 
     a = np.asarray(v, dtype="float64")
-    return int(quantize_micros(a[np.isfinite(a)]).sum())
+    a = a[~np.isnan(a)]
+    if np.isinf(a).any():
+        raise ValueError("sum_micros: non-finite (inf) value cannot quantize")
+    return int(quantize_micros(a).sum())
 
 
 def tumbling_agg(
@@ -396,9 +403,20 @@ def extremes_state(df: DataFrame, key: str = "user_id", value_col: str = "value"
     def fn(key_tuple, pdf_iter, state):
         import pandas as pd
 
+        import numpy as np
+
         n, mn, mx = state.get if state.exists else (0, None, None)
         for pdf in pdf_iter:
-            micros = quantize_micros(pdf[value_col].to_numpy("float64"))
+            v = pdf[value_col].to_numpy("float64")
+            # MIN/MAX skip NULLs (Arrow NaN) like SQL; inf cannot
+            # quantize — raise rather than silently emitting INT64_MIN
+            # (r9 review: astype('int64') on non-finite is UB-corruption)
+            v = v[~np.isnan(v)]
+            if np.isinf(v).any():
+                raise ValueError(
+                    "extremes_state: non-finite (inf) value cannot quantize"
+                )
+            micros = quantize_micros(v)
             if not len(micros):
                 continue
             n += len(micros)

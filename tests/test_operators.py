@@ -1075,3 +1075,38 @@ def test_asof_align_broadcast_equals_keyless_asof_join(spark):
     assert str(got[1]) == "2024-01-01 00:00:00"  # exact boundary inclusive
     assert str(got[2]) == "2024-01-01 06:00:00"
     assert str(got[4]) == "2024-01-02 00:00:00"  # after last boundary
+
+    # inner mode drops the pre-first-boundary row (DuckDB bare ASOF JOIN)
+    inner_ids = {
+        r["id"]
+        for r in asof_align_broadcast(
+            left, grid, "ts", "boundary", ["boundary"], how="inner"
+        ).collect()
+    }
+    assert inner_ids == {1, 2, 3, 4}
+
+
+def test_asof_align_broadcast_numeric_ts_and_collision(spark):
+    """r9 review pins: (a) a NUMERIC ts column must still match the last
+    boundary (the old typed '9999-01-01' sentinel cast to NULL for longs
+    and silently unmatched everything after it); (b) a value_col that
+    collides with a left column takes the RIGHT side's value, matching
+    asof_join's precedence."""
+    from oeem_etl_spark.operators.relational import asof_align_broadcast
+
+    left = spark.createDataFrame(
+        [(0, 5, "stale"), (1, 15, "stale"), (2, 95, "stale")],
+        "id long, t long, label string",
+    )
+    right = spark.createDataFrame(
+        [(10, "a"), (20, "b")], "t long, label string"
+    )
+    got = {
+        r["id"]: r["label"]
+        for r in asof_align_broadcast(
+            left, right, "t", "t", ["label"]
+        ).collect()
+    }
+    # id 0 precedes the first boundary -> NULL (NOT left's 'stale');
+    # id 2 is far past the LAST boundary and must still match it
+    assert got == {0: None, 1: "a", 2: "b"}, got

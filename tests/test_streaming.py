@@ -536,15 +536,56 @@ def test_quantize_micros_half_away_from_zero():
 
 
 def test_sum_micros_skips_non_finite():
-    """ADVICE r8: astype('int64') maps NaN to INT64_MIN silently; the sum
-    paths must skip NULL/NaN like SQL SUM instead."""
+    """ADVICE r8 + r9 review: astype('int64') maps NaN to INT64_MIN
+    silently; the sum paths skip NULL/NaN like SQL SUM, while inf — a
+    genuine un-quantizable value, not a missing one — raises loudly."""
     import numpy as np
+    import pytest as _pytest
 
     assert ops.sum_micros([1.0, float("nan"), 2.0]) == 3_000_000
-    assert ops.sum_micros([float("nan"), float("inf")]) == 0
+    assert ops.sum_micros([float("nan")]) == 0  # empty accumulator delta
     assert ops.sum_micros([]) == 0
+    with _pytest.raises(ValueError, match="inf"):
+        ops.sum_micros([1.0, float("inf")])
     # sanity: the failure mode we are guarding against
     assert np.array([np.nan]).astype("int64")[0] == np.iinfo("int64").min
+
+
+def test_micros_total_sql_sum_semantics(spark):
+    """r9 review: the UDAF level carries SQL SUM's group semantics — an
+    all-NULL group yields NULL (not 0), NULLs skip inside mixed groups."""
+    from oeem_etl_spark.functions.udfs import micros_total
+
+    df = spark.createDataFrame(
+        [(1, 1.5), (1, None), (2, None), (2, None)],
+        "k int, v double",
+    )
+    got = {
+        r["k"]: r["m"]
+        for r in df.groupBy("k").agg(micros_total("v").alias("m")).collect()
+    }
+    assert got == {1: 1_500_000, 2: None}, got
+
+
+def test_extremes_state_skips_nan(spark, tmp_path):
+    """r9 review: a NaN value (Arrow NULL) must not corrupt the envelope
+    to INT64_MIN — MIN/MAX skip NULLs like SQL."""
+    df = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", None), (2, "2024-01-01 10:01:00", 4.5),
+         (3, "2024-01-01 10:02:00", 1.25)],
+        "event_id long, ts string, value double",
+    ).select(
+        F.lit(7).alias("user_id"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        "value",
+    )
+    d = str(tmp_path / "exnan")
+    df.coalesce(1).write.mode("overwrite").parquet(d)
+    sdf = spark.readStream.schema(df.schema).parquet(d)
+    rows = harness.run_available_now(ops.extremes_state(sdf), "update").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["n_events"], r["min_value"], r["max_value"]) == (2, 1.25, 4.5)
 
 
 def test_latest_state_tie_break_order_independent(spark, tmp_path):
