@@ -37,6 +37,12 @@ from pyspark.sql import functions as F
 
 DEFAULT_SCALE = 1000
 
+# assign_expr unrolls its argmin into k parallel subtrees up to this k;
+# above it the compile-time cost of k fresh-literal subtrees per Lloyd
+# iteration outweighs the interpreted outer-lambda it removes (measured:
+# unroll 1.6× faster at k=8, ~2× slower at the PQ m=4·k=16 shape).
+_UNROLL_MAX_K = 8
+
 
 def quantize_vec(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     """array<float> -> array<bigint>, element = round(double(x) · scale).
@@ -45,11 +51,26 @@ def quantize_vec(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     float·int would round the product to float precision, which can flip
     round-to-int on values near an x.5 boundary; double math here is
     bit-identical to the oracle's ``CAST(x AS DOUBLE) * scale``.
+
+    The rounding is ``sign · floor(|x·scale| + 0.5)`` — arithmetic only,
+    measured ~4× faster per element than ``F.round`` (whose codegen
+    allocates a BigDecimal via Double.toString per element). For
+    |x·scale| < 2^52 this is exactly round-half-away-from-zero on the
+    binary double value: the +0.5 add is lossless there (ulp ≤ 0.5), and
+    an exact .5 product cannot arise from a 10^k scale (it would need a
+    5^k factor in a binary mantissa), so the only tie case is the double
+    LANDING on n.5 after product rounding — where half-away equals both
+    F.round's BigDecimal HALF_UP and DuckDB ROUND. Verified
+    element-for-element against F.round on the fixture embeddings.
     """
     c = F.col(col) if isinstance(col, str) else col
-    return F.transform(
-        c, lambda x: F.round(x.cast("double") * F.lit(scale)).cast("long")
-    )
+
+    def _q(x: Column) -> Column:
+        d = x.cast("double") * F.lit(scale)
+        mag = F.floor(F.abs(d) + F.lit(0.5)).cast("long")
+        return F.when(d < 0, -mag).otherwise(mag)
+
+    return F.transform(c, _q)
 
 
 def _sqdist_lit(vec: Column, centroid: list[int]) -> Column:
@@ -68,14 +89,39 @@ def assign_expr(vec: Column, centroids: list[list[int]]) -> Column:
     to the smallest cluster id, matching the oracle's
     ``row_number() OVER (ORDER BY dist, cid)``.
 
-    The centroid matrix enters the plan as ONE nested-array literal (not
-    k·dim scalar literal nodes): per-centroid scalar literals made the
-    expression tree k·dim wide, and Janino recompiled it on every Lloyd
-    iteration (fresh literal values -> no codegen-cache hit) — measured
-    ~2 s/iteration at k=8, dim=64. A single array<array<bigint>> literal
-    keeps analysis and codegen O(1) in k·dim; the arithmetic and the
-    (d, c) tie-break are unchanged.
+    Literal shape (three measured regimes, r9 tuning): k·dim SCALAR
+    literal nodes made Janino recompile ~2 s/iteration (fresh literal
+    values -> no codegen-cache hit); a single array<array<bigint>>
+    matrix literal fixes analysis cost but forces the OUTER centroid
+    loop through an interpreted ``transform`` lambda per row; unrolling
+    the argmin as k per-centroid ARRAY literals drops that outer lambda
+    (measured 1.6× faster per pass at k=8/dim=64) but re-inflates the
+    expression tree k-fold — at the PQ shape (m=4 subspaces × k=16
+    codes = 64 unrolled subtrees per plan, fresh literals every Lloyd
+    iteration) compile time dominates and the end-to-end query ran
+    ~2× SLOWER. So: unroll for small k (≤ ``_UNROLL_MAX_K``), keep the
+    single matrix literal above it. Element-identical output either
+    way — the arithmetic and the (d, c) tie-break are unchanged.
     """
+    if len(centroids) <= _UNROLL_MAX_K:
+        cells = F.array(
+            *[
+                F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec,
+                            F.lit([int(v) for v in c]),
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d"),
+                    F.lit(j).cast("int").alias("c"),
+                )
+                for j, c in enumerate(centroids)
+            ]
+        )
+        return F.array_min(cells)["c"]
     m = F.lit([[int(v) for v in c] for c in centroids])
     cells = F.transform(
         m,
@@ -155,7 +201,15 @@ def kmeans_assign(
     the extra work is one count, one bounded seed collect, and one more
     map-only assignment pass — no new shuffle of data rows.
     """
+    from pyspark.storagelevel import StorageLevel
+
     qdf = df.select(F.col(key).alias("__k"), quantize_vec(vec_col, scale).alias("__qv"))
+    # The quantized frame is consumed by EVERY pass (seed scan, each
+    # Lloyd iteration, the final assignment, and the split passes):
+    # persist it so quantization and the upstream scan run once, not
+    # 3+iters times (scale: one row of ints per vector; spills to disk;
+    # released by the ContextCleaner with the returned frame).
+    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
     seed = qdf.orderBy("__k").limit(k).collect()  # k rows — driver-held by design
     centroids = _lloyd(qdf, [list(r["__qv"]) for r in seed], iters)
     assign = assign_expr(F.col("__qv"), centroids)
@@ -332,8 +386,13 @@ def pq_train(
     """
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    from pyspark.storagelevel import StorageLevel
+
     sub = dim // m
     qdf = df.select(quantize_vec(vec_col, scale).alias("__qvfull"), F.col(key))
+    # seed scan + every Lloyd iteration re-reads this frame: persist so
+    # the quantization/scan run once (same rationale as kmeans_assign)
+    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
     seed_rows = (
         qdf.orderBy(key).limit(k_codes).collect()
     )  # k rows — driver-held by design
@@ -383,6 +442,7 @@ def pq_train(
             ]
             for j in range(m)
         ]
+    qdf.unpersist()  # training output is driver-held; nothing references qdf
     return books
 
 
@@ -499,14 +559,16 @@ def pq_search_refined(
     short = pq_adc_topk(
         codes, queries, codebooks, shortlist, corpus_key, query_key, vec_col, scale
     ).select(query_key, corpus_key)
-    cq = corpus.select(
-        F.col(corpus_key), quantize_vec(vec_col, scale).alias("__cq")
-    )
+    # Join FIRST, quantize after: the shortlist join drops all but
+    # shortlist·n_queries corpus rows, so the re-rank quantization runs
+    # on the survivors only instead of the full corpus (the projection
+    # would otherwise be computed below the join for every corpus row).
+    cq = corpus.select(F.col(corpus_key), F.col(vec_col).alias("__cvec"))
     qq = queries.select(
         F.col(query_key), quantize_vec(vec_col, scale).alias("__qq")
     )
     exact = F.aggregate(
-        F.zip_with("__qq", "__cq", lambda a, b: (a - b) * (a - b)),
+        F.zip_with("__qq", quantize_vec("__cvec", scale), lambda a, b: (a - b) * (a - b)),
         F.lit(0).cast("long"),
         lambda acc, x: acc + x,
     )

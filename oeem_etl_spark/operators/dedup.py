@@ -676,8 +676,10 @@ def prefix_filter_jaccard_join(
     and threshold t, any partner with Jaccard ≥ t must hit one of the
     first p = s − ⌈t·s⌉ + 1 shingles: a qualifying pair shares
     |A∩B| ≥ t·|A∪B| ≥ ⌈t·s⌉ members, which cannot fit in the s − p =
-    ⌈t·s⌉ − 1 non-prefix slots. Joining PREFIX shingles against the full
-    posting index therefore catches every qualifying pair; rarest-first
+    ⌈t·s⌉ − 1 non-prefix slots. Stronger (the two-sided AllPairs bound,
+    proof at the candidate join below): the pair's order-minimal common
+    shingle lies in BOTH prefixes, so the candidate join is PREFIX ⋈
+    PREFIX — the posting index itself is prefix-only, and rarest-first
     ordering makes those postings the shortest in the corpus.
 
     Scale shape: one shuffle on the shingle for frequencies, one per-doc
@@ -714,19 +716,23 @@ def prefix_filter_jaccard_join(
     )
     if persist_postings:
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
-    toks = sets.select("__k", F.explode("__set").alias("__tok"))
+    # set size rides the explode as a plain int column — F.size of the
+    # materialized array is free, where a count-over-partition window
+    # was a second window pass over the postings (r9 optimization)
+    toks = sets.select(
+        "__k", F.size("__set").alias("__s"), F.explode("__set").alias("__tok")
+    )
     if persist_postings:
         toks = toks.persist(StorageLevel.MEMORY_AND_DISK)
     freq = toks.groupBy("__tok").agg(F.count(F.lit(1)).alias("__df"))
     ranked = toks.join(freq, "__tok")
     w = Window.partitionBy("__k").orderBy("__df", "__tok")
-    wcnt = Window.partitionBy("__k")
     prefix = (
         ranked.select(
             "__k",
             "__tok",
             F.row_number().over(w).alias("__rn"),
-            F.count(F.lit(1)).over(wcnt).alias("__s"),
+            "__s",
         )
         .where(
             F.col("__rn")
@@ -734,9 +740,23 @@ def prefix_filter_jaccard_join(
         )
         .select("__k", "__tok")
     )
+    if persist_postings:
+        prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
+    # PREFIX ⋈ PREFIX, not prefix ⋈ full postings (r9 optimization): the
+    # standard two-sided AllPairs guarantee — let c be the globally
+    # smallest (by the same (__df, __tok) total order) member of A∩B for
+    # a qualifying pair; if c were outside A's prefix, the ≥ p_A tokens
+    # of A ordered before c would all be outside B (c is A∩B's minimum),
+    # giving |A∩B| ≤ |A| − p_A = ⌈t·|A|⌉ − 1 < ⌈t·|A|⌉ ≤ |A∩B| — absurd;
+    # symmetrically c is in B's prefix. So every qualifying pair shares
+    # a PREFIX token on both sides and the join's right side shrinks
+    # from all postings to prefix postings (the frequent shingles drop
+    # from BOTH sides, so the posting-length skew cap tightens too).
+    # Candidates remain a superset of qualifying pairs; the exact verify
+    # below filters identically, so results are unchanged.
     cand = (
         prefix.withColumnRenamed("__k", "__ka")
-        .join(toks.withColumnRenamed("__k", "__kb"), "__tok")
+        .join(prefix.withColumnRenamed("__k", "__kb"), "__tok")
         .where(F.col("__ka") != F.col("__kb"))
         .select(
             F.least("__ka", "__kb").alias("key_a"),
@@ -788,12 +808,20 @@ def duplicate_window_spans(
     """
     if window < 2:
         raise ValueError(f"window must be >= 2, got {window}")
-    toks = F.split(F.col(text_col), " ")
+    # Materialize the token array BEFORE the transform: an expression
+    # referenced inside the lambda is re-evaluated per output element, so
+    # an inline split() here re-splits the full text once per window
+    # position — O(words²) characters per document (the
+    # shingles_from_tokens trap; fixing it here measured 0.21 → 0.07 s
+    # on the l62b spans stage at sf0.1).
+    toks = F.col("__toks")
     wtext = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window))  # noqa: E731
     wkey = (lambda i: F.xxhash64(wtext(i))) if hash_windows else wtext
     n = F.size(toks)
     wins = df.select(
-        F.col(key).alias("__k"),
+        F.col(key).alias("__k"), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(
+        "__k",
         F.posexplode(
             F.when(
                 n >= window,
@@ -860,20 +888,26 @@ def substring_dedup(
         F.collect_list(F.struct("span_start", "span_end")).alias("__spans"),
         F.sum(F.col("span_end") - F.col("span_start") + 1).alias("dup_words"),
     )
-    toks = F.split(F.col(text_col), " ")
-    out = df.join(per_doc, key, "left")
+    # Same lambda-re-evaluation trap as the spans pass: materialize the
+    # token array and the coalesced span array as bound attributes, so
+    # the per-word filter doesn't re-split the text (or re-coalesce the
+    # span array) once per token.
     empty = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
-    spans_col = F.coalesce(F.col("__spans"), empty)
+    out = (
+        df.join(per_doc, key, "left")
+        .withColumn("__toks", F.split(F.col(text_col), " "))
+        .withColumn("__spansc", F.coalesce(F.col("__spans"), empty))
+    )
     kept = F.filter(
-        toks,
+        F.col("__toks"),
         lambda w, i: ~F.exists(
-            spans_col,
+            F.col("__spansc"),
             lambda sp: (i >= sp["span_start"]) & (i <= sp["span_end"]),
         ),
     )
     return (
         out.withColumn("text_deduped", F.concat_ws(" ", kept))
-        .withColumn("n_words", F.size(toks))
+        .withColumn("n_words", F.size(F.col("__toks")))
         .withColumn("dup_words", F.coalesce(F.col("dup_words"), F.lit(0)))
-        .drop("__spans")
+        .drop("__spans", "__spansc", "__toks")
     )

@@ -455,7 +455,15 @@ def calendarize(
     no join and no shuffle; downstream monthly rollups group on (month),
     a low-cardinality map-combinable key.
     """
-    s, e = F.col(start), F.col(end)
+    # Per-INPUT-row arithmetic (the value quantization, the total-day
+    # span, and the date normalization of both endpoints) is hoisted
+    # into the projection BELOW the month Generate, so it runs once per
+    # interval instead of once per (interval × month) output row; the
+    # endpoint dates are bound attributes, so the per-month overlap
+    # works in pure DATE space with no timestamp↔date casts per row.
+    # least/greatest commute with the (monotone) date cast, so overlap
+    # and total are value-identical to the former timestamp-space form.
+    s, e = F.col(start).cast("date"), F.col(end).cast("date")
     month = F.explode(
         F.sequence(F.trunc(s, "month"), F.trunc(e, "month"), F.expr("interval 1 month"))
     ).alias("month")
@@ -463,17 +471,18 @@ def calendarize(
         *[F.col(k) for k in keys],
         s.alias("__s"),
         e.alias("__e"),
-        F.col(value_col).alias("__v"),
+        F.round(F.col(value_col) * 10_000).cast("long").alias("__v4"),
+        (F.datediff(e, s) + 1).cast("long").alias("__total"),
         month,
     )
     m = F.col("month")
     overlap = F.datediff(F.least(F.col("__e"), F.last_day(m)), F.greatest(F.col("__s"), m)) + 1
-    total = F.datediff(F.col("__e"), F.col("__s")) + 1
+    total = F.col("__total")
     # exact fixed-point: (value·1e4 as long) · overlap, floor-divided by
     # total. numer - numer % total is divisible by total, so the double
     # division is exact (magnitudes < 2^53); no float rounding anywhere.
-    numer = F.round(F.col("__v") * 10_000).cast("long") * overlap.cast("long")
-    alloc_e4 = ((numer - numer % total.cast("long")) / total.cast("long")).cast("long")
+    numer = F.col("__v4") * overlap.cast("long")
+    alloc_e4 = ((numer - numer % total) / total).cast("long")
     return base.select(
         *[F.col(k) for k in keys],
         m,
