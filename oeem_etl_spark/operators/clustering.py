@@ -52,25 +52,19 @@ def quantize_vec(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     round-to-int on values near an x.5 boundary; double math here is
     bit-identical to the oracle's ``CAST(x AS DOUBLE) * scale``.
 
-    The rounding is ``sign · floor(|x·scale| + 0.5)`` — arithmetic only,
-    measured ~4× faster per element than ``F.round`` (whose codegen
-    allocates a BigDecimal via Double.toString per element). For
-    |x·scale| < 2^52 this is exactly round-half-away-from-zero on the
-    binary double value: the +0.5 add is lossless there (ulp ≤ 0.5), and
-    an exact .5 product cannot arise from a 10^k scale (it would need a
-    5^k factor in a binary mantissa), so the only tie case is the double
-    LANDING on n.5 after product rounding — where half-away equals both
-    F.round's BigDecimal HALF_UP and DuckDB ROUND. Verified
-    element-for-element against F.round on the fixture embeddings.
+    The rounding is the shared exact fixed-point quantizer
+    (functions/fixedpoint.qlong): arithmetic only, measured ~4× faster
+    per element than ``F.round`` (whose codegen allocates a BigDecimal
+    via Double.toString per element), exact binary half-away-from-zero
+    for |x·scale| < 2^52 including the ulp/2 window below each .5
+    boundary (overshoot-corrected — proof in the fixedpoint module).
+    Verified element-for-element against F.round on the fixture
+    embeddings.
     """
+    from oeem_etl_spark.functions.fixedpoint import qlong
+
     c = F.col(col) if isinstance(col, str) else col
-
-    def _q(x: Column) -> Column:
-        d = x.cast("double") * F.lit(scale)
-        mag = F.floor(F.abs(d) + F.lit(0.5)).cast("long")
-        return F.when(d < 0, -mag).otherwise(mag)
-
-    return F.transform(c, _q)
+    return F.transform(c, lambda x: qlong(x.cast("double"), scale))
 
 
 def _sqdist_lit(vec: Column, centroid: list[int]) -> Column:

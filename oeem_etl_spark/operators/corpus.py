@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from oeem_etl_spark.functions.fixedpoint import qlong
+
 from oeem_etl_spark.operators.text import ngrams_from_tokens, tokenize
 
 
@@ -519,7 +521,7 @@ def importance_weights(
     scored = (
         toks.join(freq, "__t")
         .crossJoin(F.broadcast(totals))
-        .select(F.col(key), F.round(w * 1_000_000).cast("long").alias("__w"))
+        .select(F.col(key), qlong(w, 1_000_000).alias("__w"))
     )
     return scored.groupBy(key).agg(
         F.round(F.sum("__w") / F.count("__w") / F.lit(1_000_000.0), 6).alias(
@@ -570,7 +572,7 @@ def unigram_drift(
     )
     p_inc = (F.col("__tf_inc") + F.lit(1.0)) / (F.col("__n_inc") + F.col("__v"))
     p_ref = (F.col("__tf_ref") + F.lit(1.0)) / (F.col("__n_ref") + F.col("__v"))
-    contrib = F.round(p_inc * F.log(p_inc / p_ref) * 1_000_000_000).cast("long")
+    contrib = qlong(p_inc * F.log(p_inc / p_ref), 1_000_000_000)
     return (
         freq.crossJoin(F.broadcast(totals))
         .select(

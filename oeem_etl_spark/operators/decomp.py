@@ -238,9 +238,11 @@ def pca_power_fixed(
             for wi in w
         ]
     vlit = F.lit(v)
+    from oeem_etl_spark.functions.fixedpoint import qlong
+
     xq = F.transform(
         F.col(vec_col),
-        lambda x: F.round(x.cast("double") * q_scale).cast("long"),
+        lambda x: qlong(x.cast("double"), q_scale),
     )
     proj = F.aggregate(
         F.zip_with(xq, vlit, lambda a, b: a * b),

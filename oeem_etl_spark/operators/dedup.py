@@ -109,6 +109,17 @@ _PERM_A = [((p + 1) * _GOLDEN) % (_MERSENNE_P - 1) + 1 for p in range(256)]
 _PERM_B = [((p + 1) * 0xC2B2AE3D27D4EB4F) % _MERSENNE_P for p in range(256)]
 
 
+def shingle_sets(df: DataFrame, key: str, text_col: str, shingle_k: int = 3) -> DataFrame:
+    """(key, __set): the distinct token-k-shingle array per document —
+    the shared upstream of signatures AND exact-Jaccard verification
+    (r9: computed once and reused; it previously re-derived 3× inside
+    minhash_lsh_dedup — once for signatures, once per verify join side)."""
+    toks = df.select(F.col(key), F.split(F.col(text_col), " ").alias("__toks"))
+    return toks.select(
+        F.col(key), shingles_from_tokens(F.col("__toks"), shingle_k).alias("__set")
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     key: str,
@@ -116,6 +127,7 @@ def minhash_signatures(
     num_perm: int = 64,
     shingle_k: int = 3,
     hash_fn=None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document MinHash signature: array<bigint> of length ``num_perm``.
 
@@ -140,9 +152,12 @@ def minhash_signatures(
     """
     if hash_fn is None:
         hash_fn = lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P))  # noqa: E731
-    toks = df.select(F.col(key), F.split(F.col(text_col), " ").alias("__toks"))
-    sh = toks.select(
-        F.col(key), shingles_from_tokens(F.col("__toks"), shingle_k).alias("__sh")
+    sh = (
+        sets.select(F.col(key), F.col("__set").alias("__sh"))
+        if sets is not None
+        else shingle_sets(df, key, text_col, shingle_k).select(
+            F.col(key), F.col("__set").alias("__sh")
+        )
     )
     hs = sh.select(
         F.col(key),
@@ -219,8 +234,13 @@ def jaccard_verify(
     text_col: str,
     shingle_k: int = 3,
     max_pairs: int | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """Attach exact shingle-set Jaccard to candidate pairs (verify step).
+
+    ``sets`` (optional): a pre-computed (key, __set) shingle frame
+    (:func:`shingle_sets`) — pass the persisted one from the pipeline so
+    tokenize+shingle is not re-derived per join side.
 
     ``pairs`` MUST come from a bucketed candidate generator
     (:func:`lsh_candidate_pairs`, :func:`simhash_near_pairs`) or another
@@ -237,9 +257,8 @@ def jaccard_verify(
                 f"{max_pairs}; use a bucketed candidate generator "
                 "(lsh_candidate_pairs / simhash_near_pairs), not all-pairs"
             )
-    sets = df.select(F.col(key), F.split(F.col(text_col), " ").alias("__toks")).select(
-        F.col(key), shingles_from_tokens(F.col("__toks"), shingle_k).alias("__set")
-    )
+    if sets is None:
+        sets = shingle_sets(df, key, text_col, shingle_k)
     j = (
         pairs.join(sets.withColumnRenamed(key, "key_a").withColumnRenamed("__set", "__sa"), "key_a")
         .join(sets.withColumnRenamed(key, "key_b").withColumnRenamed("__set", "__sb"), "key_b")
@@ -285,13 +304,23 @@ def minhash_lsh_dedup(
     from pyspark.storagelevel import StorageLevel
 
     max_rounds = 50 if cc_iterations is None else cc_iterations
-    sigs = minhash_signatures(df, key, text_col, num_perm, shingle_k)
+    # r9: the shingle-set frame is the shared upstream of BOTH the
+    # signatures and the exact-Jaccard verify joins (two sides) — compute
+    # it once and persist, instead of re-tokenizing+re-shingling the
+    # corpus three times (measured: shingling is ~0.4 s of the 1.6 s
+    # signature stage at sf0.1, and verify paid it twice more). Same
+    # MEMORY_AND_DISK posture and ContextCleaner release as the other
+    # intermediates; size ∝ corpus shingles, spillable.
+    sets = shingle_sets(df, key, text_col, shingle_k)
+    if persist_intermediate:
+        sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
+    sigs = minhash_signatures(df, key, text_col, num_perm, shingle_k, sets=sets)
     if persist_intermediate:
         sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     cand = lsh_candidate_pairs(sigs, key, bands, num_perm)
     if persist_intermediate:
         cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
-    verified = jaccard_verify(df, cand, key, text_col, shingle_k).where(
+    verified = jaccard_verify(df, cand, key, text_col, shingle_k, sets=sets).where(
         F.col("jaccard") >= threshold
     )
 

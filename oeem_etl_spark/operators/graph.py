@@ -29,6 +29,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from oeem_etl_spark.functions.fixedpoint import qlong
+
 
 def pagerank(
     edges: DataFrame,
@@ -83,7 +85,7 @@ def pagerank(
             .join(e, ranks["node"] == e["src"])
             .select(
                 F.col("dst").alias("node"),
-                F.round(F.col("rank") / F.col("outdeg") * m).cast("long").alias(
+                qlong(F.col("rank") / F.col("outdeg"), m).alias(
                     "__micros"
                 ),
             )

@@ -11,6 +11,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from oeem_etl_spark.functions.fixedpoint import qlong
+
 from oeem_etl_spark.functions import vector
 
 
@@ -494,7 +496,7 @@ def sparse_tfidf_topk(
     w = w.select(
         F.col(key),
         "term",
-        F.round(F.col("tfidf") * weight_scale).cast("long").alias("__wm"),
+        qlong(F.col("tfidf"), weight_scale).alias("__wm"),
     )
     a = w.select(F.col(key).alias("key_a"), "term", F.col("__wm").alias("__wa"))
     b = w.select(F.col(key).alias("key_b"), "term", F.col("__wm").alias("__wb"))

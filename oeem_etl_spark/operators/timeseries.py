@@ -14,6 +14,8 @@ from collections.abc import Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from oeem_etl_spark.functions.fixedpoint import qlong
+
 _FREQ_INTERVAL = {
     "hour": "INTERVAL 1 HOUR",
     "day": "INTERVAL 1 DAY",
@@ -122,7 +124,7 @@ def interpolate_gaps(
     dense = fill_gaps(df, keys, bucket, value, freq=freq, forward_fill=False)
     m = 10**scale
     dense = dense.withColumn(
-        "__v_fp", F.round(F.col(value) * m).cast("long")
+        "__v_fp", qlong(F.col(value), m)
     )
     wb = (
         Window.partitionBy(*keys)
@@ -231,7 +233,7 @@ def seasonal_baseline(
     """
     dow = F.dayofweek(F.col(ts))
     hod = F.hour(F.col(ts))
-    micros = F.round(F.col(value) * 1_000_000).cast("long")
+    micros = qlong(F.col(value), 1_000_000)
     cells = (
         df.select(*keys, dow.alias("__dow"), hod.alias("__hod"), micros.alias("__m"))
         .groupBy(*keys, "__dow", "__hod")
@@ -353,9 +355,9 @@ def degree_day_normalize(
     temp = synthetic_daily_temperature(day)
     hdd = F.greatest(F.lit(0.0), F.round(F.lit(base_temp) - temp, 2))
     cdd = F.greatest(F.lit(0.0), F.round(temp - F.lit(base_temp), 2))
-    vm = F.round(F.col(value) * 1_000_000).cast("long")
-    hm = F.round(hdd * 1_000_000).cast("long")
-    cm = F.round(cdd * 1_000_000).cast("long")
+    vm = qlong(F.col(value), 1_000_000)
+    hm = qlong(hdd, 1_000_000)
+    cm = qlong(cdd, 1_000_000)
     per = (
         df.select(
             *keys,
@@ -401,7 +403,7 @@ def period_savings(
     Single aggregation pass (conditional micros sums).
     """
     cut = F.lit(cutoff).cast("timestamp")
-    vm = F.round(F.col(value) * 1_000_000).cast("long")
+    vm = qlong(F.col(value), 1_000_000)
     is_base = F.col(ts) < cut
     agg = df.groupBy(*keys).agg(
         F.sum(F.when(is_base, vm)).alias("__bv"),
@@ -431,6 +433,7 @@ def calendarize(
     end: str,
     value_col: str,
     keys: Sequence[str],
+    emit_e4: bool = False,
 ) -> DataFrame:
     """Calendarization (billing-period proration — the energy-ETL staple
     for aligning consumption/revenue intervals to reporting months): each
@@ -471,7 +474,7 @@ def calendarize(
         *[F.col(k) for k in keys],
         s.alias("__s"),
         e.alias("__e"),
-        F.round(F.col(value_col) * 10_000).cast("long").alias("__v4"),
+        qlong(F.col(value_col), 10_000).alias("__v4"),
         (F.datediff(e, s) + 1).cast("long").alias("__total"),
         month,
     )
@@ -483,12 +486,22 @@ def calendarize(
     # division is exact (magnitudes < 2^53); no float rounding anywhere.
     numer = F.col("__v4") * overlap.cast("long")
     alloc_e4 = ((numer - numer % total) / total).cast("long")
+    # emit_e4: expose the exact 1e-4-unit long instead of the double
+    # quotient — for consumers that immediately re-quantize at scale 4
+    # (k23's dsum), skipping a divide + round-trip re-round per exploded
+    # row. alloc = alloc_e4/1e4 round-trips exactly (|alloc_e4| < 2^50),
+    # so double-consumers lose nothing by the default.
+    alloc = (
+        alloc_e4.alias(f"{value_col}_alloc_e4")
+        if emit_e4
+        else (alloc_e4 / F.lit(10_000.0)).alias(f"{value_col}_alloc")
+    )
     return base.select(
         *[F.col(k) for k in keys],
         m,
         overlap.cast("int").alias("overlap_days"),
         total.cast("int").alias("total_days"),
-        (alloc_e4 / F.lit(10_000.0)).alias(f"{value_col}_alloc"),
+        alloc,
     )
 
 
@@ -529,7 +542,7 @@ def ewma_half(
         .orderBy(*order)
         .rowsBetween(-window_rows, Window.currentRow)
     )
-    v_fp = F.round(F.col(value) * m).cast("long")
+    v_fp = qlong(F.col(value), m)
     arr = F.collect_list(v_fp).over(w)  # frame order: oldest -> newest
     n = F.size(arr)
     weights = F.transform(
@@ -575,8 +588,8 @@ def per_key_ols(
     Output: keys..., n, slope, intercept (rounded 6dp).
     """
     mx, my = 10**x_scale, 10**y_scale
-    xf = F.round(x * mx).cast("long")
-    yf = F.round(y * my).cast("long")
+    xf = qlong(x, mx)
+    yf = qlong(y, my)
     agg = df.groupBy(*keys).agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xf).alias("__sx"),
@@ -637,8 +650,8 @@ def changepoint_balance_fit(
         F.greatest(F.lit(0.0), F.round(F.col("__bp") - F.col("__t"), x_scale)),
         x_scale,
     )
-    xf = F.round(hdd * mx).cast("long")
-    yf = F.round(F.col("__y") * my).cast("long")
+    xf = qlong(hdd, mx)
+    yf = qlong(F.col("__y"), my)
     s = rows.groupBy(*keys, "__bp").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(xf).alias("__sx"),

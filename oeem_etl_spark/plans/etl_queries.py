@@ -18,6 +18,7 @@ from oeem_etl_spark.operators.timeseries import (
 )
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, davg, dsum, sql_davg, sql_dsum
+from oeem_etl_spark.functions.fixedpoint import qlong
 
 
 @query(
@@ -744,12 +745,20 @@ def k23_calendarize(spark, sf_dir):
     )
     parts = calendarize(
         iv, "o_orderdate", "l_shipdate", "l_extendedprice",
-        keys=["l_orderkey", "l_linenumber"],
+        keys=["l_orderkey", "l_linenumber"], emit_e4=True,
     )
-    # month as TIMESTAMP_NTZ on both sides (date vs datetime64 dtype flap)
+    # month as TIMESTAMP_NTZ on both sides (date vs datetime64 dtype flap).
+    # r9: sum the operator's exact 1e-4-unit longs directly — identical to
+    # dsum(alloc, scale=4) because alloc = e4/1e4 round-trips exactly
+    # (|e4| < 2^50), minus a divide + re-quantize per exploded row; the
+    # same non-ANSI overflow guard is kept.
+    from oeem_etl_spark.plans.util import _overflow_guard
+
+    e4 = F.col("l_extendedprice_alloc_e4")
+    total = _overflow_guard(e4, F.sum(e4))
     return parts.groupBy(F.col("month").cast("timestamp_ntz").alias("month")).agg(
         F.count(F.lit(1)).alias("n_parts"),
-        dsum("l_extendedprice_alloc", "recognized", scale=4),
+        F.round(total / F.lit(10_000.0), 4).alias("recognized"),
     )
 
 
@@ -1308,8 +1317,14 @@ def k34_nearest_station(spark, sf_dir):
         coord("s:", "s_suppkey", 1).alias("x"),
         coord("s:", "s_suppkey", 4).alias("y"),
     )
+    # cell sized to the fixture's site density (r9 tuning): 100k cells
+    # put ~2-3 sites per cell at sf0.1 instead of ~9, nearly halving the
+    # candidate fan-out (measured 1.29 -> 0.71 s end-to-end); the result
+    # is cell-INDEPENDENT by grid_nn_join's provable-winner + exact-
+    # fallback guarantee (sparser SFs just route more points through the
+    # broadcast fallback, which is trivially small there).
     return grid_nn_join(
-        cust, supp, "c_custkey", "s_suppkey", cell=200_000
+        cust, supp, "c_custkey", "s_suppkey", cell=100_000
     ).select(
         "c_custkey",
         F.col("nearest_site").cast("long").alias("nearest_site"),
@@ -1386,7 +1401,7 @@ def k36_benford_audit(spark, sf_dir):
     log10(1 + 1/d) is computed identically in both engines."""
     o = T(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
     digit = F.substring(
-        F.round(F.col("o_totalprice") * 100).cast("long").cast("string"), 1, 1
+        qlong(F.col("o_totalprice"), 100).cast("string"), 1, 1
     )
     c = o.groupBy(digit.alias("digit")).agg(F.count(F.lit(1)).alias("n"))
     t = c.agg(F.sum("n").alias("total"))
@@ -1492,7 +1507,7 @@ def k37_meter_pipeline(spark, sf_dir):
     interp = interpolate_gaps(
         daily, keys=["user_id"], bucket="bucket", value="day_total", freq="day"
     )
-    micros = F.round(F.col("day_total") * F.lit(1_000_000)).cast("long")
+    micros = qlong(F.col("day_total"), 1_000_000)
     return (
         interp.groupBy(
             "user_id",
@@ -1733,7 +1748,7 @@ def k40_tiered_billing(spark, sf_dir):
         F.date_trunc("month", F.col("ts")).cast("timestamp_ntz").alias("month"),
         "ts",
         "event_id",
-        F.round(F.col("value") * 1_000_000).cast("long").alias("um"),
+        qlong(F.col("value"), 1_000_000).alias("um"),
     )
     w = (
         Window.partitionBy("user_id", "month")
@@ -1989,10 +2004,8 @@ def k42_avoided_energy(spark, sf_dir):
     rep = daily.where(F.col("bucket") >= cutoff).join(
         F.broadcast(fit), "user_id"
     )
-    pm = F.round(
-        (F.col("intercept") + F.col("slope") * F.col("hdd")) * 1_000_000
-    ).cast("long")
-    ym = F.round(F.col("y") * 1_000_000).cast("long")
+    pm = qlong(F.col("intercept") + F.col("slope") * F.col("hdd"), 1_000_000)
+    ym = qlong(F.col("y"), 1_000_000)
     return (
         rep.select("user_id", "n_base_days", pm.alias("pm"), ym.alias("ym"))
         .groupBy("user_id", "n_base_days")
@@ -2046,7 +2059,7 @@ def k43_expanding_cv_folds(spark, sf_dir):
     ev = T(spark, sf_dir, "events")
     d = ev.groupBy(
         "user_id", F.date_trunc("day", F.col("ts")).alias("day")
-    ).agg(F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("ym"))
+    ).agg(F.sum(qlong(F.col("value"), 1_000_000)).alias("ym"))
     folds = spark.createDataFrame(cutoffs, "fold int, cutoff_s string").select(
         "fold", F.col("cutoff_s").cast("timestamp").alias("cutoff")
     )
@@ -2212,7 +2225,7 @@ def k44_psi_drift(spark, sf_dir):
     )
     p = F.col("nref") * 1.0 / F.col("tref")
     q = F.col("ninc") * 1.0 / F.col("tinc")
-    term = F.round((p - q) * F.log(p / q) * 1_000_000).cast("long")
+    term = qlong((p - q) * F.log(p / q), 1_000_000)
     from pyspark.sql import Window
 
     terms = counts.crossJoin(F.broadcast(tot)).select(

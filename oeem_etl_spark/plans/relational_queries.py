@@ -23,6 +23,7 @@ from oeem_etl_spark.operators.relational import (
 from oeem_etl_spark.operators import quality as quality_ops
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, davg, dsum, sql_davg, sql_dsum
+from oeem_etl_spark.functions.fixedpoint import qlong
 
 # ---------------------------------------------------------------------------
 # Flagship + headline queries
@@ -97,9 +98,7 @@ def q02_top_revenue_customers(spark, sf_dir):
     cust = T(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = T(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = T(spark, sf_dir, "lineitem")
-    rev_m = F.round(
-        (F.col("l_extendedprice") * (1 - F.col("l_discount"))) * 1_000_000
-    ).cast("long")
+    rev_m = qlong(F.col("l_extendedprice") * (1 - F.col("l_discount")), 1_000_000)
     # Aggregate in integer micros and keep the (wide, string-carrying)
     # customer join AFTER the top-10: the limit sees only (custkey, micros)
     # longs, and names attach to 10 rows instead of 600k. Ordering by raw
@@ -1866,7 +1865,7 @@ def d27_welch_ttest(spark, sf_dir):
     aggregation over the data; the 5-row stats frame self-joins
     broadcast-side for the 10 pairs."""
     ev = T(spark, sf_dir, "events")
-    vm = F.round(F.col("value") * 1_000).cast("long")
+    vm = qlong(F.col("value"), 1_000)
     s = ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(vm).alias("sv"),
@@ -2091,7 +2090,7 @@ def d30_cuped_adjustment(spark, sf_dir):
     holds across engines."""
     ev = T(spark, sf_dir, "events")
     split = F.lit("2024-01-16").cast("timestamp_ntz")
-    vm = F.round(F.col("value") * 1_000).cast("long")
+    vm = qlong(F.col("value"), 1_000)
     u = ev.groupBy("user_id").agg(
         F.coalesce(F.sum(F.when(F.col("ts") < split, vm)), F.lit(0)).alias("x"),
         F.coalesce(F.sum(F.when(F.col("ts") >= split, vm)), F.lit(0)).alias("y"),

@@ -18,6 +18,7 @@ from oeem_etl_spark.operators.splits import (
 )
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, dsum, sql_dsum
+from oeem_etl_spark.functions.fixedpoint import qlong
 
 
 @query(
@@ -508,7 +509,7 @@ def m10_touch_attribution(spark, sf_dir):
         "p_id",
         "p_ts",
         "event_type",
-        F.round(weight * F.col("p_value") * 1_000_000).cast("long").alias("cm"),
+        qlong(weight * F.col("p_value"), 1_000_000).alias("cm"),
     )
     return (
         credited.groupBy(

@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 
 from oeem_etl_spark.plans.registry import query
 from oeem_etl_spark.plans.util import T, dsum, sql_dsum
+from oeem_etl_spark.functions.fixedpoint import qlong
 
 _REV = "l_extendedprice * (1 - l_discount)"
 
@@ -350,7 +351,7 @@ def t17_small_quantity(spark, sf_dir):
     exact integer-micros formula on both sides so the ``< 0.2*avg``
     threshold compares bit-identical doubles."""
     li = T(spark, sf_dir, "lineitem")
-    micros = F.round(F.col("l_quantity") * 1_000_000).cast("long")
+    micros = qlong(F.col("l_quantity"), 1_000_000)
     avg_qty = li.groupBy(F.col("l_partkey").alias("ap_partkey")).agg(
         (F.sum(micros) / F.count(micros) / F.lit(1_000_000.0)).alias("avg_qty")
     )
@@ -471,7 +472,7 @@ def t22_idle_customers(spark, sf_dir):
     (scalar aggregate subquery + anti join). The scalar average is computed
     as a 1-row DataFrame and cross-joined (broadcast) — no collect()."""
     cust = T(spark, sf_dir, "customer")
-    micros = F.round(F.col("c_acctbal") * 1_000_000).cast("long")
+    micros = qlong(F.col("c_acctbal"), 1_000_000)
     avg_bal = cust.where(F.col("c_acctbal") > 0.0).agg(
         (F.sum(micros) / F.count(micros) / F.lit(1_000_000.0)).alias("avg_bal")
     )
@@ -789,7 +790,7 @@ def t11_part_value_concentration(spark, sf_dir):
         .select("s_suppkey")
     )
     li = T(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey", _rev().alias("rev"))
-    micros = F.round(F.col("rev") * 1_000_000).cast("long")
+    micros = qlong(F.col("rev"), 1_000_000)
     pv = (
         li.join(F.broadcast(sup), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("l_partkey")
@@ -970,9 +971,10 @@ def t21_waiting_supplier(spark, sf_dir):
     per-order DISTINCT-supplier facts, so instead of two orderkey-equi
     self-joins of the fact table (three shuffles, and quadratic residual
     work inside any skewed order), ONE window over l_orderkey computes
-    ``|distinct suppliers|`` and ``|distinct late suppliers|`` per order:
-    EXISTS(other supp) ⟺ n_supp ≥ 2; NOT EXISTS(other late supp) — given
-    this row is itself late — ⟺ n_late_supp = 1. The window reuses the
+    min/max supplier facts per order (r9: min/max replace collect_set —
+    see the inline comment): EXISTS(other supp) ⟺ min ≠ max;
+    NOT EXISTS(other late supp) — given this row is itself late — ⟺ the
+    late-supplier min = max. The window reuses the
     orderkey partitioning the lineitem⋈orders join already produced, so
     the whole query is one exchange of the fact table (measured: the
     self-join form swept at 8.0 s at sf0.01; this form runs 0.9 s warm
@@ -982,28 +984,36 @@ def t21_waiting_supplier(spark, sf_dir):
 
     li = T(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
     o = T(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
-    lo = li.join(o, F.col("l_orderkey") == F.col("o_orderkey")).select(
+    # r9 optimization (guide §2.3/§2.4): the status filter is constant per
+    # order, so it pushes below the join — PushedFilters on the orders
+    # scan and roughly half the joined fact rows ever shuffle. The two
+    # collect_set window buffers become four primitive min/max aggregates
+    # in the SAME single window pass: |distinct supp| >= 2 ⟺ min(supp) ≠
+    # max(supp), and (given this row is late) |distinct late supp| = 1 ⟺
+    # min(late supp) = max(late supp) — DeclarativeAggregates, no
+    # per-order set buffering. Result set is identical (oracle-verified).
+    lo = li.join(
+        o.where(F.col("o_orderstatus") == "F"),
+        F.col("l_orderkey") == F.col("o_orderkey"),
+    ).select(
         "l_orderkey",
         "l_suppkey",
-        "o_orderstatus",
         (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")).alias(
             "late"
         ),
     )
     w = Window.partitionBy("l_orderkey")
-    annotated = lo.withColumn(
-        "n_supp", F.size(F.collect_set("l_suppkey").over(w))
-    ).withColumn(
-        "n_late_supp",
-        F.size(
-            F.collect_set(F.when(F.col("late"), F.col("l_suppkey"))).over(w)
-        ),
+    late_sk = F.when(F.col("late"), F.col("l_suppkey"))
+    annotated = (
+        lo.withColumn("sk_min", F.min("l_suppkey").over(w))
+        .withColumn("sk_max", F.max("l_suppkey").over(w))
+        .withColumn("lsk_min", F.min(late_sk).over(w))
+        .withColumn("lsk_max", F.max(late_sk).over(w))
     )
     waiting = annotated.where(
         F.col("late")
-        & (F.col("o_orderstatus") == "F")
-        & (F.col("n_supp") >= 2)
-        & (F.col("n_late_supp") == 1)
+        & (F.col("sk_min") != F.col("sk_max"))
+        & (F.col("lsk_min") == F.col("lsk_max"))
     )
     sup = T(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
@@ -1062,9 +1072,7 @@ def t02_min_cost_supplier(spark, sf_dir):
     in integer micros, so the min-equality is order-independent."""
     from pyspark.sql import Window
 
-    micros = F.round(
-        F.col("l_extendedprice") / F.col("l_quantity") * 1_000_000
-    ).cast("long")
+    micros = qlong(F.col("l_extendedprice") / F.col("l_quantity"), 1_000_000)
     cost = (
         T(spark, sf_dir, "lineitem")
         .select("l_partkey", "l_suppkey", micros.alias("m"))

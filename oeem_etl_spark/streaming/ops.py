@@ -30,7 +30,13 @@ def quantize_micros(v):
     import numpy as np
 
     a = np.asarray(v, dtype="float64")
-    return (np.sign(a) * np.floor(np.abs(a) * 1e6 + 0.5)).astype("int64")
+    m = np.abs(a) * 1e6
+    c = np.floor(m + 0.5)  # candidate; overshoots by 1 in the ulp/2
+    # window below each .5 boundary where the +0.5 add rounds up —
+    # correct it with the exact integer-subtraction compare (same proof
+    # as functions/fixedpoint.qlong: m - (c-1) is exact below 2^53)
+    mag = np.where(m - (c - 1.0) < 0.5, c - 1.0, c)
+    return (np.sign(a) * mag).astype("int64")
 
 
 def sum_micros(v) -> int:

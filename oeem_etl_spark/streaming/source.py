@@ -27,6 +27,12 @@ def _glob_for(path: str) -> str:
     return path[: -len("t")] + "[t]"
 
 
+# path -> parquet footer schema. Every streaming query pays a driver-side
+# footer read + file listing (~90 ms) to pin its source schema; fixture
+# dirs are immutable (same argument as catalog._TABLE_CACHE), so cache it.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def file_stream(
     spark: SparkSession,
     sf_dir: str,
@@ -37,7 +43,10 @@ def file_stream(
     batch footer — stream sources cannot infer)."""
     ensure_session_confs(spark)
     path = table_path(sf_dir, table)
-    schema = spark.read.parquet(path).schema
+    schema = _SCHEMA_CACHE.get(path)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[path] = schema
     reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
