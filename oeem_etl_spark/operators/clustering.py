@@ -302,7 +302,10 @@ def semantic_dedup_pairs(
     # product + a scalar multiply (3× less array work in the O(Σ n_c²)
     # stage). The float expression is identical to cosine() — dot /
     # (sqrt(Σx²)·sqrt(Σy²)) — so results are bit-equal to the unhoisted
-    # form and the oracle.
+    # form and the oracle. (r9 note: hoisting the float→double element
+    # casts here as well was TRIED and reverted — the double arrays
+    # doubled the salted pair join's shuffle bytes, a net loss: 4.1 →
+    # 5.4 s end-to-end. Keep the 4-byte floats on the wire.)
     side = clusters.join(df.select(F.col(key), F.col(vec_col)), key).select(
         F.col("cluster"),
         F.col(key),
@@ -334,6 +337,20 @@ def semantic_dedup_pairs(
     else:
         pairs = x.join(y, ["cluster"])
     pairs = pairs.where(F.col("keep_id") < F.col("drop_id"))
+    # r9 shape notes — two rewrites TRIED here and REVERTED with
+    # measurements, kept as guard rails:
+    # (1) staged dot-prefilter (cheap compare before the round):
+    #     predicate pushdown substitutes the aliased dot expression into
+    #     every pushed filter, so the dot evaluated 2-3× per pair —
+    #     4.1 → 5.2 s. (2) arithmetic qlong round instead of F.round:
+    #     qlong references its child 4-6×, and in this NON-codegen
+    #     context (the dot is a HOF → CodegenFallback → no common-
+    #     subexpression elimination) each reference re-evaluates the
+    #     whole dot — 4.1 → 7.2 s. F.round's single child evaluation
+    #     wins whenever the child is expensive; qlong is for cheap
+    #     codegen'd children (dsum/davg sites). This single-filter form
+    #     evaluates one dot per pair (filter pushed below the
+    #     projection), and the projection re-evaluates only survivors.
     denom = F.col("__nx") * F.col("__ny")
     cos = F.round(
         F.when(denom != 0, vector.dot("__vx", "__vy") / denom), 6
