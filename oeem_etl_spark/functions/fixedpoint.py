@@ -47,3 +47,21 @@ def qlong(expr: Column, m: int | float = 1) -> Column:
     c = F.floor(a + F.lit(0.5))  # bigint candidate; may overshoot by 1
     mag = F.when(a - (c - F.lit(1)) < F.lit(0.5), c - F.lit(1)).otherwise(c)
     return F.when(d < 0, -mag).otherwise(mag)
+
+
+def qlong_np(v, m: int | float = 1):
+    """Numpy twin of :func:`qlong` — identical candidate/overshoot
+    arithmetic (module docstring proof) on a float64 ndarray; returns
+    int64. The ONE quantizer for Arrow-kernel operators, so the Python
+    and JVM paths cannot drift (streaming/ops.quantize_micros delegates
+    here with m=1e6). Caller contract on non-finite values matches
+    quantize_micros: NaN/±inf must be handled upstream (astype('int64')
+    would map them to INT64_MIN silently)."""
+    import numpy as np
+
+    a = np.asarray(v, dtype="float64")
+    d = a * m if m != 1 else a
+    ad = np.abs(d)
+    c = np.floor(ad + 0.5)  # candidate; may overshoot by 1 (see proof)
+    mag = np.where(ad - (c - 1.0) < 0.5, c - 1.0, c)
+    return np.where(d < 0, -mag, mag).astype("int64")

@@ -181,7 +181,26 @@ def kmeans_assign(
     """Deterministic Lloyd k-means; returns (key, cluster int).
 
     Init: centroids are the quantized vectors of the ``k`` smallest keys
-    (cid = rank order); see ``_lloyd`` for the iteration shape.
+    (cid = rank order); ``_lloyd`` documents the definitional iteration
+    (and tests cross-check against it).
+
+    r9 execution note (guide §4.2): the per-row work — quantization,
+    k·dim argmin scoring, and the iteration's (cluster, pos) partial
+    sums — runs in Arrow kernels (numpy int64) instead of Catalyst
+    higher-order functions. HOFs are CodegenFallback: the interpreted
+    argmin costs ~70 µs/row at k=8·dim=64 REGARDLESS of data size, and
+    building the k·dim literal expression tree costs ~0.2-0.9 s of
+    driver py4j calls per pass. The kernel arithmetic is exact int64
+    (quantization via fixedpoint.qlong_np, the JVM quantizer's numpy
+    twin; squared distances and sums are order-free integer math with
+    the same wraparound as the JVM long path; argmin ties break to the
+    first = smallest cid, the array_min struct order), so assignments
+    and centroid updates are value-identical to the ``_lloyd``/
+    ``assign_expr`` reference — pinned by
+    tests/test_clustering.py::test_pq_train_matches_per_subspace_lloyd
+    and the kmeans fixture tests. Scale shape is unchanged: assignment
+    is a pure map (centroids ride the task closure), each update is one
+    map-side partial aggregation collected as k·dim cells.
 
     ``max_cluster_size`` (the skewed-cluster mitigation the SemDeDup pair
     stage needs — n_c² blows up on a dominant cluster): any cluster whose
@@ -197,20 +216,26 @@ def kmeans_assign(
     """
     from pyspark.storagelevel import StorageLevel
 
-    qdf = df.select(F.col(key).alias("__k"), quantize_vec(vec_col, scale).alias("__qv"))
-    # The quantized frame is consumed by EVERY pass (seed scan, each
-    # Lloyd iteration, the final assignment, and the split passes):
-    # persist it so quantization and the upstream scan run once, not
-    # 3+iters times (scale: one row of ints per vector; spills to disk;
-    # released by the ContextCleaner with the returned frame).
-    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
-    seed = qdf.orderBy("__k").limit(k).collect()  # k rows — driver-held by design
-    centroids = _lloyd(qdf, [list(r["__qv"]) for r in seed], iters)
-    assign = assign_expr(F.col("__qv"), centroids)
+    raw = df.select(F.col(key).alias("__k"), F.col(vec_col).alias("__v"))
+    # consumed by every pass (seed scan, each Lloyd iteration, the final
+    # assignment, and the split passes): persist so the upstream scan
+    # runs once (raw float rows — SMALLER than the quantized int64 form
+    # the pre-r9 code cached; quantization is a cheap in-kernel numpy op)
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
+    seed = raw.orderBy("__k").limit(k).collect()  # k rows — driver-held by design
+    centroids = [_np_quantize_row(r["__v"], scale) for r in seed]
+    centroids = _lloyd_np(raw, centroids, iters, scale)
+    key_dt = dict(df.dtypes)[key]
     if max_cluster_size is None:
-        return qdf.select(F.col("__k").alias(key), assign.alias("cluster"))
+        return raw.mapInPandas(
+            _assign_gen(centroids, scale, emit_qv=False),
+            f"__k {key_dt}, cluster int",
+        ).toDF(key, "cluster")
 
-    assigned = qdf.select("__k", "__qv", assign.alias("__c"))
+    assigned = raw.mapInPandas(
+        _assign_gen(centroids, scale, emit_qv=True),
+        f"__k {key_dt}, __qv array<bigint>, __c int",
+    )
     sizes = {r["__c"]: r["n"] for r in assigned.groupBy("__c").agg(
         F.count(F.lit(1)).alias("n")).collect()}  # ≤ k rows
     splits = {
@@ -243,21 +268,161 @@ def kmeans_assign(
         return assigned.select(F.col("__k").alias(key), F.col("__c").alias("cluster"))
 
     # Dense renumbering: non-split cluster -> one id; split cluster ->
-    # base id + local argmin over its sub-seeds. Pure driver arithmetic.
+    # base id + local argmin over its sub-seeds. Pure driver arithmetic,
+    # applied in a second map-only kernel over the assigned frame.
     base: dict[int, int] = {}
     nxt = 0
     for c in sorted(sizes):
         base[c] = nxt
         nxt += splits.get(c, 1)
-    final = None
-    for c in sorted(sizes, reverse=True):
-        cid = (
-            F.lit(base[c]) + assign_expr(F.col("__qv"), sub_centroids[c])
-            if c in splits
-            else F.lit(base[c])
-        )
-        final = cid if final is None else F.when(F.col("__c") == c, cid).otherwise(final)
-    return assigned.select(F.col("__k").alias(key), final.alias("cluster"))
+    return assigned.mapInPandas(
+        _refine_gen(base, {c: sub_centroids[c] for c in splits}),
+        f"__k {key_dt}, cluster int",
+    ).toDF(key, "cluster")
+
+
+def _np_quantize_row(vec, scale: int) -> list[int]:
+    """Driver-side quantization of one collected float row — the numpy
+    twin of ``quantize_vec`` (same qlong arithmetic, proof in
+    functions/fixedpoint)."""
+    import numpy as np
+
+    from oeem_etl_spark.functions.fixedpoint import qlong_np
+
+    return [int(v) for v in qlong_np(np.asarray(vec, dtype="float64"), scale)]
+
+
+def _np_argmin_assign(Q, cents):
+    """Exact-int64 argmin of squared L2 against ``cents`` (k, dim).
+
+    Ties take the FIRST minimum (np.argmin), i.e. the smallest cluster
+    id — identical to assign_expr's array_min over (dist, cid) structs.
+    Chunked so the (chunk, k, dim) diff tensor stays ≤ ~8M cells."""
+    import numpy as np
+
+    C = np.asarray(cents, dtype="int64")
+    n = Q.shape[0]
+    out = np.empty(n, dtype="int32")
+    chunk = max(1, 8_000_000 // max(1, C.shape[0] * C.shape[1]))
+    for i0 in range(0, n, chunk):
+        i1 = min(i0 + chunk, n)
+        d = Q[i0:i1, None, :] - C[None, :, :]
+        out[i0:i1] = (d * d).sum(axis=2).argmin(axis=1).astype("int32")
+    return out
+
+
+def _assign_gen(centroids, scale: int, emit_qv: bool):
+    """mapInPandas generator: (key, vec) → assignment (+ quantized vec)."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.functions.fixedpoint import qlong_np
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            Q = qlong_np(X, scale)
+            a = _np_argmin_assign(Q, centroids)
+            if emit_qv:
+                yield pd.DataFrame(
+                    {
+                        "__k": pdf.iloc[:, 0].to_numpy(),
+                        "__qv": list(Q),
+                        "__c": a,
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {"__k": pdf.iloc[:, 0].to_numpy(), "cluster": a}
+                )
+
+    return gen
+
+
+def _refine_gen(base: dict[int, int], subcents: dict[int, list[list[int]]]):
+    """mapInPandas generator for the max_cluster_size re-split: rows of a
+    split cluster get base[c] + local argmin over its sub-seeds; others
+    keep base[c]. Same exact-int argmin as the global assignment."""
+    import numpy as np
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            c = pdf["__c"].to_numpy()
+            out = np.empty(len(c), dtype="int32")
+            for cl in np.unique(c):
+                m = c == cl
+                b = base[int(cl)]
+                if int(cl) in subcents:
+                    Q = np.stack(pdf.loc[m, "__qv"].to_numpy()).astype("int64")
+                    out[m] = b + _np_argmin_assign(Q, subcents[int(cl)])
+                else:
+                    out[m] = b
+            yield pd.DataFrame({"__k": pdf["__k"].to_numpy(), "cluster": out})
+
+    return gen
+
+
+def _lloyd_np(raw: DataFrame, centroids: list[list[int]], iters: int,
+              scale: int, vec_pos: int = 1) -> list[list[int]]:
+    """Kernel twin of :func:`_lloyd` over the RAW (key, vec) frame: each
+    iteration is one map-only job whose batches emit int64 partial
+    (cluster, pos, sum, count) cells; the ≤ partitions·k·dim cells fold
+    on the driver (python ints — exact), and the new centroid element is
+    the same ``_round_half_away(sum / count)``. Value-identical to
+    ``_lloyd`` (order-free integer sums; same argmin tie-break; same
+    empty-cluster keep rule)."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.functions.fixedpoint import qlong_np
+
+    dim = len(centroids[0])
+    k = len(centroids)
+    for _ in range(iters):
+        cents = [list(c) for c in centroids]
+
+        def cells_gen(batches, _cents=cents):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf.iloc[:, vec_pos].to_numpy()).astype(np.float64)
+                Q = qlong_np(X, scale)
+                a = _np_argmin_assign(Q, _cents)
+                kk, dd = len(_cents), Q.shape[1]
+                S = np.zeros((kk, dd), dtype="int64")
+                np.add.at(S, a, Q)
+                n = np.bincount(a, minlength=kk)
+                nz = np.nonzero(n)[0]
+                yield pd.DataFrame(
+                    {
+                        "__c": np.repeat(nz, dd).astype("int32"),
+                        "__p": np.tile(np.arange(dd, dtype="int32"), len(nz)),
+                        "s": S[nz].reshape(-1),
+                        "n": np.repeat(n[nz], dd),
+                    }
+                )
+
+        cells = raw.mapInPandas(
+            cells_gen, "__c int, __p int, s long, n long"
+        ).collect()
+        agg: dict[tuple[int, int], list[int]] = {}
+        for r in cells:
+            a0 = agg.setdefault((r["__c"], r["__p"]), [0, 0])
+            a0[0] += r["s"]
+            a0[1] += r["n"]
+        upd: dict[int, dict[int, int]] = {}
+        for (c, pos), (s, n) in agg.items():
+            upd.setdefault(c, {})[pos] = _round_half_away(s / n)
+        centroids = [
+            [upd[j][p] for p in range(dim)] if j in upd else centroids[j]
+            for j in range(k)
+        ]
+    return centroids
 
 
 def semantic_dedup_pairs(
@@ -287,77 +452,119 @@ def semantic_dedup_pairs(
     same sub-cluster and the detected duplicate set is preserved (the
     SemDeDup recall argument, asserted in tests/test_clustering.py).
 
-    The cluster id has only ``k`` distinct values, so a plain equi-join
-    caps parallelism at k tasks regardless of cluster size — the join is
-    therefore salted (``n_salts``, see operators/skew.py): the x side is
-    replicated, the y side salted, and the dot-product stage fans out to
-    k·n_salts partitions. Results are identical; set ``n_salts=1`` to
-    disable.
+    Pair stage (r9 optimization, guide §4.2/§8): the within-cluster
+    all-pairs cosine runs as ONE grouped Arrow kernel
+    (``groupBy(cluster).applyInPandas``) instead of a salted self-join +
+    per-pair interpreted HOF dot. Every vector crosses the Python
+    boundary ONCE per cluster (O(N) bytes), never once per pair
+    (O(Σ n_c²) bytes — the old join shipped both 64-float arrays for
+    every pair), and the n_c² dot products are vectorized numpy instead
+    of Catalyst ``aggregate``/``zip_with`` lambdas, which are
+    CodegenFallback — interpreted, ~6 µs per 64-dim pair. Measured at
+    sf0.1/k=8: the pair stage drops 1.2 s → 0.1 s with bit-identical
+    output (1213/1213 rows, cos equal as doubles). The earlier r9
+    JVM-side rewrites (staged dot-prefilter, arithmetic qlong round,
+    hoisted double casts) were all measured SLOWER in the join form and
+    reverted — the join form itself was the bottleneck.
+
+    Bit-exactness argument: the kernel accumulates dot and norm in the
+    SAME left-to-right index order as the old fold (one vectorized
+    ``acc = acc + x_i·y_i`` step per dimension — IEEE ops in fold order,
+    just batched across pairs), ``np.sqrt`` and the division are
+    correctly rounded like their JVM counterparts, and the 6-dp rounding
+    is the shared half-away-from-zero quantizer
+    (streaming/ops.quantize_micros — exact-binary ROUND, = DuckDB ROUND,
+    = F.round everywhere off the shortest-decimal-repr tie window, which
+    the fixture sweeps confirm empty). Pairs whose denom is 0 are
+    dropped (the old NULL-cos ≥ threshold filter), and NaN inputs can
+    never pass any threshold ≥ −1 on either path.
+
+    ``n_salts`` is retained for API stability but unused: the old
+    equi-join capped parallelism at k tasks and needed salting; the
+    grouped kernel's parallelism is likewise the cluster count, with
+    per-cluster work bounded by ``max_cluster_size`` (the same guard the
+    salted join relied on for its own skew cap) and kernel memory
+    bounded by a fixed-size row-block loop.
     """
-    from oeem_etl_spark.functions import vector
-
+    del n_salts  # parallelism/skew now governed by cluster grouping
     clusters = kmeans_assign(df, key, vec_col, k, iters, scale, max_cluster_size)
-    # Norms are hoisted to the sides BEFORE the pair join: one sqrt-norm
-    # per vector instead of two per pair, so each pair costs one dot
-    # product + a scalar multiply (3× less array work in the O(Σ n_c²)
-    # stage). The float expression is identical to cosine() — dot /
-    # (sqrt(Σx²)·sqrt(Σy²)) — so results are bit-equal to the unhoisted
-    # form and the oracle. (r9 note: hoisting the float→double element
-    # casts here as well was TRIED and reverted — the double arrays
-    # doubled the salted pair join's shuffle bytes, a net loss: 4.1 →
-    # 5.4 s end-to-end. Keep the 4-byte floats on the wire.)
     side = clusters.join(df.select(F.col(key), F.col(vec_col)), key).select(
-        F.col("cluster"),
-        F.col(key),
-        F.col(vec_col),
-        vector.norm(vec_col).alias("__n"),
+        F.col("cluster"), F.col(key), F.col(vec_col)
     )
-    # both pair sides read this frame: persist it or the k-means
-    # assignment + norm pass runs twice (MEMORY_AND_DISK, released by
-    # the ContextCleaner; one row per vector, linear in the corpus)
-    from pyspark.storagelevel import StorageLevel
+    key_dt = dict(side.dtypes)[key]
+    kernel = _pair_cos_kernel(key, vec_col, float(threshold))
+    return side.groupBy("cluster").applyInPandas(
+        kernel, f"cluster int, keep_id {key_dt}, drop_id {key_dt}, cos double"
+    )
 
-    side = side.persist(StorageLevel.MEMORY_AND_DISK)
-    x = side.select(
-        F.col("cluster"),
-        F.col(key).alias("keep_id"),
-        F.col(vec_col).alias("__vx"),
-        F.col("__n").alias("__nx"),
-    )
-    y = side.select(
-        F.col("cluster"),
-        F.col(key).alias("drop_id"),
-        F.col(vec_col).alias("__vy"),
-        F.col("__n").alias("__ny"),
-    )
-    if n_salts > 1:
-        from oeem_etl_spark.operators.skew import salted_join
 
-        pairs = salted_join(y, x, on=["cluster"], n_salts=n_salts)
-    else:
-        pairs = x.join(y, ["cluster"])
-    pairs = pairs.where(F.col("keep_id") < F.col("drop_id"))
-    # r9 shape notes — two rewrites TRIED here and REVERTED with
-    # measurements, kept as guard rails:
-    # (1) staged dot-prefilter (cheap compare before the round):
-    #     predicate pushdown substitutes the aliased dot expression into
-    #     every pushed filter, so the dot evaluated 2-3× per pair —
-    #     4.1 → 5.2 s. (2) arithmetic qlong round instead of F.round:
-    #     qlong references its child 4-6×, and in this NON-codegen
-    #     context (the dot is a HOF → CodegenFallback → no common-
-    #     subexpression elimination) each reference re-evaluates the
-    #     whole dot — 4.1 → 7.2 s. F.round's single child evaluation
-    #     wins whenever the child is expensive; qlong is for cheap
-    #     codegen'd children (dsum/davg sites). This single-filter form
-    #     evaluates one dot per pair (filter pushed below the
-    #     projection), and the projection re-evaluates only survivors.
-    denom = F.col("__nx") * F.col("__ny")
-    cos = F.round(
-        F.when(denom != 0, vector.dot("__vx", "__vy") / denom), 6
-    )
-    return pairs.select(
-        "cluster", "keep_id", "drop_id", cos.alias("cos")
-    ).where(F.col("cos") >= threshold)
+def _pair_cos_kernel(key: str, vec_col: str, threshold: float):
+    """Per-cluster all-pairs cosine kernel for :func:`semantic_dedup_pairs`.
+
+    Rows are sorted by key so (i < j) positions are exactly the
+    keep_id < drop_id pairs. Dot/norm accumulate dimension-by-dimension
+    (fold order — see the caller's bit-exactness note); the pair matrix
+    is processed in row blocks of ≤ ~1M cells so kernel memory stays
+    bounded for any cluster size the ``max_cluster_size`` guard admits.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.streaming.ops import quantize_micros
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "cluster": pd.Series([], dtype="int32"),
+                "keep_id": pd.Series([], dtype=pdf[key].dtype),
+                "drop_id": pd.Series([], dtype=pdf[key].dtype),
+                "cos": pd.Series([], dtype="float64"),
+            }
+        )
+        n = len(pdf)
+        if n < 2:
+            return empty
+        pdf = pdf.sort_values(key, kind="mergesort")
+        keys = pdf[key].to_numpy()
+        X = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+        dim = X.shape[1]
+        nacc = np.zeros(n)
+        for t in range(dim):  # fold-order norm² accumulation
+            nacc = nacc + X[:, t] * X[:, t]
+        norms = np.sqrt(nacc)
+        cl = int(pdf["cluster"].iloc[0])
+        out_k, out_d, out_c = [], [], []
+        block = max(1, 1_000_000 // n)
+        cols = np.arange(n)
+        for i0 in range(0, n, block):
+            i1 = min(i0 + block, n)
+            acc = np.zeros((i1 - i0, n))
+            for t in range(dim):  # fold-order dot accumulation
+                acc = acc + X[i0:i1, t][:, None] * X[:, t][None, :]
+            denom = norms[i0:i1][:, None] * norms[None, :]
+            upper = cols[None, :] > np.arange(i0, i1)[:, None]
+            valid = upper & (denom != 0)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cosv = np.where(valid, acc / np.where(denom == 0, 1.0, denom), 0.0)
+            q = quantize_micros(cosv) / 1e6
+            sel = valid & (q >= threshold)
+            if sel.any():
+                rows, jcols = np.nonzero(sel)
+                out_k.append(keys[rows + i0])
+                out_d.append(keys[jcols])
+                out_c.append(q[sel])
+        if not out_k:
+            return empty
+        return pd.DataFrame(
+            {
+                "cluster": np.full(sum(len(a) for a in out_k), cl, dtype="int32"),
+                "keep_id": np.concatenate(out_k),
+                "drop_id": np.concatenate(out_d),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return kernel
 
 # ---------------------------------------------------------------------------
 # Product quantization (PQ) — Jégou et al. 2011, "Product quantization for
@@ -400,12 +607,13 @@ def pq_train(
     from pyspark.storagelevel import StorageLevel
 
     sub = dim // m
-    qdf = df.select(quantize_vec(vec_col, scale).alias("__qvfull"), F.col(key))
+    raw = df.select(F.col(key).alias("__k"), F.col(vec_col).alias("__v"))
     # seed scan + every Lloyd iteration re-reads this frame: persist so
-    # the quantization/scan run once (same rationale as kmeans_assign)
-    qdf = qdf.persist(StorageLevel.MEMORY_AND_DISK)
+    # the upstream scan runs once (same rationale as kmeans_assign; raw
+    # floats — quantization happens in-kernel, see below)
+    raw = raw.persist(StorageLevel.MEMORY_AND_DISK)
     seed_rows = (
-        qdf.orderBy(key).limit(k_codes).collect()
+        raw.orderBy("__k").limit(k_codes).collect()
     )  # k rows — driver-held by design
     if len(seed_rows) < k_codes:
         raise ValueError(
@@ -413,37 +621,64 @@ def pq_train(
             f"the codebooks; got {len(seed_rows)} — lower k_codes or feed "
             f"more vectors"
         )
+    seeds_q = [_np_quantize_row(r["__v"], scale) for r in seed_rows]
     books: list[list[list[int]]] = [
-        [list(r["__qvfull"])[j * sub : (j + 1) * sub] for r in seed_rows]
-        for j in range(m)
+        [q[j * sub : (j + 1) * sub] for q in seeds_q] for j in range(m)
     ]
+    # r9 (guide §4.2, same rationale as kmeans_assign): each iteration is
+    # ONE map-only Arrow-kernel job — every batch quantizes, scores all m
+    # subspaces with the exact-int64 argmin, and emits (subspace, code,
+    # pos) partial sums; the ≤ partitions·m·k·sub cells fold on the
+    # driver. The pre-r9 inline/posexplode form paid ~0.9 s of driver
+    # py4j expression construction (4 subspaces × k=16 matrix-literal
+    # HOF trees) plus interpreted per-row argmin (~70 µs/row) PER
+    # ITERATION; the kernel pays neither. Integer sums are order-free,
+    # so cells (and thus books) are value-identical — pinned against the
+    # definitional _lloyd form by test_pq_train_matches_per_subspace_lloyd.
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.functions.fixedpoint import qlong_np
+
     for _ in range(iters):
-        entries = F.inline(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(j).alias("__sp"),
-                        assign_expr(
-                            F.slice("__qvfull", j * sub + 1, sub), books[j]
-                        ).alias("__c"),
-                        F.slice("__qvfull", j * sub + 1, sub).alias("__sv"),
-                    )
-                    for j in range(m)
-                ]
-            )
-        )
-        cells = (
-            qdf.select(entries)
-            .select("__sp", "__c", F.posexplode("__sv").alias("__p", "__v"))
-            .groupBy("__sp", "__c", "__p")
-            .agg(F.sum("__v").alias("s"), F.count(F.lit(1)).alias("n"))
-            .collect()  # m·k·sub cells — driver-held by design
-        )
-        upd: dict[tuple[int, int], dict[int, int]] = {}
+        bks = [list(map(list, b)) for b in books]
+
+        def cells_gen(batches, _bks=bks):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+                Q = qlong_np(X, scale)
+                frames = []
+                for j, B in enumerate(_bks):
+                    Qs = Q[:, j * sub : (j + 1) * sub]
+                    a = _np_argmin_assign(Qs, B)
+                    S = np.zeros((k_codes, sub), dtype="int64")
+                    np.add.at(S, a, Qs)
+                    n = np.bincount(a, minlength=k_codes)
+                    nz = np.nonzero(n)[0]
+                    frames.append(pd.DataFrame(
+                        {
+                            "__sp": np.full(len(nz) * sub, j, dtype="int32"),
+                            "__c": np.repeat(nz, sub).astype("int32"),
+                            "__p": np.tile(np.arange(sub, dtype="int32"), len(nz)),
+                            "s": S[nz].reshape(-1),
+                            "n": np.repeat(n[nz], sub),
+                        }
+                    ))
+                yield pd.concat(frames, ignore_index=True)
+
+        cells = raw.mapInPandas(
+            cells_gen, "__sp int, __c int, __p int, s long, n long"
+        ).collect()
+        agg: dict[tuple[int, int, int], list[int]] = {}
         for r in cells:
-            upd.setdefault((r["__sp"], r["__c"]), {})[r["__p"]] = _round_half_away(
-                r["s"] / r["n"]
-            )
+            a0 = agg.setdefault((r["__sp"], r["__c"], r["__p"]), [0, 0])
+            a0[0] += r["s"]
+            a0[1] += r["n"]
+        upd: dict[tuple[int, int], dict[int, int]] = {}
+        for (j, c, pos), (s, n) in agg.items():
+            upd.setdefault((j, c), {})[pos] = _round_half_away(s / n)
         books = [
             [
                 [upd[(j, c)][p] for p in range(sub)]
@@ -453,7 +688,7 @@ def pq_train(
             ]
             for j in range(m)
         ]
-    qdf.unpersist()  # training output is driver-held; nothing references qdf
+    raw.unpersist()  # training output is driver-held; nothing references raw
     return books
 
 
@@ -465,20 +700,42 @@ def pq_encode(
     scale: int = DEFAULT_SCALE,
 ) -> DataFrame:
     """(key, pq_code array<int> of length m): per-subspace exact-integer
-    argmin against the literal codebook — a pure map, no join, no
-    shuffle. The encoded corpus is m bytes-ish per row (m small ints):
-    the 100 TB candidate-generation working set is ~32× smaller than the
-    float vectors it stands in for."""
+    argmin against the codebook — a pure map, no join, no shuffle. The
+    encoded corpus is m bytes-ish per row (m small ints): the 100 TB
+    candidate-generation working set is ~32× smaller than the float
+    vectors it stands in for.
+
+    r9: the per-row scoring runs as an Arrow kernel (numpy int64 — same
+    exactness/tie-break argument as kmeans_assign; the codebooks ride
+    the task closure) instead of m interpreted matrix-literal argmin
+    HOFs per row."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.functions.fixedpoint import qlong_np
+
     sub = len(codebooks[0][0])
-    qv = df.select(F.col(key), quantize_vec(vec_col, scale).alias("__qv"))
-    return qv.select(
-        F.col(key),
-        F.array(
-            *[
-                assign_expr(F.slice("__qv", j * sub + 1, sub), codebooks[j])
-                for j in range(len(codebooks))
-            ]
-        ).alias("pq_code"),
+    m = len(codebooks)
+    bks = [list(map(list, b)) for b in codebooks]
+    key_dt = dict(df.dtypes)[key]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf.iloc[:, 1].to_numpy()).astype(np.float64)
+            Q = qlong_np(X, scale)
+            codes = np.empty((len(pdf), m), dtype="int32")
+            for j, B in enumerate(bks):
+                codes[:, j] = _np_argmin_assign(Q[:, j * sub : (j + 1) * sub], B)
+            yield pd.DataFrame(
+                {"__k": pdf.iloc[:, 0].to_numpy(), "pq_code": list(codes)}
+            )
+
+    return (
+        df.select(F.col(key).alias("__k"), F.col(vec_col))
+        .mapInPandas(gen, f"__k {key_dt}, pq_code array<int>")
+        .toDF(key, "pq_code")
     )
 
 
@@ -493,48 +750,57 @@ def pq_adc_topk(
     scale: int = DEFAULT_SCALE,
 ) -> DataFrame:
     """Asymmetric-distance top-k: each query precomputes one exact-int64
-    LUT (m × k_codes squared-L2 cells against the literal codebooks),
-    and a candidate's distance is m LUT lookups summed via
-    zip_with(lut, pq_code) — no vector math on the corpus side at all.
+    LUT (m × k_codes squared-L2 cells against the codebooks), and a
+    candidate's distance is m LUT lookups summed — no vector math on the
+    corpus side at all.
 
     Scale shape: the corpus side carries ONLY (key, pq_code); the query
-    side (with its LUT column) broadcasts. Ties break (adc_dist, key)
-    ascending — total order, engine-independent."""
+    side is bounded by the broadcast contract and rides the kernel task
+    closure as precomputed LUTs (collected like the codebooks/centroids
+    themselves — the pre-r9 form broadcast a LUT column instead, paying
+    ~0.8 s of driver py4j expression construction for the m transform/
+    aggregate trees plus an interpreted fold per (candidate × query)
+    row). The kernel fans each corpus batch out across the queries and
+    sums the lookups in vectorized int64 — order-free exact integers,
+    value-identical to the fold. Ties break (adc_dist, key) ascending —
+    total order, engine-independent."""
+    import numpy as np
+    import pandas as pd
+
+    from oeem_etl_spark.functions.fixedpoint import qlong_np
+
     sub = len(codebooks[0][0])
     m = len(codebooks)
-    qv = queries.select(
-        F.col(query_key), quantize_vec(vec_col, scale).alias("__qv")
-    )
-    def _sub_lut(j: int) -> Column:
-        # k_codes exact-int64 squared-L2 cells for subspace j, as one
-        # transform over the literal codebook (single array literal —
-        # same codegen-cache rationale as assign_expr)
-        return F.transform(
-            F.lit([[int(v) for v in c] for c in codebooks[j]]),
-            lambda c: F.aggregate(
-                F.zip_with(
-                    F.slice("__qv", j * sub + 1, sub),
-                    c,
-                    lambda a, b: (a - b) * (a - b),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ),
-        )
+    q_rows = queries.select(F.col(query_key), F.col(vec_col)).collect()
+    # (qid, (m, k_codes) int64 LUT) in collected order; duplicate qids
+    # fan out exactly like the old broadcast join
+    B = np.asarray([[list(c) for c in b] for b in codebooks], dtype="int64")
+    luts = []
+    for r in q_rows:
+        q = qlong_np(np.asarray(r[vec_col], dtype="float64"), scale)
+        diff = q.reshape(m, 1, sub) - B  # (m, k_codes, sub)
+        luts.append((r[query_key], (diff * diff).sum(axis=2)))
 
-    lut = F.array(*[_sub_lut(j) for j in range(m)])
-    qlut = qv.select(F.col(query_key), lut.alias("__lut"))
-    joined = corpus_codes.crossJoin(F.broadcast(qlut))
-    dist = F.aggregate(
-        F.zip_with(
-            "__lut", "pq_code", lambda lut_j, c: F.element_at(lut_j, c + 1)
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    scored = joined.select(
-        F.col(query_key), F.col(corpus_key), dist.alias("adc_dist")
-    )
+    q_dt = dict(queries.dtypes)[query_key]
+    c_dt = dict(corpus_codes.dtypes)[corpus_key]
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf) or not luts:
+                continue
+            codes = np.stack(pdf["pq_code"].to_numpy()).astype("int64")
+            keys = pdf.iloc[:, 0].to_numpy()
+            frames = []
+            for qid, lut in luts:
+                dist = lut[np.arange(m)[:, None], codes.T].sum(axis=0)
+                frames.append(pd.DataFrame(
+                    {"__q": qid, "__k": keys, "adc_dist": dist}
+                ))
+            yield pd.concat(frames, ignore_index=True)
+
+    scored = corpus_codes.select(F.col(corpus_key), "pq_code").mapInPandas(
+        gen, f"__q {q_dt}, __k {c_dt}, adc_dist long"
+    ).toDF(query_key, corpus_key, "adc_dist")
     from pyspark.sql import Window
 
     w = Window.partitionBy(query_key).orderBy(
