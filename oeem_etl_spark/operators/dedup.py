@@ -120,6 +120,87 @@ def shingle_sets(df: DataFrame, key: str, text_col: str, shingle_k: int = 3) -> 
     )
 
 
+def _minhash_perm_gen(num_perm: int):
+    """mapInPandas generator: (key, __hs: array<bigint>) → (key, minhash).
+
+    Exact numpy twin of the ``array_min(transform(__hs, h*A_p+B_p mod P))``
+    expression form (kept below as the definitional reference): per
+    permutation p, the min over the document's hash multiset of
+    (h·A_p + B_p) mod P. h ∈ [0, P) with P = 2³¹−1 and A_p < P, so
+    h·A_p + B_p < 2⁶² — exact int64 on both engines, no overflow, and min
+    is order-free, so the values are bit-identical to the Catalyst form
+    (pinned by tests/test_dedup.py).
+
+    Why a kernel (guide §4.2): Catalyst higher-order functions are
+    CodegenFallback — the 64 permutations ran as 64 interpreted passes
+    with a 2-int-op lambda per element (the same finding that moved the
+    clustering/PQ family to Arrow kernels). Here the whole batch is one
+    (Σ shingles × num_perm) vectorized multiply-add + segmented min
+    (np.minimum.reduceat), chunked to bound the scratch matrix.
+
+    NULL semantics match Catalyst exactly: NULL or empty hash array →
+    every slot NULL (array_min of NULL/empty is NULL); NULL elements are
+    skipped (array_min skips NULLs), all-NULL → NULL slots.
+    """
+    import numpy as np
+    import pandas as pd
+
+    A = np.asarray(_PERM_A[:num_perm], dtype=np.int64)
+    B = np.asarray(_PERM_B[:num_perm], dtype=np.int64)
+    P = np.int64(_MERSENNE_P)
+    # bound the (chunk shingles × num_perm) int64 scratch to ~64 MB
+    max_chunk = max(1, (8 << 20) // num_perm)
+
+    def gen(batches):
+        for pdf in batches:
+            arrs: list = []
+            for v in pdf["__hs"]:
+                if v is None or (np.isscalar(v) and pd.isna(v)):
+                    arrs.append(None)
+                    continue
+                a = np.asarray(v)
+                if a.dtype.kind not in "iu":
+                    # NULL elements arrive as objects/NaN — array_min
+                    # skips NULLs, so drop them before the min
+                    a = np.asarray(
+                        [x for x in v if x is not None and not pd.isna(x)],
+                        dtype=np.int64,
+                    )
+                else:
+                    a = a.astype(np.int64, copy=False)
+                arrs.append(a if a.size else None)
+            out: list = [None] * len(arrs)
+            sizes = np.fromiter(
+                ((a.size if a is not None else 0) for a in arrs),
+                np.int64,
+                count=len(arrs),
+            )
+            valid = np.nonzero(sizes > 0)[0]
+            if valid.size:
+                flat = np.concatenate([arrs[i] for i in valid])
+                bounds = np.concatenate(
+                    (np.zeros(1, np.int64), np.cumsum(sizes[valid]))
+                )
+                s = 0
+                while s < valid.size:
+                    e = s + 1
+                    while (
+                        e < valid.size
+                        and bounds[e + 1] - bounds[s] <= max_chunk
+                    ):
+                        e += 1
+                    seg = flat[bounds[s] : bounds[e]]
+                    m = (seg[:, None] * A[None, :] + B[None, :]) % P
+                    rel = (bounds[s:e] - bounds[s]).astype(np.intp)
+                    mins = np.minimum.reduceat(m, rel, axis=0)
+                    for row_i, mv in zip(valid[s:e], mins):
+                        out[row_i] = mv
+                    s = e
+            yield pd.DataFrame({"__key": pdf["__key"], "minhash": out})
+
+    return gen
+
+
 def minhash_signatures(
     df: DataFrame,
     key: str,
@@ -128,17 +209,21 @@ def minhash_signatures(
     shingle_k: int = 3,
     hash_fn=None,
     sets: DataFrame | None = None,
+    use_kernel: bool = True,
 ) -> DataFrame:
     """Per-document MinHash signature: array<bigint> of length ``num_perm``.
 
-    MAP-ONLY: each permutation's min is an ``array_min(transform(...))``
-    over the document's shingle-hash array, so signatures involve NO
-    explode, NO shuffle, and NO aggregation — the whole step is one
-    projection fused into whatever reads it. Local latency matches the
-    former explode + num_perm-min-aggregate formulation (the step is
-    arithmetic-bound either way), but at cluster scale this removes the
-    pipeline's largest exchange — the former shuffle grew with corpus
-    size; now the first exchange anywhere is the (tiny) LSH bucket join.
+    MAP-ONLY: signatures involve NO explode, NO shuffle, and NO
+    aggregation — at cluster scale this removes the pipeline's largest
+    exchange (the former explode + num_perm-min-aggregate shuffle grew
+    with corpus size; now the first exchange anywhere is the tiny LSH
+    bucket join). The permuted mins run, by default, as one vectorized
+    numpy kernel over the JVM-hashed shingle arrays
+    (:func:`_minhash_perm_gen` — r9, guide §4.2: the ``array_min(
+    transform(...))`` form is CodegenFallback, num_perm interpreted
+    passes per document). ``use_kernel=False`` keeps that expression
+    form — the definitional reference the kernel is tested against,
+    value-identical by construction.
 
     Each shingle is hashed ONCE (xxhash64 → mod Mersenne prime) into an
     intermediate array column; the num_perm permuted mins are multiply-add
@@ -163,6 +248,22 @@ def minhash_signatures(
         F.col(key),
         F.transform("__sh", hash_fn).alias("__hs"),
     )
+    if use_kernel:
+        # r9 (guide §4.2): the shingle hash stays JVM-side (xxhash64 is
+        # native there), but the num_perm permuted mins move to one
+        # vectorized numpy kernel — the HOF form below is CodegenFallback,
+        # i.e. num_perm interpreted array passes per document. Map-only
+        # either way (no shuffle; only (key, __hs) crosses the boundary);
+        # values bit-identical (see _minhash_perm_gen proof + tests).
+        key_dt = dict(sh.dtypes)[key]
+        return (
+            hs.select(F.col(key).alias("__key"), "__hs")
+            .mapInPandas(
+                _minhash_perm_gen(num_perm),
+                f"__key {key_dt}, minhash array<bigint>",
+            )
+            .withColumnRenamed("__key", key)
+        )
     return hs.select(
         F.col(key),
         F.array(

@@ -96,6 +96,50 @@ def test_shingles_exact(spark):
     assert got2 == ["a b"]
 
 
+def test_minhash_kernel_matches_expression_form(spark):
+    """r9 optimization: the vectorized numpy permutation kernel
+    (_minhash_perm_gen, the default) must be bit-identical to the
+    array_min(transform(...)) expression form it replaced — including
+    the NULL/empty/whitespace edge docs (array_min-of-NULL semantics)
+    and a custom hash_fn (the l2b md5-family path)."""
+    from pyspark.sql import functions as F
+
+    rows = [
+        (1, None),
+        (2, ""),
+        (3, "a"),
+        (4, "a b"),
+        (5, "a b c d e f"),
+        (6, "x\x00y z w"),
+        (7, " "),
+        (8, "a a a a"),
+        (9, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    for kwargs in (
+        {"num_perm": 16},
+        {
+            "num_perm": 8,
+            "hash_fn": lambda s: F.pmod(
+                F.crc32(s).cast("bigint"), F.lit(dedup._MERSENNE_P)
+            ),
+        },
+    ):
+        got = {
+            r["doc_id"]: r["minhash"]
+            for r in dedup.minhash_signatures(
+                df, "doc_id", "text", **kwargs
+            ).collect()
+        }
+        ref = {
+            r["doc_id"]: r["minhash"]
+            for r in dedup.minhash_signatures(
+                df, "doc_id", "text", use_kernel=False, **kwargs
+            ).collect()
+        }
+        assert got == ref
+
+
 def test_minhash_lsh_finds_near_duplicates(spark):
     base = "the quick brown fox jumps over the lazy dog and runs far away home"
     near = base.replace("runs", "walks")
