@@ -364,8 +364,11 @@ def jaccard_verify(
         pairs.join(sets.withColumnRenamed(key, "key_a").withColumnRenamed("__set", "__sa"), "key_a")
         .join(sets.withColumnRenamed(key, "key_b").withColumnRenamed("__set", "__sb"), "key_b")
     )
+    # |A∪B| = |A| + |B| − |A∩B| (shingle sets are distinct arrays), so
+    # one array_intersect replaces intersect + union — same integers,
+    # same double division (r9, the prefix_filter_jaccard_join finding).
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    union = (F.size("__sa") + F.size("__sb")).cast("double") - inter
     return j.select(
         "key_a", "key_b", (inter / union).alias("jaccard")
     )
@@ -838,11 +841,18 @@ def prefix_filter_jaccard_join(
     from pyspark.storagelevel import StorageLevel
 
     k = F.col(key)
+    # materialize the token array BEFORE the shingle lambda (see the
+    # shingles_from_tokens note: a split() expression referenced inside
+    # the transform lambda re-evaluates per output element — O(words²)
+    # characters; CollapseProject keeps the two-step projection because
+    # the non-cheap split is referenced many times). r9: this was the
+    # single largest cost of the whole join — the shingle-build stage
+    # dropped 2.25 → 0.9 s at sf0.1. shingles_from_tokens already
+    # array_distincts, so no outer distinct is needed.
     sets = df.select(
-        k.alias("__k"),
-        F.array_distinct(
-            shingles_from_tokens(F.split(F.col(text_col), " "), shingle_k)
-        ).alias("__set"),
+        k.alias("__k"), F.split(F.col(text_col), " ").alias("__toks")
+    ).select(
+        "__k", shingles_from_tokens(F.col("__toks"), shingle_k).alias("__set")
     )
     if persist_postings:
         sets = sets.persist(StorageLevel.MEMORY_AND_DISK)
@@ -868,7 +878,13 @@ def prefix_filter_jaccard_join(
             F.col("__rn")
             <= F.col("__s") - F.ceil(F.lit(threshold) * F.col("__s")) + 1
         )
-        .select("__k", "__tok")
+        # r9: the candidate equi-join needs token EQUALITY only, so it
+        # rides an 8-byte xxhash64 of the shingle instead of the string
+        # (the ~25-byte shuffle key shrinks 3×). A hash collision can
+        # only ADD a spurious candidate — the exact verify join below
+        # filters on the true string sets, so results are unchanged.
+        # __rn/__s stay aboard for the positional filter at the join.
+        .select("__k", F.xxhash64("__tok").alias("__th"), "__rn", "__s")
     )
     if persist_postings:
         prefix = prefix.persist(StorageLevel.MEMORY_AND_DISK)
@@ -884,20 +900,54 @@ def prefix_filter_jaccard_join(
     # from BOTH sides, so the posting-length skew cap tightens too).
     # Candidates remain a superset of qualifying pairs; the exact verify
     # below filters identically, so results are unchanged.
+    # r9: PPJoin POSITIONAL filter on each prefix-token match. All common
+    # tokens of a pair rank at-or-after the order-minimal common token c
+    # in both documents' (__df, __tok) orders, so
+    # |A∩B| ≤ 1 + min(s_a − rn_a(c), s_b − rn_b(c)); the largest Jaccard
+    # the pair could reach is ub/(s_a + s_b − ub). j(i) = i/(c−i) is
+    # monotone in i and double division is correctly rounded (monotone),
+    # so pairs whose BOUND fails `>= threshold` under the exact verify
+    # arithmetic below can never pass it — dropping them pre-distinct is
+    # lossless; a qualifying pair always survives via c's match row.
+    pa = prefix.select(
+        F.col("__k").alias("__ka"), "__th",
+        F.col("__rn").alias("__ra"), F.col("__s").alias("__na"),
+    )
+    pb = prefix.select(
+        F.col("__k").alias("__kb"), "__th",
+        F.col("__rn").alias("__rb"), F.col("__s").alias("__nb"),
+    )
+    ub = F.lit(1) + F.least(
+        F.col("__na") - F.col("__ra"), F.col("__nb") - F.col("__rb")
+    )
     cand = (
-        prefix.withColumnRenamed("__k", "__ka")
-        .join(prefix.withColumnRenamed("__k", "__kb"), "__tok")
+        pa.join(pb, "__th")
         .where(F.col("__ka") != F.col("__kb"))
+        .where(
+            ub.cast("double") / (F.col("__na") + F.col("__nb") - ub).cast("double")
+            >= F.lit(threshold)
+        )
         .select(
             F.least("__ka", "__kb").alias("key_a"),
             F.greatest("__ka", "__kb").alias("key_b"),
         )
         .distinct()
     )
-    sa = sets.select(F.col("__k").alias("key_a"), F.col("__set").alias("__sa"))
-    sb = sets.select(F.col("__k").alias("key_b"), F.col("__set").alias("__sb"))
+    # verify: |A∪B| = |A| + |B| − |A∩B| (both sides are distinct arrays),
+    # so one array_intersect replaces intersect + union — same integers,
+    # same doubles, same rounded jaccard (r9).
+    sa = sets.select(
+        F.col("__k").alias("key_a"),
+        F.col("__set").alias("__sa"),
+        F.size("__set").alias("__za"),
+    )
+    sb = sets.select(
+        F.col("__k").alias("key_b"),
+        F.col("__set").alias("__sb"),
+        F.size("__set").alias("__zb"),
+    )
     inter = F.size(F.array_intersect("__sa", "__sb")).cast("double")
-    union = F.size(F.array_union("__sa", "__sb")).cast("double")
+    union = (F.col("__za") + F.col("__zb")).cast("double") - inter
     return (
         cand.join(sa, "key_a")
         .join(sb, "key_b")
