@@ -138,20 +138,85 @@ def merge_expr(syms: Column | str, left: str, right: str) -> Column:
     )
 
 
+def _train_rounds_py(
+    rows: list[tuple[str, int]], n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], list[tuple[str, int, list[str]]]]:
+    """Driver-side twin of the per-round (top_pair → merge_expr) loop.
+
+    Exact replica of the distributed semantics, pinned by
+    tests/test_bpe.py: pair counts are per adjacent POSITION weighted by
+    word freq; the winner maximizes (count, then left asc, right asc —
+    symbols are [a-z]/``</w>`` ASCII, where Python's code-point order
+    equals Spark's UTF8 binary order); the merge is greedy left-to-right
+    non-overlapping (a just-merged symbol never re-merges, exactly the
+    merge_expr fold). Stops when no word has ≥2 symbols left.
+    """
+    words = [(w, f, list(w) + [END_MARK]) for w, f in rows]
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for _, f, syms in words:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        (lft, rgt), cnt = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        if cnt < 1:
+            break
+        merges.append((step, lft, rgt, cnt))
+        for idx, (w, f, syms) in enumerate(words):
+            out: list[str] = []
+            for s in syms:
+                if out and out[-1] == lft and s == rgt:
+                    out[-1] = lft + rgt
+                else:
+                    out.append(s)
+            words[idx] = (w, f, out)
+    return merges, words
+
+
 def bpe_train(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
     top_words: int | None = None,
     max_word_len: int | None = None,
+    driver_rounds: bool | None = None,
 ) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
     """Train ``n_merges`` BPE merges; return (merge table, final word df).
 
     Merge table rows are (step, left, right, pair_count) — the learned
     tokenizer, ~n_merges rows of driver state (the PQ-codebook posture).
-    The returned DataFrame is (word, freq, syms) after all merges,
-    checkpointed (small: vocabulary-sized).
+    The returned DataFrame is (word, freq, syms) after all merges
+    (small: vocabulary-sized).
+
+    ``driver_rounds`` (default auto = ``top_words is not None``): with a
+    bounded vocabulary the merge rounds run DRIVER-SIDE over the
+    collected (word, freq) table — r9, guide §1.2/§5: the corpus-sized
+    work is still the one word-frequency hash agg in Spark, but the
+    per-round top-pair job + map rewrite + localCheckpoint each cost a
+    fixed scheduler round-trip on a table of ``top_words`` rows; eight
+    rounds of that dominated training wall-clock. The collected state is
+    ``top_words`` rows — the same bounded-driver-state posture as the
+    merge table itself and the PQ codebooks. An UNBOUNDED vocabulary
+    (``top_words=None``) keeps the distributed per-round loop:
+    collecting a corpus-shaped vocab would be the guide-§5 driver
+    anti-pattern. Both paths are value-identical
+    (tests/test_bpe.py pins merges + final symbol tables equal).
     """
+    if driver_rounds is None:
+        driver_rounds = top_words is not None
+    if driver_rounds and top_words is not None:
+        wf = word_freq(docs, text_col, top_words, max_word_len)
+        rows = [(r["word"], int(r["freq"])) for r in wf.collect()]
+        merges, final = _train_rounds_py(rows, n_merges)
+        words_df = docs.sparkSession.createDataFrame(
+            final, "word string, freq bigint, syms array<string>"
+        )
+        return merges, words_df
     # The word table is vocabulary-sized; collapse to few partitions before
     # each lineage-truncating checkpoint so n_merges rounds don't litter
     # shuffle-partition-many checkpoint files (fd pressure on local mode,
@@ -165,7 +230,7 @@ def bpe_train(
         .repartition(parts)
         .localCheckpoint()
     )
-    merges: list[tuple[int, str, str, int]] = []
+    merges = []
     for step in range(1, n_merges + 1):
         best = top_pair(words)
         if best is None or best[2] < 1:

@@ -212,3 +212,32 @@ def test_apply_merges_accepts_documented_shapes(spark):
     ):
         got = [r[0] for r in df.select(apply_merges("syms", merges)).collect()]
         assert got == expected, (merges, got)
+
+
+def test_driver_rounds_match_distributed(spark):
+    """r9 optimization: with a bounded vocabulary bpe_train runs the merge
+    rounds driver-side (_train_rounds_py). Merges AND the final
+    word->symbols table must be value-identical to the distributed
+    per-round loop, including top_words truncation, max_word_len and a
+    corpus that fully merges some words (the size<2 stop edge)."""
+    corpus = [
+        "lower lower lower newest newest wide wider",
+        "newest newest newest widest widest a a a a",
+        "new new new lowest supercalifragilistic",
+    ]
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(corpus)], "doc_id long, text string"
+    )
+    for kwargs in (
+        {"top_words": 6},
+        {"top_words": 200, "max_word_len": 10},
+        {"top_words": 1},
+    ):
+        m_drv, w_drv = bpe.bpe_train(docs, n_merges=8, **kwargs)
+        m_dist, w_dist = bpe.bpe_train(
+            docs, n_merges=8, driver_rounds=False, **kwargs
+        )
+        assert m_drv == m_dist, kwargs
+        got = {(r["word"], r["freq"]): r["syms"] for r in w_drv.collect()}
+        ref = {(r["word"], r["freq"]): r["syms"] for r in w_dist.collect()}
+        assert got == ref, kwargs
