@@ -460,22 +460,38 @@ def calendarize(
     """
     # Per-INPUT-row arithmetic (the value quantization, the total-day
     # span, and the date normalization of both endpoints) is hoisted
-    # into the projection BELOW the month Generate, so it runs once per
-    # interval instead of once per (interval × month) output row; the
-    # endpoint dates are bound attributes, so the per-month overlap
-    # works in pure DATE space with no timestamp↔date casts per row.
-    # least/greatest commute with the (monotone) date cast, so overlap
-    # and total are value-identical to the former timestamp-space form.
+    # below the month Generate, so it runs once per interval instead of
+    # once per (interval × month) output row. The hoist needs TWO
+    # selects (r9): a projection list that contains the explode plans as
+    # Project(other exprs) ABOVE Generate — Spark's Generate carries only
+    # child ATTRIBUTES through `requiredChildOutput`, so expressions
+    # sharing the explode's select list are recomputed per generated
+    # row (plan-verified: the qlong CASE sat above Generate). Computing
+    # them in their own projection first makes them bound attributes the
+    # Generate passes through untouched. least/greatest commute with the
+    # (monotone) date cast, so overlap and total are value-identical to
+    # the former timestamp-space form.
     s, e = F.col(start).cast("date"), F.col(end).cast("date")
-    month = F.explode(
-        F.sequence(F.trunc(s, "month"), F.trunc(e, "month"), F.expr("interval 1 month"))
-    ).alias("month")
-    base = df.select(
+    pre = df.select(
         *[F.col(k) for k in keys],
         s.alias("__s"),
         e.alias("__e"),
         qlong(F.col(value_col), 10_000).alias("__v4"),
         (F.datediff(e, s) + 1).cast("long").alias("__total"),
+    )
+    month = F.explode(
+        F.sequence(
+            F.trunc(F.col("__s"), "month"),
+            F.trunc(F.col("__e"), "month"),
+            F.expr("interval 1 month"),
+        )
+    ).alias("month")
+    base = pre.select(
+        *[F.col(k) for k in keys],
+        "__s",
+        "__e",
+        "__v4",
+        "__total",
         month,
     )
     m = F.col("month")
