@@ -135,6 +135,15 @@ def grid_nn_join(
     grid_best = (
         p_cells.join(s_cells, ["__cx", "__cy"]).groupBy("__pk").agg(best)
     )
+    # r9: grid_best feeds BOTH the sure-winner filter and (via the
+    # anti-join) the fallback's unresolved set — without a persist the
+    # whole candidate join + aggregate executed twice (plan-verified:
+    # 10 scans / duplicated exchanges in the k34 plan). One row per
+    # point, spillable; released by the ContextCleaner like the other
+    # pipeline intermediates.
+    from pyspark.storagelevel import StorageLevel
+
+    grid_best = grid_best.persist(StorageLevel.MEMORY_AND_DISK)
     # provably-global winners: closer than one full cell side
     sure = grid_best.where(F.col("__best.d2") < F.lit(cell * cell))
     unsure = p.join(sure.select("__pk"), "__pk", "left_anti")
