@@ -82,10 +82,23 @@ def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
     per output element — measured 3× slower on the fixture corpus."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    # k scalar element gets + one concat_ws instead of slice()+array-join
+    # (r9): drops the per-shingle sub-array allocation inside the
+    # interpreted lambda — interleaved noop A/B at sf0.1: min 0.67 →
+    # 0.46 s on the shingle build (medians within noise). Only worth it at
+    # tiny widths like k=3: interpreted eval cost is per expression node,
+    # so at n=5 it's a wash and at window=50 it's 2× SLOWER (see
+    # text.ngrams_from_tokens / duplicate_window_spans notes). Lossless:
+    # concat_ws's scalar form skips NULL args exactly like its array form
+    # skips NULL elements (and split() never yields NULLs), and every
+    # get() index is in-bounds for i ≤ n-k.
     return F.array_distinct(
         F.when(
             n >= k,
-            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+            F.transform(
+                idx,
+                lambda i: F.concat_ws(" ", *[F.get(toks, i + j) for j in range(k)]),
+            ),
         ).otherwise(F.array(F.concat_ws(" ", toks)))
     )
 
@@ -302,6 +315,13 @@ def lsh_candidate_pairs(
     """
     rows_per_band = num_perm // bands
 
+    # NOTE (r9, measured): unrolling these bands-many bucket expressions
+    # into a posexplode(array(...)) of straight-line concat_ws(get...)
+    # trees — hoping to escape the interpreted transform() — ran 4× SLOWER
+    # (interleaved noop A/B, min 0.32 → 1.16 s at sf0.1): Generate
+    # evaluates its generator expression per row in interpreted mode
+    # either way, and the unrolled CreateArray tree has far more
+    # expression nodes than transform's slice+join body. Keep this form.
     def _bucket(b):
         s = F.concat_ws(
             ",",
@@ -995,6 +1015,11 @@ def duplicate_window_spans(
     # shingles_from_tokens trap; fixing it here measured 0.21 → 0.07 s
     # on the l62b spans stage at sf0.1).
     toks = F.col("__toks")
+    # NOTE (r9, measured): do NOT unroll this into window-many scalar
+    # get()s — at window=50 the unrolled expression tree is ~2× slower
+    # than one slice()+join (interpreted eval cost is per expression
+    # node; the get form only wins at tiny widths, see
+    # shingles_from_tokens).
     wtext = lambda i: F.concat_ws(" ", F.slice(toks, i + 1, window))  # noqa: E731
     wkey = (lambda i: F.xxhash64(wtext(i))) if hash_windows else wtext
     n = F.size(toks)

@@ -25,6 +25,12 @@ def ngrams_from_tokens(toks: Column, n: int = 2) -> Column:
     real column in hot paths (measured 3× on the fixture corpus)."""
     cnt = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(cnt - n, F.lit(0)))
+    # NOTE (r9, measured): replacing the slice()+join with n scalar get()s
+    # was a wash at n=5 (interleaved noop A/B: min 0.49 vs 0.39, median
+    # 0.59 vs 0.67 — within box noise, mild regression on the l19 chain) —
+    # interpreted eval cost is per expression node, so the get form only
+    # wins at tiny widths (see dedup.shingles_from_tokens, k=3). Keep the
+    # 2-node slice form here where n is caller-chosen.
     return F.when(
         cnt >= n, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
     ).otherwise(F.array())

@@ -3302,12 +3302,17 @@ def l58_boilerplate_ngrams(spark, sf_dir):
     grams with df >= 2 before the join since df = 1 grams contribute 0
     to every numerator."""
     docs = T(spark, sf_dir, "documents")
-    words = F.split("text", " ")
+    # materialize the token array first (r9): the former inline split()
+    # referenced inside the transform lambda re-ran per gram position —
+    # the O(words²) re-evaluation trap shingles_from_tokens documents.
+    words = F.col("__words")
     grams = F.transform(
         F.sequence(F.lit(0), F.size(words) - 5),
         lambda i: F.concat_ws(" ", F.slice(words, i + 1, F.lit(5))),
     )
     g = docs.select(
+        "doc_id", "source", F.split("text", " ").alias("__words")
+    ).select(
         "doc_id",
         "source",
         F.explode(
