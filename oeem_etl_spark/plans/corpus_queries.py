@@ -152,8 +152,10 @@ def l21_domain_mixture(spark, sf_dir):
 )
 def l22_repetition_stats(spark, sf_dir):
     """Gopher-style repetition quality signals per document. Per-row array
-    expressions only; the top-token scan is O(distinct·tokens) per doc —
-    bounded by document length, embarrassingly parallel."""
+    expressions only; the top-token count is an O(n log n) sorted
+    run-length fold (r9 — formerly an O(distinct·tokens) filter scan per
+    distinct token), embarrassingly parallel. The oracle keeps the
+    quadratic list_filter form: same integers either way."""
     docs = T(spark, sf_dir, "documents")
     out = corpus.repetition_stats(docs, "doc_id", "text")
     return out.select(
