@@ -67,6 +67,58 @@ DUCKDB_REF_RECORDED = {  # sec at sf0.1, in-process min-of-5 warm (r3 anchor)
 }
 
 
+# Parallelism-matched noise anchors (r10, VERDICT r9 #2): the single-
+# threaded nf probe under-reads steal that hits 32-thread workloads (r9:
+# nf 1.18 while 32-thread Spark numbers inflated 5-10×). The MT probe
+# runs the same four ref queries as a fixed batch — 8 concurrent worker
+# threads × the 4-query set, one shared DuckDB database with its thread
+# pool set to $SPARK_GRAFT_CPUS — so its wall time responds to
+# multi-thread steal the way the Spark numbers do. Work per batch is
+# constant; the anchor is per core count (the driver benches at 32 and
+# 8), min-of-3 warm on a quiet box (r10 recording, artifacts/
+# BENCH_R10_*.json). Unknown core counts report raw wall, factor null.
+DUCKDB_REF_MT_RECORDED = {  # cpus -> batch wall sec at sf0.1
+    32: None,  # filled from the r10 quiet-box recording
+    8: None,
+}
+MT_REPLICAS = 8
+
+
+def time_duckdb_refs_mt(sf_dir: str, all_queries, cpus: int) -> float:
+    """Wall seconds (min-of-3) for the fixed MT ref batch: MT_REPLICAS
+    worker threads each running the four DUCKDB_REF_RECORDED queries on
+    cursors of one shared connection whose pool is ``SET threads=cpus``.
+    """
+    import duckdb
+    from concurrent.futures import ThreadPoolExecutor
+
+    con = duckdb.connect()
+    con.execute(f"SET threads TO {max(int(cpus), 1)}")
+    for t in ["region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    sqls = [all_queries[n].sql for n in DUCKDB_REF_RECORDED]
+    for s in sqls:  # warm (footers, catalog)
+        con.sql(s).fetchall()
+
+    def run_set(_i: int) -> None:
+        cur = con.cursor()
+        for s in sqls:
+            cur.sql(s).fetchall()
+        cur.close()
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        with ThreadPoolExecutor(max_workers=MT_REPLICAS) as ex:
+            list(ex.map(run_set, range(MT_REPLICAS)))
+        best = min(best, time.perf_counter() - t0)
+    con.close()
+    return round(best, 4)
+
+
 def time_duckdb_refs(sf_dir: str, all_queries) -> dict[str, float]:
     import duckdb
 
@@ -190,6 +242,16 @@ def main() -> None:
         aqe_timings[name] = round(best, 4)
 
     duck_ref = time_duckdb_refs(sf_dir, registry.all_queries())
+    # MT companion probe (r10): raw wall always reported; the factor only
+    # when an anchor exists for this core count and sf (like nf).
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 1))
+    mt_wall = time_duckdb_refs_mt(sf_dir, registry.all_queries(), cpus)
+    mt_anchor = DUCKDB_REF_MT_RECORDED.get(cpus)
+    noise_factor_mt = (
+        round(mt_wall / mt_anchor, 4)
+        if mt_anchor and abs(sf - 0.1) < 1e-9
+        else None
+    )
     ref_total = sum(duck_ref.values())
     recorded_total = sum(DUCKDB_REF_RECORDED.values())
     # Only meaningful at the recorded sf; at other sfs report raw only.
@@ -263,6 +325,9 @@ def main() -> None:
             "recorded_total": recorded_total,
             "noise_factor": noise_factor,
             "norm_divisor": norm_divisor,
+            "mt_wall": mt_wall,
+            "mt_cpus": cpus,
+            "noise_factor_mt": noise_factor_mt,
         },
         "normalized_value": (
             round(value / norm_divisor, 4) if norm_divisor else None

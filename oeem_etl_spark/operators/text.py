@@ -283,17 +283,48 @@ def fuzzy_join(
     Column names must not collide between the two inputs (alias upstream);
     output has both sides' columns plus ``dist``. Returns distinct
     candidate rows (a pair can share several variants).
+
+    r10 (guide §2.3/§4.1):
+
+    - the candidate equi-join key is ``xxhash64(variant)`` — 8 bytes
+      instead of a near-name-length string, so the broadcast/shuffle
+      relation and the hash probes shrink. Lossless: a collision can
+      only ADD a candidate pair, and any added pair within
+      ``max_dist`` is already in the result via its own shared variant
+      (the SymSpell guarantee) — the distinct absorbs it; any added
+      pair beyond ``max_dist`` is removed by the exact verify.
+    - the verify is ``levenshtein(l, r, max_dist)`` — the banded DP
+      (O(len·max_dist) cells instead of O(len²)) that returns -1 above
+      the threshold; surviving distances are the true distances, so
+      ``dist`` is unchanged. An equality short-circuit skips the DP
+      entirely for identical strings — the most common match class,
+      since every row matches itself through every shared variant and
+      pays the full DP before any caller-side id filter can drop it.
     """
     lv = left.withColumn(
-        "__v", F.explode(deletion_variants(left_col, max_dist))
+        "__vh",
+        F.explode(
+            F.transform(
+                deletion_variants(left_col, max_dist), lambda v: F.xxhash64(v)
+            )
+        ),
     )
     rv = right.withColumn(
-        "__v", F.explode(deletion_variants(right_col, max_dist))
+        "__vh",
+        F.explode(
+            F.transform(
+                deletion_variants(right_col, max_dist), lambda v: F.xxhash64(v)
+            )
+        ),
     )
-    cand = lv.join(rv, "__v").drop("__v").distinct()
-    return cand.withColumn(
-        "dist", F.levenshtein(F.col(left_col), F.col(right_col))
-    ).where(F.col("dist") <= max_dist)
+    cand = lv.join(rv, "__vh").drop("__vh").distinct()
+    lc, rc = F.col(left_col), F.col(right_col)
+    dist = F.when(lc == rc, F.lit(0)).otherwise(
+        F.levenshtein(lc, rc, max_dist)
+    )
+    return cand.withColumn("dist", dist).where(
+        (F.col("dist") >= 0) & (F.col("dist") <= max_dist)
+    )
 
 
 def repetition_signals(df: DataFrame, key: str, text_col: str) -> DataFrame:

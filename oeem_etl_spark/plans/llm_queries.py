@@ -3399,7 +3399,10 @@ def l60_pmi_bigrams(spark, sf_dir):
     broadcasts."""
     docs = T(spark, sf_dir, "documents")
     words = F.split("text", " ")
-    n = F.size(words)
+    # r10 HOF audit: the slice LENGTH args previously used F.size(<split
+    # expression>), re-running the split twice more per row; every ref
+    # now resolves laterally to the materialized `words` alias.
+    n = F.size(F.col("words"))
     docs = docs.select(
         words.alias("words"),
         F.zip_with(

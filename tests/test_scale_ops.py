@@ -265,9 +265,20 @@ def test_cc_hybrid_matches_both_variants_random_graph(spark):
     stats: dict = {}
     h = {
         (r["node"], r["label"])
-        for r in connected_components_hybrid(e, stats=stats).collect()
+        for r in connected_components_hybrid(
+            e, stats=stats, driver_edge_limit=0
+        ).collect()
     }
     assert a == h
+    # r10 driver union-find fast path: same labels as both distributed
+    # variants on the same graph
+    dstats: dict = {}
+    d = {
+        (r["node"], r["label"])
+        for r in connected_components_hybrid(e, stats=dstats).collect()
+    }
+    assert dstats.get("driver_union_find") is True
+    assert a == d
 
 
 def test_cc_hybrid_converged_probe_skips_contraction(spark):
@@ -280,10 +291,20 @@ def test_cc_hybrid_converged_probe_skips_contraction(spark):
     stats: dict = {}
     got = {
         (r["node"], r["label"])
-        for r in connected_components_hybrid(e, stats=stats).collect()
+        for r in connected_components_hybrid(
+            e, stats=stats, driver_edge_limit=0
+        ).collect()
     }
     assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
     assert stats["converged"] and "contraction_rounds" not in stats
+    # with the default driver limit the same graph takes the union-find
+    # fast path and yields identical labels
+    dstats: dict = {}
+    dgot = {
+        (r["node"], r["label"])
+        for r in connected_components_hybrid(e, stats=dstats).collect()
+    }
+    assert dgot == got and dstats.get("driver_union_find") is True
 
 
 def test_cc_hybrid_chain_falls_back_to_contraction(spark):
@@ -296,8 +317,60 @@ def test_cc_hybrid_chain_falls_back_to_contraction(spark):
         F.col("id").alias("key_a"), (F.col("id") + 1).alias("key_b")
     )
     stats: dict = {}
-    labels = connected_components_hybrid(path, max_rounds=40, stats=stats)
+    labels = connected_components_hybrid(
+        path, max_rounds=40, stats=stats, driver_edge_limit=0
+    )
     assert not stats["converged"]
     assert 0 < stats["contraction_rounds"] <= 2 * math.ceil(math.log2(n))
     assert labels.where(F.col("label") != 0).count() == 0
     assert labels.count() == n
+    # the driver fast path handles the same adversarial chain exactly
+    dlabels = connected_components_hybrid(path)
+    assert dlabels.where(F.col("label") != 0).count() == 0
+    assert dlabels.count() == n
+
+
+def test_cc_hybrid_driver_limit_falls_back_and_string_keys(spark):
+    from oeem_etl_spark.operators.dedup import connected_components_hybrid
+
+    # over-limit edge count routes to the distributed path (stats carry
+    # the min-label probe fields, not the driver marker)
+    e = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "key_a long, key_b long"
+    )
+    stats: dict = {}
+    got = {
+        (r["node"], r["label"])
+        for r in connected_components_hybrid(
+            e, stats=stats, driver_edge_limit=2
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+    assert "driver_union_find" not in stats and stats["converged"]
+
+    # string keys: Python code-point order == Spark UTF-8 byte order
+    s = spark.createDataFrame(
+        [("b", "c"), ("a", "b"), ("x", "y")], "key_a string, key_b string"
+    )
+    dstats: dict = {}
+    dgot = {
+        (r["node"], r["label"])
+        for r in connected_components_hybrid(s, stats=dstats).collect()
+    }
+    assert dstats.get("driver_union_find") is True
+    assert dgot == {
+        ("a", "a"), ("b", "a"), ("c", "a"), ("x", "x"), ("y", "x"),
+    }
+
+    # NULL endpoints are not modeled by the driver path: distributed
+    # fallback, null node labels itself, null edges are inert
+    nE = spark.createDataFrame(
+        [(1, 2), (None, 3)], "key_a long, key_b long"
+    )
+    nstats: dict = {}
+    ngot = {
+        (r["node"], r["label"])
+        for r in connected_components_hybrid(nE, stats=nstats).collect()
+    }
+    assert "driver_union_find" not in nstats
+    assert (1, 1) in ngot and (2, 1) in ngot

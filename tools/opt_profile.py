@@ -3,7 +3,7 @@
 For each requested query (default: the bench HEADLINE + EXTRA sets), under
 the exact bench session confs:
 
-- writes ``plans/r09/<name>_<tag>.txt`` with ``explain('formatted')``
+- writes ``plans/r10/<name>_<tag>.txt`` with ``explain('formatted')``
 - times the query warm with BOTH the bench action (count()) and the
   noop sink (guide 1.4 - computes every column, no driver collection)
 - labels jobs via setJobDescription
@@ -58,7 +58,7 @@ def main() -> None:
     spark.conf.set("spark.sql.files.maxPartitionBytes", str(4 * 1024 * 1024))
     spark.conf.set("spark.sql.shuffle.partitions", "8")
 
-    out_dir = REPO / "plans" / "r09"
+    out_dir = REPO / "plans" / "r10"
     out_dir.mkdir(parents=True, exist_ok=True)
     results: dict[str, dict] = {}
     for name in names:
