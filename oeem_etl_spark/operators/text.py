@@ -322,9 +322,10 @@ def fuzzy_join(
     dist = F.when(lc == rc, F.lit(0)).otherwise(
         F.levenshtein(lc, rc, max_dist)
     )
-    return cand.withColumn("dist", dist).where(
-        (F.col("dist") >= 0) & (F.col("dist") <= max_dist)
-    )
+    # thresholded levenshtein returns -1 above max_dist and the true
+    # distance otherwise, so `dist >= 0` alone IS the ≤ max_dist filter —
+    # one predicate, one CASE evaluation in the pushed join condition
+    return cand.withColumn("dist", dist).where(F.col("dist") >= 0)
 
 
 def repetition_signals(df: DataFrame, key: str, text_col: str) -> DataFrame:
