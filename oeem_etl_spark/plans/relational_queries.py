@@ -54,17 +54,23 @@ def q01_pricing_summary(spark, sf_dir):
     li = T(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    # r10 (VERDICT r9 #1): this SEVEN-aggregate battery is the one site
+    # where the primitive qlong form measured SLOWER than F.round at 32
+    # threads (interleaved A/B, both probes: round 0.34/0.60 s min vs
+    # qlong 0.48/0.79 — artifacts/QLONG_AB_R10.json, QLONG_AB2_R10.json);
+    # single-site queries keep qlong (q02 A/B: qlong wins there).
+    q = dict(quantizer="round")
     return (
         li.where(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            dsum("l_quantity", "sum_qty"),
-            dsum("l_extendedprice", "sum_base_price"),
-            dsum(disc_price, "sum_disc_price"),
-            dsum(charge, "sum_charge"),
-            davg("l_quantity", "avg_qty"),
-            davg("l_extendedprice", "avg_price"),
-            davg("l_discount", "avg_disc"),
+            dsum("l_quantity", "sum_qty", **q),
+            dsum("l_extendedprice", "sum_base_price", **q),
+            dsum(disc_price, "sum_disc_price", **q),
+            dsum(charge, "sum_charge", **q),
+            davg("l_quantity", "avg_qty", **q),
+            davg("l_extendedprice", "avg_price", **q),
+            davg("l_discount", "avg_disc", **q),
             F.count(F.lit(1)).alias("count_order"),
         )
         .orderBy("l_returnflag", "l_linestatus")

@@ -123,7 +123,35 @@ def _overflow_guard(micros: Column, agg: Column) -> Column:
     )
 
 
-def dsum(col: Column | str, alias: str, scale: int = 6, checked: bool = True) -> Column:
+def _micros(col: Column | str, scale: int, quantizer: str) -> Column:
+    """The micros expression behind dsum/davg, in one of two provably
+    value-identical forms (tests/test_fixedpoint.py pins them equal on
+    adversarial grids):
+
+    - ``"qlong"`` (default): the primitive floor(+0.5)+overshoot-correct
+      arithmetic — ~20 primitive expression nodes per value, the winner
+      in row-projection contexts (r9 probe; r10 q02 A/B: 0.54 vs 0.62 s
+      min, artifacts/QLONG_AB2_R10.json).
+    - ``"round"``: ``F.round(x·m).cast("long")`` — one compact call per
+      value. The winner when MANY quantized aggregates share one
+      HashAggregate update (r10 q01 A/B, 7 aggregates at 32 threads:
+      round 0.34/0.60 s min vs qlong 0.48/0.79 across two interleaved
+      probes, artifacts/QLONG_AB{,2}_R10.json — the wide qlong battery
+      bloats the generated update past what JIT digests; with 1
+      aggregate the forms tie, t05 in the same artifact).
+    """
+    if quantizer == "round":
+        return F.round(_col(col) * F.lit(10**scale)).cast("long")
+    return qlong(col, scale)
+
+
+def dsum(
+    col: Column | str,
+    alias: str,
+    scale: int = 6,
+    checked: bool = True,
+    quantizer: str = "qlong",
+) -> Column:
     """Order-independent SUM over doubles: integer-micros accumulation.
 
     ``scale`` must exceed the data's intrinsic decimal precision so the
@@ -133,19 +161,28 @@ def dsum(col: Column | str, alias: str, scale: int = 6, checked: bool = True) ->
     ``checked=True`` (default) piggybacks an overflow guard into the same
     aggregate: groups whose |sum| could exceed 2^63/10^scale raise at
     execution instead of wrapping silently (see :func:`_overflow_guard`).
+
+    ``quantizer`` picks the micros form (see :func:`_micros`) — value-
+    identical either way; choose by measurement per site.
     """
     m = 10**scale
-    micros = qlong(col, scale)
+    micros = _micros(col, scale, quantizer)
     total = F.sum(micros)
     if checked:
         total = _overflow_guard(micros, total)
     return F.round(total / F.lit(float(m)), scale).alias(alias)
 
 
-def davg(col: Column | str, alias: str, scale: int = 6, checked: bool = True) -> Column:
+def davg(
+    col: Column | str,
+    alias: str,
+    scale: int = 6,
+    checked: bool = True,
+    quantizer: str = "qlong",
+) -> Column:
     """Order-independent AVG: exact integer-micros sum / count, rounded."""
     m = 10**scale
-    micros = qlong(col, scale)
+    micros = _micros(col, scale, quantizer)
     total = F.sum(micros)
     if checked:
         total = _overflow_guard(micros, total)
