@@ -124,7 +124,19 @@ def build_events(spark) -> None:
 def main() -> None:
     plans.load_all()
     qs = registry.queries()
-    spark = get_session("scale-r10")
+    # own session with the UI on — the REST store is the spill/bytes
+    # witness (get_session ships ui.enabled=false)
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{os.cpu_count() or 8}]")
+        .config("spark.ui.enabled", "true")
+        .config("spark.ui.port", "4048")
+        .config("spark.driver.memory", "32g")
+        .appName("scale-r10")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
     ensure_session_confs(spark)
     # production regime: AQE on, default partitions (scale evidence, not
     # the local-latency bench regime)
