@@ -731,34 +731,33 @@ def k23_calendarize(spark, sf_dir):
     calendar months between order date and ship date by day-overlap
     fraction, then roll up recognized revenue per month — the
     billing-period alignment move the reference's domain (meter billing
-    intervals vs reporting months) is built around. The month explode is
-    a map-side generator (no join, no shuffle); the rollup groups on the
-    low-cardinality month key with integer-micros accumulation."""
-    from oeem_etl_spark.operators.timeseries import calendarize
+    intervals vs reporting months) is built around. r10: the per-
+    (interval × month) explode (8.84M generated rows at sf0.1, the bare
+    Generate alone 65% of the query) is replaced by
+    calendarize_monthly's difference-array fold — ≤4 constant-width
+    emitted rows per interval + one bounded cumulative pass over the
+    calendar axis; bit-identical to calendarize().groupBy(month)
+    (operator property test + oracle)."""
+    from oeem_etl_spark.operators.timeseries import calendarize_monthly
 
     li = T(spark, sf_dir, "lineitem")
     o = T(spark, sf_dir, "orders")
     iv = (
         li.join(o, li["l_orderkey"] == o["o_orderkey"])
         .where(F.col("l_shipdate") >= F.col("o_orderdate"))
-        .select("l_orderkey", "l_linenumber", "o_orderdate", "l_shipdate", "l_extendedprice")
+        .select("o_orderdate", "l_shipdate", "l_extendedprice")
     )
-    parts = calendarize(
-        iv, "o_orderdate", "l_shipdate", "l_extendedprice",
-        keys=["l_orderkey", "l_linenumber"], emit_e4=True,
-    )
+    rolled = calendarize_monthly(iv, "o_orderdate", "l_shipdate", "l_extendedprice")
     # month as TIMESTAMP_NTZ on both sides (date vs datetime64 dtype flap).
-    # r9: sum the operator's exact 1e-4-unit longs directly — identical to
-    # dsum(alloc, scale=4) because alloc = e4/1e4 round-trips exactly
-    # (|e4| < 2^50), minus a divide + re-quantize per exploded row; the
-    # same non-ANSI overflow guard is kept.
-    from oeem_etl_spark.plans.util import _overflow_guard
-
-    e4 = F.col("l_extendedprice_alloc_e4")
-    total = _overflow_guard(e4, F.sum(e4))
-    return parts.groupBy(F.col("month").cast("timestamp_ntz").alias("month")).agg(
-        F.count(F.lit(1)).alias("n_parts"),
-        F.round(total / F.lit(10_000.0), 4).alias("recognized"),
+    # The e4 long sum / 1e4 matches dsum(alloc, scale=4) exactly (r9 note:
+    # alloc = e4/1e4 round-trips, |e4| < 2^50); ANSI long sums keep the
+    # overflow raise of the non-ANSI _overflow_guard path.
+    return rolled.select(
+        F.col("month").cast("timestamp_ntz").alias("month"),
+        F.col("n_parts"),
+        F.round(F.col("l_extendedprice_alloc_e4_sum") / F.lit(10_000.0), 4).alias(
+            "recognized"
+        ),
     )
 
 

@@ -552,6 +552,52 @@ def test_calendarize_split_exact(spark):
     assert out3["2026-05-01"] == 33.3333  # 1/3 of 100, floored
 
 
+def test_calendarize_monthly_equals_explode(spark):
+    """calendarize_monthly (the r10 difference-array rollup) must be
+    bit-identical to calendarize().groupBy(month).agg(count, sum(e4)) —
+    adversarial grid: single-day/single-month, exact month boundaries,
+    two-month, leap February middles, negatives, zeros, long spans, and
+    a pseudo-random batch."""
+    import random
+
+    from oeem_etl_spark.operators.timeseries import calendarize, calendarize_monthly
+
+    rows = [
+        ("2020-01-15", "2020-01-15", 1.23),
+        ("2020-01-31", "2020-02-01", 10.0),
+        ("2020-01-01", "2020-01-31", 3.21),     # exact full month
+        ("2020-02-01", "2020-03-31", 8.4),      # two exact months
+        ("2019-12-01", "2020-03-15", 99.99),    # leap Feb as middle
+        ("2020-02-29", "2020-02-29", 5.0),
+        ("2018-01-01", "2021-12-31", -7.77),    # negative, 4-year span
+        ("2020-06-10", "2020-06-10", 0.0),
+        ("2020-01-01", "2020-12-31", 0.0001),
+        ("2026-11-30", "2026-12-01", 2.5),      # boundary straddle
+    ]
+    rng = random.Random(42)
+    base = datetime.date(2019, 1, 1)
+    for _ in range(60):
+        s = base + datetime.timedelta(days=rng.randrange(0, 900))
+        e = s + datetime.timedelta(days=rng.randrange(0, 500))
+        rows.append((str(s), str(e), round(rng.uniform(-500, 500), 4)))
+    df = spark.createDataFrame(rows, "s string, e string, v double").select(
+        F.col("s").cast("date").alias("s"), F.col("e").cast("date").alias("e"), "v"
+    )
+    old = (
+        calendarize(df.withColumn("k", F.lit(1)), "s", "e", "v", keys=["k"], emit_e4=True)
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("v_alloc_e4").alias("e4"))
+    )
+    new = calendarize_monthly(df, "s", "e", "v").withColumnRenamed(
+        "v_alloc_e4_sum", "e4"
+    )
+    a = sorted(map(tuple, old.collect()))
+    b = sorted(map(tuple, new.collect()))
+    assert a == b
+    # empty input: no axis, no rows, no error
+    assert calendarize_monthly(df.limit(0), "s", "e", "v").count() == 0
+
+
 def test_hard_negatives_excludes_same_label(spark):
     rows = [
         (1, 0, [1.0, 0.0]),   # query: label 0

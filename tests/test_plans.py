@@ -297,13 +297,15 @@ def test_l33_contamination_score_broadcasts_eval_grams(spark, sf_dir):
 def test_k23_calendarize_is_map_side_until_rollup(spark, sf_dir):
     q = registry.queries()["k23_calendarize"]
     plan = plan_of(q(spark, sf_dir))
-    # month fan-out is a generator (no join introduced by the split);
-    # orders⋈lineitem broadcasts; the ONLY shuffle is the monthly rollup,
-    # which combines map-side first
+    # r10: the per-(interval × month) explode is gone — the bounded
+    # contribution generator (≤3 rows/interval) feeds the ONE data-bearing
+    # shuffle (the monthly rollup, map-side combined); the second exchange
+    # is the O(months)-row axis-bounds aggregate over the persisted
+    # rollup. orders⋈lineitem still broadcasts; no join introduced.
     assert "Generate" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     assert "partial_sum" in plan, plan
-    assert shuffle_exchanges(plan) == 1, plan
+    assert shuffle_exchanges(plan) <= 2, plan
 
 
 def test_l34_quantile_gate_broadcasts_thresholds(spark, sf_dir):
