@@ -78,8 +78,15 @@ DUCKDB_REF_RECORDED = {  # sec at sf0.1, in-process min-of-5 warm (r3 anchor)
 # 8), min-of-3 warm on a quiet box (r10 recording, artifacts/
 # BENCH_R10_*.json). Unknown core counts report raw wall, factor null.
 DUCKDB_REF_MT_RECORDED = {  # cpus -> batch wall sec at sf0.1
-    32: None,  # filled from the r10 quiet-box recording
-    8: None,
+    # min over the r10 quiet-box recordings (same best-case convention as
+    # DUCKDB_REF_RECORDED): 32c 0.4612 (in-bench, nf 1.0004 run), 8c
+    # 0.5724. The MT batch wobbles up to ~2× between samples even on an
+    # idle box (thread scheduling + the hypervisor clock swing), so treat
+    # noise_factor_mt ≲ 2 as quiet; its job is to catch the 5-10×
+    # 32-thread steal the single-threaded nf under-reads (VERDICT r9 #2),
+    # not to resolve 10-30% effects.
+    32: 0.4612,
+    8: 0.5724,
 }
 MT_REPLICAS = 8
 

@@ -34,9 +34,14 @@ def main() -> int:
     runs = []
     for p in sys.argv[1:]:
         text = Path(p).read_text().strip()
-        # bench.py prints one JSON line; tolerate leading log lines
-        line = [ln for ln in text.splitlines() if ln.startswith("{")][-1]
-        runs.append(json.loads(line))
+        # Accept either a BENCH_DETAIL artifact (pretty-printed JSON —
+        # since r9 the medians live THERE, not on the machine line) or a
+        # raw bench.py stdout capture (one JSON line after log lines).
+        try:
+            runs.append(json.loads(text))
+        except json.JSONDecodeError:
+            line = [ln for ln in text.splitlines() if ln.startswith("{")][-1]
+            runs.append(json.loads(line))
     if len(runs) < 2:
         print("need >= 2 bench.py output files", file=sys.stderr)
         return 2
